@@ -1,13 +1,455 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from SURVEY.md §2
+  * (or a beyond-parity training-data operator); [[oracleSql]] holds the
+  * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+  * Column names and result types are aligned between both sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries nanosecond timestamps (unsupported by Spark's
+    * µs-based TimestampType). Read them as raw longs and truncate to µs —
+    * exactly what DuckDB 1.x does on read, so oracles stay comparable.
+    * Integer `div` avoids the double-precision loss of `/` on epoch-ns. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------------------------------------------------- relational core ---
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders   = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val nation   = t(s, dir, "nation")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q03_top_orders" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // window dedup — the audit-table snapshot primitive (SURVEY §2.7)
+    "q04_latest_event_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // time-range read — audit-table allBetween semantics (SURVEY §2.7)
+    "q05_events_between" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-20").cast("timestamp") &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q06_top_events_by_value" -> ((s, dir) => {
+      events(s, dir)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(20)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    "q07_entity_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionAll(sup)
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_entities"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q08_distinct_users_per_type" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q09_rollup_sales" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q10_orders_by_month" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("month"))
+    }),
+
+    "q11_sessionization" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      events(s, dir)
+        .withColumn("new_session",
+          when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q12_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("running_value", round(sum(col("value")).over(w), 6))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ------------------------------------------------- dedup operators ---
+    "q13_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_md5"))
+    }),
+
+    "q14_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q17_ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")),
+        n = 3, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q18_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        bands = 8, rowsPerBand = 8, shingleWords = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q19_simhash_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --------------------------------------------------- text analysis ---
+    "q15_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).as("n_tokens"),
+        TextFunctions.charCount(txt).as("n_chars_m"),
+        TextFunctions.meanTokenLength(txt).as("mean_tok_len"),
+        TextFunctions.punctRatio(txt).as("punct_ratio"),
+        TextFunctions.stopwordRatio(txt).as("stop_ratio"),
+        TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q16_language_id" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langScore(txt, "en").as("en_n"),
+        TextFunctions.langScore(txt, "de").as("de_n"),
+        TextFunctions.langScore(txt, "fr").as("fr_n"),
+        TextFunctions.langScore(txt, "es").as("es_n"),
+        TextFunctions.cjkCount(txt).as("zh_n"),
+        TextFunctions.languageId(txt).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------ similarity search ---
+    "q20_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q21_embed_ann_srp" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.srpAnnTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nPlanes = 8, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q22_embed_centroids" -> ((s, dir) => {
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // --------------------------------------------- multimodal plumbing ---
+    "q23_media_manifest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          encode(col("text"), "utf-8").as("content"))
+        .select(
+          col("doc_id"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("sha256_hex"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q04_latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q05_events_between" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |  AND event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+
+    "q06_top_events_by_value" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM (SELECT * FROM events ORDER BY value DESC, event_id ASC LIMIT 20)""".stripMargin,
+
+    "q07_entity_union" ->
+      """SELECT nationkey, count(*) AS n_entities FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q08_distinct_users_per_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q09_rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q10_orders_by_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q11_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q12_running_total" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+    "q14_text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_text_stats" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | length(text) AS n_chars_m,
+        | round(CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), t -> length(t))) AS DOUBLE)
+        |   / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_tok_len,
+        | round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |   / greatest(length(text), 1), 6) AS punct_ratio,
+        | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS DOUBLE)
+        |   / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stop_ratio,
+        | round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |   + greatest(1.0 - round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) * 5.0, 0.0)
+        |   + least(round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) * 4.0, 1.0)
+        |  ) / 3.0, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_language_id" ->
+      """WITH sc AS (
+        | SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS en_n,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) AS de_n,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr_n,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es_n,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n
+        | FROM documents
+        |)
+        |SELECT doc_id, en_n, de_n, fr_n, es_n, zh_n,
+        | CASE WHEN zh_n > 0 THEN 'zh'
+        |      WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |      WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |      WHEN fr_n >= es_n THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q17_ngram_jaccard_pairs" ->
+      """WITH p AS (
+        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        | FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        |FROM p a JOIN p b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_dot_product(q_vec, c_vec)
+        |      / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM s
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q22_embed_centroids" ->
+      """SELECT label,
+        | CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        | CAST(unnest(embedding) AS DOUBLE) AS component
+        |FROM embeddings""".stripMargin, // replaced below — see note
+
+    "q23_media_manifest" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  ) ++ Map(
+    "q22_embed_centroids" ->
+      """WITH e AS (
+        | SELECT label,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS component
+        | FROM embeddings
+        |)
+        |SELECT label, pos, round(avg(component), 6) AS centroid
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines. Everything here is built from codegen'd Catalyst expressions
+  * (`org.apache.spark.sql.functions`) — no UDFs — so whole-stage codegen and
+  * predicate pushdown stay intact at 100 TB scale.
+  *
+  * Capability surface extends the reference framework (waimak exposes raw
+  * Spark columns to user transforms; see SURVEY.md §2.9) with the text ops an
+  * LLM-data pipeline needs: token stats, quality scores, language ID,
+  * fingerprinting.
+  */
+object TextFunctions {
+
+  /** Tokens = maximal runs of non-whitespace. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Token count as BIGINT (matches DuckDB `len(...)` type). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Mean token length, rounded to `scale` decimals. */
+  def meanTokenLength(text: Column, scale: Int = 4): Column = {
+    val toks = tokens(text)
+    val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    round(totalChars.cast("double") / greatest(size(toks), lit(1)).cast("double"), scale)
+  }
+
+  /** Punctuation ratio: punct chars / all chars (explicit class — identical
+    * semantics in Java regex and RE2-based engines). */
+  def punctRatio(text: Column, scale: Int = 6): Column = {
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+    round(punct.cast("double") / greatest(length(text), lit(1)).cast("double"), scale)
+  }
+
+  /** English stopword ratio over tokens. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit(words.mkString("\\b(", "|", ")\\b")), lit(0))).cast("long")
+
+  def stopwordRatio(text: Column, scale: Int = 6): Column =
+    round(
+      stopwordCount(text, EnglishStopwords).cast("double") /
+        greatest(tokenCount(text), lit(1L)).cast("double"),
+      scale)
+
+  /** Composite quality score in [0,1]: penalises very short docs, high
+    * punctuation density and stopword-free (non-natural) text. Deterministic
+    * closed-form so it can be oracle-checked in SQL. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(charCount(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round((lenScore + punctPen + stopScore) / lit(3.0), 6)
+  }
+
+  /** Language-ID by marker-word counting (n-gram-free heuristic; CJK detected
+    * by codepoint class). Deterministic priority order on ties. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langScore(text: Column, langKey: String): Column =
+    stopwordCount(text, LangMarkers(langKey))
+
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
+
+  /** argmax over language scores with fixed priority zh > en > de > fr > es. */
+  def languageId(text: Column): Column = {
+    val en = langScore(text, "en"); val de = langScore(text, "de")
+    val fr = langScore(text, "fr"); val es = langScore(text, "es")
+    when(cjkCount(text) > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Canonical fingerprint: lowercase, collapse whitespace, trim, md5. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Character n-gram shingles (distinct). Guards short strings by clamping
+    * the range start so the sequence is always ascending. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbour search over an embedding column
+  * (`array<float>` / `array<double>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline (a
+  * broadcast of the query set against a scan of the corpus — linear, one
+  * shuffle for the top-k); the LSH path buckets both sides so candidate
+  * generation is an equi-join on (table, bucket), which survives a 1000×
+  * corpus because work is proportional to bucket occupancy, not corpus².
+  * All vector math is codegen'd higher-order functions in doubles.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, computed in double, left-to-right
+    * (deterministic fold order → oracle-comparable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (l2Norm(a) * l2Norm(b)), scale)
+
+  /** Exact top-k cosine neighbours of each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); `corpus` streams.
+    * Ranking uses the rounded score with id tie-break so results are stable
+    * across engines and partitionings.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` x `dim`, components from a
+    * fixed-seed PRNG, materialised as a literal (broadcast with the plan). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id: bit i = sign(plane_i . vec). */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(planeLit, vec) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact cosine
+    * ranks within the bucket. Recall < 1 by construction (that is the scale
+    * trade); raise `nPlanes` for smaller buckets / lower recall, or wrap in
+    * multi-probe by unioning neighbouring buckets. */
+  def srpAnnTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", srpBucket(col("c_vec"), planes))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", srpBucket(col("q_vec"), planes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-label centroids of an embedding column: posexplode → two-level agg.
+    * The partial aggregation (map-side combine) keeps the shuffle at
+    * |labels| x dim rows regardless of corpus size. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String, scale: Int = 6): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "component")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("component").cast("double")), scale).as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+}

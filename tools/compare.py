@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local correctness gate: run each oracle_sql.json query in DuckDB over the
+sf tables and compare with the Spark parquet dumps (column-name sorted,
+row sorted) — mirrors the driver's check."""
+import sys, json, glob
+import duckdb, pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = []
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING {name}"); fails.append(name); continue
+    mine = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    try:
+        ref = canon(con.execute(oracle[name]).fetchdf())
+    except Exception as e:
+        print(f"ORACLE-ERR {name}: {e}"); fails.append(name); continue
+    if list(mine.columns) != list(ref.columns):
+        print(f"SCHEMA {name}: mine={list(mine.columns)} ref={list(ref.columns)}"); fails.append(name); continue
+    if len(mine) != len(ref):
+        print(f"ROWS {name}: mine={len(mine)} ref={len(ref)}"); fails.append(name); continue
+    eq = True
+    for c in mine.columns:
+        a, b = mine[c], ref[c]
+        try:
+            if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                ok = (pd.to_datetime(a).values == pd.to_datetime(b).values).all()
+            else:
+                ok = (a.values == b.values).all()
+        except Exception:
+            ok = (a.astype(str).values == b.astype(str).values).all()
+        if not ok:
+            bad = (a.astype(str).values != b.astype(str).values)
+            print(f"VALUES {name} col={c} ndiff={bad.sum()} e.g. mine={a[bad][:3].tolist()} ref={b[bad][:3].tolist()}")
+            eq = False
+    if not eq: fails.append(name)
+    else: print(f"OK {name} rows={len(mine)}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-checked queries OK; failures: {fails}")
+sys.exit(1 if fails else 0)
