@@ -28,9 +28,32 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+  /** Flagship: revenue-by-nation executed through the dataflow framework —
+    * DAG build, validation, parallel scheduling, temp-view SQL, the lot.
+    * Driver smoke-checks rows>0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.dataflow.spark.{Graft => G}
+    import graft.dataflow.spark.actions._
+    val dir = "/root/testdata/sf0.001"
+    val flow = G.sparkFlow(spark)
+      .openFileParquet(s"$dir/lineitem.parquet", "lineitem")
+      .openFileParquet(s"$dir/orders.parquet", "orders")
+      .openFileParquet(s"$dir/customer.parquet", "customer")
+      .openFileParquet(s"$dir/nation.parquet", "nation")
+      .transform("lineitem")("li_rev") { li =>
+        li.select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      }
+      .sql("li_rev", "orders", "customer", "nation")("by_nation",
+        """select n.n_name, round(sum(l.rev), 2) as revenue, count(*) as n_lineitems
+          |from li_rev l
+          |join orders o on l.l_orderkey = o.o_orderkey
+          |join customer c on o.o_custkey = c.c_custkey
+          |join nation n on c.c_nationkey = n.n_nationkey
+          |group by n.n_name order by n.n_name""".stripMargin)
+    val (_, done) = G.sparkExecutor(8).execute(flow)
+    done.inputs.get[org.apache.spark.sql.Dataset[_]]("by_nation").toDF()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -------------------------------------------------- relational core ---

@@ -1,0 +1,142 @@
+package graft.dataflow.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.dataflow.FlowException
+import graft.dataflow.spark.actions._
+
+class SparkFlowSpec extends SparkTestBase with Matchers {
+
+  private def executor = Graft.sparkExecutor(8)
+
+  describe("end-to-end Spark flow") {
+    it("opens parquet, transforms, runs sql joins, writes parquet") {
+      val out = s"$tmpDir/e2e"
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/e2e-tmp")
+        .openFileParquet(s"${sf()}/lineitem.parquet", "lineitem")
+        .openFileParquet(s"${sf()}/orders.parquet", "orders")
+        .transform("lineitem")("agg") { li =>
+          li.groupBy("l_orderkey")
+            .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        }
+        .sql("agg", "orders")("joined",
+          """select o.o_orderkey, o.o_orderdate, a.revenue
+            |from agg a join orders o on a.l_orderkey = o.o_orderkey""".stripMargin)
+        .writeParquet(out)("joined")
+
+      val (executed, finalFlow) = executor.execute(flow)
+      executed.size shouldBe 5
+      val joined = spark.read.parquet(s"$out/joined")
+      joined.columns.sorted shouldBe Array("o_orderdate", "o_orderkey", "revenue")
+      joined.count() should be > 0L
+      // every order with lineitems is present exactly once
+      val expected = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .select("l_orderkey").distinct().count()
+      joined.count() shouldBe expected
+    }
+
+    it("runs independent branches in parallel pools") {
+      val flow = Graft.sparkFlow(spark)
+        .executionPool("a")(
+          _.openFileParquet(s"${sf()}/customer.parquet", "customer")
+            .transform("customer")("c2")(_.select("c_custkey")))
+        .executionPool("b")(
+          _.openFileParquet(s"${sf()}/supplier.parquet", "supplier")
+            .transform("supplier")("s2")(_.select("s_suppkey")))
+      val (executed, finalFlow) = executor.execute(flow)
+      executed.size shouldBe 4
+      finalFlow.inputs.labels should contain allOf ("c2", "s2")
+    }
+
+    it("caches a reused label as parquet and cuts lineage") {
+      // keep the temp folder alive so cached entities stay readable after the
+      // flow finishes (default behaviour deletes it at finaliseExecution)
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/cache-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .transform("nation")("enriched")(_.withColumn("x", lit(1)))
+        .cacheAsParquet("enriched")
+        .transform("enriched")("left")(_.select("n_nationkey"))
+        .transform("enriched")("right")(_.select("n_name"))
+      val (executed, finalFlow) = executor.execute(flow)
+      executed.size shouldBe 4
+      finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("left").count() shouldBe 25
+      // cached dataset reads from the temp parquet, not the original lineage
+      val enriched = finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("enriched")
+      // plan is a bare parquet source read, not the original transform lineage
+      enriched.queryExecution.logical.toString.toLowerCase should include("parquet")
+    }
+
+    it("sparkCache persists eagerly") {
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .sparkCache("region")
+        .transform("region")("n")(_.select("r_name"))
+      val (_, finalFlow) = executor.execute(flow)
+      val cached = finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("region")
+      cached.storageLevel.useMemory shouldBe true
+      cached.unpersist()
+    }
+
+    it("writeAsNamedFiles produces deterministic file names") {
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/named-tmp")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .writeAsNamedFiles("region", s"$tmpDir/named-out", 2, "regions")
+      executor.execute(flow)
+      val files = new java.io.File(s"$tmpDir/named-out").list().sorted
+      files.count(_.startsWith("regions.")) shouldBe 2
+      files.filter(_.startsWith("regions.")).foreach(_ should endWith(".parquet"))
+    }
+
+    it("alias and partitionSort preserve data") {
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .alias("nation", "nation2")
+        .partitionSort("nation2", "sorted")("n_regionkey")("n_nationkey")
+      val (_, finalFlow) = executor.execute(flow)
+      finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("sorted").count() shouldBe 25
+    }
+
+    it("tagDependency orders write-then-read-folder flows") {
+      val stage = s"$tmpDir/staged"
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .tag("staged")(
+          _.writeParquet(stage, overwrite = true)("region"))
+        .tagDependency("staged")(
+          _.open("reopened")(ctx => ctx.spark.read.parquet(s"$stage/region")))
+      val (_, finalFlow) = executor.execute(flow)
+      finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("reopened").count() shouldBe 5
+    }
+
+    it("rejects sql labels that are not valid table names") {
+      intercept[FlowException] {
+        Graft.sparkFlow(spark)
+          .openFileParquet(s"${sf()}/region.parquet", "bad-label")
+          .sql("bad-label")("out", "select * from `bad-label`")
+      }
+    }
+
+    it("unitTransform side-effects without outputs") {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .unitTransform("region")("counting")(dfs => seen.set(dfs.head.count()))
+      executor.execute(flow)
+      seen.get() shouldBe 5
+    }
+
+    it("openCSV round-trips a writeCSV output") {
+      val base = s"$tmpDir/csv"
+      val write = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .writeCSV(base, Map("header" -> "true"))("region")
+      executor.execute(write)
+      val read = Graft.sparkFlow(spark).openCSV(base)("region")
+      val (_, f2) = executor.execute(read)
+      f2.inputs.get[org.apache.spark.sql.Dataset[_]]("region").count() shouldBe 5
+    }
+  }
+}
