@@ -1,0 +1,230 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Append-only audit table with primary-key snapshotting.
+  *
+  * Physical layout (on-disk compatible with the reference,
+  * /root/reference/waimak-storage/.../AuditTableFile.scala:40-46,228-250):
+  *
+  * {{{
+  * <base>/<table>/.table_info
+  * <base>/<table>/de_store_type=hot/de_store_region=r00000000000000000042/ (parquet files)
+  * <base>/<table>/de_store_type=cold/de_store_region=r.../ (parquet files)
+  * }}}
+  *
+  * `de_store_type` / `de_store_region` are hive partition folders, so region
+  * and type filters prune at the parquet-scan level — `snapshot` and
+  * `allBetween` never touch deprecated or out-of-range regions.
+  *
+  * Every record carries `_de_last_updated: Timestamp` set at append time (or
+  * from a source column); `snapshot(ts)` is the classic window dedup: latest
+  * record per PK with `_de_last_updated <= ts`.
+  *
+  * Instances are one-shot for mutations (reference AuditTableFile.scala:222):
+  * `append`/`compact` invalidate the handle; use the returned table.
+  */
+class AuditTable(
+    val info: AuditTableInfo,
+    val regions: Seq[AuditTableRegionInfo],
+    val basePath: Path,
+    ops: FileStorageOps,
+    spark: SparkSession) {
+
+  import AuditTable._
+
+  private var modified = false
+
+  def tableName: String = info.tableName
+  def tablePath: Path = new Path(basePath, tableName)
+
+  private def guardOneShot(): Unit = synchronized {
+    if (modified)
+      throw new StorageException(
+        s"Table [$tableName] was already modified through this handle; reopen it first")
+    modified = true
+  }
+
+  private def regionPath(storeType: String, region: String): Path =
+    new Path(tablePath, s"$TypeColumn=$storeType/$RegionColumn=$region")
+
+  private def nextRegionId: String = {
+    val maxExisting = regions.map(_.storeRegion.stripPrefix("r").toLong)
+      .maxOption.getOrElse(-1L)
+    f"r${maxExisting + 1}%020d"
+  }
+
+  def activeRegions: Seq[AuditTableRegionInfo] = regions.filterNot(_.isDeprecated)
+
+  def hotRegions: Seq[AuditTableRegionInfo] = activeRegions.filter(_.storeType == HotType)
+
+  def getLatestTimestamp: Option[Timestamp] =
+    activeRegions.map(_.maxLastUpdated).maxOption(Ordering.by((_: Timestamp).getTime))
+
+  // -------------------------------------------------------------- append ---
+
+  /** Append `ds` as one new hot region, stamping `_de_last_updated` from
+    * `lastUpdatedCol` (or `appendTimestamp` when absent). Returns the
+    * refreshed table handle. */
+  def append(ds: Dataset[_], lastUpdatedCol: Option[String],
+      appendTimestamp: Timestamp): AuditTable = {
+    guardOneShot()
+    val stamped = lastUpdatedCol match {
+      case Some(c) => ds.toDF().withColumn(AuditColumn, col(c).cast("timestamp"))
+      case None => ds.toDF().withColumn(AuditColumn, lit(appendTimestamp))
+    }
+    val region = nextRegionId
+    val dest = s"$tableName/$TypeColumn=$HotType/$RegionColumn=$region"
+    ops.writeParquet(basePath, dest, stamped)
+    // region stats in one scan — count + max audit ts
+    val written = spark.read.parquet(new Path(basePath, dest).toString)
+    val stats = written.agg(
+      count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts")).head()
+    val newRegion = AuditTableRegionInfo(
+      tableName, HotType, region, appendTimestamp, isDeprecated = false,
+      stats.getLong(0),
+      Option(stats.getTimestamp(1)).getOrElse(LowTimestamp))
+    reopened(regions :+ newRegion)
+  }
+
+  // ------------------------------------------------------------- queries ---
+
+  /** Read all active regions as one DataFrame (partition-pruned to the
+    * region ids, schema-merged for evolution). */
+  private def readRegions(regs: Seq[AuditTableRegionInfo]): Option[DataFrame] = {
+    if (regs.isEmpty) None
+    else ops.openParquet(Seq(tablePath)).map { df =>
+      df.where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
+        .drop(TypeColumn, RegionColumn)
+    }
+  }
+
+  /** PK-deduplicated state at `ts`: one row per key, the latest
+    * `_de_last_updated <= ts` wins. THE window-dedup primitive. */
+  def snapshot(ts: Timestamp): Option[DataFrame] = {
+    // all active regions: a late append can carry source timestamps <= ts,
+    // so snapshot pruning is row-level only (allBetween prunes by region)
+    readRegions(activeRegions).map { df =>
+      val filtered = df.where(col(AuditColumn) <= lit(ts))
+      if (info.primaryKeys.isEmpty) filtered
+      else {
+        val w = Window.partitionBy(info.primaryKeys.map(col): _*)
+          .orderBy(col(AuditColumn).desc)
+        filtered.withColumn("_de_rn", row_number().over(w))
+          .where(col("_de_rn") === 1)
+          .drop("_de_rn")
+      }
+    }
+  }
+
+  /** Event history in `[from, to]` — region-pruned by each region's max
+    * last-updated before the row-level between filter. */
+  def allBetween(from: Option[Timestamp], to: Option[Timestamp]): Option[DataFrame] = {
+    val lo = from.getOrElse(LowTimestamp)
+    val hi = to.getOrElse(HighTimestamp)
+    val regs = activeRegions.filter(_.maxLastUpdated.getTime >= lo.getTime)
+    readRegions(regs).map(_.where(col(AuditColumn).between(lit(lo), lit(hi))))
+  }
+
+  // ------------------------------------------------------------- compact ---
+
+  /** Merge all hot regions plus cold regions below `smallRegionRowThreshold`
+    * into one new cold region sized by `partitioner`. When the table does not
+    * retain history, the merge also PK-dedups (keeping latest). Old regions
+    * go to Trash (purged past `trashMaxAgeMs`). */
+  def compact(compactTs: Timestamp,
+      trashMaxAgeMs: Long = 86400000L,
+      smallRegionRowThreshold: Long = 50000000L,
+      partitioner: CompactionPartitioner = TotalBytesPartitioner(),
+      recompactAll: Boolean = false): AuditTable = {
+    guardOneShot()
+    val hot = activeRegions.filter(_.storeType == HotType)
+    val smallCold = activeRegions.filter(r =>
+      r.storeType == ColdType && (recompactAll || r.count < smallRegionRowThreshold))
+    val toMerge = hot ++ smallCold
+    if (toMerge.isEmpty) { modified = false; return this }
+
+    val merged = readRegions(toMerge).getOrElse(
+      throw new StorageException(s"No data found for regions of [$tableName]"))
+    val deduped =
+      if (info.retainHistory || info.primaryKeys.isEmpty) merged
+      else {
+        val w = Window.partitionBy(info.primaryKeys.map(col): _*)
+          .orderBy(col(AuditColumn).desc)
+        merged.withColumn("_de_rn", row_number().over(w))
+          .where(col("_de_rn") === 1).drop("_de_rn")
+      }
+
+    val totalRows = toMerge.map(_.count).sum
+    val numPartitions = partitioner.numPartitions(deduped, totalRows)
+    val sized =
+      if (numPartitions < deduped.rdd.getNumPartitions) deduped.coalesce(numPartitions)
+      else deduped.repartition(numPartitions)
+
+    val newRegionId = nextRegionId
+    val dest = s"$tableName/$TypeColumn=$ColdType/$RegionColumn=$newRegionId"
+    ops.writeParquet(basePath, dest, sized)
+    val written = spark.read.parquet(new Path(basePath, dest).toString)
+    val stats = written.agg(count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts")).head()
+    // new region is live before old ones are trashed — a crash in between
+    // leaves duplicates (resolved by snapshot dedup), never data loss
+    val nowMs = compactTs.getTime
+    ops.moveToTrash(basePath, tableName,
+      toMerge.map(r => regionPath(r.storeType, r.storeRegion)), nowMs)
+    ops.purgeTrash(basePath, tableName, nowMs, trashMaxAgeMs)
+
+    val survivors = regions.filterNot(r => toMerge.exists(m =>
+      m.storeType == r.storeType && m.storeRegion == r.storeRegion))
+    val newRegion = AuditTableRegionInfo(tableName, ColdType, newRegionId,
+      compactTs, isDeprecated = false, stats.getLong(0),
+      Option(stats.getTimestamp(1)).getOrElse(LowTimestamp))
+    reopened(survivors :+ newRegion)
+  }
+
+  private def reopened(newRegions: Seq[AuditTableRegionInfo]): AuditTable =
+    new AuditTable(info, newRegions, basePath, ops, spark)
+
+  override def toString: String =
+    s"AuditTable($tableName, pks=${info.primaryKeys.mkString(",")}, regions=${regions.size})"
+}
+
+object AuditTable {
+  val AuditColumn = "_de_last_updated"
+  val TypeColumn = "de_store_type"
+  val RegionColumn = "de_store_region"
+  val HotType = "hot"
+  val ColdType = "cold"
+  val LowTimestamp: Timestamp = Timestamp.valueOf("0001-01-01 00:00:00")
+  val HighTimestamp: Timestamp = Timestamp.valueOf("9999-12-31 23:59:59")
+}
+
+/** Pluggable compaction output sizing (reference StorageActions.scala:265-323). */
+trait CompactionPartitioner {
+  def numPartitions(df: DataFrame, totalRows: Long): Int
+}
+
+/** Sample rows, estimate mean in-memory size, target `bytesPerPartition`. */
+final case class TotalBytesPartitioner(
+    bytesPerPartition: Long = 250000000L, maxSampleRows: Int = 1000)
+  extends CompactionPartitioner {
+  def numPartitions(df: DataFrame, totalRows: Long): Int = {
+    if (totalRows == 0) return 1
+    val sample = df.limit(maxSampleRows).collect()
+    val meanBytes =
+      if (sample.isEmpty) 100.0
+      else sample.map(r => org.apache.spark.util.SizeEstimator.estimate(r).toDouble).sum / sample.length
+    math.max(1, math.ceil(totalRows * meanBytes / bytesPerPartition).toInt)
+  }
+}
+
+/** Cells (rows x columns) per partition — cheaper, no sampling. */
+final case class TotalCellsPartitioner(cellsPerPartition: Long = 2500000L)
+  extends CompactionPartitioner {
+  def numPartitions(df: DataFrame, totalRows: Long): Int =
+    math.max(1, math.ceil(totalRows.toDouble * df.columns.length / cellsPerPartition).toInt)
+}

@@ -1,0 +1,134 @@
+package graft.storage
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.io.{InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** Table-level metadata persisted beside the data as a java-properties file
+  * (`.table_info`), on-disk compatible with the reference
+  * (/root/reference/waimak-storage/.../FileStorageOps.scala:269-307). */
+final case class AuditTableInfo(
+    tableName: String,
+    primaryKeys: Seq[String],
+    meta: Map[String, String],
+    retainHistory: Boolean)
+
+/** One physical region of an audit table: a hot (fresh append) or cold
+  * (compacted) parquet folder, plus its stats. */
+final case class AuditTableRegionInfo(
+    tableName: String,
+    storeType: String, // "hot" | "cold"
+    storeRegion: String, // zero-padded sequence id
+    createdOn: java.sql.Timestamp,
+    isDeprecated: Boolean,
+    count: Long,
+    maxLastUpdated: java.sql.Timestamp)
+
+/** Filesystem + parquet primitives for the storage layer: atomic folder
+  * moves via staging, mergeSchema multi-path opens, `.table_info`
+  * round-trip, Trash with age-based purge.
+  *
+  * All writes stage into `.tmp` then `rename` — O(1) and atomic on
+  * HDFS-like filesystems, so readers never observe partial regions.
+  */
+class FileStorageOps(spark: SparkSession) {
+
+  lazy val fs: FileSystem = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Open N region paths as one DataFrame with schema evolution. */
+  def openParquet(paths: Seq[Path]): Option[DataFrame] = {
+    val existing = paths.filter(fs.exists)
+    if (existing.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(existing.map(_.toString): _*))
+  }
+
+  /** Write parquet into `dest` atomically: stage under `<base>/.tmp`, then
+    * move over. */
+  def writeParquet(base: Path, relDest: String, df: DataFrame,
+      overwrite: Boolean = true): Path = {
+    val staging = new Path(base, s".tmp/$relDest")
+    val dest = new Path(base, relDest)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    moveOverwriteFolder(staging, dest, overwrite)
+    dest
+  }
+
+  def moveOverwriteFolder(from: Path, to: Path, overwrite: Boolean = true): Unit = {
+    if (fs.exists(to)) {
+      if (!overwrite) throw new StorageException(s"Destination already exists: $to")
+      fs.delete(to, true)
+    }
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to))
+      throw new StorageException(s"Failed to move $from to $to")
+  }
+
+  // ------------------------------------------------------------ metadata ---
+
+  def writeTableInfo(tablePath: Path, info: AuditTableInfo): Unit = {
+    val props = new Properties()
+    props.setProperty("table_name", info.tableName)
+    props.setProperty("primary_keys", info.primaryKeys.mkString(","))
+    props.setProperty("retain_history", info.retainHistory.toString)
+    info.meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
+    val out = fs.create(new Path(tablePath, ".table_info"), true)
+    val writer = new OutputStreamWriter(out, StandardCharsets.UTF_8)
+    try props.store(writer, s"audit table info for ${info.tableName}")
+    finally writer.close()
+  }
+
+  def readTableInfo(tablePath: Path): Option[AuditTableInfo] = {
+    val p = new Path(tablePath, ".table_info")
+    if (!fs.exists(p)) None
+    else {
+      val props = new Properties()
+      val in = new InputStreamReader(fs.open(p), StandardCharsets.UTF_8)
+      try props.load(in) finally in.close()
+      val meta = props.stringPropertyNames().asScala
+        .filter(_.startsWith("meta."))
+        .map(k => k.stripPrefix("meta.") -> props.getProperty(k)).toMap
+      Some(AuditTableInfo(
+        props.getProperty("table_name"),
+        Option(props.getProperty("primary_keys")).filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Seq.empty),
+        meta,
+        Option(props.getProperty("retain_history")).forall(_.toBoolean)))
+    }
+  }
+
+  // --------------------------------------------------------------- trash ---
+
+  /** Move region folders into `<base>/.Trash/<table>/<epochMillis>/` instead
+    * of deleting — compaction stays rollback-able until the purge. */
+  def moveToTrash(base: Path, tableName: String, regions: Seq[Path],
+      nowMs: Long): Unit = {
+    val trashDir = new Path(base, s".Trash/$tableName/$nowMs")
+    fs.mkdirs(trashDir)
+    regions.foreach { r =>
+      if (!fs.rename(r, new Path(trashDir, r.getName)))
+        throw new StorageException(s"Failed to trash region $r")
+    }
+  }
+
+  /** Delete trash snapshots older than `maxAgeMs`. */
+  def purgeTrash(base: Path, tableName: String, nowMs: Long, maxAgeMs: Long): Unit = {
+    val tableTrash = new Path(base, s".Trash/$tableName")
+    if (fs.exists(tableTrash)) {
+      fs.listStatus(tableTrash).foreach { st =>
+        val ts = scala.util.Try(st.getPath.getName.toLong).getOrElse(Long.MaxValue)
+        if (nowMs - ts > maxAgeMs) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  def listDirs(path: Path): Seq[Path] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath).toSeq
+}
+
+class StorageException(message: String, cause: Throwable = null)
+  extends RuntimeException(message, cause)

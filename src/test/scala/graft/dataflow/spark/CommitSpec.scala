@@ -1,0 +1,81 @@
+package graft.dataflow.spark
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.dataflow.FlowException
+import graft.dataflow.spark.actions._
+import graft.dataflow.spark.commit._
+import graft.metastore.RecordingConnector
+
+class CommitSpec extends SparkTestBase with Matchers {
+
+  private def executor = Graft.sparkExecutor(8)
+
+  describe("commit/push") {
+    it("stages, moves and registers snapshots atomically") {
+      val out = s"$tmpDir/published"
+      val connector = new RecordingConnector("testdb")
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/commit-tmp")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .commit("publish")("region", "nation")
+        .push("publish")(ParquetDataCommitter(out)
+          .snapshotFolder("snap=20240101")
+          .withConnector(connector))
+      val (executed, _) = executor.execute(flow)
+
+      spark.read.parquet(s"$out/region/snap=20240101").count() shouldBe 5
+      spark.read.parquet(s"$out/nation/snap=20240101").count() shouldBe 25
+      connector.ddls.exists(_.contains("create external table")) shouldBe true
+      connector.ddls.exists(_.contains("set location")) shouldBe true
+    }
+
+    it("refuses to overwrite an existing snapshot") {
+      val out = s"$tmpDir/published2"
+      def mkFlow = Graft.sparkFlow(spark, s"$tmpDir/commit-tmp2")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .commit("p2")("region")
+        .push("p2")(ParquetDataCommitter(out).snapshotFolder("snap=1"))
+      executor.execute(mkFlow)
+      val e = intercept[FlowException] { executor.execute(mkFlow) }
+      e.getMessage should include("already exists")
+    }
+
+    it("keeps only the last N snapshots with date-based cleanup") {
+      val out = s"$tmpDir/published3"
+      def flowFor(snap: String) = Graft.sparkFlow(spark, s"$tmpDir/commit-tmp3")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .commit("p3")("region")
+        .push("p3")(ParquetDataCommitter(out)
+          .snapshotFolder(snap).dateBasedSnapshotCleanup(2))
+      executor.execute(flowFor("snap=20240101"))
+      executor.execute(flowFor("snap=20240102"))
+      executor.execute(flowFor("snap=20240103"))
+      new java.io.File(s"$out/region").list().sorted shouldBe
+        Array("snap=20240102", "snap=20240103")
+    }
+
+    it("fails fast on commit without push and push without commit") {
+      val f1 = Graft.sparkFlow(spark, s"$tmpDir/ct4")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .commit("orphan")("region")
+      intercept[FlowException] { executor.execute(f1) }.getMessage should include("without a push")
+
+      val f2 = Graft.sparkFlow(spark, s"$tmpDir/ct5")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .push("ghost")(ParquetDataCommitter(s"$tmpDir/x"))
+      intercept[FlowException] { executor.execute(f2) }.getMessage should include("without commits")
+    }
+
+    it("partitioned commit writes hive-partition folders") {
+      val out = s"$tmpDir/published4"
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/ct6")
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .commit("p4", Some(Left(Seq("n_regionkey"))))("nation")
+        .push("p4")(ParquetDataCommitter(out))
+      executor.execute(flow)
+      new java.io.File(s"$out/nation").list().count(_.startsWith("n_regionkey=")) shouldBe 5
+    }
+  }
+}

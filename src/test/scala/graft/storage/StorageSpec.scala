@@ -1,0 +1,129 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.dataflow.spark.Graft
+import graft.storage.StorageActions._
+
+class StorageSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def mkTable(name: String, retainHistory: Boolean = true): AuditTable =
+    Storage.getOrCreateTable(spark, tmpDir,
+      AuditTableInfo(name, Seq("id"), Map.empty, retainHistory))
+
+  describe("audit table lifecycle") {
+    it("creates, appends and snapshots with PK dedup") {
+      val t0 = mkTable("users")
+      val v1 = Seq((1L, "alice", "v1"), (2L, "bob", "v1")).toDF("id", "name", "version")
+      val t1 = t0.append(v1, None, ts("2024-01-01 10:00:00"))
+      val v2 = Seq((1L, "alice2", "v2"), (3L, "carol", "v2")).toDF("id", "name", "version")
+      val t2 = t1.append(v2, None, ts("2024-01-02 10:00:00"))
+
+      t2.regions.size shouldBe 2
+      t2.hotRegions.size shouldBe 2
+
+      // snapshot after both: id1 -> v2 wins, id2 -> v1, id3 -> v2
+      val snap = t2.snapshot(ts("2024-01-03 00:00:00")).get
+        .select("id", "version").as[(Long, String)].collect().sortBy(_._1)
+      snap shouldBe Array((1L, "v2"), (2L, "v1"), (3L, "v2"))
+
+      // snapshot between the appends sees only v1
+      val early = t2.snapshot(ts("2024-01-01 12:00:00")).get
+        .select("id", "version").as[(Long, String)].collect().sortBy(_._1)
+      early shouldBe Array((1L, "v1"), (2L, "v1"))
+    }
+
+    it("allBetween filters by audit timestamp and prunes regions") {
+      val t0 = mkTable("events_t")
+      val t1 = t0.append(Seq((1L, "a")).toDF("id", "payload"), None, ts("2024-01-01 00:00:00"))
+      val t2 = t1.append(Seq((2L, "b")).toDF("id", "payload"), None, ts("2024-02-01 00:00:00"))
+      val rows = t2.allBetween(Some(ts("2024-01-15 00:00:00")), None).get
+        .select("id").as[Long].collect()
+      rows shouldBe Array(2L)
+    }
+
+    it("reopens from disk with regions inferred from the folder layout") {
+      val t0 = mkTable("reopen_me")
+      t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      val reopened = Storage.openTable(spark, tmpDir, "reopen_me").get
+      reopened.regions.size shouldBe 1
+      reopened.info.primaryKeys shouldBe Seq("id")
+      reopened.regions.head.count shouldBe 1
+      reopened.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 1
+    }
+
+    it("compacts hot regions into one cold region and trashes the old ones") {
+      val t0 = mkTable("compact_me")
+      val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      val t2 = t1.append(Seq((2L, "b")).toDF("id", "v"), None, ts("2024-01-02 00:00:00"))
+      val t3 = t2.compact(ts("2024-01-03 00:00:00"),
+        partitioner = TotalCellsPartitioner())
+      t3.hotRegions shouldBe empty
+      t3.activeRegions.map(_.storeType) shouldBe Seq(AuditTable.ColdType)
+      t3.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 2
+      // originals moved to trash, not deleted
+      val trash = new java.io.File(s"$tmpDir/.Trash/compact_me")
+      trash.exists() shouldBe true
+      trash.list() should not be empty
+    }
+
+    it("dedups during compaction when history is not retained") {
+      val t0 = mkTable("nohist", retainHistory = false)
+      val t1 = t0.append(Seq((1L, "old")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      val t2 = t1.append(Seq((1L, "new")).toDF("id", "v"), None, ts("2024-01-02 00:00:00"))
+      val t3 = t2.compact(ts("2024-01-03 00:00:00"), partitioner = TotalCellsPartitioner())
+      val rows = t3.allBetween(None, None).get.select("id", "v").as[(Long, String)].collect()
+      rows shouldBe Array((1L, "new"))
+    }
+
+    it("enforces one-shot mutation handles") {
+      val t0 = mkTable("oneshot")
+      t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      intercept[StorageException] {
+        t0.append(Seq((2L, "y")).toDF("id", "v"), None, ts("2024-01-02 00:00:00"))
+      }
+    }
+
+    it("uses a source column for the audit timestamp when provided") {
+      val t0 = mkTable("srccol")
+      val df = Seq((1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-05 00:00:00")))
+        .toDF("id", "updated")
+      val t1 = t0.append(df, Some("updated"), ts("2024-03-10 00:00:00"))
+      t1.getLatestTimestamp.get shouldBe ts("2024-03-05 00:00:00")
+      t1.allBetween(Some(ts("2024-03-02 00:00:00")), None).get.count() shouldBe 1
+    }
+
+    it("rejects reopening with different primary keys") {
+      mkTable("pkclash")
+      intercept[StorageException] {
+        Storage.getOrCreateTable(spark, tmpDir,
+          AuditTableInfo("pkclash", Seq("other"), Map.empty, retainHistory = true))
+      }
+    }
+  }
+
+  describe("storage flow actions") {
+    it("ingests a label end-to-end and snapshots it back") {
+      val base = s"$tmpDir/flowstore"
+      val ingest = Graft.sparkFlow(spark)
+        .addInput("txns", Some(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")))
+        .getOrCreateAuditTable(base,
+          t => AuditTableInfo(t, Seq("id"), Map.empty, retainHistory = true))("txns")
+        .writeToStorage("txns", None, ts("2024-01-01 00:00:00"))
+      Graft.sparkExecutor(4).execute(ingest)
+
+      val read = Graft.sparkFlow(spark)
+        .snapshotFromStorage(base, ts("2024-06-01 00:00:00"))("txns")
+      val (_, done) = Graft.sparkExecutor(4).execute(read)
+      done.inputs.get[org.apache.spark.sql.Dataset[_]]("txns").count() shouldBe 2
+    }
+  }
+}
