@@ -1,0 +1,115 @@
+package graft.app
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import scala.reflect.runtime.{universe => ru}
+
+import graft.configuration.ConfigParser
+import graft.dataflow.FlowException
+import graft.dataflow.spark.{Graft, SparkDataFlow, SparkFlowContext}
+import graft.dataflow.ParallelExecutor
+
+/** Sandboxed environment conventions: data under
+  * `{uri}/data/{environment}/{project}/{branch}` and a database named
+  * `{environment}_{project}_{branch}` (reference waimak-app/.../Env.scala:12-204). */
+trait Env {
+  def environment: String
+  def project: String
+  def branch: String
+  def uri: String
+
+  def normalised(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  def basePath: String =
+    s"$uri/data/${normalised(environment)}/${normalised(project)}/${normalised(branch)}"
+
+  def create(spark: SparkSession): Unit = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(basePath))
+  }
+
+  def cleanup(spark: SparkSession): Unit = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(basePath), true)
+  }
+}
+
+final case class BaseEnv(environment: String, project: String, branch: String,
+    uri: String) extends Env
+
+/** Environment with a per-sandbox database. */
+final case class HiveEnv(environment: String, project: String, branch: String,
+    uri: String) extends Env {
+  def baseDatabaseName: String =
+    s"${normalised(environment)}_${normalised(project)}_${normalised(branch)}"
+
+  override def create(spark: SparkSession): Unit = {
+    super.create(spark)
+    spark.sql(s"create database if not exists $baseDatabaseName")
+  }
+
+  override def cleanup(spark: SparkSession): Unit = {
+    spark.sql(s"drop database if exists $baseDatabaseName cascade")
+    super.cleanup(spark)
+  }
+}
+
+/** An application: parse env from conf under `spark.graft.environment.`,
+  * ensure it exists, run. Reference: SparkApp.scala:23-90, WaimakApp.scala:14-23. */
+abstract class SparkApp[E <: Env: ru.TypeTag] {
+
+  def confPrefix: String = "spark.graft.environment."
+
+  def parseEnv(spark: SparkSession): E = ConfigParser[E](spark, confPrefix)
+
+  def run(spark: SparkSession): Unit = {
+    val env = parseEnv(spark)
+    env.create(spark)
+    runWithEnv(spark, env)
+  }
+
+  protected def runWithEnv(spark: SparkSession, env: E): Unit
+}
+
+/** Flow-based application template: implement `flow`, the template executes. */
+abstract class GraftApp[E <: Env: ru.TypeTag](maxParallelActions: Int = 20)
+  extends SparkApp[E] {
+
+  def flow(emptyFlow: SparkDataFlow, env: E): SparkDataFlow
+
+  protected def runWithEnv(spark: SparkSession, env: E): Unit = {
+    val built = flow(Graft.sparkFlow(spark, s"${env.basePath}/.tmp"), env)
+    new ParallelExecutor[SparkFlowContext](maxParallelActions).execute(built)
+  }
+}
+
+/** Run several flow-producing apps as ONE flow with declared dependencies:
+  * each app's actions are tagged with its name and tag-depend on its
+  * dependencies, so independent apps parallelise and dependents wait.
+  * Configuration (reference MultiAppRunner.scala:29-74):
+  * `spark.graft.apprunner.apps=a,b`, `spark.graft.apprunner.<app>.dependencies=...`.
+  */
+object MultiAppRunner {
+
+  trait FlowApp { def flow(base: SparkDataFlow): SparkDataFlow }
+
+  def runAll(spark: SparkSession, apps: Map[String, FlowApp],
+      dependencies: Map[String, Seq[String]],
+      maxParallelActions: Int = 20): Unit = {
+    dependencies.foreach { case (app, deps) =>
+      if (!apps.contains(app)) throw new FlowException(s"Unknown app in dependencies: $app")
+      deps.foreach(d => if (!apps.contains(d))
+        throw new FlowException(s"App [$app] depends on unknown app [$d]"))
+    }
+    val combined = apps.toSeq.sortBy(_._1).foldLeft(Graft.sparkFlow(spark)) {
+      case (fl, (name, app)) =>
+        val deps = dependencies.getOrElse(name, Seq.empty).map(d => s"app-$d")
+        val withDeps =
+          if (deps.isEmpty) fl.tag(s"app-$name")(app.flow)
+          else fl.tagDependency(deps: _*)(_.tag(s"app-$name")(app.flow))
+        withDeps
+    }
+    new ParallelExecutor[SparkFlowContext](maxParallelActions).execute(combined)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.configuration
+
+import org.apache.spark.sql.SparkSession
+
+import scala.reflect.runtime.{universe => ru}
+
+/** Typed case-class configuration parsing from Spark conf / properties.
+  *
+  * Reference semantics (waimak-core/.../configuration/CaseClassConfigParser.scala:70-235):
+  * for case class `C(field1: T1 = d1, ...)` and prefix `p`, each field is
+  * resolved as key `p + fieldName` in order: SparkConf, then additional
+  * properties, then the constructor default. Supported types: String, Int,
+  * Long, Double, Boolean, Option[T] (missing -> None) and Seq[T]
+  * (comma-separated, custom separator per call).
+  */
+object ConfigParser {
+
+  /** Provider abstraction so secret stores can plug in (reference
+    * PropertyProvider). */
+  trait PropertyProvider { def get(key: String): Option[String] }
+
+  final case class MapPropertyProvider(props: Map[String, String]) extends PropertyProvider {
+    def get(key: String): Option[String] = props.get(key)
+  }
+
+  def apply[A: ru.TypeTag](spark: SparkSession, prefix: String,
+      additional: Map[String, String] = Map.empty,
+      separator: String = ","): A = {
+    val providers: Seq[PropertyProvider] = Seq(
+      new PropertyProvider {
+        def get(key: String): Option[String] = spark.conf.getOption(key)
+      },
+      MapPropertyProvider(additional))
+    parse[A](k => providers.view.flatMap(_.get(k)).headOption, prefix, separator)
+  }
+
+  def fromMap[A: ru.TypeTag](props: Map[String, String], prefix: String = "",
+      separator: String = ","): A =
+    parse[A](props.get, prefix, separator)
+
+  def parse[A: ru.TypeTag](lookup: String => Option[String], prefix: String,
+      separator: String): A = {
+    val tpe = ru.typeOf[A]
+    val mirror = ru.runtimeMirror(getClass.getClassLoader)
+    val classSym = tpe.typeSymbol.asClass
+    require(classSym.isCaseClass, s"${tpe} is not a case class")
+    val classMirror = mirror.reflectClass(classSym)
+    val ctor = tpe.decl(ru.termNames.CONSTRUCTOR).asMethod
+    val ctorMirror = classMirror.reflectConstructor(ctor)
+    val companion = mirror.reflectModule(classSym.companion.asModule).instance
+    val companionMirror = mirror.reflect(companion)
+
+    val args = ctor.paramLists.flatten.zipWithIndex.map { case (param, i) =>
+      val name = param.name.decodedName.toString
+      val key = prefix + name
+      val paramType = param.typeSignature
+      lookup(key) match {
+        case Some(raw) => convert(raw, paramType, separator)
+        case None if paramType.typeConstructor =:= ru.typeOf[Option[_]].typeConstructor =>
+          None
+        case None =>
+          defaultFor(companionMirror, i + 1).getOrElse(
+            throw new ConfigException(s"No value for required configuration key [$key]"))
+      }
+    }
+    ctorMirror(args: _*).asInstanceOf[A]
+  }
+
+  private def defaultFor(companionMirror: ru.InstanceMirror, idx: Int): Option[Any] = {
+    val name = s"apply$$default$$$idx"
+    val sym = companionMirror.symbol.typeSignature.member(ru.TermName(name))
+    if (sym == ru.NoSymbol) None
+    else Some(companionMirror.reflectMethod(sym.asMethod).apply())
+  }
+
+  private def convert(raw: String, tpe: ru.Type, separator: String): Any = {
+    val optionCtor = ru.typeOf[Option[_]].typeConstructor
+    val seqCtor = ru.typeOf[Seq[_]].typeConstructor
+    val listCtor = ru.typeOf[List[_]].typeConstructor
+    if (tpe.typeConstructor =:= optionCtor)
+      Some(convert(raw, tpe.typeArgs.head, separator))
+    else if (tpe.typeConstructor =:= seqCtor || tpe.typeConstructor =:= listCtor) {
+      val inner = tpe.typeArgs.head
+      val parts = if (raw.isEmpty) Seq.empty[String] else raw.split(separator).toSeq
+      val converted = parts.map(p => convert(p.trim, inner, separator))
+      if (tpe.typeConstructor =:= listCtor) converted.toList else converted
+    }
+    else if (tpe =:= ru.typeOf[String]) raw
+    else if (tpe =:= ru.typeOf[Int]) raw.toInt
+    else if (tpe =:= ru.typeOf[Long]) raw.toLong
+    else if (tpe =:= ru.typeOf[Double]) raw.toDouble
+    else if (tpe =:= ru.typeOf[Boolean]) raw.toBoolean
+    else throw new ConfigException(s"Unsupported configuration field type: $tpe")
+  }
+}
+
+class ConfigException(message: String) extends RuntimeException(message)

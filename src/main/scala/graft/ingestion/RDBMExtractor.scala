@@ -1,0 +1,228 @@
+package graft.ingestion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import java.util.Properties
+
+import graft.storage.AuditTableInfo
+
+/** Per-table extraction config (reference RDBMIngestionUtils.scala:109-113). */
+final case class ExtractionTableConfig(
+    tableName: String,
+    primaryKeys: Option[Seq[String]] = None,
+    lastUpdatedColumn: Option[String] = None,
+    maxRowsPerPartition: Option[Int] = None,
+    forceFullLoad: Boolean = false)
+
+/** Incremental JDBC extraction into the storage layer.
+  *
+  * The contract mirrors the reference (RDBMExtractor.scala:17-288): build a
+  * delta select (`lastUpdated > ?`), attach the extraction timestamp, and
+  * parallelise big tables with predicate splits derived from a row_number
+  * sampling query pushed to the database. SQL generation is separated from
+  * execution so dialects and tests override the I/O boundary only.
+  */
+trait RDBMExtractor {
+
+  def spark: SparkSession
+  def connectionDetails: JDBCConnection
+  def sourceDBSystemTimestampFunction: String = "CURRENT_TIMESTAMP"
+  /** Column added to every extracted row with the source row's last-update. */
+  val rdbmRecordLastUpdated = "rdbm_record_last_updated"
+  val systemTimestampColumn = "system_timestamp_of_extraction"
+
+  /** Table metadata (PKs discovered from the DB or provided). */
+  def getTableMetadata(dbSchema: String, tableName: String,
+      primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
+      forceRetainStorageHistory: Option[Boolean]): AuditTableInfo
+
+  /** Dialect-specific quoting. */
+  def escapeKeyword(identifier: String): String = identifier
+
+  /** The delta select pushed to the DB. */
+  def selectQuery(dbSchema: String, tableName: String,
+      lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
+    val base = s"select *, $sourceDBSystemTimestampFunction as $systemTimestampColumn " +
+      s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}"
+    (lastUpdatedColumn, lastUpdated) match {
+      case (Some(col), Some(ts)) => s"$base where ${escapeKeyword(col)} > '$ts'"
+      case _ => base
+    }
+  }
+
+  /** Predicates that shard the delta read into ~`maxRowsPerPartition`-row
+    * chunks: `pk >= lo and pk < hi` ranges from a pushed row_number sampling
+    * query (composite PKs concatenate). Reference RDBMExtractor.scala:241-288. */
+  def splitPointQuery(dbSchema: String, tableName: String, pks: Seq[String],
+      maxRowsPerPartition: Int): String = {
+    val pkExpr =
+      if (pks.size == 1) escapeKeyword(pks.head)
+      else s"concat(${pks.map(escapeKeyword).mkString(", '_', ")})"
+    s"select split_point from (" +
+      s"select $pkExpr as split_point, row_number() over (order by $pkExpr) as rn " +
+      s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}) sub " +
+      s"where rn % $maxRowsPerPartition = 0 order by split_point"
+  }
+
+  def splitPredicates(pks: Seq[String], splitPoints: Seq[String]): Seq[String] = {
+    val pkExpr =
+      if (pks.size == 1) escapeKeyword(pks.head)
+      else s"concat(${pks.map(escapeKeyword).mkString(", '_', ")})"
+    if (splitPoints.isEmpty) Seq.empty
+    else {
+      val bounds = None +: splitPoints.map(Some(_)) :+ None
+      bounds.sliding(2).collect {
+        case Seq(None, Some(hi)) => s"$pkExpr < '$hi'"
+        case Seq(Some(lo), Some(hi)) => s"$pkExpr >= '$lo' and $pkExpr < '$hi'"
+        case Seq(Some(lo), None) => s"$pkExpr >= '$lo'"
+      }.toSeq
+    }
+  }
+
+  /** I/O boundary: run a pushed query. Overridden by test doubles. */
+  protected def loadQuery(query: String, predicates: Seq[String]): DataFrame = {
+    val props = new Properties()
+    connectionDetails.driver.foreach(props.setProperty("driver", _))
+    connectionDetails.user.foreach(props.setProperty("user", _))
+    connectionDetails.password.foreach(props.setProperty("password", _))
+    val wrapped = s"($query) s"
+    if (predicates.isEmpty) spark.read.jdbc(connectionDetails.url, wrapped, props)
+    else spark.read.jdbc(connectionDetails.url, wrapped, predicates.toArray, props)
+  }
+
+  /** Run the split-point query (single small result). */
+  protected def loadSplitPoints(query: String): Seq[String] =
+    loadQuery(query, Seq.empty).collect().map(_.get(0).toString).toSeq
+
+  /** Extract a table's delta as a DataFrame with audit columns attached. */
+  def getTableDataset(dbSchema: String, cfg: ExtractionTableConfig,
+      lastUpdated: Option[Timestamp]): DataFrame = {
+    val effectiveLast = if (cfg.forceFullLoad) None else lastUpdated
+    val query = selectQuery(dbSchema, cfg.tableName, cfg.lastUpdatedColumn, effectiveLast)
+    val predicates = (cfg.primaryKeys, cfg.maxRowsPerPartition) match {
+      case (Some(pks), Some(maxRows)) if pks.nonEmpty =>
+        splitPredicates(pks,
+          loadSplitPoints(splitPointQuery(dbSchema, cfg.tableName, pks, maxRows)))
+      case _ => Seq.empty
+    }
+    val df = loadQuery(query, predicates)
+    cfg.lastUpdatedColumn match {
+      case Some(c) => df.withColumn(rdbmRecordLastUpdated, col(c).cast("timestamp"))
+      case None => df.withColumn(rdbmRecordLastUpdated, col(systemTimestampColumn))
+    }
+  }
+}
+
+final case class JDBCConnection(
+    url: String,
+    driver: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None)
+
+/** Postgres dialect: PKs from pg_index/pg_attribute.
+  * Reference: PostgresExtractor.scala:32-66. */
+class PostgresExtractor(val spark: SparkSession, val connectionDetails: JDBCConnection)
+  extends RDBMExtractor {
+
+  override def escapeKeyword(id: String): String = s""""$id""""
+
+  def primaryKeyQuery(dbSchema: String, tableName: String): String =
+    s"""select a.attname as pk_column
+       |from pg_index i
+       |join pg_attribute a on a.attrelid = i.indrelid and a.attnum = any(i.indkey)
+       |where i.indrelid = '$dbSchema.$tableName'::regclass and i.indisprimary""".stripMargin
+
+  def getTableMetadata(dbSchema: String, tableName: String,
+      primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
+      forceRetainStorageHistory: Option[Boolean]): AuditTableInfo = {
+    val pks = primaryKeys.getOrElse(
+      loadQuery(primaryKeyQuery(dbSchema, tableName), Seq.empty)
+        .collect().map(_.getString(0)).toSeq)
+    if (pks.isEmpty)
+      throw new IllegalArgumentException(
+        s"No primary keys found for $dbSchema.$tableName; provide them explicitly")
+    AuditTableInfo(tableName, pks,
+      Map("schema" -> dbSchema) ++ lastUpdatedColumn.map("lastUpdated" -> _),
+      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isEmpty))
+  }
+}
+
+/** SQL Server dialect: PKs via sys.indexes; brackets quoting; guards the
+  * 1900-01-01 datetime floor (SQLServerBaseExtractor.scala:39-59). */
+class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCConnection)
+  extends RDBMExtractor {
+
+  override def escapeKeyword(id: String): String = s"[$id]"
+
+  val sqlServerDatetimeMin: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
+
+  def clampLastUpdated(ts: Timestamp): Timestamp =
+    if (ts.before(sqlServerDatetimeMin)) sqlServerDatetimeMin else ts
+
+  def primaryKeyQuery(dbSchema: String, tableName: String): String =
+    s"""select c.name as pk_column
+       |from sys.indexes i
+       |join sys.index_columns ic on i.object_id = ic.object_id and i.index_id = ic.index_id
+       |join sys.columns c on ic.object_id = c.object_id and ic.column_id = c.column_id
+       |where i.is_primary_key = 1 and i.object_id = object_id('$dbSchema.$tableName')""".stripMargin
+
+  def getTableMetadata(dbSchema: String, tableName: String,
+      primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
+      forceRetainStorageHistory: Option[Boolean]): AuditTableInfo = {
+    val pks = primaryKeys.getOrElse(
+      loadQuery(primaryKeyQuery(dbSchema, tableName), Seq.empty)
+        .collect().map(_.getString(0)).toSeq)
+    if (pks.isEmpty)
+      throw new IllegalArgumentException(
+        s"No primary keys found for $dbSchema.$tableName; provide them explicitly")
+    AuditTableInfo(tableName, pks,
+      Map("schema" -> dbSchema) ++ lastUpdatedColumn.map("lastUpdated" -> _),
+      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isEmpty))
+  }
+}
+
+/** Temporal (system-versioned) SQL Server tables: delta via FOR SYSTEM_TIME,
+  * delete detection through the validity end column.
+  * Reference: SQLServerTemporalExtractor.scala:163-205. */
+class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCConnection,
+    startCol: String = "sys_start", endCol: String = "sys_end")
+  extends SQLServerExtractor(spark, connectionDetails) {
+
+  val highEnd = "9999-12-31 23:59:59"
+
+  /** Current + history rows changed since `lastUpdated`; `source_type` 0 =
+    * live row, 1 = historical/deleted version. */
+  override def selectQuery(dbSchema: String, tableName: String,
+      lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
+    val base =
+      s"select *, 0 as source_type, $sourceDBSystemTimestampFunction as $systemTimestampColumn " +
+        s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}"
+    lastUpdated match {
+      case Some(ts) =>
+        s"""$base for system_time from '$ts' to '$highEnd' where ${escapeKeyword(startCol)} > '$ts'
+           |union all
+           |select *, 1 as source_type, $sourceDBSystemTimestampFunction as $systemTimestampColumn
+           |from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName + "_history")}
+           |where ${escapeKeyword(endCol)} > '$ts'""".stripMargin
+      case None => base
+    }
+  }
+}
+
+/** Pure DataFrame temporal snapshot incl. delete handling: keep the record
+  * version valid at `ts` (start <= ts < end), dropping start==end collision
+  * rows. Reference: RDBMIngestionUtils.scala:66-82. */
+object TemporalSnapshot {
+  def apply(df: DataFrame, pks: Seq[String], startCol: String, endCol: String,
+      ts: Timestamp): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(startCol).desc, col(endCol).asc)
+    df.where(col(startCol) <= lit(ts) && col(startCol) =!= col(endCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(endCol) > lit(ts))
+      .drop("_rn")
+  }
+}

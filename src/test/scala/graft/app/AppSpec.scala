@@ -1,0 +1,99 @@
+package graft.app
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.configuration.{ConfigException, ConfigParser}
+import graft.dataflow.spark.SparkDataFlow
+import graft.dataflow.spark.actions._
+import graft.dataflow.spark.caching._
+
+final case class TestConf(
+    name: String,
+    count: Int = 7,
+    ratio: Double = 0.5,
+    enabled: Boolean = true,
+    tags: Seq[String] = Seq.empty,
+    note: Option[String] = None)
+
+class AppSpec extends SparkTestBase with Matchers {
+
+  describe("config parser") {
+    it("resolves values by prefix with defaults and options") {
+      val conf = ConfigParser.fromMap[TestConf](
+        Map("app.name" -> "graft", "app.tags" -> "a, b ,c", "app.note" -> "hi"),
+        prefix = "app.")
+      conf shouldBe TestConf("graft", 7, 0.5, enabled = true, Seq("a", "b", "c"), Some("hi"))
+    }
+
+    it("fails on missing required keys") {
+      intercept[ConfigException] { ConfigParser.fromMap[TestConf](Map.empty, "app.") }
+        .getMessage should include("app.name")
+    }
+
+    it("reads typed values from the spark conf") {
+      spark.conf.set("t.name", "fromconf")
+      spark.conf.set("t.count", "42")
+      val conf = ConfigParser[TestConf](spark, "t.")
+      conf.name shouldBe "fromconf"
+      conf.count shouldBe 42
+    }
+  }
+
+  describe("environments") {
+    it("builds sandbox paths and database names from the naming convention") {
+      val env = HiveEnv("Dev", "My-Project", "Feature.X", s"file://$tmpDir")
+      env.basePath shouldBe s"file://$tmpDir/data/dev/my_project/feature_x"
+      env.baseDatabaseName shouldBe "dev_my_project_feature_x"
+    }
+
+    it("creates and cleans up the environment folder") {
+      val env = BaseEnv("test", "proj", "main", s"file://$tmpDir/envs")
+      env.create(spark)
+      new java.io.File(s"$tmpDir/envs/data/test/proj/main").exists() shouldBe true
+      env.cleanup(spark)
+      new java.io.File(s"$tmpDir/envs/data/test/proj/main").exists() shouldBe false
+    }
+  }
+
+  describe("multi-app runner") {
+    it("runs dependent apps in order, independent ones freely") {
+      val order = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      def app(name: String, dataDir: String): MultiAppRunner.FlowApp = (base: SparkDataFlow) =>
+        base.open(s"$name-src")(ctx => {
+          order.add(name)
+          ctx.spark.read.parquet(s"${sf()}/region.parquet")
+        })
+      MultiAppRunner.runAll(spark,
+        Map("first" -> app("first", tmpDir), "second" -> app("second", tmpDir)),
+        Map("second" -> Seq("first")))
+      order.toArray.toSeq shouldBe Seq("first", "second")
+    }
+
+    it("rejects unknown dependency targets") {
+      intercept[graft.dataflow.FlowException] {
+        MultiAppRunner.runAll(spark, Map.empty, Map("a" -> Seq("ghost")))
+      }
+    }
+  }
+
+  describe("cache planning") {
+    it("elides caches on labels consumed once, applies on reused labels") {
+      import graft.dataflow.spark.Graft
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/cacheplan-tmp")
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .transform("nation")("single")(identity(_))
+        .transform("single")("consumer1")(identity(_))
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .transform("region")("reused")(identity(_))
+        .transform("reused")("c1")(identity(_))
+        .transform("reused")("c2")(identity(_))
+        .cacheAsParquetPlanned("single", "reused")
+      val prepared = flow.prepareForExecution().get
+      val names = prepared.actions.map(_.actionName)
+      names.count(_.startsWith("cacheAsParquet")) shouldBe 1
+      names.find(_.startsWith("cacheAsParquet")).get should include("reused") // intercepted
+      names should contain("transform:single") // untouched (bare, not wrapped)
+    }
+  }
+}

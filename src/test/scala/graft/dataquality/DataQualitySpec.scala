@@ -1,0 +1,77 @@
+package graft.dataquality
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.dataflow.FlowException
+import graft.dataflow.spark.Graft
+import graft.dataflow.spark.actions._
+import graft.dataquality.DataQualityActions._
+
+class DataQualitySpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def executor = Graft.sparkExecutor(4)
+
+  it("completeness check warns below the threshold") {
+    val handler = new RecordingAlertHandler()
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("maybe", "v")
+    val flow = Graft.sparkFlow(spark)
+      .addInput("src", Some(df))
+      .transform("src")("checked")(identity(_))
+      .addDataQualityCheck("checked",
+        PrefabChecks.completenessCheck("maybe", warnBelow = 0.9), handler)
+    executor.execute(flow)
+    handler.alerts.map(_.importance) shouldBe Seq(AlertImportance.Warning)
+    handler.alerts.head.message should include("Completeness of maybe")
+  }
+
+  it("uniqueness check counts duplicate keys") {
+    val handler = new RecordingAlertHandler()
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v")
+    val flow = Graft.sparkFlow(spark)
+      .addInput("src", Some(df))
+      .transform("src")("out")(identity(_))
+      .addDataQualityCheck("out", PrefabChecks.uniquenessCheck(Seq("id")), handler)
+    executor.execute(flow)
+    handler.alerts.head.message should include("1 duplicate")
+  }
+
+  it("exception handler fails the flow on critical alerts") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val flow = Graft.sparkFlow(spark)
+      .addInput("src", Some(df))
+      .transform("src")("out")(identity(_))
+      .addDataQualityCheck("out",
+        PrefabChecks.recentTimestampCheck("missing_ts_col", 0L, 0L),
+        new ExceptionQualityAlert())
+    // the check itself errors on the missing column -> flow fails
+    intercept[Exception] { executor.execute(flow) }
+  }
+
+  it("checks merge monoidally") {
+    val handler = new RecordingAlertHandler()
+    val check = PrefabChecks.completenessCheck("maybe", warnBelow = 0.9) ++
+      PrefabChecks.uniquenessCheck(Seq("id"))
+    val df = Seq((Some(1), 1), (None, 1)).toDF("maybe", "id")
+    val flow = Graft.sparkFlow(spark)
+      .addInput("src", Some(df))
+      .transform("src")("out")(identity(_))
+      .addDataQualityCheck("out", check, handler)
+    executor.execute(flow)
+    handler.alerts.size shouldBe 2
+  }
+
+  it("importance filtering suppresses low-rank alerts") {
+    val handler = new RecordingAlertHandler(AlertImportance.Critical)
+    val df = Seq((Some(1), "a"), (None, "b")).toDF("maybe", "v")
+    val flow = Graft.sparkFlow(spark)
+      .addInput("src", Some(df))
+      .transform("src")("out")(identity(_))
+      .addDataQualityCheck("out",
+        PrefabChecks.completenessCheck("maybe", warnBelow = 0.9), handler)
+    executor.execute(flow)
+    handler.alerts shouldBe empty
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ingestion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.storage.{AuditTableInfo, Storage}
+
+/** Test double: answers pushed queries from in-memory DataFrames, recording
+  * the generated SQL (the pattern the reference uses for offline tests). */
+class FakeExtractor(val spark: SparkSession,
+    tables: Map[String, DataFrame]) extends RDBMExtractor {
+  val connectionDetails: JDBCConnection = JDBCConnection("jdbc:fake://db")
+  val issuedQueries = scala.collection.mutable.ArrayBuffer[String]()
+
+  def getTableMetadata(dbSchema: String, tableName: String,
+      primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
+      forceRetainStorageHistory: Option[Boolean]): AuditTableInfo =
+    AuditTableInfo(tableName, primaryKeys.getOrElse(Seq("id")), Map.empty,
+      forceRetainStorageHistory.getOrElse(true))
+
+  override protected def loadQuery(query: String, predicates: Seq[String]): DataFrame = {
+    issuedQueries += query
+    val table = tables.keys.find(query.contains).getOrElse(
+      throw new IllegalArgumentException(s"No fake table matches: $query"))
+    import org.apache.spark.sql.functions._
+    var df = tables(table).withColumn(systemTimestampColumn, current_timestamp())
+    // honour the pushed delta filter "where <col> > '<ts>'"
+    val Where = raw"where (\w+) > '([^']+)'".r.unanchored
+    query match {
+      case Where(c, ts) => df = df.where(col(c) > lit(Timestamp.valueOf(ts)))
+      case _ => ()
+    }
+    df
+  }
+}
+
+class IngestionSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  describe("SQL generation") {
+    it("builds plain and delta select queries") {
+      val e = new PostgresExtractor(spark, JDBCConnection("jdbc:postgresql://x"))
+      e.selectQuery("public", "users", None, None) shouldBe
+        """select *, CURRENT_TIMESTAMP as system_timestamp_of_extraction from "public"."users""""
+      e.selectQuery("public", "users", Some("updated"), Some(ts("2024-01-01 00:00:00"))) should
+        include("""where "updated" > '2024-01-01 00:00:00""")
+    }
+
+    it("builds split-point queries and range predicates") {
+      val e = new SQLServerExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      e.splitPointQuery("dbo", "users", Seq("id"), 1000) should
+        include("row_number() over (order by [id])")
+      e.splitPredicates(Seq("id"), Seq("100", "200")) shouldBe Seq(
+        "[id] < '100'", "[id] >= '100' and [id] < '200'", "[id] >= '200'")
+      e.splitPredicates(Seq("a", "b"), Seq("5_x")) shouldBe Seq(
+        "concat([a], '_', [b]) < '5_x'", "concat([a], '_', [b]) >= '5_x'")
+    }
+
+    it("clamps SQL Server datetimes below the 1900 floor") {
+      val e = new SQLServerExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      e.clampLastUpdated(ts("1800-01-01 00:00:00")) shouldBe ts("1900-01-01 00:00:00")
+      e.clampLastUpdated(ts("2024-01-01 00:00:00")) shouldBe ts("2024-01-01 00:00:00")
+    }
+
+    it("temporal extractor unions history with delete flags") {
+      val e = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      val q = e.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00")))
+      q should include("for system_time")
+      q should include("union all")
+      q should include("[users_history]")
+      q should include("1 as source_type")
+    }
+  }
+
+  describe("temporal snapshot") {
+    it("keeps the version valid at ts and detects deletes") {
+      val df = Seq(
+        // id, value, start, end
+        (1L, "v1", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+        (1L, "v2", ts("2024-02-01 00:00:00"), ts("9999-12-31 23:59:59")),
+        (2L, "gone", ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00")),
+        (3L, "same", ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00")) // collision row
+      ).toDF("id", "value", "sys_start", "sys_end")
+
+      val at = TemporalSnapshot(df, Seq("id"), "sys_start", "sys_end", ts("2024-04-01 00:00:00"))
+        .select("id", "value").as[(Long, String)].collect().sortBy(_._1)
+      at shouldBe Array((1L, "v2")) // id2 deleted by then, id3 collision dropped
+
+      val mid = TemporalSnapshot(df, Seq("id"), "sys_start", "sys_end", ts("2024-01-15 00:00:00"))
+        .select("id", "value").as[(Long, String)].collect().sortBy(_._1)
+      mid shouldBe Array((1L, "v1"), (2L, "gone"))
+    }
+  }
+
+  describe("end-to-end incremental ingest with a fake source") {
+    it("extracts a delta from the latest stored timestamp into storage") {
+      val src = Seq(
+        (1L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "b", ts("2024-01-05 10:00:00")),
+        (3L, "c", ts("2024-02-01 10:00:00"))
+      ).toDF("id", "v", "updated")
+      val ex = new FakeExtractor(spark, Map("src_table" -> src))
+      val cfg = ExtractionTableConfig("src_table", Some(Seq("id")), Some("updated"))
+
+      // initial full load
+      val full = ex.getTableDataset("public", cfg, None)
+      full.count() shouldBe 3
+      full.columns should contain(ex.rdbmRecordLastUpdated)
+
+      val base = s"$tmpDir/ingest"
+      val t0 = Storage.getOrCreateTable(spark, base,
+        ex.getTableMetadata("public", "src_table", Some(Seq("id")), Some("updated"), None))
+      val t1 = t0.append(full, Some(ex.rdbmRecordLastUpdated), ts("2024-02-02 00:00:00"))
+
+      // delta load from the stored max timestamp
+      val last = t1.getLatestTimestamp
+      last.get shouldBe ts("2024-02-01 10:00:00")
+      val delta = ex.getTableDataset("public", cfg, last)
+      delta.count() shouldBe 0 // nothing newer in the source
+
+      // new source row appears -> delta picks only it
+      val src2 = src.union(Seq((4L, "d", ts("2024-03-01 10:00:00"))).toDF("id", "v", "updated"))
+      val ex2 = new FakeExtractor(spark, Map("src_table" -> src2))
+      val delta2 = ex2.getTableDataset("public", cfg, last)
+      delta2.select("id").as[Long].collect() shouldBe Array(4L)
+      ex2.issuedQueries.exists(_.contains("where updated >")) shouldBe true
+    }
+  }
+}
