@@ -271,7 +271,59 @@ object SparkEntry {
           octet_length(col("content")).cast("long").as("n_bytes"),
           sha2(col("content"), 256).as("sha256_hex"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    "q26_media_pipeline" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.withContent(t(s, dir, "documents"), "text", "text/plain")
+      media.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.decodeImageStub(col("content")).as("img"),
+        size(Multimodal.frameSampleStub(col("content"), 4)).cast("long").as("n_frames"),
+        Multimodal.embedStub(col("content"), 8).as("features"))
+        .select(col("doc_id"), col("n_bytes"), col("img.width").as("width"),
+          col("img.height").as("height"), col("n_frames"), col("features"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------ storage layer through the gate ---
+    // Audit-table upsert semantics verified against a relational oracle:
+    // batch1 = one signup row per user, batch2 = latest purchase per user,
+    // snapshot(after both) = batch2 where present else batch1.
+    "q24_storage_snapshot" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = false)),
+    "q25_storage_compact" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = true)))
+
+  /** Ingest two event-derived batches into a fresh audit table and snapshot.
+    * Exercises append, hive-partitioned region layout, window dedup and
+    * (optionally) compaction inside the driver's correctness gate. */
+  private def storageRoundTrip(s: SparkSession, dir: String, compactFirst: Boolean): DataFrame = {
+    import graft.storage._
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graft-q24").toString
+    val ev = events(s, dir)
+    val batch1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("ref_event"))
+      .withColumn("src", lit("signup"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val batch2 = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("ref_event"), lit("purchase").as("src"))
+
+    val t0 = Storage.getOrCreateTable(s, base,
+      AuditTableInfo("user_state", Seq("user_id"), Map.empty, retainHistory = true))
+    val t1 = t0.append(batch1, None, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val t2 = t1.append(batch2, None, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    val t3 = if (compactFirst)
+      t2.compact(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+        partitioner = TotalCellsPartitioner())
+    else t2
+    t3.snapshot(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).get
+      .select(col("user_id"), col("ref_event"), col("src"))
+      .orderBy(col("user_id"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -473,6 +525,28 @@ object SparkEntry {
         | FROM embeddings
         |)
         |SELECT label, pos, round(avg(component), 6) AS centroid
-        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q24_storage_snapshot" -> storageOracleSql,
+    "q25_storage_compact" -> storageOracleSql
   )
+
+  private val storageOracleSql: String =
+    """WITH b1 AS (
+      |  SELECT user_id, min(event_id) AS ref_event, 'signup' AS src
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), b2 AS (
+      |  SELECT user_id, event_id AS ref_event, 'purchase' AS src
+      |  FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |), all_u AS (
+      |  SELECT user_id FROM b1 UNION SELECT user_id FROM b2
+      |)
+      |SELECT u.user_id,
+      |  coalesce(b2.ref_event, b1.ref_event) AS ref_event,
+      |  coalesce(b2.src, b1.src) AS src
+      |FROM all_u u
+      |LEFT JOIN b1 ON u.user_id = b1.user_id
+      |LEFT JOIN b2 ON u.user_id = b2.user_id
+      |ORDER BY u.user_id""".stripMargin
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns plus a typed metadata struct; the
+  * engine's job at 100 TB is correct schema, partition sizing and batch
+  * shape — the actual codecs are pluggable. In this build the decode /
+  * feature-extract kernels are DETERMINISTIC STUBS (clearly marked): they
+  * derive values from content hashes so pipelines are testable end-to-end
+  * with exact assertions, and a real codec (JNI/ONNX/ffmpeg) can replace
+  * each stub behind the same column contract without touching callers.
+  */
+object Multimodal {
+
+  /** Wrap a text/bytes column as a media content column with metadata:
+    * (content: binary, meta: {n_bytes, sha256, mime}). Real, not stubbed. */
+  def withContent(df: DataFrame, sourceCol: String,
+      mime: String = "application/octet-stream"): DataFrame = {
+    val content = encode(col(sourceCol), "utf-8")
+    df.withColumn("content", content)
+      .withColumn("meta", struct(
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256"),
+        lit(mime).as("mime")))
+  }
+
+  /** STUB image decode: (width, height, channels) pseudo-derived from the
+    * content hash — replace with a real codec returning the same struct. The
+    * column contract and codegen-compatible shape are the real artefact. */
+  def decodeImageStub(content: Column): Column = {
+    val h = xxhash64(content)
+    struct(
+      (pmod(h, lit(960L)) + lit(64L)).cast("int").as("width"),
+      (pmod(shiftrightunsigned(h, 16), lit(960L)) + lit(64L)).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** STUB resize: metadata-only transformation preserving aspect ratio
+    * decisions a real resizer would make. */
+  def resizeStub(decoded: Column, targetW: Int, targetH: Int): Column =
+    struct(
+      lit(targetW).as("width"),
+      lit(targetH).as("height"),
+      decoded.getField("channels").as("channels"))
+
+  /** Frame sampling plumbing: split a binary payload into `n` evenly-spaced
+    * slices (what a real demuxer would do per keyframe). Slicing is real
+    * binary work; only the interpretation is stubbed. */
+  def frameSampleStub(content: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), lit(n - 1)),
+      i => substring(content,
+        (i * (octet_length(content) / n) + 1).cast("int"),
+        greatest((octet_length(content) / n).cast("int"), lit(1))))
+
+  /** STUB feature extraction: content -> dense float vector, deterministic
+    * per byte content. Keeps the embedding-column contract
+    * (array<float>, fixed dim) used by [[Similarity]]. */
+  def embedStub(content: Column, dim: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => ((pmod(xxhash64(i, content), lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0))
+        .cast("float"))
+
+  /** Batch-shape control for heavy per-row kernels: cap bytes per partition
+    * so a decode stage neither starves parallelism nor OOMs executors.
+    * Returns the repartitioned frame (range-partitioned by size bucket). */
+  def repartitionForDecode(df: DataFrame, contentCol: String,
+      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = df.agg(sum(octet_length(col(contentCol)).cast("long"))).head().getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators for the event model.
+  *
+  * The reference is batch-only (SURVEY.md §1.3); this module extends the
+  * engine with the streaming shapes a large ingest pipeline needs, built on
+  * watermarked event time so state is bounded on unbounded input:
+  *   - windowed aggregation (tumbling/sliding),
+  *   - streaming dedup by key,
+  *   - session windows via `flatMapGroupsWithState` (custom state + event-time
+  *     timeout), the streaming twin of the batch sessionization query.
+  */
+object Streaming {
+
+  /** Read an events-shaped parquet folder as a stream (one-file-per-trigger
+    * default keeps local tests deterministic). */
+  def readEventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Tumbling/sliding event-time counts per event type. Watermark bounds
+    * state; slide == window gives tumbling semantics. */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowDuration: String = "1 hour",
+      slideDuration: Option[String] = None): DataFrame = {
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None => window(col(tsCol), windowDuration)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(win.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Streaming exact dedup on key columns within the watermark horizon —
+    * Spark keeps the key set as state and drops late duplicates. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  final case class SessionSummary(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Session windows with a custom gap: events for a user belong to one
+    * session until `gapMs` of silence; a session closes via event-time
+    * timeout and emits one summary row. State per live session only. */
+  def sessionize(events: Dataset[SessionInput], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  current = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Write a streaming frame to parquet with checkpointing — the durable
+    * sink shape for production (exactly-once via checkpoint + file sink). */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class StreamingSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  it("windowed event counts aggregate by event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = Streaming.windowedEventCounts(events,
+      watermark = "1 minute", windowDuration = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(r => (r._1.getTime, r._2))
+      rows should contain(ts("2024-01-01 10:00:00"), "click", 2L, 3.0)
+      rows should contain(ts("2024-01-01 11:00:00"), "view", 1L, 5.0)
+    } finally query.stop()
+  }
+
+  it("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("id", "ts", "v")
+    val query = Streaming.dedupStream(events, "ts", "1 hour", Seq("id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), "a"),
+        (1L, ts("2024-01-01 10:00:00"), "a-dup"),
+        (2L, ts("2024-01-01 10:01:00"), "b"))
+      query.processAllAvailable()
+      spark.table("dedup_out").count() shouldBe 2
+    } finally query.stop()
+  }
+
+  it("sessionize closes sessions after the gap via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessionInput]
+    val query = Streaming.sessionize(input.toDS(), gapMs = 30L * 60 * 1000,
+      watermark = "1 second")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one user: two bursts separated by > 30min; second burst much later
+      input.addData(
+        Streaming.SessionInput(7L, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.SessionInput(7L, ts("2024-01-01 10:10:00"), 2.0))
+      query.processAllAvailable()
+      input.addData(Streaming.SessionInput(7L, ts("2024-01-01 12:00:00"), 4.0))
+      query.processAllAvailable()
+      // advance the watermark so the first session times out
+      input.addData(Streaming.SessionInput(99L, ts("2024-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+
+      val sessions = spark.table("sessions")
+        .as[Streaming.SessionSummary].collect().filter(_.user_id == 7L)
+      sessions.length should be >= 1
+      val first = sessions.minBy(_.session_start.getTime)
+      first.n_events shouldBe 2
+      first.total_value shouldBe 3.0
+      first.session_end shouldBe ts("2024-01-01 10:10:00")
+    } finally query.stop()
+  }
+}
