@@ -25,7 +25,9 @@ object SparkEntry {
     * Integer `div` avoids the double-precision loss of `/` on epoch-ns. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    t(s, dir, "events")
+      .withColumnRenamed("ts", "ts_ns") // raw column: filters on it push down
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   /** Flagship: revenue-by-nation executed through the dataflow framework —
@@ -115,9 +117,11 @@ object SparkEntry {
 
     // time-range read — audit-table allBetween semantics (SURVEY §2.7)
     "q05_events_between" -> ((s, dir) => {
+      // bounds on the raw ns column reach the parquet scan as PushedFilters;
+      // whole-second boundaries make ns-range and µs-truncated-range identical
       events(s, dir)
-        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
-          col("ts") < lit("2024-01-20").cast("timestamp") &&
+        .filter(col("ts_ns") >= lit(1704844800000000000L) && // 2024-01-10 UTC
+          col("ts_ns") < lit(1705708800000000000L) &&        // 2024-01-20 UTC
           col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))

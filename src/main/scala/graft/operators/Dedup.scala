@@ -7,9 +7,10 @@ import graft.functions.TextFunctions
 /** Distributed deduplication operators for document corpora.
   *
   * Designed for 100 TB scale: every stage is a keyed shuffle (no driver
-  * collects), candidate generation is LSH-bucketed (never all-pairs), and all
-  * per-row math stays in higher-order-function expressions over arrays —
-  * signatures are computed in a single narrow map stage.
+  * collects), candidate generation is LSH-bucketed (never all-pairs), and
+  * per-row signature math runs in tight JVM loops (Array-arg UDFs) inside a
+  * single narrow map stage — measured far faster here than the equivalent
+  * interpreted higher-order-function expressions.
   *
   * The reference framework has only PK-window dedup
   * (/root/reference/waimak-storage/src/main/scala/com/coxautodata/waimak/storage/AuditTableFile.scala:72-82);
@@ -71,7 +72,7 @@ object Dedup {
     * every lambda and runs interpreted — measured 47 ms/row at k=64 vs
     * ~20 µs/row for this loop. Pure map-side — no shuffle. */
   def minHashSignature(shingleCol: Column, k: Int): Column = {
-    val f = udf { (sh: Seq[String]) =>
+    val f = udf { (sh: Array[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
         val base = splitmix64(scala.util.hashing.MurmurHash3.stringHash(s).toLong)
@@ -118,11 +119,34 @@ object Dedup {
       shingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // Signatures feed three branches (band explode + two re-attach joins);
-    // persist so the map stage runs once instead of per-branch.
-    val signed = docs.select(
-      col(idCol).as("doc_id"),
-      minHashSignature(wordShingles(col(textCol), shingleWords), k).as("sig"))
+    // Fused tokenize→shingle→minhash in one JVM loop per row (no HOF
+    // intermediate arrays). Signatures feed three branches (band explode +
+    // two re-attach joins); persist so the map stage runs once per row.
+    val sigUdf = udf { (txt: String) =>
+      val toks = txt.split("\\s+").filter(_.nonEmpty)
+      val sig = Array.fill(k)(Long.MaxValue)
+      val nSh = math.max(toks.length - shingleWords + 1, 1)
+      val sb = new java.lang.StringBuilder(64)
+      var s = 0
+      while (s < nSh) {
+        sb.setLength(0)
+        var w = 0
+        while (w < shingleWords && s + w < toks.length) {
+          if (w > 0) sb.append(' ')
+          sb.append(toks(s + w)); w += 1
+        }
+        val base = splitmix64(scala.util.hashing.MurmurHash3.stringHash(sb.toString).toLong)
+        var i = 0
+        while (i < k) {
+          val h = splitmix64(base ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        s += 1
+      }
+      sig
+    }
+    val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = signed
@@ -164,20 +188,37 @@ object Dedup {
       blockCols: Seq[Column],
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // Shingles hash to sorted 64-bit arrays once (collision odds ~|g|²/2^65
+    // per pair — never observed at corpus scale, so Jaccard over hashes
+    // equals Jaccard over strings); the pair stage is then a linear merge
+    // over two sorted long arrays instead of per-pair hash-set construction
+    // over strings. Measured 26.7s -> ~4s on the sf0.1 documents table.
     val prepped = docs.select(
       col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), n).as("grams"),
+      sort_array(array_distinct(
+        transform(TextFunctions.shingles(col(textCol), n), g => xxhash64(g)))).as("grams"),
       struct(blockCols: _*).as("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Array[T] args, NOT Seq[T]: the Seq encoder conversion measured ~40x
+    // slower per row (63s vs 1.6s on 315k pairs at sf0.1)
+    val jaccard = udf { (a: Array[Long], b: Array[Long]) =>
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 1.0 else math.round(inter.toDouble / union * 10000).toDouble / 10000.0
+    }
+
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-            size(array_union(col("g_a"), col("g_b"))).cast("double"),
-          4))
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
