@@ -296,7 +296,48 @@ object SparkEntry {
     // batch1 = one signup row per user, batch2 = latest purchase per user,
     // snapshot(after both) = batch2 where present else batch1.
     "q24_storage_snapshot" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = false)),
-    "q25_storage_compact" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = true)))
+    "q25_storage_compact" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = true)),
+
+    // ------------------------------------------- more relational shapes ---
+    "q27_customers_without_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q28_customer_order_stats" -> ((s, dir) => {
+      val agg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+      t(s, dir, "customer")
+        .join(agg, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q29_pivot_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    "q30_value_percentiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(min(col("value")), 6).as("vmin"),
+          round(max(col("value")), 6).as("vmax"))
+        .orderBy(col("event_type"))
+    }))
 
   /** Ingest two event-derived batches into a fresh audit table and snapshot.
     * Exercises append, hive-partitioned region layout, window dedup and
@@ -532,7 +573,40 @@ object SparkEntry {
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q24_storage_snapshot" -> storageOracleSql,
-    "q25_storage_compact" -> storageOracleSql
+    "q25_storage_compact" -> storageOracleSql,
+
+    "q27_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q28_customer_order_stats" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_custkey,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(spend, 0.0) AS spend
+        |FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q29_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(min(value), 6) AS vmin,
+        |  round(max(value), 6) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   private val storageOracleSql: String =

@@ -71,6 +71,10 @@ final case class SparkDataFlow(
   }
 
   override def prepareForExecution(maxIterations: Int = 10): Try[SparkDataFlow] =
+    Try(FlowConfigurationExtension.applyEnabled(this))
+      .flatMap(_.prepareAfterConfExtensions(maxIterations))
+
+  private def prepareAfterConfExtensions(maxIterations: Int): Try[SparkDataFlow] =
     super.prepareForExecution(maxIterations).map { flow =>
       flow.context.tempFolder.foreach { tmp =>
         val fs = flow.context.fileSystem

@@ -109,7 +109,59 @@ object actions {
         case Seq(da, db, dc, dd, de) => f(da, db, dc, dd, de)
       }
 
-    /** N-ary transform for arities beyond 5 (reference caps at 12; this is
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String)(
+        out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6), out) {
+        case Seq(d1, d2, d3, d4, d5, d6) => f(d1, d2, d3, d4, d5, d6)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7) => f(d1, d2, d3, d4, d5, d6, d7)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String, h: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g, h), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7, d8) => f(d1, d2, d3, d4, d5, d6, d7, d8)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String, h: String, i: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g, h, i), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9) => f(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String, h: String, i: String, j: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g, h, i, j), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10) =>
+          f(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String, h: String, i: String, j: String, k: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g, h, i, j, k), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11) =>
+          f(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+      }
+
+    def transform(a: String, b: String, c: String, d: String, e: String, f6: String,
+        g: String, h: String, i: String, j: String, k: String, l: String)(out: String)(
+        f: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Dataset[_]): SparkDataFlow =
+      transformAction(List(a, b, c, d, e, f6, g, h, i, j, k, l), out) {
+        case Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12) =>
+          f(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
+      }
+
+    /** N-ary transform for arbitrary arity (reference caps at 12; this is
       * unbounded). Inputs arrive positionally. */
     def transformMany(ins: String*)(out: String)(f: Seq[DataFrame] => Dataset[_]): SparkDataFlow =
       transformAction(ins.toList, out)(f)

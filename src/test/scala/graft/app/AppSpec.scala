@@ -77,6 +77,38 @@ class AppSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("conf-driven extensions") {
+    it("ServiceLoader discovers extensions and the conf enables them") {
+      import graft.dataflow.spark.{FlowConfigurationExtension, Graft}
+      FlowConfigurationExtension.loadAll().map(_.extensionKey).sorted shouldBe
+        Seq("cacheasparquet", "sparkcache")
+      spark.conf.set("spark.graft.dataflow.extensions", "cacheasparquet")
+      spark.conf.set("spark.graft.spark.cacheAsParquet.labels", "reused")
+      try {
+        val flow = Graft.sparkFlow(spark, s"$tmpDir/confext-tmp")
+          .openFileParquet(s"${sf()}/region.parquet", "region")
+          .transform("region")("reused")(identity(_))
+          .transform("reused")("c1")(identity(_))
+          .transform("reused")("c2")(identity(_))
+        val prepared = flow.prepareForExecution().get
+        prepared.actions.map(_.actionName).count(_.startsWith("cacheAsParquet")) shouldBe 1
+      } finally {
+        spark.conf.unset("spark.graft.dataflow.extensions")
+        spark.conf.unset("spark.graft.spark.cacheAsParquet.labels")
+      }
+    }
+
+    it("fails on unknown extension names") {
+      import graft.dataflow.spark.Graft
+      spark.conf.set("spark.graft.dataflow.extensions", "nonsense")
+      try {
+        val flow = Graft.sparkFlow(spark)
+          .openFileParquet(s"${sf()}/region.parquet", "region")
+        flow.prepareForExecution().failed.get.getMessage should include("nonsense")
+      } finally spark.conf.unset("spark.graft.dataflow.extensions")
+    }
+  }
+
   describe("cache planning") {
     it("elides caches on labels consumed once, applies on reused labels") {
       import graft.dataflow.spark.Graft
