@@ -328,6 +328,17 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // sketch aggregates (HLL++): no DuckDB oracle — estimator families
+    // differ; rows-only check, exactness asserted in ScalaTest instead
+    "q31_approx_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -347,15 +358,19 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-q24").toString
     val ev = events(s, dir)
+    // coalesce the small post-shuffle batches so each appended region is a
+    // handful of right-sized files, not one tiny file per shuffle partition
     val batch1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(col("event_id")).as("ref_event"))
       .withColumn("src", lit("signup"))
+      .coalesce(4)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val batch2 = ev.filter(col("event_type") === "purchase")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("ref_event"), lit("purchase").as("src"))
+      .coalesce(4)
 
     val t0 = Storage.getOrCreateTable(s, base,
       AuditTableInfo("user_state", Seq("user_id"), Map.empty, retainHistory = true))
