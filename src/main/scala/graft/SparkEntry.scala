@@ -328,6 +328,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // dedup clusters: near-dup pairs -> connected components -> keep flags,
+    // oracle-checked against a recursive-CTE transitive closure in DuckDB
+    "q32_dup_clusters" -> ((s, dir) => {
+      import graft.operators.Graphs
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")),
+        n = 3, threshold = 0.7)
+      Graphs.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF ANN (k-means cells + nProbe search): rows-only check
+    "q33_embed_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nLists = 8, lloydIters = 2, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // sketch aggregates (HLL++): no DuckDB oracle — estimator families
     // differ; rows-only check, exactness asserted in ScalaTest instead
     "q31_approx_distinct" -> ((s, dir) => {
@@ -614,6 +634,32 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_dup_clusters" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        | FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM p a JOIN p b
+        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        |), edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs
+        |), walk(v, c) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(min(w.c), d.doc_id) AS cluster_id,
+        |  coalesce(min(w.c), d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -99,6 +99,87 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-style ANN: partition the corpus into `nLists` Voronoi cells around
+    * k-means centroids, then search only the `nProbe` cells nearest each
+    * query — the classic inverted-file index, here as pure DataFrame ops.
+    *
+    * Centroids are data-dependent but deterministic: seeded with the first
+    * `nLists` vectors by id order, refined by `lloydIters` Lloyd rounds
+    * (assignment = argmin over a broadcast centroid array; update = grouped
+    * per-dimension mean). Driver-side state is bounded at nLists x dim
+    * doubles — never corpus-sized.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      lloydIters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var centroids: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(nLists)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def cellUdf(cents: Array[Array[Double]]) = udf { (v: Array[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val cent = cents(ci); var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = c.withColumn("cell", cellUdf(centroids)(col("c_vec")))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("c_vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = updated.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { ci =>
+        byCell.get(ci).map { rows =>
+          val arr = new Array[Double](centroids(ci).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(centroids(ci))
+      }.toArray
+      it += 1
+    }
+
+    val probeUdf = {
+      val cents = centroids
+      udf { (v: Array[Double]) =>
+        cents.indices.map { ci =>
+          val cent = cents(ci); var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+          (d, ci)
+        }.sorted.take(nProbe).map(_._2).toArray
+      }
+    }
+
+    val indexed = c.withColumn("cell", cellUdf(centroids)(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(probeUdf(col("q_vec"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(indexed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-label centroids of an embedding column: posexplode → two-level agg.
     * The partial aggregation (map-side combine) keeps the shuffle at
     * |labels| x dim rows regardless of corpus size. */

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class OperatorsSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  describe("connected components") {
+    it("labels components with the minimum vertex id") {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val cc = Graphs.connectedComponents(edges, "src", "dst")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      cc shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    }
+
+    it("handles chains longer than one hop (propagation, not one-step)") {
+      val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+      val cc = Graphs.connectedComponents(chain, "src", "dst")
+        .as[(Long, Long)].collect()
+      cc.map(_._2).distinct shouldBe Array(1L)
+    }
+
+    it("dedupClusters maps singletons to themselves with keep=true") {
+      val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+      val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+      val out = Graphs.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      out shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 4L, true))
+    }
+  }
+
+  describe("IVF ANN") {
+    it("achieves high recall against brute force on the test embeddings") {
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nLists = 8, lloydIters = 2, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      recall should be >= 0.5 // nProbe=4 of 8 cells; exact-search fallback is bruteForceTopK
+      approx.groupBy(_._1).values.foreach(_.size should be <= 5)
+    }
+  }
+
+  describe("simhash") {
+    it("identical docs collide, different docs usually do not") {
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different content about spark engines and shuffles"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .as[(Long, Long, Long)].collect()
+      pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+      pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 0L
+    }
+  }
+
+  describe("minhash estimates") {
+    it("near-identical docs score near 1, disjoint docs near 0") {
+      val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+      val docs = Seq(
+        (1L, base),
+        (2L, base + " extra"),
+        (3L, (100 to 160).map(i => s"zz$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+        .as[(Long, Long, Double)].collect()
+      val near = pairs.find(p => p._1 == 1L && p._2 == 2L)
+      near.isDefined shouldBe true
+      near.get._3 should be > 0.8
+      pairs.exists(p => p._2 == 3L || p._1 == 3L) shouldBe false
+    }
+  }
+}
