@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan regression guards: the properties that matter at 100 TB
+  * (scan pushdown, column pruning, broadcast of small dims, no cartesian
+  * products) asserted on the actual executed plans of the gate queries. */
+class PlanSpec extends SparkTestBase with Matchers {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  it("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = plan("q01_pricing_summary")
+    p should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    // projection needs 7 of 11 lineitem columns; scan must not read the rest
+    p should not include "l_orderkey"
+  }
+
+  it("q05 pushes the raw nanosecond range filter to the scan") {
+    // plan toString truncates the PushedFilters list; assert on the prefix
+    val p = plan("q05_events_between")
+    p should include("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704844800000000000)")
+  }
+
+  it("q02 broadcasts the nation dimension") {
+    plan("q02_revenue_by_nation") should include("BroadcastHashJoin")
+  }
+
+  it("q20 broadcasts the query side, never the corpus (no cartesian shuffle)") {
+    val p = plan("q20_embed_topk")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  it("LSH band joins are hash equi-joins, not nested loops") {
+    val p = plan("q18_minhash_lsh_pairs")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should not include "NestedLoop"
+  }
+
+  it("whole-stage codegen covers the relational queries") {
+    import org.apache.spark.sql.execution.CodegenMode
+    def codegen(q: String): String =
+      SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.explainString(CodegenMode)
+    codegen("q01_pricing_summary") should include("WholeStageCodegen")
+    codegen("q03_top_orders") should include("WholeStageCodegen")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.dataquality.MetricsRepository
+
+class SkewAndMetricsSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  describe("salted join") {
+    it("matches the plain join result") {
+      val left = Seq.tabulate(1000)(i => (if (i < 900) 1L else i.toLong, s"v$i"))
+        .toDF("k", "payload") // key 1 is hot
+      val right = Seq((1L, "dim1"), (5L, "dim5"), (950L, "dim950")).toDF("k", "name")
+      val plain = left.join(right, Seq("k")).count()
+      val salted = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 8)
+      salted.count() shouldBe plain
+      salted.columns.toSet shouldBe Set("k", "payload", "name")
+    }
+
+    it("spreads a hot key over multiple salt buckets") {
+      val left = Seq.fill(500)((1L, "x")).toDF("k", "payload")
+      val salts = left.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(8)).cast("int"))
+        .select("_salt").distinct().count()
+      salts should be > 1L
+    }
+
+    it("salted count/sum equals the direct aggregation") {
+      val df = Seq.tabulate(500)(i => (i % 3, i.toDouble)).toDF("k", "v")
+      val direct = df.groupBy("k").agg(count(lit(1)), sum("v"))
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+      val salted = Skew.saltedCountSum(df, Seq("k"), Seq("v"), 8)
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+      salted shouldBe direct
+    }
+  }
+
+  describe("metrics repository") {
+    it("stores runs and flags anomalous metric movement") {
+      val repo = new MetricsRepository(spark, s"$tmpDir/metrics")
+      repo.save(Timestamp.valueOf("2024-01-01 00:00:00"),
+        Map(("docs", "row_count") -> 1000.0, ("docs", "null_ratio") -> 0.01))
+      val current = Map(("docs", "row_count") -> 1010.0, ("docs", "null_ratio") -> 0.4)
+      val alerts = repo.anomalies(Timestamp.valueOf("2024-01-02 00:00:00"),
+        current, maxRelativeChange = 0.5)
+      alerts.size shouldBe 1
+      alerts.head.message should include("null_ratio")
+    }
+  }
+}
