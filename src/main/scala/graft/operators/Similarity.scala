@@ -29,6 +29,17 @@ object Similarity {
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (l2Norm(a) * l2Norm(b)), scale)
 
+  /** Cosine via the native codegen'd [[graft.sql.CosineSimilarity]]
+    * expression — one fused array pass instead of three interpreted HOF
+    * traversals. Same accumulation order, so results match [[cosine]]
+    * bit-for-bit. Needs a session to register the function. */
+  def nativeCosine(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column, scale: Int = 6): Column = {
+    graft.sql.functions.ensureRegistered(spark)
+    round(call_function("graft_cosine",
+      a.cast("array<double>"), b.cast("array<double>")), scale)
+  }
+
   /** Exact top-k cosine neighbours of each query vector.
     *
     * `queries` is expected to be small (it is broadcast); `corpus` streams.
@@ -46,7 +57,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -93,7 +104,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
@@ -174,7 +185,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(indexed, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
