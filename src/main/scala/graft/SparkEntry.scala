@@ -277,6 +277,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // full media pipeline: wrap → decode (stub) → frame-sample → featurize;
+    // md5-based stubs make every derived value DuckDB-recomputable, and the
+    // feature vector folds to a scalar checksum (array-free output hashes
+    // cleanly in the gate)
     "q26_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.withContent(t(s, dir, "documents"), "text", "text/plain")
@@ -287,7 +291,10 @@ object SparkEntry {
         size(Multimodal.frameSampleStub(col("content"), 4)).cast("long").as("n_frames"),
         Multimodal.embedStub(col("content"), 8).as("features"))
         .select(col("doc_id"), col("n_bytes"), col("img.width").as("width"),
-          col("img.height").as("height"), col("n_frames"), col("features"))
+          col("img.height").as("height"), col("n_frames"),
+          size(col("features")).cast("long").as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0), (acc, v) => acc + v.cast("double")), 6)
+            .as("feat_checksum"))
         .orderBy(col("doc_id"))
     }),
 
@@ -357,6 +364,45 @@ object SparkEntry {
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // as-of join: attach each user's most recent order to every event —
+    // union-and-carry-forward plan, one shuffle (operators.Temporal)
+    "q34_asof_join" -> ((s, dir) => {
+      import graft.operators.Temporal
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      Temporal.asofJoin(ev, ord, Seq("user_id"), "ts", "o_orderdate",
+        payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
+    // interval (range) join without an equi key: time-bucketed equi-join
+    // under the hood (operators.Temporal.intervalJoin)
+    "q35_interval_join" -> ((s, dir) => {
+      import graft.operators.Temporal
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
+      val windows = events(s, dir)
+        .select(date_trunc("day", col("ts")).as("w_start"))
+        .distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 36 HOURS"))
+      Temporal.intervalJoin(ev, "ts", windows, "w_start", "w_end", bucketWidthSec = 86400L)
+        .select(col("event_id"), col("w_start"))
+        .orderBy(col("event_id"), col("w_start"))
+    }),
+
+    // embedding-cosine near-dup pairs, blocked on the label column
+    "q36_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCol = col("label"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q30_value_percentiles" -> ((s, dir) => {
@@ -660,6 +706,50 @@ object SparkEntry {
         |  coalesce(min(w.c), d.doc_id) = d.doc_id AS keep
         |FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q26_media_pipeline" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | (('0x' || substr(md5(text), 1, 15))::BIGINT % 960 + 64) AS width,
+        | ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 16) % 960 + 64) AS height,
+        | 4::BIGINT AS n_frames,
+        | 8::BIGINT AS feat_dim,
+        | round(list_sum(list_transform(range(0, 8),
+        |   i -> ((('0x' || substr(md5(i::VARCHAR || text), 1, 15))::BIGINT % 2048 - 1024)
+        |         / 1024.0))), 6) AS feat_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+        |  round(o.o_totalprice, 2) AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q35_interval_join" ->
+      """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS w_start FROM events)
+        |SELECT e.event_id, w.w_start
+        |FROM events e JOIN w
+        |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 36 HOUR
+        |ORDER BY e.event_id, w.w_start""".stripMargin,
+
+    "q36_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

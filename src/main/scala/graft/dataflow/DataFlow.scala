@@ -285,4 +285,12 @@ trait DataFlow[Self <: DataFlow[Self, C], C <: FlowContext] { self: Self =>
 trait FlowExtension[Self <: DataFlow[Self, C], C <: FlowContext] {
   def identifier: String
   def preExecutionManipulation(flow: Self): Self
+
+  /** Combine with a same-identifier extension when two flows are merged
+    * (`++`). Extensions that accumulate state (commits, cache requests) must
+    * union it here; the default refuses rather than silently dropping one
+    * side's registrations. */
+  def merge(other: FlowExtension[Self, C]): FlowExtension[Self, C] =
+    throw new FlowException(
+      s"Cannot merge flows: both registered extension [$identifier] and it defines no merge rule")
 }

@@ -21,6 +21,10 @@ final case class CachePlanExtension(requests: Map[String, CacheRequest] = Map.em
 
   val identifier: String = "cachePlan"
 
+  override def merge(
+      other: FlowExtension[SparkDataFlow, SparkFlowContext]): CachePlanExtension =
+    CachePlanExtension(requests ++ other.asInstanceOf[CachePlanExtension].requests)
+
   def preExecutionManipulation(flow: SparkDataFlow): SparkDataFlow = {
     import actions._
     val onlyReused = flow.spark.conf

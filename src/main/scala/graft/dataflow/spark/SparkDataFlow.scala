@@ -115,7 +115,11 @@ final case class SparkDataFlow(
           state.schedulingMeta.actionPools ++ other.state.schedulingMeta.actionPools),
         executedActions = state.executedActions ++ other.state.executedActions),
       sqlTables = sqlTables ++ other.sqlTables,
-      extensions = extensions ++ other.extensions)
+      // same-identifier extensions are merged (union of commits/pushes/cache
+      // requests), never silently overwritten by the right-hand flow
+      extensions = other.extensions.foldLeft(extensions) { case (acc, (id, ext)) =>
+        acc + (id -> acc.get(id).map(_.merge(ext)).getOrElse(ext))
+      })
   }
 }
 

@@ -37,6 +37,26 @@ final case class CommitExtension(
 
   val identifier: String = "commit"
 
+  override def merge(other: FlowExtension[SparkDataFlow, SparkFlowContext]): CommitExtension = {
+    val that = other.asInstanceOf[CommitExtension]
+    val dupLabels = for {
+      name <- commits.keySet.intersect(that.commits.keySet).toSeq
+      label <- commits(name).map(_.label).intersect(that.commits(name).map(_.label))
+    } yield s"$name/$label"
+    if (dupLabels.nonEmpty)
+      throw new FlowException(
+        s"Cannot merge flows: labels committed on both sides: ${dupLabels.sorted.mkString(", ")}")
+    val dupPushes = pushes.keySet.intersect(that.pushes.keySet)
+    if (dupPushes.nonEmpty)
+      throw new FlowException(
+        s"Cannot merge flows: both bind a committer for: ${dupPushes.toSeq.sorted.mkString(", ")}")
+    CommitExtension(
+      commits = that.commits.foldLeft(commits) { case (acc, (name, entries)) =>
+        acc + (name -> (acc.getOrElse(name, Seq.empty) ++ entries))
+      },
+      pushes = pushes ++ that.pushes)
+  }
+
   def preExecutionManipulation(flow: SparkDataFlow): SparkDataFlow = {
     val valid = commits.keySet.intersect(pushes.keySet)
     val committedNotPushed = commits.keySet.diff(pushes.keySet)

@@ -146,8 +146,11 @@ object Dedup {
       }
       sig
     }
+    // localCheckpoint, not persist: materialises the signature stage once for
+    // its three consumers, cuts lineage, and the blocks are reclaimed on GC —
+    // repeated calls in a long-lived session leak nothing
     val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val banded = signed
       .select(
@@ -198,7 +201,7 @@ object Dedup {
       sort_array(array_distinct(
         transform(TextFunctions.shingles(col(textCol), n), g => xxhash64(g)))).as("grams"),
       struct(blockCols: _*).as("block"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // both self-join legs read it; blocks free on GC
 
     // Array[T] args, NOT Seq[T]: the Seq encoder conversion measured ~40x
     // slower per row (63s vs 1.6s on 315k pairs at sf0.1)

@@ -27,14 +27,20 @@ object Multimodal {
         lit(mime).as("mime")))
   }
 
+  /** 60-bit content hash (top 15 hex chars of md5). md5, not xxhash64, so
+    * the stub pipeline is verifiable by any SQL engine with an md5 builtin
+    * (the correctness oracle recomputes it in DuckDB). */
+  private def hash60(content: Column): Column =
+    conv(substring(md5(content), 1, 15), 16, 10).cast("long")
+
   /** STUB image decode: (width, height, channels) pseudo-derived from the
     * content hash — replace with a real codec returning the same struct. The
     * column contract and codegen-compatible shape are the real artefact. */
   def decodeImageStub(content: Column): Column = {
-    val h = xxhash64(content)
+    val h = hash60(content)
     struct(
-      (pmod(h, lit(960L)) + lit(64L)).cast("int").as("width"),
-      (pmod(shiftrightunsigned(h, 16), lit(960L)) + lit(64L)).cast("int").as("height"),
+      (pmod(h, lit(960L)) + lit(64L)).as("width"),
+      (pmod(shiftrightunsigned(h, 16), lit(960L)) + lit(64L)).as("height"),
       lit(3).as("channels"))
   }
 
@@ -58,12 +64,14 @@ object Multimodal {
 
   /** STUB feature extraction: content -> dense float vector, deterministic
     * per byte content. Keeps the embedding-column contract
-    * (array<float>, fixed dim) used by [[Similarity]]. */
+    * (array<float>, fixed dim) used by [[Similarity]]. Components are exact
+    * multiples of 2^-10 in [-1, 1), so float and double math agree
+    * bit-for-bit — sums of stub vectors are oracle-comparable. */
   def embedStub(content: Column, dim: Int = 64): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
-      i => ((pmod(xxhash64(i, content), lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0))
-        .cast("float"))
+      i => ((pmod(hash60(concat(encode(i.cast("string"), "utf-8"), content)), lit(2048L))
+        - lit(1024L)).cast("double") / lit(1024.0)).cast("float"))
 
   /** Batch-shape control for heavy per-row kernels: cap bytes per partition
     * so a decode stage neither starves parallelism nor OOMs executors.

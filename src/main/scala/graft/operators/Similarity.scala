@@ -131,7 +131,7 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // reused per Lloyd round + final probe join; GC-reclaimed
 
     var centroids: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(nLists)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -189,6 +189,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidate pairs share a blocking
+    * key (a cluster/category column, or an LSH bucket from [[srpBucket]]),
+    * then exact cosine filters on the ROUNDED score — both sides of a
+    * correctness oracle see identical boundary behaviour. Work scales with
+    * block occupancy, not corpus²; at 100 TB feed an SRP bucket as the block
+    * and union a few probe buckets for recall. */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: Column,
+      threshold: Double,
+      scale: Int = 6): DataFrame = {
+    val prepped = df.select(blockCol.as("block"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = prepped.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = prepped.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", nativeCosine(df.sparkSession, col("v_a"), col("v_b"), scale))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** Per-label centroids of an embedding column: posexplode → two-level agg.

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and interval
+  * (range) join. Composed from public DataFrame ops so Catalyst keeps
+  * optimizing around them; both are single-keyed-shuffle plans that survive a
+  * 1000× scale-up — never a per-row driver loop, never an unbounded
+  * cross-product.
+  *
+  * The reference delegates all joins to user Spark code
+  * (/root/reference/waimak-core/.../dataflow/spark/package.scala:68-311);
+  * these fill the gap for event-time pipelines at training-data scale.
+  */
+object Temporal {
+
+  /** Backward as-of join: each left row picks the single most recent right
+    * row with the same key and `rightTs <= leftTs` (LEFT-outer semantics:
+    * unmatched left rows keep null payloads).
+    *
+    * Implementation is the union-and-carry-forward trick: tag both sides,
+    * union, one window over (key) ordered by (ts, side) carrying the last
+    * non-null right payload forward. ONE shuffle on the key, no join
+    * explosion on skewed keys, no per-key driver state — the scale-correct
+    * plan for "attach latest dimension state to each event".
+    *
+    * Right rows must be unique per (key, rightTs) for deterministic output —
+    * pre-dedupe with a row_number window if needed.
+    *
+    * @param payloadCols right columns to attach (must not collide with left
+    *                    column names)
+    * @param strict      if true, match only `rightTs < leftTs` (exclusive)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns collide with left columns: ${payloadCols.intersect(leftCols).mkString(", ")}")
+
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(right.select(payloadCols.map(col): _*).schema).as("__p")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        struct(payloadCols.map(col): _*).as("__p")): _*)
+
+    // at equal ts: inclusive ⇒ right (0) sorts before left (1) and is
+    // visible; strict ⇒ right sorts after left and is not
+    val sideOrder = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c")) ++
+        payloadCols.map(c => col(s"__m.$c")): _*)
+  }
+
+  /** Interval (range) join: each point row pairs with every interval row
+    * whose `[startCol, endCol)` half-open range contains `pointTs`. No equi
+    * key required.
+    *
+    * Scale path: intervals explode to the fixed-width time buckets they
+    * cover, points map to their single bucket, and the pairing becomes an
+    * equi-join on the bucket id — work proportional to interval span /
+    * `bucketWidth`, never |points| × |intervals|. Each (point, interval)
+    * pair meets in exactly one bucket (the point's), so no dedup pass is
+    * needed. Pick `bucketWidth` near the typical interval length: too small
+    * explodes intervals into many buckets, too large packs unrelated rows
+    * into one bucket.
+    *
+    * @param bucketWidth bucket size as a Spark SQL interval-seconds count
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointTs: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidthSec: Long = 86400L): DataFrame = {
+    val widthUs = bucketWidthSec * 1000000L
+    val p = points.withColumn("__bucket", (unix_micros(col(pointTs)) / widthUs).cast("long"))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        (unix_micros(col(startCol)) / widthUs).cast("long"),
+        // end is exclusive: a range ending exactly on a bucket boundary does
+        // not reach into that bucket
+        ((unix_micros(col(endCol)) - 1) / widthUs).cast("long"))))
+    p.join(i, Seq("__bucket"))
+      .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bucket")
+  }
+}

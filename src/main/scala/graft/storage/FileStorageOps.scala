@@ -72,7 +72,7 @@ class FileStorageOps(spark: SparkSession) {
   def writeTableInfo(tablePath: Path, info: AuditTableInfo): Unit = {
     val props = new Properties()
     props.setProperty("table_name", info.tableName)
-    props.setProperty("primary_keys", info.primaryKeys.mkString(","))
+    props.setProperty("primary_keys", info.primaryKeys.mkString("|"))
     props.setProperty("retain_history", info.retainHistory.toString)
     info.meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
     val out = fs.create(new Path(tablePath, ".table_info"), true)
@@ -94,7 +94,7 @@ class FileStorageOps(spark: SparkSession) {
       Some(AuditTableInfo(
         props.getProperty("table_name"),
         Option(props.getProperty("primary_keys")).filter(_.nonEmpty)
-          .map(_.split(",").toSeq).getOrElse(Seq.empty),
+          .map(_.split("\\|").toSeq).getOrElse(Seq.empty),
         meta,
         Option(props.getProperty("retain_history")).forall(_.toBoolean)))
     }

@@ -13,7 +13,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 def canon(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # array/list columns are unhashable for sort_values; sort on a stringified
+    # shadow so array-bearing queries still get a real rows/values check
+    key = df.apply(lambda c: c.map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else str(v)))
+    df = df.iloc[key.sort_values(by=list(key.columns)).index].reset_index(drop=True)
     return df
 
 fails = []
