@@ -80,16 +80,23 @@ class AuditTable(
     }
     val region = nextRegionId
     val dest = s"$tableName/$TypeColumn=$HotType/$RegionColumn=$region"
-    ops.writeParquet(basePath, dest, stamped)
-    // region stats in one scan — count + max audit ts
-    val written = spark.read.parquet(new Path(basePath, dest).toString)
-    val stats = written.agg(
-      count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts")).head()
+    val (cnt, maxTs) = writeRegionWithStats(dest, stamped)
     val newRegion = AuditTableRegionInfo(
-      tableName, HotType, region, appendTimestamp, isDeprecated = false,
-      stats.getLong(0),
-      Option(stats.getTimestamp(1)).getOrElse(LowTimestamp))
+      tableName, HotType, region, appendTimestamp, isDeprecated = false, cnt, maxTs)
     reopened(regions :+ newRegion)
+  }
+
+  /** Write a region and collect its stats (count + max audit ts) from the
+    * write job itself via `observe` — no second scan over freshly written
+    * data, which at fleet scale saves a full region read per append/compact. */
+  private def writeRegionWithStats(dest: String, df: DataFrame): (Long, Timestamp) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts"))
+    ops.writeParquet(basePath, dest, observed)
+    val m = obs.get
+    (m("cnt").asInstanceOf[Long],
+      Option(m("maxts")).collect { case t: Timestamp => t }.getOrElse(LowTimestamp))
   }
 
   // ------------------------------------------------------------- queries ---
@@ -162,15 +169,26 @@ class AuditTable(
 
     val totalRows = toMerge.map(_.count).sum
     val numPartitions = partitioner.numPartitions(deduped, totalRows)
+    // current partition count is ESTIMATED, never via `.rdd` — under AQE
+    // that would execute the whole merge pipeline once just to plan it:
+    // after a dedup window the data sits in shuffle partitions; otherwise
+    // it parallelises as the scan of the merged regions' bytes
+    val current =
+      if (!info.retainHistory && info.primaryKeys.nonEmpty)
+        spark.sessionState.conf.numShufflePartitions
+      else {
+        val bytes = toMerge.map(r =>
+          ops.fs.getContentSummary(regionPath(r.storeType, r.storeRegion)).getLength).sum
+        val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+        math.max(1, math.ceil(bytes.toDouble / maxPartitionBytes).toInt)
+      }
     val sized =
-      if (numPartitions < deduped.rdd.getNumPartitions) deduped.coalesce(numPartitions)
+      if (numPartitions < current) deduped.coalesce(numPartitions)
       else deduped.repartition(numPartitions)
 
     val newRegionId = nextRegionId
     val dest = s"$tableName/$TypeColumn=$ColdType/$RegionColumn=$newRegionId"
-    ops.writeParquet(basePath, dest, sized)
-    val written = spark.read.parquet(new Path(basePath, dest).toString)
-    val stats = written.agg(count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts")).head()
+    val (cnt, maxTs) = writeRegionWithStats(dest, sized)
     // new region is live before old ones are trashed — a crash in between
     // leaves duplicates (resolved by snapshot dedup), never data loss
     val nowMs = compactTs.getTime
@@ -181,8 +199,7 @@ class AuditTable(
     val survivors = regions.filterNot(r => toMerge.exists(m =>
       m.storeType == r.storeType && m.storeRegion == r.storeRegion))
     val newRegion = AuditTableRegionInfo(tableName, ColdType, newRegionId,
-      compactTs, isDeprecated = false, stats.getLong(0),
-      Option(stats.getTimestamp(1)).getOrElse(LowTimestamp))
+      compactTs, isDeprecated = false, cnt, maxTs)
     reopened(survivors :+ newRegion)
   }
 
