@@ -707,6 +707,15 @@ object SparkEntry {
         |FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    "q19_simhash_fingerprints" ->
+      """SELECT doc_id,
+        | list_sum(list_transform(range(0, 60), i ->
+        |   CASE WHEN coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+        |          tok -> CASE WHEN ((('0x' || substr(md5(tok), 1, 15))::BIGINT >> i) & 1) = 1
+        |                 THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN (1::BIGINT << (59 - i::INT)) ELSE 0 END))::BIGINT AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q26_media_pipeline" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

@@ -254,17 +254,19 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash ---
 
-  /** 64-bit SimHash over whitespace tokens of the named column. Per token a
-    * single xxhash64 is computed; each of its 64 bits votes +1/-1 into a
-    * counter vector (one pass via zip_with); sign-bits pack into one BIGINT
-    * with overflow-safe shifts (ANSI-mode friendly). Map-side only. */
+  /** 60-bit SimHash over whitespace tokens of the named column. Per token a
+    * 60-bit hash (top 15 hex chars of md5 — md5 so any SQL engine can
+    * recompute the fingerprint for verification); each bit votes +1/-1 into
+    * a counter vector (one pass via zip_with); sign-bits pack into one
+    * BIGINT with overflow-safe shifts (ANSI-mode friendly). Map-side only. */
   def simHash(textColName: String): Column = expr(
     s"""aggregate(
        |  transform(
        |    aggregate(
-       |      transform(regexp_extract_all($textColName, '\\\\S+', 0), t -> xxhash64(t)),
-       |      array_repeat(CAST(0 AS BIGINT), 64),
-       |      (acc, h) -> zip_with(acc, sequence(0, 63),
+       |      transform(regexp_extract_all($textColName, '\\\\S+', 0),
+       |                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+       |      array_repeat(CAST(0 AS BIGINT), 60),
+       |      (acc, h) -> zip_with(acc, sequence(0, 59),
        |                           (cnt, b) -> cnt + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)
        |    ),
        |    v -> CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
@@ -277,8 +279,8 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quadrants (a pair within
-    * Hamming distance <= 3 of a 64-bit hash must agree on at least one
+  /** SimHash near-dup pairs: block on the 4 15-bit quadrants (a pair within
+    * Hamming distance <= 3 of a 60-bit hash must agree on at least one
     * quadrant), then verify exact Hamming distance. */
   def simHashPairs(
       docs: DataFrame,
@@ -287,10 +289,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val hashed = docs.select(col(idCol).as("doc_id"), simHash(textCol).as("sh"))
     val withQuads = hashed
-      .withColumn("q0", col("sh").bitwiseAND(lit(0xFFFFL)))
-      .withColumn("q1", shiftrightunsigned(col("sh"), 16).bitwiseAND(lit(0xFFFFL)))
-      .withColumn("q2", shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0xFFFFL)))
-      .withColumn("q3", shiftrightunsigned(col("sh"), 48).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("q0", col("sh").bitwiseAND(lit(0x7FFFL)))
+      .withColumn("q1", shiftrightunsigned(col("sh"), 15).bitwiseAND(lit(0x7FFFL)))
+      .withColumn("q2", shiftrightunsigned(col("sh"), 30).bitwiseAND(lit(0x7FFFL)))
+      .withColumn("q3", shiftrightunsigned(col("sh"), 45).bitwiseAND(lit(0x7FFFL)))
       .select(
         col("doc_id"), col("sh"),
         explode(array(
