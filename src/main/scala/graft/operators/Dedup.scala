@@ -224,30 +224,22 @@ object Dedup {
       struct(blockCols: _*).as("block"))
       .localCheckpoint(true) // both self-join legs read it; blocks free on GC
 
-    // Array[T] args, NOT Seq[T]: the Seq encoder conversion measured ~40x
-    // slower per row (63s vs 1.6s on 315k pairs at sf0.1)
-    val jaccard = udf { (a: Array[Long], b: Array[Long]) =>
-      var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      val union = a.length + b.length - inter
-      if (union == 0) 1.0 else math.round(inter.toDouble / union * 10000).toDouble / 10000.0
-    }
-
+    // The verify stage runs the native codegen'd graft_jaccard_ge expression:
+    // zero-copy merge over the sorted hash arrays with threshold-aware early
+    // exit (a Scala UDF pays an ArrayData->Array copy per pair at the
+    // serialization boundary — measured as the dominant cost at 315k pairs)
+    graft.sql.functions.ensureRegistered(docs.sparkSession)
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       // size prefilter: J(A,B) <= min/max of the set sizes, so pairs whose
       // gram counts differ too much can never reach the threshold — the
-      // codegen'd O(1) check prunes most candidates before the merge UDF
+      // codegen'd O(1) check prunes candidates before the merge runs
       .where(least(size(col("g_a")), size(col("g_b"))).cast("double")
         >= lit(threshold) * greatest(size(col("g_a")), size(col("g_b"))).cast("double"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .withColumn("jaccard",
+        call_function("graft_jaccard_ge", col("g_a"), col("g_b"), lit(threshold)))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

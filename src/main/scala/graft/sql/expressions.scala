@@ -3,10 +3,10 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: cosine similarity of two `array<double>`
   * columns in ONE fused pass (dot product + both norms in a single loop),
@@ -79,12 +79,97 @@ case class CosineSimilarity(left: Expression, right: Expression)
     })
 }
 
+/** Native Catalyst expression: Jaccard similarity of two SORTED
+  * `array<bigint>` columns (hashed shingle sets) with threshold-aware early
+  * exit, rounded to 4 decimals.
+  *
+  * Contract: returns the exact rounded Jaccard whenever it can reach
+  * `threshold` (relaxed by the rounding half-step 5e-5); pairs that provably
+  * cannot reach it return -1 from mid-merge — callers filter on
+  * `>= threshold`, so the sentinel is never observable. Reading `ArrayData`
+  * in place inside generated code avoids the per-row array copy a Scala UDF
+  * pays at the serialization boundary — measured as the dominant cost of the
+  * verify stage on a 315k-pair corpus.
+  */
+case class SortedArrayJaccardGE(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), DoubleType) =>
+        if (third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_jaccard_ge threshold must be a literal")
+      case (a, b, t) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaccard_ge expects (array<bigint>, array<bigint>, double), got ($a, $b, $t)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_jaccard_ge"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SortedArrayJaccardGE =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    val tt = t.asInstanceOf[Double] - 0.00005
+    val need = math.ceil(tt * (na + nb) / (1.0 + tt)).toInt
+    var i = 0; var j = 0; var inter = 0
+    var viable = true
+    while (viable && i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+      viable = inter + math.min(na - i, nb - j) >= need
+    }
+    if (!viable) -1.0
+    else {
+      val union = na + nb - inter
+      if (union == 0) 1.0 else math.round(inter.toDouble / union * 10000).toDouble / 10000.0
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, t) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val tt = ctx.freshName("tt"); val need = ctx.freshName("need")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val viable = ctx.freshName("viable")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $x.numElements(); int $nb = $y.numElements();
+         |double $tt = $t - 0.00005;
+         |int $need = (int) java.lang.Math.ceil($tt * ($na + $nb) / (1.0 + $tt));
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |boolean $viable = true;
+         |while ($viable && $i < $na && $j < $nb) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  $viable = $inter + java.lang.Math.min($na - $i, $nb - $j) >= $need;
+         |}
+         |if (!$viable) {
+         |  ${ev.value} = -1.0;
+         |} else {
+         |  int $union = $na + $nb - $inter;
+         |  ${ev.value} = ($union == 0) ? 1.0
+         |    : java.lang.Math.round((double) $inter / $union * 10000.0) / 10000.0;
+         |}
+       """.stripMargin
+    })
+}
+
 /** Session wiring for the native expressions. Enable engine-wide with
   * `spark.sql.extensions=graft.sql.GraftExtensions`, or lazily per session
   * via [[functions.ensureRegistered]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(functions.cosineDescriptor)
+    functions.descriptors.foreach(ext.injectFunction)
 }
 
 object functions {
@@ -97,10 +182,21 @@ object functions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private[sql] val jaccardDescriptor = (
+    new FunctionIdentifier("graft_jaccard_ge"),
+    new ExpressionInfo(classOf[SortedArrayJaccardGE].getName, "graft_jaccard_ge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_jaccard_ge expects exactly 3 arguments")
+      SortedArrayJaccardGE(children.head, children(1), children(2))
+    })
+
+  private[sql] val descriptors = Seq(cosineDescriptor, jaccardDescriptor)
+
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(cosineDescriptor._1))
-      registry.registerFunction(cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 }
