@@ -128,6 +128,39 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       seen.get() shouldBe 5
     }
 
+    it("++ merges same-identifier extensions instead of overwriting them") {
+      import graft.dataflow.spark.commit._
+      val left = Graft.sparkFlow(spark, s"$tmpDir/merge-tmp")
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .commit("pub")("region")
+        .push("pub")(ParquetDataCommitter(s"$tmpDir/merge-out"))
+      val right = Graft.sparkFlow(spark, s"$tmpDir/merge-tmp")
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .commit("pub2")("nation")
+        .push("pub2")(ParquetDataCommitter(s"$tmpDir/merge-out"))
+
+      val merged = left ++ right
+      val ext = merged.extensions("commit").asInstanceOf[CommitExtension]
+      ext.commits.keySet shouldBe Set("pub", "pub2") // right flow's commit survives
+      ext.pushes.keySet shouldBe Set("pub", "pub2")
+
+      // both publishes actually run after the merge
+      val (_, _) = executor.execute(merged)
+      spark.read.parquet(s"$tmpDir/merge-out/region").count() shouldBe 5
+      spark.read.parquet(s"$tmpDir/merge-out/nation").count() shouldBe 25
+    }
+
+    it("++ refuses to merge flows that bind a committer for the same commit name") {
+      import graft.dataflow.spark.commit._
+      val l = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .commit("dup")("region").push("dup")(ParquetDataCommitter(s"$tmpDir/x"))
+      val r = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .commit("dup")("nation").push("dup")(ParquetDataCommitter(s"$tmpDir/y"))
+      intercept[FlowException] { l ++ r }
+    }
+
     it("openCSV round-trips a writeCSV output") {
       val base = s"$tmpDir/csv"
       val write = Graft.sparkFlow(spark)
