@@ -405,6 +405,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // salted skew join: the salt spreads hot user_ids over n reducers and is
+    // invisible in the result — oracle is the plain join
+    "q37_skew_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, dim, Seq("user_id"), saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // deterministic stratified sampling: membership from a content hash, so
+    // the sample is reproducible across engines/partitionings (oracle
+    // recomputes the identical md5 bucket)
+    "q38_stratified_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedHashSample(t(s, dir, "documents"),
+        key = col("doc_id"), stratum = col("lang"),
+        rates = Map("en" -> 0.2), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -759,6 +784,18 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q37_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q38_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        |  < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -40,6 +40,39 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "NestedLoop"
   }
 
+  it("asofJoin is one keyed shuffle — no join operator at all in the plan") {
+    val p = plan("q34_asof_join")
+    // the carry-forward window replaces the join: right payloads attach via
+    // union + last(ignoreNulls), so no SortMergeJoin/BHJ explosion on skew
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
+  it("intervalJoin pairs via a bucket equi-join, never a nested loop") {
+    val p = plan("q35_interval_join")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
+  it("cosine near-dup blocking joins on the block key, never all-pairs") {
+    val p = plan("q36_embed_neardup")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
+  it("jaccard verify stage runs the native expression inside codegen") {
+    import org.apache.spark.sql.execution.CodegenMode
+    val q = SparkEntry.queries("q17_ngram_jaccard_pairs")(spark, sf("sf0.001"))
+    q.queryExecution.executedPlan.toString should include("graft_jaccard_ge")
+    q.queryExecution.explainString(CodegenMode) should include("WholeStageCodegen")
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -41,6 +41,28 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("deterministic sampling") {
+    it("is stable under repartitioning and close to the requested rate") {
+      val docs = spark.range(10000).select(col("id"), (col("id") % 7).as("junk"))
+      val s1 = Sampling.hashSample(docs, col("id"), 0.3)
+        .select("id").as[Long].collect().sorted
+      val s2 = Sampling.hashSample(docs.repartition(17), col("id"), 0.3)
+        .select("id").as[Long].collect().sorted
+      s2 shouldBe s1 // membership depends only on content, not partitioning
+      s1.length.toDouble / 10000 shouldBe 0.3 +- 0.02
+    }
+
+    it("applies per-stratum rates with a default") {
+      val df = spark.range(4000)
+        .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+      val out = Sampling.stratifiedHashSample(df, col("id"), col("lang"),
+        rates = Map("en" -> 0.1), defaultRate = 0.8)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      out("en").toDouble / 2000 shouldBe 0.1 +- 0.04
+      out("de").toDouble / 2000 shouldBe 0.8 +- 0.04
+    }
+  }
+
   describe("metrics repository") {
     it("stores runs and flags anomalous metric movement") {
       val repo = new MetricsRepository(spark, s"$tmpDir/metrics")
