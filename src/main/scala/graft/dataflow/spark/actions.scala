@@ -289,6 +289,26 @@ object actions {
         }
       }
 
+    /** Bucketed (and optionally sorted) managed table: rows hash-partition
+      * into `numBuckets` files per bucket column value set at WRITE time, so
+      * later equi-joins and aggregations on the bucket columns read
+      * co-located data and skip the shuffle entirely — the classic
+      * pre-shuffle trade for fact tables that are joined repeatedly on the
+      * same key at 100 TB. Repartition by the bucket columns first so each
+      * task writes one file per bucket instead of numBuckets small files. */
+    def writeBucketedTable(database: String, numBuckets: Int,
+        bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+        overwrite: Boolean = false)(labels: String*): SparkDataFlow =
+      labels.foldLeft(flow) { (fl, label) =>
+        new SparkFlowOps(fl).writeAction(label, "writeBucketedTable") { (df, _) =>
+          val writer = df.repartition(bucketCols.map(df.col): _*)
+            .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+            .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+          (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+           else writer).saveAsTable(s"$database.$label")
+        }
+      }
+
     /** Write exactly `numFiles` files named `$prefix.N.$format` (no
       * part-UUIDs): write to the flow temp folder, then rename the part files
       * with zero-padded indexes. Reference: WriteAsNamedFilesAction.scala:27-68. */

@@ -38,9 +38,11 @@ object Graphs {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select(col("src").as("vertex"))
-      .distinct()
-      .withColumn("component", col("vertex"))
+    // init already folds one neighbour-min round: component0(v) =
+    // min(v, N(v)) — same aggregation cost as building the plain vertex
+    // list, one fewer loop iteration
+    var labels = sym.groupBy(col("src").as("vertex"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
       .localCheckpoint(true)
 
     var converged = false

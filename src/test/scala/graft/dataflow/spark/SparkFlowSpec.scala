@@ -161,6 +161,40 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       intercept[FlowException] { l ++ r }
     }
 
+    it("bucketed tables join without a shuffle") {
+      spark.sql("create database if not exists graft_bucket_test")
+      Seq("orders_b", "customer_b").foreach { t =>
+        spark.sql(s"drop table if exists graft_bucket_test.$t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          s"graft_bucket_test.db/$t")
+        org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      }
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/orders.parquet", "orders_b")
+        .openFileParquet(s"${sf()}/customer.parquet", "customer_b")
+        .writeBucketedTable("graft_bucket_test", 4,
+          bucketCols = Seq("o_custkey"), overwrite = true)("orders_b")
+        .writeBucketedTable("graft_bucket_test", 4,
+          bucketCols = Seq("c_custkey"), overwrite = true)("customer_b")
+      executor.execute(flow)
+
+      // force the shuffle-join path (a broadcast would sidestep bucketing on
+      // these tiny test tables; at fact-table scale there is no broadcast)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("graft_bucket_test.orders_b")
+          .join(spark.table("graft_bucket_test.customer_b"),
+            col("o_custkey") === col("c_custkey"))
+        joined.count() shouldBe spark.read.parquet(s"${sf()}/orders.parquet").count()
+        val plan = joined.queryExecution.executedPlan.toString
+        // both sides report bucketed output partitioning: no Exchange feeds the join
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange hashpartitioning"
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+
     it("openCSV round-trips a writeCSV output") {
       val base = s"$tmpDir/csv"
       val write = Graft.sparkFlow(spark)
