@@ -195,6 +195,24 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
 
+    it("writeHiveManagedTable round-trips through openTable") {
+      spark.sql("create database if not exists graft_mt_test")
+      spark.sql("drop table if exists graft_mt_test.region")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_mt_test.db/region"))
+      val write = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .writeHiveManagedTable("graft_mt_test")("region")
+      executor.execute(write)
+
+      val read = Graft.sparkFlow(spark)
+        .openTable("graft_mt_test")("region")
+        .transform("region")("names")(_.select("r_name"))
+      val (_, done) = executor.execute(read)
+      done.inputs.get[org.apache.spark.sql.Dataset[_]]("names").count() shouldBe 5
+    }
+
     it("openCSV round-trips a writeCSV output") {
       val base = s"$tmpDir/csv"
       val write = Graft.sparkFlow(spark)
