@@ -203,8 +203,13 @@ class AuditTable(
     reopened(survivors :+ newRegion)
   }
 
-  private def reopened(newRegions: Seq[AuditTableRegionInfo]): AuditTable =
+  private def reopened(newRegions: Seq[AuditTableRegionInfo]): AuditTable = {
+    // refresh the region cache so the next open of this table needs no
+    // parquet scan; cleared-then-rewritten around the rewrite itself is not
+    // needed because a stale cache is detected against the folder layout
+    ops.writeRegionInfoCache(basePath, tableName, newRegions)
     new AuditTable(info, newRegions, basePath, ops, spark)
+  }
 
   override def toString: String =
     s"AuditTable($tableName, pks=${info.primaryKeys.mkString(",")}, regions=${regions.size})"

@@ -100,6 +100,51 @@ class FileStorageOps(spark: SparkSession) {
     }
   }
 
+  // -------------------------------------------------------- region cache ---
+
+  /** Persist region stats to `<base>/.regioninfo/<table>` so reopening a
+    * table needs no parquet scan over its regions (the reference keeps the
+    * same cache as a coalesce(1) parquet file — here it is a plain text
+    * file written through the FS API: zero Spark jobs on the mutation path,
+    * identical validation semantics). Written atomically via temp+rename. */
+  def writeRegionInfoCache(base: Path, tableName: String,
+      regions: Seq[AuditTableRegionInfo]): Unit = {
+    val dir = new Path(base, ".regioninfo")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$tableName.tmp")
+    val out = fs.create(tmp, true)
+    val w = new OutputStreamWriter(out, StandardCharsets.UTF_8)
+    try regions.foreach { r =>
+      w.write(Seq(r.storeType, r.storeRegion, r.createdOn.getTime.toString,
+        r.isDeprecated.toString, r.count.toString, r.maxLastUpdated.getTime.toString)
+        .mkString("|"))
+      w.write("\n")
+    } finally w.close()
+    val dest = new Path(dir, tableName)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new StorageException(s"Failed to publish region cache for $tableName")
+  }
+
+  def readRegionInfoCache(base: Path, tableName: String): Option[Seq[AuditTableRegionInfo]] = {
+    val p = new Path(base, s".regioninfo/$tableName")
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try {
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toSeq
+        Some(lines.filter(_.nonEmpty).map { line =>
+          val f = line.split("\\|", -1)
+          AuditTableRegionInfo(tableName, f(0), f(1),
+            new java.sql.Timestamp(f(2).toLong), f(3).toBoolean, f(4).toLong,
+            new java.sql.Timestamp(f(5).toLong))
+        })
+      } catch {
+        case _: Exception => None // corrupt cache -> caller rebuilds from a scan
+      } finally in.close()
+    }
+  }
+
   // --------------------------------------------------------------- trash ---
 
   /** Move region folders into `<base>/.Trash/<table>/<epochMillis>/` instead

@@ -43,28 +43,38 @@ object Storage {
     }
   }
 
-  /** Region inference: folder globs give (type, region); one grouped scan
-    * gives counts and max audit timestamps. Batched per table — at fleet
-    * scale callers page tables ~20 at a time (reference AuditTableFile.scala:375). */
+  /** Region inference: the `.regioninfo` cache is used when it matches the
+    * actual partition folder layout (every mutation refreshes it, so the
+    * usual open touches NO region data at all); a missing/stale/corrupt
+    * cache falls back to folder globs + one grouped parquet scan for counts
+    * and max audit timestamps, then rewrites the cache. Batched per table —
+    * at fleet scale callers page tables ~20 at a time (reference
+    * AuditTableFile.scala:295-421). */
   private def inferRegions(spark: SparkSession, ops: FileStorageOps,
       tablePath: Path, tableName: String): Seq[AuditTableRegionInfo] = {
     import AuditTable._
     val typeDirs = ops.listDirs(tablePath).filter(_.getName.startsWith(s"$TypeColumn="))
     val regionDirs = typeDirs.flatMap(td => ops.listDirs(td).map(rd =>
       (td.getName.stripPrefix(s"$TypeColumn="), rd.getName.stripPrefix(s"$RegionColumn="))))
-    if (regionDirs.isEmpty) Seq.empty
-    else {
-      val stats = spark.read.parquet(tablePath.toString)
-        .groupBy(col(TypeColumn), col(RegionColumn))
-        .agg(count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getTimestamp(3)))
-        .toMap
-      regionDirs.map { case (storeType, region) =>
-        val (cnt, maxTs) = stats.getOrElse((storeType, region), (0L, LowTimestamp))
-        AuditTableRegionInfo(tableName, storeType, region, LowTimestamp,
-          isDeprecated = false, cnt, Option(maxTs).getOrElse(LowTimestamp))
-      }.sortBy(_.storeRegion)
+    val cached = ops.readRegionInfoCache(tablePath.getParent, tableName)
+      .filter(_.map(r => (r.storeType, r.storeRegion)).toSet == regionDirs.toSet)
+    cached.getOrElse {
+      if (regionDirs.isEmpty) Seq.empty
+      else {
+        val stats = spark.read.parquet(tablePath.toString)
+          .groupBy(col(TypeColumn), col(RegionColumn))
+          .agg(count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getTimestamp(3)))
+          .toMap
+        val rebuilt = regionDirs.map { case (storeType, region) =>
+          val (cnt, maxTs) = stats.getOrElse((storeType, region), (0L, LowTimestamp))
+          AuditTableRegionInfo(tableName, storeType, region, LowTimestamp,
+            isDeprecated = false, cnt, Option(maxTs).getOrElse(LowTimestamp))
+        }.sortBy(_.storeRegion)
+        ops.writeRegionInfoCache(tablePath.getParent, tableName, rebuilt)
+        rebuilt
+      }
     }
   }
 

@@ -60,6 +60,27 @@ class StorageSpec extends SparkTestBase with Matchers {
       reopened.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 1
     }
 
+    it("serves region info from the cache and survives a corrupt or stale cache") {
+      val t0 = mkTable("cache_me")
+      val t1 = t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      t1.append(Seq((2L, "y")).toDF("id", "v"), None, ts("2024-01-02 00:00:00"))
+      val cacheFile = new java.io.File(s"$tmpDir/.regioninfo/cache_me")
+      cacheFile.exists() shouldBe true
+
+      // cache hit: stats preserved exactly (incl. real creation timestamps)
+      val cachedOpen = Storage.openTable(spark, tmpDir, "cache_me").get
+      cachedOpen.regions.map(_.count).sorted shouldBe Seq(1L, 1L)
+      cachedOpen.regions.map(_.createdOn).toSet shouldBe
+        Set(ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+
+      // corrupt cache: open falls back to the scan and rebuilds
+      java.nio.file.Files.writeString(cacheFile.toPath, "garbage|not|valid")
+      val rebuilt = Storage.openTable(spark, tmpDir, "cache_me").get
+      rebuilt.regions.size shouldBe 2
+      rebuilt.regions.map(_.count).sorted shouldBe Seq(1L, 1L)
+      rebuilt.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 2
+    }
+
     it("compacts hot regions into one cold region and trashes the old ones") {
       val t0 = mkTable("compact_me")
       val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
