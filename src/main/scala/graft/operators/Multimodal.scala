@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -81,5 +81,42 @@ object Multimodal {
     val totalBytes = df.agg(sum(octet_length(col(contentCol)).cast("long"))).head().getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     df.repartition(parts)
+  }
+
+  /** A media decode kernel: `init()` runs ONCE PER PARTITION (codec/library
+    * handles, JNI contexts, model weights — the state a real ffmpeg/ONNX
+    * decoder must not re-create per row) and the returned function decodes
+    * each row's payload. This is the executor-side batching contract a
+    * Column expression cannot express. */
+  type MediaKernel[T] = () => (Long, Array[Byte]) => T
+
+  /** Run a decode kernel over (id, content) with per-partition init —
+    * partition the input with [[repartitionForDecode]] first to bound batch
+    * bytes. The stub kernels below plug in here; a real codec replaces them
+    * behind the same type. */
+  def decodePartitioned[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, idCol: String, contentCol: String,
+      kernel: MediaKernel[T]): Dataset[T] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = kernel() // expensive init amortised over the partition
+        rows.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  final case class DecodedImage(id: Long, width: Long, height: Long, channels: Int)
+
+  /** STUB kernel: same md5-derived dimensions as [[decodeImageStub]], so the
+    * batched path and the column path are mutually verifying. */
+  def imageKernelStub: MediaKernel[DecodedImage] = () => {
+    val md = java.security.MessageDigest.getInstance("MD5") // per-partition handle
+    (id: Long, bytes: Array[Byte]) => {
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString.take(15)
+      md.reset()
+      val h = java.lang.Long.parseLong(hex, 16)
+      DecodedImage(id, h % 960L + 64L, (h >>> 16) % 960L + 64L, 3)
+    }
   }
 }

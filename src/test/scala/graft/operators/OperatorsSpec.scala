@@ -48,6 +48,33 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("batched media decode") {
+    it("kernel path matches the column-expression stub and inits once per partition") {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
+      val media = Multimodal.withContent(docs, "text")
+
+      val inits = spark.sparkContext.longAccumulator("kernel_inits")
+      val counting: Multimodal.MediaKernel[Multimodal.DecodedImage] = () => {
+        inits.add(1)
+        Multimodal.imageKernelStub()
+      }
+      val repartitioned = Multimodal.repartitionForDecode(media, "content",
+        targetBytesPerPartition = 4096)
+      val batched = Multimodal.decodePartitioned(repartitioned, "doc_id", "content", counting)
+        .collect().map(d => d.id -> ((d.width, d.height))).toMap
+
+      val columnar = media.select(col("doc_id"),
+        Multimodal.decodeImageStub(col("content")).as("img"))
+        .select(col("doc_id"), col("img.width"), col("img.height"))
+        .as[(Long, Long, Long)].collect().map(t => (t._1, (t._2, t._3))).toMap
+
+      batched shouldBe columnar
+      // one init per partition, not per row
+      inits.value.longValue should be < 50L
+      inits.value.longValue should be >= 1L
+    }
+  }
+
   describe("simhash") {
     it("identical docs collide, different docs usually do not") {
       val docs = Seq(
