@@ -184,19 +184,18 @@ object Dedup {
     * blocking (same `blockCols` values). The blocking join is an equi-join on
     * the block key, so work scales with block sizes, not corpus². Use after
     * LSH as a verify stage, or standalone on well-partitioned corpora. */
-  def ngramJaccardPairs(
+  /** Shingle-signature frame for [[ngramJaccardPairs]] /
+    * [[incrementalNgramJaccardPairs]]: (doc_id, grams: sorted array<bigint>,
+    * block). Persist this (e.g. in an audit table) to make dedup
+    * incremental — the corpus is shingled once, ever. */
+  def prepareNgrams(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       blockCols: Seq[Column],
-      n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    // Shingles hash to sorted 64-bit arrays once (collision odds ~|g|²/2^65
-    // per pair — never observed at corpus scale, so Jaccard over hashes
-    // equals Jaccard over strings); the pair stage is then a linear merge
-    // over two sorted long arrays instead of per-pair hash-set construction
-    // over strings. Gram extraction + FNV-1a-64 + dedup + sort run fused in
-    // one JVM loop per row — the equivalent HOF expression chain
+      n: Int = 3): DataFrame = {
+    // Gram extraction + FNV-1a-64 + dedup + sort run fused in one JVM loop
+    // per row — the equivalent HOF expression chain
     // (transform/array_distinct/sort_array) runs interpreted and measured
     // several times slower on the same corpus.
     val gramUdf = udf { (txt: String) =>
@@ -218,30 +217,80 @@ object Dedup {
       java.util.Arrays.sort(arr)
       arr
     }
-    val prepped = docs.select(
+    docs.select(
       col(idCol).as("doc_id"),
       gramUdf(col(textCol)).as("grams"),
       struct(blockCols: _*).as("block"))
-      .localCheckpoint(true) // both self-join legs read it; blocks free on GC
+  }
 
-    // The verify stage runs the native codegen'd graft_jaccard_ge expression:
-    // zero-copy merge over the sorted hash arrays with threshold-aware early
-    // exit (a Scala UDF pays an ArrayData->Array copy per pair at the
-    // serialization boundary — measured as the dominant cost at 315k pairs)
-    graft.sql.functions.ensureRegistered(docs.sparkSession)
-    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+  /** Verify candidate pairs of prepared signature frames: equi-join on the
+    * block, O(1) size prefilter, then the native codegen'd graft_jaccard_ge
+    * merge with threshold early exit (zero-copy over ArrayData — a Scala
+    * UDF pays an array copy per pair at the serialization boundary). */
+  private def verifiedPairs(a: DataFrame, b: DataFrame, extraCond: Column,
+      threshold: Double): DataFrame = {
     a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
+      .where(extraCond)
       // size prefilter: J(A,B) <= min/max of the set sizes, so pairs whose
-      // gram counts differ too much can never reach the threshold — the
-      // codegen'd O(1) check prunes candidates before the merge runs
+      // gram counts differ too much can never reach the threshold
       .where(least(size(col("g_a")), size(col("g_b"))).cast("double")
         >= lit(threshold) * greatest(size(col("g_a")), size(col("g_b"))).cast("double"))
       .withColumn("jaccard",
         call_function("graft_jaccard_ge", col("g_a"), col("g_b"), lit(threshold)))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within blocks. Shingles hash to
+    * sorted 64-bit arrays once (collision odds ~|g|²/2^65 per pair — never
+    * observed at corpus scale, so Jaccard over hashes equals Jaccard over
+    * strings); the verify stage is then a linear merge over two sorted long
+    * arrays instead of per-pair hash-set construction over strings. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    graft.sql.functions.ensureRegistered(docs.sparkSession)
+    val prepped = prepareNgrams(docs, idCol, textCol, blockCols, n)
+      .localCheckpoint(true) // both self-join legs read it; blocks free on GC
+    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+    verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
+  }
+
+  /** Incremental near-dup detection: pairs TOUCHING the delta only — each
+    * new doc against the existing corpus signatures plus the delta itself.
+    * The corpus is never re-shingled (feed `corpusPrepped` from persisted
+    * [[prepareNgrams]] output) and never self-paired: work scales with
+    * |delta| × block occupancy, which is what keeps continuous dedup viable
+    * on a 100 TB corpus ingesting batches.
+    *
+    * Output: (id_a = delta doc, id_b = matched doc) with delta-delta pairs
+    * emitted once (id_a < id_b). */
+  def incrementalNgramJaccardPairs(
+      corpusPrepped: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    graft.sql.functions.ensureRegistered(delta.sparkSession)
+    val deltaPrepped = prepareNgrams(delta, idCol, textCol, blockCols, n)
+      .localCheckpoint(true)
+    val allPrepped = corpusPrepped.withColumn("_delta", lit(false))
+      .unionByName(deltaPrepped.withColumn("_delta", lit(true)))
+    val a = deltaPrepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val b = allPrepped.select(col("block"), col("doc_id").as("id_b"),
+      col("grams").as("g_b"), col("_delta"))
+    // corpus partners always pair; delta partners only once (id_a < id_b)
+    verifiedPairs(a, b,
+      (not(col("_delta")) && (col("id_a") =!= col("id_b"))) ||
+        (col("_delta") && (col("id_a") < col("id_b"))),
+      threshold)
   }
 
   // -------------------------------------------------------------- simhash ---

@@ -48,6 +48,30 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("incremental ngram dedup") {
+    it("delta-vs-corpus pairs equal the full run restricted to delta-touching pairs") {
+      val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      val blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val delta = docs.filter(col("doc_id") >= 400)
+
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols, 3, 0.7)
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => a >= 400 || b >= 400 } // pairs touching the delta
+        .map { case (a, b, j) => if (a >= 400) (a, b, j) else (b, a, j) } // delta id first
+        .toSet
+
+      val corpusPrepped = Dedup.prepareNgrams(corpus, "doc_id", "text", blockCols, 3)
+      val incr = Dedup.incrementalNgramJaccardPairs(
+        corpusPrepped, delta, "doc_id", "text", blockCols, 3, 0.7)
+        .as[(Long, Long, Double)].collect().toSet
+
+      incr shouldBe full
+      // sanity: the delta actually has near-dup partners in this corpus
+      incr should not be empty
+    }
+  }
+
   describe("batched media decode") {
     it("kernel path matches the column-expression stub and inits once per partition") {
       val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
