@@ -17,16 +17,20 @@ object Bench {
     // Steady-state measurement: touch every table and exercise the scan /
     // shuffle / window / codegen machinery once before timing, so the first
     // measured query doesn't absorb JVM + session initialisation.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { tn =>
-      spark.read.parquet(s"$sfDir/$tn.parquet").limit(100).collect()
+    // best-effort: a missing table must not abort the whole benchmark — the
+    // affected query will just report -1 like any other failure
+    scala.util.Try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tn =>
+        scala.util.Try(spark.read.parquet(s"$sfDir/$tn.parquet").limit(100).collect())
+      }
+      spark.range(100000).select((col("id") % 97).as("k"), col("id").as("v"))
+        .groupBy(col("k")).count().count()
+      spark.range(10000).select((col("id") % 7).as("k"), col("id").as("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("v"))))
+        .where(col("rn") === 1).count()
     }
-    spark.range(100000).select((col("id") % 97).as("k"), col("id").as("v"))
-      .groupBy(col("k")).count().count()
-    spark.range(10000).select((col("id") % 7).as("k"), col("id").as("v"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("v"))))
-      .where(col("rn") === 1).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,8 +22,15 @@ final case class CachePlanExtension(requests: Map[String, CacheRequest] = Map.em
   val identifier: String = "cachePlan"
 
   override def merge(
-      other: FlowExtension[SparkDataFlow, SparkFlowContext]): CachePlanExtension =
-    CachePlanExtension(requests ++ other.asInstanceOf[CachePlanExtension].requests)
+      other: FlowExtension[SparkDataFlow, SparkFlowContext]): CachePlanExtension = {
+    val that = other.asInstanceOf[CachePlanExtension]
+    val conflicts = requests.keySet.intersect(that.requests.keySet)
+      .filter(l => requests(l) != that.requests(l))
+    if (conflicts.nonEmpty)
+      throw new FlowException("Cannot merge flows: conflicting cache requests for: " +
+        conflicts.toSeq.sorted.mkString(", "))
+    CachePlanExtension(requests ++ that.requests)
+  }
 
   def preExecutionManipulation(flow: SparkDataFlow): SparkDataFlow = {
     import actions._

@@ -146,11 +146,10 @@ object Dedup {
       }
       sig
     }
-    // localCheckpoint, not persist: materialises the signature stage once for
-    // its three consumers, cuts lineage, and the blocks are reclaimed on GC —
-    // repeated calls in a long-lived session leak nothing
+    // materialise the signature stage once for its three consumers (see
+    // Materialize for the localCheckpoint-vs-replicated-persist trade)
     val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
 
     val banded = signed
       .select(
@@ -199,17 +198,20 @@ object Dedup {
     // (transform/array_distinct/sort_array) runs interpreted and measured
     // several times slower on the same corpus.
     val gramUdf = udf { (txt: String) =>
-      val t = if (txt == null) "" else txt
-      val nGrams = math.max(t.length - n + 1, 1)
+      // grams run over CODEPOINTS, matching Spark substr/length and DuckDB
+      // substr semantics (UTF-16 char stepping would split surrogate pairs
+      // and diverge from any SQL oracle on non-BMP text)
+      val cps = if (txt == null) Array.empty[Int] else txt.codePoints().toArray
+      val nGrams = math.max(cps.length - n + 1, 1)
       val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
       val out = new Array[Long](nGrams)
       var nOut = 0
       var i = 0
       while (i < nGrams) {
-        val end = math.min(i + n, t.length)
-        var h = 0xcbf29ce484222325L // FNV-1a 64 over the gram's chars
+        val end = math.min(i + n, cps.length)
+        var h = 0xcbf29ce484222325L // FNV-1a 64 over the gram's codepoints
         var j = i
-        while (j < end) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+        while (j < end) { h ^= cps(j); h *= 0x100000001b3L; j += 1 }
         if (seen.add(h)) { out(nOut) = h; nOut += 1 }
         i += 1
       }
@@ -232,9 +234,11 @@ object Dedup {
     a.join(b, Seq("block"))
       .where(extraCond)
       // size prefilter: J(A,B) <= min/max of the set sizes, so pairs whose
-      // gram counts differ too much can never reach the threshold
+      // gram counts differ too much can never reach the threshold — relaxed
+      // by the rounding half-step like the merge itself, so a pair whose
+      // rounded Jaccard lands exactly on the threshold is never pre-dropped
       .where(least(size(col("g_a")), size(col("g_b"))).cast("double")
-        >= lit(threshold) * greatest(size(col("g_a")), size(col("g_b"))).cast("double"))
+        >= lit(threshold - 0.00005) * greatest(size(col("g_a")), size(col("g_b"))).cast("double"))
       .withColumn("jaccard",
         call_function("graft_jaccard_ge", col("g_a"), col("g_b"), lit(threshold)))
       .where(col("jaccard") >= threshold)
@@ -255,7 +259,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.sql.functions.ensureRegistered(docs.sparkSession)
     val prepped = prepareNgrams(docs, idCol, textCol, blockCols, n)
-      .localCheckpoint(true) // both self-join legs read it; blocks free on GC
+      .transform(Materialize.apply) // both self-join legs read it
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
     verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
@@ -280,7 +284,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.sql.functions.ensureRegistered(delta.sparkSession)
     val deltaPrepped = prepareNgrams(delta, idCol, textCol, blockCols, n)
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
     val allPrepped = corpusPrepped.withColumn("_delta", lit(false))
       .unionByName(deltaPrepped.withColumn("_delta", lit(true)))
     val a = deltaPrepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * O(log diameter) rounds instead of O(diameter) — a 2^30-diameter chain
   * (beyond any real corpus) finishes inside the default iteration budget.
   *
-  * Every round materialises through `localCheckpoint`: lineage stays bounded
-  * (no exponentially growing plan), no named cache entries leak (checkpoint
-  * blocks are reclaimed when the frame is garbage collected), and iteration
-  * state is one narrow (vertex, component) frame shuffled on the vertex id.
+  * Every round materialises through [[Materialize]] (localCheckpoint by
+  * default: bounded lineage, no leaked cache entries; replicated persist
+  * via `spark.graft.materialize.mode=persist` when executors can be lost);
+  * iteration state is one narrow (vertex, component) frame shuffled on the
+  * vertex id.
   */
 object Graphs {
 
@@ -36,14 +37,14 @@ object Graphs {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
 
     // init already folds one neighbour-min round: component0(v) =
     // min(v, N(v)) — same aggregation cost as building the plain vertex
     // list, one fewer loop iteration
     var labels = sym.groupBy(col("src").as("vertex"))
       .agg(least(min(col("dst")), col("src")).as("component"))
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
 
     var converged = false
     var iter = 0
@@ -65,7 +66,7 @@ object Graphs {
             coalesce(col("n_component"), col("component")),
             coalesce(col("j_component"), col("component"))).as("component"),
           col("component").as("old"))
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       converged = next.where(col("component") =!= col("old")).limit(1).count() == 0
       labels = next.select(col("vertex"), col("component"))
       iter += 1

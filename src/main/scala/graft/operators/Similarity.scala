@@ -131,7 +131,7 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
-      .localCheckpoint(true) // reused per Lloyd round + final probe join; GC-reclaimed
+      .transform(Materialize.apply) // reused per Lloyd round + final probe join
 
     var centroids: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(nLists)
       .collect().map(_.getSeq[Double](1).toArray)

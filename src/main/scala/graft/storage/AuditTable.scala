@@ -95,8 +95,14 @@ class AuditTable(
       count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts"))
     ops.writeParquet(basePath, dest, observed)
     val m = obs.get
-    (m("cnt").asInstanceOf[Long],
-      Option(m("maxts")).collect { case t: Timestamp => t }.getOrElse(LowTimestamp))
+    val maxTs = m("maxts") match {
+      case null => LowTimestamp // empty region: no rows observed
+      case t: Timestamp => t
+      case i: java.time.Instant => Timestamp.from(i) // java8API datetime mode
+      case other => throw new StorageException(
+        s"Unexpected max-timestamp metric type ${other.getClass.getName} for [$tableName]")
+    }
+    (m("cnt").asInstanceOf[Long], maxTs)
   }
 
   // ------------------------------------------------------------- queries ---

@@ -94,7 +94,14 @@ class FileStorageOps(spark: SparkSession) {
       Some(AuditTableInfo(
         props.getProperty("table_name"),
         Option(props.getProperty("primary_keys")).filter(_.nonEmpty)
-          .map(_.split("\\|").toSeq).getOrElse(Seq.empty),
+          .map { raw =>
+            val pks = raw.split("\\|").toSeq
+            // migration shim: pre-pipe-format files stored composite keys
+            // comma-separated; column names never contain commas, so a
+            // single "|"-token holding commas is unambiguously the old format
+            if (pks.lengthIs == 1 && pks.head.contains(",")) pks.head.split(",").toSeq
+            else pks
+          }.getOrElse(Seq.empty),
         meta,
         Option(props.getProperty("retain_history")).forall(_.toBoolean)))
     }

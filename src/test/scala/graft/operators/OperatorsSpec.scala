@@ -48,6 +48,21 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("materialize modes") {
+    it("persist mode produces the same components as localCheckpoint mode") {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val default = Graphs.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      spark.conf.set("spark.graft.materialize.mode", "persist")
+      try {
+        val persisted = Graphs.connectedComponents(edges, "a", "b")
+          .as[(Long, Long)].collect().toSet
+        persisted shouldBe default
+        persisted shouldBe Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+      } finally spark.conf.unset("spark.graft.materialize.mode")
+    }
+  }
+
   describe("incremental ngram dedup") {
     it("delta-vs-corpus pairs equal the full run restricted to delta-touching pairs") {
       val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")

@@ -12,7 +12,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
 
 def canon(df):
-    df = df[sorted(df.columns)]
+    # fresh positional index FIRST: multi-file concat carries duplicate labels
+    # and iloc would misinterpret them as positions
+    df = df[sorted(df.columns)].reset_index(drop=True)
     # array/list columns are unhashable for sort_values; sort on a stringified
     # shadow so array-bearing queries still get a real rows/values check
     key = df.apply(lambda c: c.map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else str(v)))
