@@ -430,6 +430,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style pretokenizer counts + fertility vs whitespace tokens
+    "q39_bpe_tokens" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(txt).as("n_bpe"),
+        TextFunctions.tokenCount(txt).as("n_ws"),
+        round(TextFunctions.bpeTokenCount(txt).cast("double") /
+          greatest(TextFunctions.tokenCount(txt), lit(1L)).cast("double"), 4).as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -796,6 +808,17 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
         |  < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q39_bpe_tokens" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe,
+        |    len(regexp_extract_all(text, '\S+')) AS n_ws
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bpe, n_ws,
+        |  round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 4) AS fertility
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

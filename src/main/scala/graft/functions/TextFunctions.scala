@@ -87,6 +87,18 @@ object TextFunctions {
       .otherwise("es")
   }
 
+  /** BPE-style pretokenization: optional-leading-space letter runs, digit
+    * runs, and punctuation runs — the GPT-2 pretokenizer shape, restricted
+    * to RE2-safe constructs (no lookahead) so the count is reproducible in
+    * any regex engine. Counts approximate subword-tokenizer input units far
+    * better than whitespace splitting on punctuation-heavy or code text. */
+  val BpeTokenPattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Canonical fingerprint: lowercase, collapse whitespace, trim, md5. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
