@@ -10,6 +10,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet carries ns ts
+      .config("spark.scheduler.mode", "FAIR") // concurrent branches share cores fairly
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,10 +38,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // The engine's parallel-scheduling story, measured: the same suite run
+    // as concurrent branches (Spark FAIR pools, like the flow executor
+    // does) — wall clock is a fraction of the serial sum because small
+    // stages interleave. Reported alongside, not instead of, the serial
+    // total so rounds stay comparable.
+    val wallParallel = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wall_parallel_sec":$wallParallel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
