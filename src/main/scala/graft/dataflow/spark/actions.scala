@@ -301,7 +301,10 @@ object actions {
         overwrite: Boolean = false)(labels: String*): SparkDataFlow =
       labels.foldLeft(flow) { (fl, label) =>
         new SparkFlowOps(fl).writeAction(label, "writeBucketedTable") { (df, _) =>
-          val writer = df.repartition(bucketCols.map(df.col): _*)
+          // numBuckets partitions on the bucket columns: the shuffle uses the
+          // IDENTICAL HashPartitioning as the bucket-id derivation, so each
+          // task holds exactly one bucket -> one file per bucket
+          val writer = df.repartition(numBuckets, bucketCols.map(df.col): _*)
             .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
             .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
           (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)

@@ -285,7 +285,12 @@ object Dedup {
     graft.sql.functions.ensureRegistered(delta.sparkSession)
     val deltaPrepped = prepareNgrams(delta, idCol, textCol, blockCols, n)
       .transform(Materialize.apply)
-    val allPrepped = corpusPrepped.withColumn("_delta", lit(false))
+    // a re-ingested doc may appear on both sides; the delta signature
+    // supersedes the corpus one (anti-join on the id), otherwise its pairs
+    // would be emitted twice — once per copy
+    val corpusOnly = corpusPrepped.join(
+      deltaPrepped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val allPrepped = corpusOnly.withColumn("_delta", lit(false))
       .unionByName(deltaPrepped.withColumn("_delta", lit(true)))
     val a = deltaPrepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
     val b = allPrepped.select(col("block"), col("doc_id").as("id_b"),

@@ -42,9 +42,12 @@ object Graphs {
     // init already folds one neighbour-min round: component0(v) =
     // min(v, N(v)) — same aggregation cost as building the plain vertex
     // list, one fewer loop iteration
-    var labels = sym.groupBy(col("src").as("vertex"))
+    // matState is the materialized frame of the round (release target in
+    // persist mode); labels is the (vertex, component) view over it
+    var matState = sym.groupBy(col("src").as("vertex"))
       .agg(least(min(col("dst")), col("src")).as("component"))
       .transform(Materialize.apply)
+    var labels = matState
 
     var converged = false
     var iter = 0
@@ -68,9 +71,12 @@ object Graphs {
           col("component").as("old"))
         .transform(Materialize.apply)
       converged = next.where(col("component") =!= col("old")).limit(1).count() == 0
+      Materialize.release(matState) // superseded round state (persist mode only)
+      matState = next
       labels = next.select(col("vertex"), col("component"))
       iter += 1
     }
+    Materialize.release(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIterations rounds; " +

@@ -29,4 +29,12 @@ private[graft] object Materialize {
         p
       case _ => df.localCheckpoint(true)
     }
+
+  /** Drop a materialization produced by [[apply]] once superseded.
+    * Iterative operators MUST call this on each round's predecessor in
+    * persist mode or replicated cache entries accumulate per iteration;
+    * no-op in localCheckpoint mode (blocks free on GC). */
+  def release(df: DataFrame): Unit =
+    if (df.sparkSession.conf.getOption("spark.graft.materialize.mode").contains("persist"))
+      df.unpersist()
 }

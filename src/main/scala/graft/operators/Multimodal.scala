@@ -93,7 +93,9 @@ object Multimodal {
   /** Run a decode kernel over (id, content) with per-partition init —
     * partition the input with [[repartitionForDecode]] first to bound batch
     * bytes. The stub kernels below plug in here; a real codec replaces them
-    * behind the same type. */
+    * behind the same type. Null payloads reach the kernel as null; the stub
+    * treats them as empty content (the column-path stubs yield null structs
+    * instead — filter null content upstream when the distinction matters). */
   def decodePartitioned[T: org.apache.spark.sql.Encoder](
       df: DataFrame, idCol: String, contentCol: String,
       kernel: MediaKernel[T]): Dataset[T] = {
@@ -112,7 +114,8 @@ object Multimodal {
     * batched path and the column path are mutually verifying. */
   def imageKernelStub: MediaKernel[DecodedImage] = () => {
     val md = java.security.MessageDigest.getInstance("MD5") // per-partition handle
-    (id: Long, bytes: Array[Byte]) => {
+    (id: Long, bytesOrNull: Array[Byte]) => {
+      val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
       val hex = md.digest(bytes).map("%02x".format(_)).mkString.take(15)
       md.reset()
       val h = java.lang.Long.parseLong(hex, 16)

@@ -51,7 +51,10 @@ object Temporal {
         lit(1).as("__side"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(right.select(payloadCols.map(col): _*).schema).as("__p")): _*)
-    val r = right.select(
+    // a null-timestamp right row can never be "the most recent state at t";
+    // left rows with null ts keep null payloads (both match SQL ASOF, where
+    // a null comparison joins nothing)
+    val r = right.where(col(rightTs).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
@@ -96,12 +99,17 @@ object Temporal {
       bucketWidthSec: Long = 86400L): DataFrame = {
     val widthUs = bucketWidthSec * 1000000L
     val p = points.withColumn("__bucket", (unix_micros(col(pointTs)) / widthUs).cast("long"))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        (unix_micros(col(startCol)) / widthUs).cast("long"),
-        // end is exclusive: a range ending exactly on a bucket boundary does
-        // not reach into that bucket
-        ((unix_micros(col(endCol)) - 1) / widthUs).cast("long"))))
+    // degenerate intervals (end <= start, or null bounds) match nothing —
+    // without the guard, sequence() would silently COUNT DOWN across the
+    // whole bucket range for an inverted interval and explode the join
+    val i = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          (unix_micros(col(startCol)) / widthUs).cast("long"),
+          // end is exclusive: a range ending exactly on a bucket boundary
+          // does not reach into that bucket
+          ((unix_micros(col(endCol)) - 1) / widthUs).cast("long"))))
     p.join(i, Seq("__bucket"))
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")

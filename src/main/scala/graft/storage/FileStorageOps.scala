@@ -118,7 +118,9 @@ class FileStorageOps(spark: SparkSession) {
       regions: Seq[AuditTableRegionInfo]): Unit = {
     val dir = new Path(base, ".regioninfo")
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".$tableName.tmp")
+    // unique temp name: concurrent writers must not clobber each other's
+    // staging file (last rename wins; both outcomes are valid caches)
+    val tmp = new Path(dir, s".$tableName.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     val w = new OutputStreamWriter(out, StandardCharsets.UTF_8)
     try regions.foreach { r =>

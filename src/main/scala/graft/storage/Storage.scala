@@ -72,7 +72,9 @@ object Storage {
           AuditTableRegionInfo(tableName, storeType, region, LowTimestamp,
             isDeprecated = false, cnt, Option(maxTs).getOrElse(LowTimestamp))
         }.sortBy(_.storeRegion)
-        ops.writeRegionInfoCache(tablePath.getParent, tableName, rebuilt)
+        // best-effort: a pure read must not fail because the cache could not
+        // be refreshed (read-only FS, concurrent writers racing the rename)
+        scala.util.Try(ops.writeRegionInfoCache(tablePath.getParent, tableName, rebuilt))
         rebuilt
       }
     }

@@ -85,6 +85,19 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       // sanity: the delta actually has near-dup partners in this corpus
       incr should not be empty
     }
+
+    it("does not double-emit pairs for docs present in both corpus and delta") {
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+      val corpusPrepped = Dedup.prepareNgrams(docs, "doc_id", "text", Seq(lit(1).as("b")), 3)
+      // the whole corpus is re-ingested as the delta: every pair must appear once
+      val incr = Dedup.incrementalNgramJaccardPairs(
+        corpusPrepped, docs, "doc_id", "text", Seq(lit(1).as("b")), 3, 0.5)
+        .as[(Long, Long, Double)].collect().toSeq
+      incr.length shouldBe 1
+      (incr.head._1, incr.head._2) shouldBe ((1L, 2L))
+    }
   }
 
   describe("batched media decode") {

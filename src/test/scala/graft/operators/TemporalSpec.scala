@@ -50,6 +50,19 @@ class TemporalSpec extends SparkTestBase with Matchers {
       strict shouldBe None
     }
 
+    it("null right timestamps never match (ASOF semantics)") {
+      import spark.implicits._
+      val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("id", "sym", "t_ts")
+      val r = Seq(("A", Option.empty[Timestamp], 7.0),
+        ("A", Some(ts("2024-01-01 10:00:00")), 9.0)).toDF("sym", "q_ts", "px")
+      Temporal.asofJoin(l, r, Seq("sym"), "t_ts", "q_ts", Seq("px"))
+        .select("px").as[Option[Double]].head() shouldBe Some(9.0)
+      // with ONLY a null-ts right row, the left row stays unmatched
+      val rNull = Seq(("A", Option.empty[Timestamp], 7.0)).toDF("sym", "q_ts", "px")
+      Temporal.asofJoin(l, rNull, Seq("sym"), "t_ts", "q_ts", Seq("px"))
+        .select("px").as[Option[Double]].head() shouldBe None
+    }
+
     it("rejects payload columns that collide with left columns") {
       import spark.implicits._
       val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("id", "sym", "t_ts")
@@ -77,6 +90,17 @@ class TemporalSpec extends SparkTestBase with Matchers {
 
       // point 2 sits exactly on w1's exclusive end -> only w2; point 3 matches nothing
       out shouldBe Set(1L -> "w1", 2L -> "w2")
+    }
+
+    it("ignores inverted intervals instead of exploding the bucket range") {
+      import spark.implicits._
+      val points = Seq((1L, ts("2024-01-03 00:00:00"))).toDF("pid", "p_ts")
+      val intervals = Seq(
+        ("bad", ts("2026-01-01 00:00:00"), ts("1970-01-01 00:00:00")),
+        ("ok", ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00"))).toDF("wid", "s", "e")
+      val out = Temporal.intervalJoin(points, "p_ts", intervals, "s", "e")
+        .select("wid").as[String].collect().toSeq
+      out shouldBe Seq("ok")
     }
 
     it("produces each matching pair exactly once even when an interval spans many buckets") {
