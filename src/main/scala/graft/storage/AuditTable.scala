@@ -34,7 +34,8 @@ class AuditTable(
     val regions: Seq[AuditTableRegionInfo],
     val basePath: Path,
     ops: FileStorageOps,
-    spark: SparkSession) {
+    spark: SparkSession,
+    val includeHot: Boolean = true) {
 
   import AuditTable._
 
@@ -62,6 +63,13 @@ class AuditTable(
   def activeRegions: Seq[AuditTableRegionInfo] = regions.filterNot(_.isDeprecated)
 
   def hotRegions: Seq[AuditTableRegionInfo] = activeRegions.filter(_.storeType == HotType)
+
+  /** Regions visible to reads: `includeHot = false` serves only compacted
+    * (cold) data — readers see a consistent published state while fresh
+    * appends stay invisible until compaction promotes them (reference
+    * StorageActions.scala:139-148). Mutations always see every region. */
+  private def readableRegions: Seq[AuditTableRegionInfo] =
+    if (includeHot) activeRegions else activeRegions.filter(_.storeType == ColdType)
 
   def getLatestTimestamp: Option[Timestamp] =
     activeRegions.map(_.maxLastUpdated).maxOption(Ordering.by((_: Timestamp).getTime))
@@ -120,9 +128,9 @@ class AuditTable(
   /** PK-deduplicated state at `ts`: one row per key, the latest
     * `_de_last_updated <= ts` wins. THE window-dedup primitive. */
   def snapshot(ts: Timestamp): Option[DataFrame] = {
-    // all active regions: a late append can carry source timestamps <= ts,
+    // all readable regions: a late append can carry source timestamps <= ts,
     // so snapshot pruning is row-level only (allBetween prunes by region)
-    readRegions(activeRegions).map { df =>
+    readRegions(readableRegions).map { df =>
       val filtered = df.where(col(AuditColumn) <= lit(ts))
       if (info.primaryKeys.isEmpty) filtered
       else {
@@ -140,7 +148,7 @@ class AuditTable(
   def allBetween(from: Option[Timestamp], to: Option[Timestamp]): Option[DataFrame] = {
     val lo = from.getOrElse(LowTimestamp)
     val hi = to.getOrElse(HighTimestamp)
-    val regs = activeRegions.filter(_.maxLastUpdated.getTime >= lo.getTime)
+    val regs = readableRegions.filter(_.maxLastUpdated.getTime >= lo.getTime)
     readRegions(regs).map(_.where(col(AuditColumn).between(lit(lo), lit(hi))))
   }
 
@@ -214,7 +222,7 @@ class AuditTable(
     // parquet scan; cleared-then-rewritten around the rewrite itself is not
     // needed because a stale cache is detected against the folder layout
     ops.writeRegionInfoCache(basePath, tableName, newRegions)
-    new AuditTable(info, newRegions, basePath, ops, spark)
+    new AuditTable(info, newRegions, basePath, ops, spark, includeHot)
   }
 
   override def toString: String =

@@ -14,7 +14,8 @@ object Storage {
 
   /** Create a new audit table (writes `.table_info`) or open the existing
     * one, validating metadata matches when both exist. */
-  def getOrCreateTable(spark: SparkSession, basePath: String, info: AuditTableInfo): AuditTable = {
+  def getOrCreateTable(spark: SparkSession, basePath: String, info: AuditTableInfo,
+      includeHot: Boolean = true): AuditTable = {
     val ops = new FileStorageOps(spark)
     val base = new Path(basePath)
     val tablePath = new Path(base, info.tableName)
@@ -24,22 +25,24 @@ object Storage {
           throw new StorageException(
             s"Table [${info.tableName}] exists with different primary keys " +
               s"[${existing.primaryKeys.mkString(",")}] vs requested [${info.primaryKeys.mkString(",")}]")
-        openTable(spark, basePath, info.tableName).get
+        openTable(spark, basePath, info.tableName, includeHot).get
       case None =>
         ops.fs.mkdirs(tablePath)
         ops.writeTableInfo(tablePath, info)
-        new AuditTable(info, Seq.empty, base, ops, spark)
+        new AuditTable(info, Seq.empty, base, ops, spark, includeHot)
     }
   }
 
   /** Open an existing table: metadata from `.table_info`, regions inferred
     * from the partition folder layout with stats from a grouped parquet scan. */
-  def openTable(spark: SparkSession, basePath: String, tableName: String): Option[AuditTable] = {
+  def openTable(spark: SparkSession, basePath: String, tableName: String,
+      includeHot: Boolean = true): Option[AuditTable] = {
     val ops = new FileStorageOps(spark)
     val base = new Path(basePath)
     val tablePath = new Path(base, tableName)
     ops.readTableInfo(tablePath).map { info =>
-      new AuditTable(info, inferRegions(spark, ops, tablePath, tableName), base, ops, spark)
+      new AuditTable(info, inferRegions(spark, ops, tablePath, tableName), base, ops, spark,
+        includeHot)
     }
   }
 
@@ -101,19 +104,20 @@ object StorageActions {
       * holding the [[AuditTable]] handle. */
     def getOrCreateAuditTable(basePath: String,
         metadata: String => AuditTableInfo,
-        labelPrefix: String = "audittable")(tables: String*): SparkDataFlow =
+        labelPrefix: String = "audittable",
+        includeHot: Boolean = true)(tables: String*): SparkDataFlow =
       tables.foldLeft(flow) { (fl, table) =>
         fl.addAction(new SparkAction(List.empty, List(s"${labelPrefix}_$table"),
           s"getOrCreateAuditTable:$table")((_, ctx) =>
-          Seq(Some(Storage.getOrCreateTable(ctx.spark, basePath, metadata(table))))))
+          Seq(Some(Storage.getOrCreateTable(ctx.spark, basePath, metadata(table), includeHot)))))
       }
 
-    def getAuditTable(basePath: String, labelPrefix: String = "audittable")(
-        tables: String*): SparkDataFlow =
+    def getAuditTable(basePath: String, labelPrefix: String = "audittable",
+        includeHot: Boolean = true)(tables: String*): SparkDataFlow =
       tables.foldLeft(flow) { (fl, table) =>
         fl.addAction(new SparkAction(List.empty, List(s"${labelPrefix}_$table"),
           s"getAuditTable:$table")((_, ctx) =>
-          Seq(Some(Storage.openTable(ctx.spark, basePath, table).getOrElse(
+          Seq(Some(Storage.openTable(ctx.spark, basePath, table, includeHot).getOrElse(
             throw new StorageException(s"Audit table [$table] does not exist under $basePath"))))))
       }
 

@@ -81,6 +81,17 @@ class StorageSpec extends SparkTestBase with Matchers {
       rebuilt.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 2
     }
 
+    it("includeHot=false serves only compacted data") {
+      val t0 = mkTable("cold_reader")
+      val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      // a cold-only reader sees nothing until compaction publishes
+      val coldView = Storage.openTable(spark, tmpDir, "cold_reader", includeHot = false).get
+      coldView.snapshot(ts("2024-06-01 00:00:00")).map(_.count()).getOrElse(0L) shouldBe 0
+      t1.compact(ts("2024-01-02 00:00:00"), partitioner = TotalCellsPartitioner())
+      val afterCompact = Storage.openTable(spark, tmpDir, "cold_reader", includeHot = false).get
+      afterCompact.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 1
+    }
+
     it("compacts hot regions into one cold region and trashes the old ones") {
       val t0 = mkTable("compact_me")
       val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
