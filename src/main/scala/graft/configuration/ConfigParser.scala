@@ -23,14 +23,43 @@ object ConfigParser {
     def get(key: String): Option[String] = props.get(key)
   }
 
+  /** Timeout + retry around an external (network-backed secret store)
+    * provider — reference CaseClassConfigParser.scala:47-53; defaults match
+    * its `spark.waimak.config.propertyProviderGetTimeoutMs/-GetRetries`
+    * (10 s / 3 retries). A hung store must not hang the whole app start. */
+  final class RetryingPropertyProvider(inner: PropertyProvider,
+      timeoutMs: Long = 10000L, retries: Int = 3) extends PropertyProvider {
+    def get(key: String): Option[String] = {
+      var attempt = 0
+      var last: Throwable = null
+      while (attempt <= retries) {
+        try {
+          val f = scala.concurrent.Future(inner.get(key))(
+            scala.concurrent.ExecutionContext.global)
+          return scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration(timeoutMs, "ms"))
+        } catch { case e: Throwable => last = e; attempt += 1 }
+      }
+      throw new ConfigException(
+        s"Property provider failed for [$key] after ${retries + 1} attempts: $last")
+    }
+  }
+
+  val TimeoutKey = "spark.graft.config.propertyProviderGetTimeoutMs"
+  val RetriesKey = "spark.graft.config.propertyProviderGetRetries"
+
   def apply[A: ru.TypeTag](spark: SparkSession, prefix: String,
       additional: Map[String, String] = Map.empty,
-      separator: String = ","): A = {
+      separator: String = ",",
+      extraProviders: Seq[PropertyProvider] = Seq.empty): A = {
+    val timeoutMs = spark.conf.getOption(TimeoutKey).map(_.toLong).getOrElse(10000L)
+    val retries = spark.conf.getOption(RetriesKey).map(_.toInt).getOrElse(3)
     val providers: Seq[PropertyProvider] = Seq(
       new PropertyProvider {
         def get(key: String): Option[String] = spark.conf.getOption(key)
       },
-      MapPropertyProvider(additional))
+      MapPropertyProvider(additional)) ++
+      extraProviders.map(new RetryingPropertyProvider(_, timeoutMs, retries))
     parse[A](k => providers.view.flatMap(_.get(k)).headOption, prefix, separator)
   }
 

@@ -38,6 +38,24 @@ class AppSpec extends SparkTestBase with Matchers {
       conf.name shouldBe "fromconf"
       conf.count shouldBe 42
     }
+
+    it("retries flaky property providers and fails after the retry budget") {
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val flaky = new ConfigParser.PropertyProvider {
+        def get(key: String): Option[String] =
+          if (calls.incrementAndGet() < 3) throw new RuntimeException("transient")
+          else if (key == "flaky.name") Some("recovered")
+          else None
+      }
+      val conf = ConfigParser[TestConf](spark, "flaky.", extraProviders = Seq(flaky))
+      conf.name shouldBe "recovered" // succeeded on the 3rd attempt
+      val alwaysDown = new ConfigParser.PropertyProvider {
+        def get(key: String): Option[String] = throw new RuntimeException("down")
+      }
+      intercept[ConfigException] {
+        ConfigParser[TestConf](spark, "down.", extraProviders = Seq(alwaysDown))
+      }.getMessage should include("after 4 attempts")
+    }
   }
 
   describe("environments") {
