@@ -100,6 +100,24 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment: attach dimension attributes to each event.
+    * The static side re-resolves per micro-batch (a metastore-backed dim
+    * picks up updates) and broadcasts — no stream-side shuffle at all. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Streaming content dedup: canonical md5 fingerprint per document, state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
+    * streaming twin of batch exact dedup, safe on unbounded input because
+    * fingerprints expire with event time. */
+  def dedupStreamByContent(docs: DataFrame, tsCol: String, watermark: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Write a streaming frame to parquet with checkpointing — the durable
     * sink shape for production (exactly-once via checkpoint + file sink). */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =

@@ -53,6 +53,40 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("stream-static enrichment attaches dim attributes without stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val query = Streaming.enrichStream(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      rows shouldBe Map(1L -> Some("gold"), 3L -> None)
+    } finally query.stop()
+  }
+
+  it("streaming content dedup drops same-fingerprint docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.dedupStreamByContent(docs, "ts", "1 hour", "text")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "Hello   world"),
+        (2L, ts("2024-01-01 10:00:30"), "hello world"), // same canonical fp
+        (3L, ts("2024-01-01 10:01:00"), "different"))
+      query.processAllAvailable()
+      spark.table("content_dedup").count() shouldBe 2
+    } finally query.stop()
+  }
+
   it("sessionize closes sessions after the gap via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.SessionInput]
