@@ -442,6 +442,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // left-semi: customers with at least one urgent order (no row explosion)
+    "q40_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // RANGE window frame: per-event sum of same-user values in the
+    // preceding 10 minutes (value-based frame, not row-based)
+    "q41_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600L * 1000000L, Window.currentRow)
+      events(s, dir)
+        .withColumn("sum_10m", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("sum_10m"))
+        .orderBy(col("event_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -819,6 +840,18 @@ object SparkEntry {
         |SELECT doc_id, n_bpe, n_ws,
         |  round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 4) AS fertility
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q40_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q41_range_window" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS sum_10m
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,
