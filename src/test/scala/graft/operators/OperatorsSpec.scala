@@ -48,6 +48,21 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("approx distinct sketch") {
+    it("HLL++ estimate stays within the configured relative error of the exact count") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is ns
+      val ev = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+      val rows = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .as[(String, Long, Long)].collect()
+      rows should not be empty
+      rows.foreach { case (_, approx, exact) =>
+        math.abs(approx - exact).toDouble / exact should be <= 0.05 // 5x the 1% rsd
+      }
+    }
+  }
+
   describe("materialize modes") {
     it("persist mode produces the same components as localCheckpoint mode") {
       val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
