@@ -19,6 +19,14 @@ final case class SparkFlowContext(spark: SparkSession, tempFolder: Option[Path] 
   override def setPoolIntoContext(poolName: String): Unit =
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
       if (poolName == SchedulingMeta.DefaultPool) null else poolName)
+
+  /** Thread-local: every Spark job the action triggers shows its flow-action
+    * description in the UI / event logs — on a shared cluster this is how an
+    * operator maps a slow stage back to the flow step that issued it. */
+  override def reportActionStarted(action: graft.dataflow.FlowAction[_]): Unit =
+    spark.sparkContext.setJobDescription(s"graft: ${action.description}")
+
+  override def reportActionFinished(action: graft.dataflow.FlowAction[_]): Unit = ()
 }
 
 /** Concrete Spark flow. Adds to the generic DAG:
