@@ -32,12 +32,15 @@ object Graphs {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 25): DataFrame = {
-    // materialise the symmetrised edge list once; both union legs read the
-    // (possibly expensive) upstream pair pipeline, so cut it here
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialise the edge list BEFORE symmetrising: both union legs read
+    // it, and the upstream pair pipeline (shingling + blocked join + verify)
+    // is far too expensive to execute twice
+    val mat = Materialize(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val sym = mat
+      .union(mat.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .transform(Materialize.apply)
+    Materialize.release(mat) // sym holds the symmetrised copy now
 
     // init already folds one neighbour-min round: component0(v) =
     // min(v, N(v)) — same aggregation cost as building the plain vertex
