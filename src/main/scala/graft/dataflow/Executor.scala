@@ -123,7 +123,12 @@ class ParallelExecutor[C <: FlowContext](
             def run(): Unit = {
               ctx.setPoolIntoContext(pool)
               ctx.reportActionStarted(action)
-              val result = Try(action.performAction(inputs, ctx)).flatten
+              // catch Throwable, not just NonFatal: a fatal error (OOM,
+              // StackOverflow) that escaped Try would drop the Done message
+              // and leave the scheduler spinning on `running.nonEmpty` forever
+              val result =
+                try Try(action.performAction(inputs, ctx)).flatten
+                catch { case t: Throwable => Failure(t) }
               queue.put(Done(action, result))
             }
           })
