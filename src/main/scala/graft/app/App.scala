@@ -102,13 +102,31 @@ object MultiAppRunner {
       deps.foreach(d => if (!apps.contains(d))
         throw new FlowException(s"App [$app] depends on unknown app [$d]"))
     }
-    val combined = apps.toSeq.sortBy(_._1).foldLeft(Graft.sparkFlow(spark)) {
-      case (fl, (name, app)) =>
-        val deps = dependencies.getOrElse(name, Seq.empty).map(d => s"app-$d")
-        val withDeps =
-          if (deps.isEmpty) fl.tag(s"app-$name")(app.flow)
-          else fl.tagDependency(deps: _*)(_.tag(s"app-$name")(app.flow))
-        withDeps
+    // topological build order (deps first, name-sorted within a level) so a
+    // dependency on an app that contributed ZERO actions (feature-flagged
+    // off) can be dropped — a tag dependency on a tag nobody carries fails
+    // DAG validation
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val remaining = scala.collection.mutable.Set(apps.keys.toSeq: _*)
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(a =>
+        dependencies.getOrElse(a, Seq.empty).forall(d => !remaining.contains(d)))
+        .toSeq.sorted
+      if (ready.isEmpty)
+        throw new FlowException(
+          s"Cyclic app dependencies among: ${remaining.toSeq.sorted.mkString(", ")}")
+      ready.foreach { r => order += r; remaining -= r }
+    }
+    val contributed = scala.collection.mutable.Map[String, Boolean]()
+    val combined = order.foldLeft(Graft.sparkFlow(spark)) { (fl, name) =>
+      val deps = dependencies.getOrElse(name, Seq.empty)
+        .filter(d => contributed.getOrElse(d, false)).map(d => s"app-$d")
+      val before = fl.actions.size
+      val withDeps =
+        if (deps.isEmpty) fl.tag(s"app-$name")(apps(name).flow)
+        else fl.tagDependency(deps: _*)(_.tag(s"app-$name")(apps(name).flow))
+      contributed(name) = withDeps.actions.size > before
+      withDeps
     }
     new ParallelExecutor[SparkFlowContext](maxParallelActions).execute(combined)
   }

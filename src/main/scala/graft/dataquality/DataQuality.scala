@@ -95,12 +95,15 @@ object PrefabChecks {
         else Seq.empty
       })
 
-  /** Columns (as a compound key) must be unique. */
+  /** Columns (as a compound key) must be unique. The key is wrapped in a
+    * struct so NULL-bearing keys still count as distinct tuples —
+    * `countDistinct(cols...)` silently drops any row with a null column and
+    * would report phantom duplicates. */
   def uniquenessCheck(columns: Seq[String], warnDuplicates: Long = 0): DataQualityCheck =
     SimpleDatasetCheck[Long](
       df => {
         val r = df.agg(count(lit(1)),
-          countDistinct(col(columns.head), columns.tail.map(col): _*)).head()
+          countDistinct(struct(columns.map(col): _*))).head()
         r.getLong(0) - r.getLong(1)
       },
       (dups, label) =>
@@ -123,14 +126,17 @@ object PrefabChecks {
           s"No rows to check recency of $column on $label", AlertImportance.Critical))
       })
 
-  /** Arbitrary SQL over the dataset (registered as view `dataset`); every
-    * returned row becomes a warning. */
+  /** Arbitrary SQL over the dataset (referenced as table `dataset`); every
+    * returned row becomes a warning. Only the standalone identifier
+    * `dataset` is rewritten (word-boundary match — `dataset_id` and other
+    * identifiers survive); the view name is sanitised so any label works. */
   def genericSQLCheck(sql: String): DataQualityCheck =
     new DataQualityCheck {
       def getAlerts(label: String, ds: DataFrame): Seq[DataQualityAlert] = {
-        val view = s"dq_${label}_${math.abs(sql.hashCode)}"
+        val safeLabel = label.replaceAll("[^A-Za-z0-9_]", "_")
+        val view = s"dq_${safeLabel}_${Integer.toHexString(sql.hashCode)}"
         ds.createOrReplaceTempView(view)
-        ds.sparkSession.sql(sql.replace("dataset", view)).collect()
+        ds.sparkSession.sql(sql.replaceAll("\\bdataset\\b", view)).collect()
           .map(r => DataQualityAlert(s"SQL check on $label: ${r.mkString(", ")}",
             AlertImportance.Warning)).toSeq
       }
@@ -150,12 +156,19 @@ object DataQualityActions {
         new SparkAction(original.inputLabels, original.outputLabels,
           s"dataQuality:${original.actionName}") ({ (entities, ctx) =>
           val results = original.performAction(entities, ctx).get
-          original.outputLabels.zip(results).foreach {
+          // persist before checking: each check aggregation is its own Spark
+          // job, and the downstream consumer re-reads the label too — without
+          // this, every one re-executes the full upstream lineage (reference
+          // caches the label ahead of checks the same way,
+          // DataQualityMetadataExtension.scala:15-45)
+          val checkedResults = original.outputLabels.zip(results).map {
             case (l, Some(ds: Dataset[_])) if l == label =>
-              check.getAlerts(l, ds.toDF()).foreach(a => handlers.foreach(_.dispatch(a)))
-            case _ => ()
+              val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              check.getAlerts(l, cached.toDF()).foreach(a => handlers.foreach(_.dispatch(a)))
+              Some(cached)
+            case (_, r) => r
           }
-          results
+          checkedResults
         })
       }
   }

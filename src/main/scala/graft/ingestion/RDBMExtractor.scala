@@ -97,10 +97,15 @@ trait RDBMExtractor {
   protected def loadSplitPoints(query: String): Seq[String] =
     loadQuery(query, Seq.empty).collect().map(_.get(0).toString).toSeq
 
+  /** Dialect hook: adjust the incremental watermark before it is pushed
+    * (SQL Server clamps below its 1900-01-01 datetime floor). */
+  protected def adjustLastUpdated(ts: Timestamp): Timestamp = ts
+
   /** Extract a table's delta as a DataFrame with audit columns attached. */
   def getTableDataset(dbSchema: String, cfg: ExtractionTableConfig,
       lastUpdated: Option[Timestamp]): DataFrame = {
-    val effectiveLast = if (cfg.forceFullLoad) None else lastUpdated
+    val effectiveLast =
+      if (cfg.forceFullLoad) None else lastUpdated.map(adjustLastUpdated)
     val query = selectQuery(dbSchema, cfg.tableName, cfg.lastUpdatedColumn, effectiveLast)
     val predicates = (cfg.primaryKeys, cfg.maxRowsPerPartition) match {
       case (Some(pks), Some(maxRows)) if pks.nonEmpty =>
@@ -133,7 +138,10 @@ class PostgresExtractor(val spark: SparkSession, val connectionDetails: JDBCConn
     s"""select a.attname as pk_column
        |from pg_index i
        |join pg_attribute a on a.attrelid = i.indrelid and a.attnum = any(i.indkey)
-       |where i.indrelid = '$dbSchema.$tableName'::regclass and i.indisprimary""".stripMargin
+       |where i.indrelid = '$dbSchema.$tableName'::regclass and i.indisprimary
+       |order by array_position(i.indkey, a.attnum)""".stripMargin
+       // ordered by key ordinal: without it composite-PK column order is
+       // unspecified and varies across runs, breaking .table_info equality
 
   def getTableMetadata(dbSchema: String, tableName: String,
       primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
@@ -162,12 +170,15 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
   def clampLastUpdated(ts: Timestamp): Timestamp =
     if (ts.before(sqlServerDatetimeMin)) sqlServerDatetimeMin else ts
 
+  override protected def adjustLastUpdated(ts: Timestamp): Timestamp = clampLastUpdated(ts)
+
   def primaryKeyQuery(dbSchema: String, tableName: String): String =
     s"""select c.name as pk_column
        |from sys.indexes i
        |join sys.index_columns ic on i.object_id = ic.object_id and i.index_id = ic.index_id
        |join sys.columns c on ic.object_id = c.object_id and ic.column_id = c.column_id
-       |where i.is_primary_key = 1 and i.object_id = object_id('$dbSchema.$tableName')""".stripMargin
+       |where i.is_primary_key = 1 and i.object_id = object_id('$dbSchema.$tableName')
+       |order by ic.key_ordinal""".stripMargin
 
   def getTableMetadata(dbSchema: String, tableName: String,
       primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
@@ -184,30 +195,35 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
   }
 }
 
-/** Temporal (system-versioned) SQL Server tables: delta via FOR SYSTEM_TIME,
-  * delete detection through the validity end column.
+/** Temporal (system-versioned) SQL Server tables: ONE query over
+  * `FOR SYSTEM_TIME` (which already unifies current and history versions —
+  * a separate history-table select would return closed versions twice),
+  * with delete detection via the validity end column: `source_type` 0 =
+  * live version (end = upper bound), 1 = historical/deleted version.
+  * Changed-since filter: versions closed in the window OR opened in it.
   * Reference: SQLServerTemporalExtractor.scala:163-205. */
 class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCConnection,
     startCol: String = "sys_start", endCol: String = "sys_end")
   extends SQLServerExtractor(spark, connectionDetails) {
 
   val highEnd = "9999-12-31 23:59:59"
+  val lowEnd = "1900-01-01 00:00:00"
 
-  /** Current + history rows changed since `lastUpdated`; `source_type` 0 =
-    * live row, 1 = historical/deleted version. */
   override def selectQuery(dbSchema: String, tableName: String,
       lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
+    val end = escapeKeyword(endCol)
+    val start = escapeKeyword(startCol)
     val base =
-      s"select *, 0 as source_type, $sourceDBSystemTimestampFunction as $systemTimestampColumn " +
+      s"select *, case when $end = '$highEnd' then 0 else 1 end as source_type, " +
+        s"$sourceDBSystemTimestampFunction as $systemTimestampColumn " +
         s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}"
     lastUpdated match {
       case Some(ts) =>
-        s"""$base for system_time from '$ts' to '$highEnd' where ${escapeKeyword(startCol)} > '$ts'
-           |union all
-           |select *, 1 as source_type, $sourceDBSystemTimestampFunction as $systemTimestampColumn
-           |from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName + "_history")}
-           |where ${escapeKeyword(endCol)} > '$ts'""".stripMargin
-      case None => base
+        s"$base for system_time from '$ts' to '$highEnd' " +
+          s"where ($end < '$highEnd' and $end >= '$ts') or $start >= '$ts'"
+      case None =>
+        // full load = the table's entire version history
+        s"$base for system_time from '$lowEnd' to '$highEnd'"
     }
   }
 }

@@ -76,21 +76,42 @@ object Streaming {
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var current = state.getOption
+            // late events more than a gap BEFORE the live session accumulate
+            // into their own retro session(s), closed at batch end — a bare
+            // `t - lastSeen <= gap` would absorb arbitrarily-early late
+            // events into the current session
+            var retro: Option[SessionState] = None
             val closed = Seq.newBuilder[SessionSummary]
+            def summary(s: SessionState) = SessionSummary(userId,
+              new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
             sorted.foreach { e =>
               val t = e.ts.getTime
               current match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
-                  current = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                // within the gap of EITHER live-session boundary: merge, a
+                // late event extends the session start backward
+                case Some(s) if t >= s.start - gapMs && t <= s.lastSeen + gapMs =>
+                  current = Some(s.copy(start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
-                case Some(s) =>
-                  closed += SessionSummary(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                case Some(s) if t > s.lastSeen + gapMs =>
+                  closed += summary(s)
                   current = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  retro match {
+                    case Some(r) if t - r.lastSeen <= gapMs =>
+                      retro = Some(r.copy(lastSeen = t,
+                        nEvents = r.nEvents + 1, totalValue = r.totalValue + e.value))
+                    case Some(r) =>
+                      closed += summary(r)
+                      retro = Some(SessionState(t, t, 1, e.value))
+                    case None =>
+                      retro = Some(SessionState(t, t, 1, e.value))
+                  }
                 case None =>
                   current = Some(SessionState(t, t, 1, e.value))
               }
             }
+            retro.foreach(closed += summary(_))
             current.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastSeen + gapMs)
@@ -118,12 +139,15 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
-  /** Write a streaming frame to parquet with checkpointing — the durable
-    * sink shape for production (exactly-once via checkpoint + file sink). */
-  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+  /** Start writing a streaming frame to parquet with checkpointing — the
+    * durable sink shape for production (exactly-once via checkpoint + file
+    * sink). Returns the running query. */
+  def writeParquetStream(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+      .start()
 }

@@ -68,13 +68,21 @@ class IngestionSpec extends SparkTestBase with Matchers {
       e.clampLastUpdated(ts("2024-01-01 00:00:00")) shouldBe ts("2024-01-01 00:00:00")
     }
 
-    it("temporal extractor unions history with delete flags") {
+    it("temporal extractor reads versions once via FOR SYSTEM_TIME with delete flags") {
       val e = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
       val q = e.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00")))
-      q should include("for system_time")
-      q should include("union all")
-      q should include("[users_history]")
-      q should include("1 as source_type")
+      q should include("for system_time from '2024-01-01 00:00:00.0' to '9999-12-31 23:59:59'")
+      // FOR SYSTEM_TIME already unifies history — a separate history select
+      // would return closed versions twice
+      q should not include "union all"
+      // delete flag derived from the validity end column
+      q should include("case when [sys_end] = '9999-12-31 23:59:59' then 0 else 1 end as source_type")
+      // changed-since filter: closed in window OR opened in window
+      q should include("([sys_end] < '9999-12-31 23:59:59' and [sys_end] >= '2024-01-01 00:00:00.0') " +
+        "or [sys_start] >= '2024-01-01 00:00:00.0'")
+      // full load covers the entire version history
+      val full = e.selectQuery("dbo", "users", None, None)
+      full should include("for system_time from '1900-01-01 00:00:00' to '9999-12-31 23:59:59'")
     }
   }
 
