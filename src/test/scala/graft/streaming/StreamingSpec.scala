@@ -115,4 +115,34 @@ class StreamingSpec extends SparkTestBase with Matchers {
       first.session_end shouldBe ts("2024-01-01 10:10:00")
     } finally query.stop()
   }
+
+  it("sessionize keeps late events out of the live session beyond the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessionInput]
+    val query = Streaming.sessionize(input.toDS(), gapMs = 2L * 60 * 1000,
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // live session starts at 12:00
+      input.addData(
+        Streaming.SessionInput(5L, ts("2024-01-01 12:00:00"), 1.0),
+        Streaming.SessionInput(5L, ts("2024-01-01 12:01:00"), 1.0))
+      query.processAllAvailable()
+      // a late event 4 min BEFORE the live session start (> gap, inside the
+      // watermark): must become its own retro session, not inflate the live one
+      input.addData(Streaming.SessionInput(5L, ts("2024-01-01 11:56:00"), 9.0))
+      query.processAllAvailable()
+      // advance watermark to close the live session
+      input.addData(Streaming.SessionInput(42L, ts("2024-01-01 14:00:00"), 0.0))
+      query.processAllAvailable()
+
+      val sessions = spark.table("late_sessions")
+        .as[Streaming.SessionSummary].collect().filter(_.user_id == 5L)
+        .sortBy(_.session_start.getTime)
+      sessions.map(_.n_events).toSeq shouldBe Seq(1, 2) // retro single + live pair
+      sessions.head.session_start shouldBe ts("2024-01-01 11:56:00")
+      sessions(1).session_start shouldBe ts("2024-01-01 12:00:00")
+    } finally query.stop()
+  }
 }
