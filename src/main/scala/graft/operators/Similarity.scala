@@ -82,10 +82,14 @@ object Similarity {
     bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
   }
 
-  /** LSH-bucketed ANN: candidates share the query's SRP bucket; exact cosine
-    * ranks within the bucket. Recall < 1 by construction (that is the scale
-    * trade); raise `nPlanes` for smaller buckets / lower recall, or wrap in
-    * multi-probe by unioning neighbouring buckets. */
+  /** LSH-bucketed ANN with multi-probe: candidates live in the query's SRP
+    * bucket or any bucket within Hamming distance `probeRadius` of it (a
+    * vector near a hyperplane lands on either side with almost equal
+    * probability, so flipping one bit recovers most of the recall single-
+    * bucket search loses). Query rows explode to 1 + nPlanes probe buckets
+    * at radius 1 — corpus rows still index ONCE, so the join stays an
+    * equi-join whose work follows bucket occupancy, not corpus². Exact
+    * cosine ranks within the probed set. */
   def srpAnnTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -94,12 +98,18 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", srpBucket(col("c_vec"), planes))
+    val exactBucket = srpBucket(col("q_vec"), planes)
+    val probed =
+      if (probeRadius <= 0) array(exactBucket)
+      else array(exactBucket +:
+        (0 until nPlanes).map(b => exactBucket.bitwiseXOR(lit(1L << b))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket", srpBucket(col("q_vec"), planes))
+      .withColumn("bucket", explode(probed))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))

@@ -51,10 +51,13 @@ object Temporal {
         lit(1).as("__side"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(right.select(payloadCols.map(col): _*).schema).as("__p")): _*)
-    // a null-timestamp right row can never be "the most recent state at t";
-    // left rows with null ts keep null payloads (both match SQL ASOF, where
-    // a null comparison joins nothing)
-    val r = right.where(col(rightTs).isNotNull).select(
+    // null-timestamp or null-key right rows can never match: SQL ASOF joins
+    // nothing on null comparisons, but the window would happily group null
+    // keys together and carry their payloads. Left rows with null keys/ts
+    // stay, with null payloads (left-outer semantics).
+    val r = right
+      .where(keyCols.map(col(_).isNotNull).foldLeft(col(rightTs).isNotNull)(_ && _))
+      .select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),

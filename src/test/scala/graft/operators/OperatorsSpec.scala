@@ -142,6 +142,31 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("SRP ANN") {
+    it("bucketed search reaches reasonable recall against brute force") {
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      // this corpus's true "neighbours" are near-orthogonal (max cos ~0.47),
+      // the hard case for SRP: per-plane collision ~0.6, so recall is tuned
+      // with the planes/probes dial — 4 planes + radius-1 probing here
+      val approx = Similarity.srpAnnTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 4, dim = 64)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      recall should be >= 0.2
+      // multi-probe must beat single-bucket search on the same plane count
+      val singleBucket = Similarity.srpAnnTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 4, dim = 64, probeRadius = 0)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val singleRecall = (exact intersect singleBucket).size.toDouble / exact.size
+      recall should be > singleRecall
+      // result sizes never exceed k per query
+      approx.groupBy(_._1).values.foreach(_.size should be <= 5)
+    }
+  }
+
   describe("simhash") {
     it("identical docs collide, different docs usually do not") {
       val docs = Seq(

@@ -63,6 +63,17 @@ class TemporalSpec extends SparkTestBase with Matchers {
         .select("px").as[Option[Double]].head() shouldBe None
     }
 
+    it("null join keys never match on either side") {
+      import spark.implicits._
+      val l = Seq((1L, Option.empty[String], ts("2024-01-01 10:00:10")),
+        (2L, Some("A"), ts("2024-01-01 10:00:10"))).toDF("id", "sym", "t_ts")
+      val r = Seq((Option.empty[String], ts("2024-01-01 10:00:00"), 7.0),
+        (Some("A"), ts("2024-01-01 10:00:00"), 9.0)).toDF("sym", "q_ts", "px")
+      val out = Temporal.asofJoin(l, r, Seq("sym"), "t_ts", "q_ts", Seq("px"))
+        .select("id", "px").as[(Long, Option[Double])].collect().toMap
+      out shouldBe Map(1L -> None, 2L -> Some(9.0)) // null key matches nothing
+    }
+
     it("rejects payload columns that collide with left columns") {
       import spark.implicits._
       val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("id", "sym", "t_ts")
