@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet carries ns ts
       .config("spark.scheduler.mode", "FAIR") // concurrent branches share cores fairly
+      // respect the advisory partition size when coalescing instead of
+      // maximising partition count: small post-shuffle stages collapse to a
+      // handful of tasks (less scheduling overhead here, right-sized
+      // partitions on a real cluster)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
