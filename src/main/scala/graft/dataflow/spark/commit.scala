@@ -68,7 +68,24 @@ final case class CommitExtension(
       throw new FlowException(
         s"Pushes without commits: ${pushedNotCommitted.toSeq.sorted.mkString(", ")}")
 
-    valid.toSeq.sorted.foldLeft(flow) { (fl, name) =>
+    // a committed label that another action also consumes is computed at
+    // least twice (staging + consumer); cache it as parquet first so the
+    // upstream lineage runs once (reference CommitMetadataExtension.scala:56-58,
+    // `spark.graft.dataflow.cacheReusedCommittedLabels`, default true)
+    val cacheReused = flow.spark.conf
+      .getOption("spark.graft.dataflow.cacheReusedCommittedLabels").forall(_.toBoolean)
+    val consumers = flow.actions.flatMap(_.inputLabels).groupBy(identity).view.mapValues(_.size)
+    val producedLabels = flow.actions.flatMap(_.outputLabels).toSet
+    val withCaches =
+      if (!cacheReused) flow
+      else {
+        import actions._
+        valid.flatMap(commits(_).map(_.label)).toSeq.distinct.sorted
+          .filter(l => producedLabels.contains(l) && consumers.getOrElse(l, 0) >= 1)
+          .foldLeft(flow)((fl, label) => fl.cacheAsParquet(label))
+      }
+
+    valid.toSeq.sorted.foldLeft(withCaches) { (fl, name) =>
       val entries = commits(name)
       val committer = pushes(name)
       committer.validate(fl, name, entries)

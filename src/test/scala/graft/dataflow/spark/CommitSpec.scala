@@ -68,6 +68,22 @@ class CommitSpec extends SparkTestBase with Matchers {
       intercept[FlowException] { executor.execute(f2) }.getMessage should include("without commits")
     }
 
+    it("caches a committed label that other actions also consume") {
+      val out = s"$tmpDir/published-cached"
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/commit-cache-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .transform("region")("enriched")(_.withColumn("x", org.apache.spark.sql.functions.lit(1)))
+        .transform("enriched")("consumer")(_.select("r_regionkey")) // second consumer
+        .commit("pc")("enriched")
+        .push("pc")(ParquetDataCommitter(out))
+      executor.execute(flow)
+      spark.read.parquet(s"$out/enriched").count() shouldBe 5
+      // the reused committed label went through the parquet cache in the temp dir
+      new java.io.File(s"$tmpDir/commit-cache-tmp").listFiles()
+        .exists(_.getName.contains("enriched")) shouldBe true
+    }
+
     it("partitioned commit writes hive-partition folders") {
       val out = s"$tmpDir/published4"
       val flow = Graft.sparkFlow(spark, s"$tmpDir/ct6")
