@@ -317,7 +317,11 @@ object actions {
       * with zero-padded indexes. Reference: WriteAsNamedFilesAction.scala:27-68. */
     def writeAsNamedFiles(label: String, basePath: String, numFiles: Int,
         filenamePrefix: String, format: String = "parquet",
-        options: Map[String, String] = Map.empty): SparkDataFlow =
+        options: Map[String, String] = Map.empty): SparkDataFlow = {
+      // text sources write a single column to a single stream — the
+      // reference rejects multi-file text here too (WriteAsNamedFilesAction.scala:56-60)
+      if (format == "text" && numFiles > 1)
+        throw new FlowException("writeAsNamedFiles with format=text supports only 1 file")
       writeAction(label, "writeAsNamedFiles") { (df, ctx) =>
         val tmpRoot = ctx.tempFolder.getOrElse(
           throw new FlowException("writeAsNamedFiles needs a flow temp folder"))
@@ -336,6 +340,7 @@ object actions {
             throw new FlowException(s"Failed to rename $p to $target")
         }
       }
+    }
 
     // ------------------------------------------------------------ caches ---
 
