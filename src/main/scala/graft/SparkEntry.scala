@@ -254,8 +254,10 @@ object SparkEntry {
 
     "q21_embed_ann_srp" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // probeRadius pinned: round-2 switched the default to multi-probe
+      // (recall fix) — pinning keeps this query's series deliberate
       Similarity.srpAnnTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nPlanes = 8, dim = 64)
+        k = 5, nPlanes = 8, dim = 64, probeRadius = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -320,7 +320,7 @@ object actions {
         options: Map[String, String] = Map.empty): SparkDataFlow = {
       // text sources write a single column to a single stream — the
       // reference rejects multi-file text here too (WriteAsNamedFilesAction.scala:56-60)
-      if (format == "text" && numFiles > 1)
+      if (format.equalsIgnoreCase("text") && numFiles > 1) // Spark formats are case-insensitive
         throw new FlowException("writeAsNamedFiles with format=text supports only 1 file")
       writeAction(label, "writeAsNamedFiles") { (df, ctx) =>
         val tmpRoot = ctx.tempFolder.getOrElse(

@@ -69,31 +69,54 @@ final case class CommitExtension(
         s"Pushes without commits: ${pushedNotCommitted.toSeq.sorted.mkString(", ")}")
 
     // a committed label that another action also consumes is computed at
-    // least twice (staging + consumer); cache it as parquet first so the
+    // least twice (staging + consumer); request a parquet cache for it so the
     // upstream lineage runs once (reference CommitMetadataExtension.scala:56-58,
-    // `spark.graft.dataflow.cacheReusedCommittedLabels`, default true)
+    // `spark.graft.dataflow.cacheReusedCommittedLabels`, default true).
+    // Requests route through CachePlanExtension — its per-label request map
+    // dedupes against the user's own planned caches — and labels already
+    // wrapped by a direct cache interceptor are skipped (a second wrap would
+    // overwrite the parquet path it is reading from). No temp folder (custom
+    // committers that stage elsewhere) -> no caching.
     val cacheReused = flow.spark.conf
-      .getOption("spark.graft.dataflow.cacheReusedCommittedLabels").forall(_.toBoolean)
+      .getOption("spark.graft.dataflow.cacheReusedCommittedLabels").forall(_.toBoolean) &&
+      flow.context.tempFolder.isDefined
     val consumers = flow.actions.flatMap(_.inputLabels).groupBy(identity).view.mapValues(_.size)
-    val producedLabels = flow.actions.flatMap(_.outputLabels).toSet
+    val producers: Map[String, String] =
+      flow.actions.flatMap(a => a.outputLabels.map(_ -> a.actionName)).toMap
     val withCaches =
       if (!cacheReused) flow
       else {
-        import actions._
+        import caching._
         valid.flatMap(commits(_).map(_.label)).toSeq.distinct.sorted
-          .filter(l => producedLabels.contains(l) && consumers.getOrElse(l, 0) >= 1)
-          .foldLeft(flow)((fl, label) => fl.cacheAsParquet(label))
+          .filter { l =>
+            producers.get(l).exists(n =>
+              !n.startsWith("cacheAsParquet:") && !n.startsWith("sparkCache:")) &&
+              consumers.getOrElse(l, 0) >= 1
+          }
+          .foldLeft(flow)((fl, label) => fl.cacheAsParquetPlanned(label))
       }
 
     valid.toSeq.sorted.foldLeft(withCaches) { (fl, name) =>
       val entries = commits(name)
       val committer = pushes(name)
       committer.validate(fl, name, entries)
-      val staged = fl.tag(s"commit-stage-$name")(committer.stage(name, entries, _))
-      val moved = staged.tagDependency(s"commit-stage-$name")(
-        _.tag(s"commit-move-$name")(committer.move(name, entries, _)))
-      moved.tagDependency(s"commit-move-$name")(
-        _.tag(s"commit-finish-$name")(committer.finish(name, entries, _)))
+      // fence each phase on the previous one ONLY when that phase actually
+      // contributed actions — a tag dependency on a tag nobody carries fails
+      // DAG validation (committers may legitimately skip staging or finish)
+      def phase(flow0: SparkDataFlow, tag: String, dependsOn: Option[String])(
+          add: SparkDataFlow => SparkDataFlow): (SparkDataFlow, Option[String]) = {
+        val before = flow0.actions.size
+        val after = dependsOn match {
+          case Some(dep) => flow0.tagDependency(dep)(_.tag(tag)(add))
+          case None => flow0.tag(tag)(add)
+        }
+        (after, if (after.actions.size > before) Some(tag) else dependsOn)
+      }
+      val (staged, stageTag) =
+        phase(fl, s"commit-stage-$name", None)(committer.stage(name, entries, _))
+      val (moved, moveTag) =
+        phase(staged, s"commit-move-$name", stageTag)(committer.move(name, entries, _))
+      phase(moved, s"commit-finish-$name", moveTag)(committer.finish(name, entries, _))._1
     }
   }
 }

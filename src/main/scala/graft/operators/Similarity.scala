@@ -104,10 +104,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", srpBucket(col("c_vec"), planes))
     val exactBucket = srpBucket(col("q_vec"), planes)
-    val probed =
-      if (probeRadius <= 0) array(exactBucket)
-      else array(exactBucket +:
-        (0 until nPlanes).map(b => exactBucket.bitwiseXOR(lit(1L << b))): _*)
+    // all bit masks with popcount <= probeRadius, XORed onto the exact
+    // bucket: radius 0 = 1 bucket, 1 = 1+n, 2 = 1+n+C(n,2), ...
+    val masks = (0 to math.max(0, math.min(probeRadius, nPlanes))).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val probed = array(masks.map(m => exactBucket.bitwiseXOR(lit(m))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", explode(probed))
     val w = Window.partitionBy(col("query_id"))

@@ -84,6 +84,43 @@ class CommitSpec extends SparkTestBase with Matchers {
         .exists(_.getName.contains("enriched")) shouldBe true
     }
 
+    it("does not double-cache a committed label the user already cached") {
+      val out = s"$tmpDir/published-usercached"
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/commit-ucache-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .transform("region")("enriched2")(_.withColumn("x", org.apache.spark.sql.functions.lit(1)))
+        .transform("enriched2")("consumer2")(_.select("r_regionkey"))
+        .cacheAsParquet("enriched2") // user cached it themselves
+        .commit("pu")("enriched2")
+        .push("pu")(ParquetDataCommitter(out))
+      // a second cache wrap would overwrite the parquet path it reads from
+      executor.execute(flow)
+      spark.read.parquet(s"$out/enriched2").count() shouldBe 5
+    }
+
+    it("skips committed-label caching when the flow has no temp folder") {
+      // custom committer that needs no staging folder
+      val sink = scala.collection.mutable.ArrayBuffer[Long]()
+      val committer = new DataCommitter {
+        def stage(n: String, e: Seq[CommitEntry], f: SparkDataFlow) = f
+        def move(n: String, e: Seq[CommitEntry], f: SparkDataFlow) =
+          f.addAction(new SparkAction(e.map(_.label).toList, List.empty, s"sink:$n")({ (ents, _) =>
+            sink += ents.get[org.apache.spark.sql.Dataset[_]](e.head.label).count(); Seq.empty
+          }))
+        def finish(n: String, e: Seq[CommitEntry], f: SparkDataFlow) = f
+        def validate(f: SparkDataFlow, n: String, e: Seq[CommitEntry]): Unit = ()
+      }
+      val flow = Graft.sparkFlow(spark) // NO temp folder
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .transform("region")("r2")(_.select("r_regionkey"))
+        .transform("r2")("r3")(_.limit(1))
+        .commit("nt")("r2")
+        .push("nt")(committer)
+      executor.execute(flow) // previously failed: cacheAsParquet needs a temp folder
+      sink.toSeq shouldBe Seq(5L)
+    }
+
     it("partitioned commit writes hive-partition folders") {
       val out = s"$tmpDir/published4"
       val flow = Graft.sparkFlow(spark, s"$tmpDir/ct6")
