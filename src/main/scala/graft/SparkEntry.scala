@@ -465,6 +465,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q42_cube_sales" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -854,6 +861,13 @@ object SparkEntry {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS sum_10m
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_cube_sales" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,
