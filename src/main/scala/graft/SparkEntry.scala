@@ -465,10 +465,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the grand-total row sums the whole table: accumulate EXACTLY in
+    // decimal (double sums vary by partition order and can round-flip at a
+    // cent boundary), then surface as double for schema parity
     "q42_cube_sales" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -864,7 +868,8 @@ object SparkEntry {
 
     "q42_cube_sales" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

@@ -64,16 +64,18 @@ class DagPropertySpec extends AnyFunSpec with Matchers {
       (1 to Trials).foreach { seed =>
         val rnd = new Random(seed)
         val n = 2 + rnd.nextInt(14)
-        // independent producers, a random subset tagged, and a sink that
-        // tag-depends on them: everything completes, sink runs last
+        // the tag-depending sink is added FIRST: flow-order scheduling alone
+        // would run it before the producers, so the ordering assertion below
+        // actually exercises the tag fence (a sink added last would pass
+        // trivially)
         val tagged = (0 until n).filter(_ => rnd.nextBoolean()).toSet
-        val base = (0 until n).foldLeft(SimpleDataFlow.empty) { (fl, x) =>
+        val start =
+          if (tagged.isEmpty) SimpleDataFlow.empty
+          else SimpleDataFlow.empty.tagDependency("grp")(_.addAction(producer("sink")))
+        val flow = (0 until n).foldLeft(start) { (fl, x) =>
           if (tagged.contains(x)) fl.tag("grp")(_.addAction(producer(s"l$x")))
           else fl.addAction(producer(s"l$x"))
         }
-        val flow =
-          if (tagged.isEmpty) base
-          else base.tagDependency("grp")(_.addAction(producer("sink")))
         withClue(s"seed=$seed n=$n tagged=${tagged.size}: ") {
           val (executed, done) = new SequentialExecutor[FlowContext]().execute(flow)
           executed.size shouldBe (if (tagged.isEmpty) n else n + 1)
