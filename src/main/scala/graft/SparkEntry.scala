@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,15 +59,20 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -------------------------------------------------- relational core ---
+    // rounded SUMS accumulate exactly in decimal: per-row values/products
+    // are deterministic doubles in both engines, but a double SUM depends on
+    // partition order and can flip the final cent; decimal addition cannot.
+    // Averages stay double (4-decimal rounding has huge slack vs sum error).
     "q01_pricing_summary" -> ((s, dir) => {
+      def dsum(c: Column) = round(sum(c.cast("decimal(28,8)")).cast("double"), 2)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -86,7 +91,9 @@ object SparkEntry {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          // exact decimal accumulation: join/partition order must not move the cent
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy(col("n_name"))
     }),
@@ -525,10 +532,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_charge,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -540,7 +547,7 @@ object SparkEntry {
 
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
         | count(*) AS n_lineitems
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
