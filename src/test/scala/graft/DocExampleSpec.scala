@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** The README quick-start, compiled and executed — if this spec passes, the
+  * documented example works verbatim. */
+class DocExampleSpec extends SparkTestBase with Matchers {
+
+  it("runs the README quick-start pipeline end-to-end") {
+    val testdata = sf() // /root/testdata/sf0.001
+    val out = s"$tmpDir/published"
+
+    // --- README example starts here ---
+    import graft.dataflow.spark.{Graft, ParquetDataCommitter}
+    import graft.dataflow.spark.actions._
+    import graft.dataflow.spark.commit._
+    import graft.operators.{Dedup, Graphs, Sampling}
+
+    val flow = Graft.sparkFlow(spark, tempFolder = s"$tmpDir/flow-tmp")
+      // sources become labelled entities
+      .openFileParquet(s"$testdata/customer.parquet", "customer")
+      .openFileParquet(s"$testdata/orders.parquet", "orders")
+      // any Spark code inside transform / sql actions
+      .sql("customer", "orders")("spend",
+        """select c_custkey, count(*) as n_orders, sum(o_totalprice) as spend
+          |from customer join orders on c_custkey = o_custkey
+          |group by c_custkey""".stripMargin)
+      // deterministic 50% sample, stable across reruns and repartitioning
+      .transform("spend")("sampled")(Sampling.hashSample(_, col("c_custkey"), 0.5))
+      // transactional publish: stage -> atomic rename -> cleanup
+      .commit("daily")("sampled")
+      .push("daily")(ParquetDataCommitter(out))
+
+    val (executed, _) = Graft.sparkExecutor(maxParallelActions = 8).execute(flow)
+    // --- README example ends here ---
+
+    executed.nonEmpty shouldBe true
+    val published = spark.read.parquet(s"$out/sampled")
+    published.columns.toSet shouldBe Set("c_custkey", "n_orders", "spend")
+    published.count() should be > 0L
+
+    // standalone operators work on plain DataFrames too
+    val docs = spark.read.parquet(s"$testdata/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq(col("lang")), n = 3, threshold = 0.7)
+    val clusters = Graphs.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    clusters.count() shouldBe docs.count()
+  }
+}
