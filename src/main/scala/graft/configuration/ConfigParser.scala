@@ -27,6 +27,14 @@ object ConfigParser {
     * provider — reference CaseClassConfigParser.scala:47-53; defaults match
     * its `spark.waimak.config.propertyProviderGetTimeoutMs/-GetRetries`
     * (10 s / 3 retries). A hung store must not hang the whole app start. */
+  // dedicated daemon pool for provider calls: a hung store must not occupy
+  // the global ExecutionContext (its CPU-sized pool would starve and make
+  // unrelated lookups time out spuriously)
+  private lazy val providerEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-config-provider"); t.setDaemon(true); t
+    })
+
   final class RetryingPropertyProvider(inner: PropertyProvider,
       timeoutMs: Long = 10000L, retries: Int = 3) extends PropertyProvider {
     def get(key: String): Option[String] = {
@@ -34,11 +42,13 @@ object ConfigParser {
       var last: Throwable = null
       while (attempt <= retries) {
         try {
-          val f = scala.concurrent.Future(inner.get(key))(
-            scala.concurrent.ExecutionContext.global)
+          val f = scala.concurrent.Future(inner.get(key))(providerEc)
           return scala.concurrent.Await.result(
             f, scala.concurrent.duration.Duration(timeoutMs, "ms"))
-        } catch { case e: Throwable => last = e; attempt += 1 }
+        } catch {
+          case e: InterruptedException => throw e // cancellation is not a retry
+          case scala.util.control.NonFatal(e) => last = e; attempt += 1
+        }
       }
       throw new ConfigException(
         s"Property provider failed for [$key] after ${retries + 1} attempts: $last")
@@ -86,7 +96,9 @@ object ConfigParser {
       lookup(key) match {
         case Some(raw) => convert(raw, paramType, separator)
         case None if paramType.typeConstructor =:= ru.typeOf[Option[_]].typeConstructor =>
-          None
+          // a declared default (e.g. `x: Option[String] = Some("a")`) wins
+          // over the implicit None — matching the documented resolution order
+          defaultFor(companionMirror, i + 1).getOrElse(None)
         case None =>
           defaultFor(companionMirror, i + 1).getOrElse(
             throw new ConfigException(s"No value for required configuration key [$key]"))
@@ -110,7 +122,10 @@ object ConfigParser {
       Some(convert(raw, tpe.typeArgs.head, separator))
     else if (tpe.typeConstructor =:= seqCtor || tpe.typeConstructor =:= listCtor) {
       val inner = tpe.typeArgs.head
-      val parts = if (raw.isEmpty) Seq.empty[String] else raw.split(separator).toSeq
+      // literal separator, not a regex — "|" or "." must not explode the value
+      val parts =
+        if (raw.isEmpty) Seq.empty[String]
+        else raw.split(java.util.regex.Pattern.quote(separator)).toSeq
       val converted = parts.map(p => convert(p.trim, inner, separator))
       if (tpe.typeConstructor =:= listCtor) converted.toList else converted
     }

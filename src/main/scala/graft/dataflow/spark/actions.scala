@@ -312,9 +312,13 @@ object actions {
         }
       }
 
-    /** Write exactly `numFiles` files named `$prefix.N.$format` (no
-      * part-UUIDs): write to the flow temp folder, then rename the part files
-      * with zero-padded indexes. Reference: WriteAsNamedFilesAction.scala:27-68. */
+    /** Write `numFiles` files named `$prefix.N.$format` (no part-UUIDs):
+      * write to the flow temp folder, then rename the part files with
+      * zero-padded indexes. Stale `$prefix.*` files from a previous run are
+      * removed first, so indexes never mix across runs. When the dataset has
+      * fewer rows than `numFiles`, Spark writes no part file for the empty
+      * partitions and fewer files appear.
+      * Reference: WriteAsNamedFilesAction.scala:27-68. */
     def writeAsNamedFiles(label: String, basePath: String, numFiles: Int,
         filenamePrefix: String, format: String = "parquet",
         options: Map[String, String] = Map.empty): SparkDataFlow = {
@@ -331,6 +335,10 @@ object actions {
           .mode(SaveMode.Overwrite).save(tmp.toString)
         val dest = new Path(basePath)
         fs.mkdirs(dest)
+        // drop leftovers of a previous (possibly larger) run up front — a
+        // rename-over would leave a mix of old and new indexes behind
+        fs.globStatus(new Path(dest, s"$filenamePrefix.*"))
+          .foreach(st => fs.delete(st.getPath, false))
         val parts = fs.globStatus(new Path(tmp, "part-*")).map(_.getPath).sortBy(_.getName)
         val ext = parts.headOption.map(_.getName.dropWhile(_ != '.')).getOrElse(s".$format")
         parts.zipWithIndex.foreach { case (p, i) =>
@@ -351,7 +359,7 @@ object actions {
       labels.foldLeft(flow) { (fl, label) =>
         fl.interceptPostOutput(label) { original =>
           new SparkAction(original.inputLabels, original.outputLabels,
-            s"cacheAsParquet:${original.actionName}") ({ (entities, ctx) =>
+            s"cacheAsParquet:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
             val results = original.performAction(entities, ctx).get
             original.outputLabels.zip(results).map {
               case (l, Some(ds: Dataset[_])) if l == label =>
@@ -373,12 +381,15 @@ object actions {
         storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SparkDataFlow =
       flow.interceptPostOutput(label) { original =>
         new SparkAction(original.inputLabels, original.outputLabels,
-          s"sparkCache:${original.actionName}") ({ (entities, ctx) =>
+          s"sparkCache:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
           val results = original.performAction(entities, ctx).get
           original.outputLabels.zip(results).map {
             case (l, Some(ds: Dataset[_])) if l == label =>
               val cached = ds.persist(storageLevel)
-              cached.isEmpty // force materialisation
+              // count(), not isEmpty: isEmpty evaluates only the first
+              // partition, leaving the rest uncached — parallel consumers
+              // would still race the computation
+              cached.count()
               Some(cached)
             case (_, other) => other
           }
@@ -390,7 +401,7 @@ object actions {
     def inPlaceTransform(label: String)(f: DataFrame => DataFrame): SparkDataFlow =
       flow.interceptPostOutput(label) { original =>
         new SparkAction(original.inputLabels, original.outputLabels,
-          s"inPlaceTransform:${original.actionName}") ({ (entities, ctx) =>
+          s"inPlaceTransform:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
           val results = original.performAction(entities, ctx).get
           original.outputLabels.zip(results).map {
             case (l, Some(ds: Dataset[_])) if l == label => Some(f(ds.toDF()))

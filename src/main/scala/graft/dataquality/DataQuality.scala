@@ -154,7 +154,7 @@ object DataQualityActions {
         handlers: DataQualityAlertHandler*): SparkDataFlow =
       flow.interceptPostOutput(label) { original =>
         new SparkAction(original.inputLabels, original.outputLabels,
-          s"dataQuality:${original.actionName}") ({ (entities, ctx) =>
+          s"dataQuality:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
           val results = original.performAction(entities, ctx).get
           // persist before checking: each check aggregation is its own Spark
           // job, and the downstream consumer re-reads the label too — without

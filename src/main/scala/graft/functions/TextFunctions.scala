@@ -25,11 +25,13 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text).cast("long")
 
-  /** Mean token length, rounded to `scale` decimals. */
+  /** Mean token length, rounded to `scale` decimals. Total token chars =
+    * length minus whitespace — same number as summing per-token lengths, but
+    * pure codegen'd expressions instead of an interpreted HOF fold over a
+    * materialised token array. */
   def meanTokenLength(text: Column, scale: Int = 4): Column = {
-    val toks = tokens(text)
-    val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    round(totalChars.cast("double") / greatest(size(toks), lit(1)).cast("double"), scale)
+    val totalChars = length(regexp_replace(text, "\\s+", ""))
+    round(totalChars.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
   }
 
   /** Punctuation ratio: punct chars / all chars (explicit class — identical
@@ -43,9 +45,17 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(text), lit(words.mkString("\\b(", "|", ")\\b")), lit(0))).cast("long")
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    // words are caller-supplied: quote them so regex metacharacters ("c++",
+    // "don't") count literally instead of corrupting the alternation
+    val quoted = words.map(java.util.regex.Pattern.quote)
+    size(regexp_extract_all(lower(text), lit(quoted.mkString("\\b(", "|", ")\\b")), lit(0))).cast("long")
+  }
 
+  /** NOTE: the numerator matches stopwords at word boundaries anywhere
+    * (including inside punctuation-joined runs like "the-of"), while the
+    * denominator counts whitespace tokens — on punctuation-heavy text the
+    * ratio can exceed 1. Downstream consumers (qualityScore) saturate it. */
   def stopwordRatio(text: Column, scale: Int = 6): Column =
     round(
       stopwordCount(text, EnglishStopwords).cast("double") /

@@ -16,6 +16,10 @@ final case class TestConf(
     tags: Seq[String] = Seq.empty,
     note: Option[String] = None)
 
+final case class OptDefConf(
+    name: String,
+    region: Option[String] = Some("eu-west-1"))
+
 class AppSpec extends SparkTestBase with Matchers {
 
   describe("config parser") {
@@ -37,6 +41,17 @@ class AppSpec extends SparkTestBase with Matchers {
       val conf = ConfigParser[TestConf](spark, "t.")
       conf.name shouldBe "fromconf"
       conf.count shouldBe 42
+    }
+
+    it("treats the separator literally, honours Option defaults") {
+      val conf = ConfigParser.fromMap[TestConf](
+        Map("app.name" -> "x", "app.tags" -> "a|b"), "app.", separator = "|")
+      conf.tags shouldBe Seq("a", "b") // "|" as regex would split every char
+      val opt = ConfigParser.fromMap[OptDefConf](Map("c.name" -> "x"), "c.")
+      opt.region shouldBe Some("eu-west-1") // declared default beats implicit None
+      val overridden = ConfigParser.fromMap[OptDefConf](
+        Map("c.name" -> "x", "c.region" -> "us-east-1"), "c.")
+      overridden.region shouldBe Some("us-east-1")
     }
 
     it("retries flaky property providers and fails after the retry budget") {
