@@ -76,7 +76,7 @@ object Similarity {
   /** Sign-random-projection bucket id: bit i = sign(plane_i . vec). */
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(planeLit, vec) >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
