@@ -302,6 +302,23 @@ object Dedup {
       threshold)
   }
 
+  /** End-to-end near-dup removal: detect pairs, cluster them, keep one doc
+    * per cluster (the minimum id). Returns the deduplicated corpus with the
+    * original schema — the one-call form of the
+    * pairs -> connectedComponents -> keep-flag pipeline. */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, blockCols, n, threshold)
+    val keep = Graphs.dedupClusters(docs, idCol, pairs, "id_a", "id_b")
+      .where(col("keep")).select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- simhash ---
 
   /** 60-bit SimHash over whitespace tokens of the named column. Per token a

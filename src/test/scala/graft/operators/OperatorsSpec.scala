@@ -48,6 +48,24 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("dedupCorpus") {
+    it("keeps exactly one doc per near-dup cluster with the original schema") {
+      val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      val blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket"))
+      val deduped = Dedup.dedupCorpus(docs, "doc_id", "text", blockCols, 3, 0.7)
+      deduped.columns shouldBe docs.columns
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols, 3, 0.7)
+        .as[(Long, Long, Double)].collect()
+      val dropped = docs.count() - deduped.count()
+      dropped should be > 0L // the corpus does contain near-dups
+      // no near-dup pair survives intact (chains may drop both ends)
+      val kept = deduped.select("doc_id").as[Long].collect().toSet
+      pairs.foreach { case (a, b, _) =>
+        (kept.contains(a) && kept.contains(b)) shouldBe false
+      }
+    }
+  }
+
   describe("approx distinct sketch") {
     it("HLL++ estimate stays within the configured relative error of the exact count") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is ns
