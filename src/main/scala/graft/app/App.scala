@@ -104,7 +104,7 @@ object MultiAppRunner {
     }
     // topological build order (deps first, name-sorted within a level) so a
     // dependency on an app that contributed ZERO actions (feature-flagged
-    // off) can be dropped — a tag dependency on a tag nobody carries fails
+    // off) can be rewritten — a tag dependency on a tag nobody carries fails
     // DAG validation
     val order = scala.collection.mutable.ArrayBuffer[String]()
     val remaining = scala.collection.mutable.Set(apps.keys.toSeq: _*)
@@ -117,15 +117,20 @@ object MultiAppRunner {
           s"Cyclic app dependencies among: ${remaining.toSeq.sorted.mkString(", ")}")
       ready.foreach { r => order += r; remaining -= r }
     }
-    val contributed = scala.collection.mutable.Map[String, Boolean]()
+    // substitutes(d) = the contributing apps a dependent of d must wait on:
+    // d itself when it produced actions, otherwise d's own substitutes — so
+    // A->B->C with B flagged off still orders A after C instead of dropping
+    // the transitive edge
+    val substitutes = scala.collection.mutable.Map[String, Seq[String]]()
     val combined = order.foldLeft(Graft.sparkFlow(spark)) { (fl, name) =>
-      val deps = dependencies.getOrElse(name, Seq.empty)
-        .filter(d => contributed.getOrElse(d, false)).map(d => s"app-$d")
+      val depApps = dependencies.getOrElse(name, Seq.empty)
+        .flatMap(substitutes).distinct
+      val deps = depApps.map(d => s"app-$d")
       val before = fl.actions.size
       val withDeps =
         if (deps.isEmpty) fl.tag(s"app-$name")(apps(name).flow)
         else fl.tagDependency(deps: _*)(_.tag(s"app-$name")(apps(name).flow))
-      contributed(name) = withDeps.actions.size > before
+      substitutes(name) = if (withDeps.actions.size > before) Seq(name) else depApps
       withDeps
     }
     new ParallelExecutor[SparkFlowContext](maxParallelActions).execute(combined)

@@ -186,7 +186,7 @@ trait DataFlow[Self <: DataFlow[Self, C], C <: FlowContext] { self: Self =>
           s"Flow extensions did not stabilise after $maxIterations iterations: " +
             flow.extensions.keys.mkString(", "))
       else {
-        val (key, ext) = flow.extensions.head
+        val (key, ext) = flow.extensions.minBy { case (k, e) => (e.ordering, k) }
         val cleared = flow.withExtensions(flow.extensions - key)
         loop(ext.preExecutionManipulation(cleared), remaining - 1)
       }
@@ -284,6 +284,14 @@ trait DataFlow[Self <: DataFlow[Self, C], C <: FlowContext] { self: Self =>
   * iteration cap. */
 trait FlowExtension[Self <: DataFlow[Self, C], C <: FlowContext] {
   def identifier: String
+
+  /** Fix-point application order (lower runs first). Extensions that ADD
+    * actions (commit staging) must run before extensions whose decisions
+    * depend on the final action set (cache elision counts consumers) —
+    * otherwise a label reused only via commit staging looks single-consumer
+    * and its planned cache is wrongly elided. */
+  def ordering: Int = 50
+
   def preExecutionManipulation(flow: Self): Self
 
   /** Combine with a same-identifier extension when two flows are merged

@@ -21,6 +21,9 @@ final case class CachePlanExtension(requests: Map[String, CacheRequest] = Map.em
 
   val identifier: String = "cachePlan"
 
+  // decides elision from consumer counts — must see commit-staged actions
+  override def ordering: Int = 90
+
   override def merge(
       other: FlowExtension[SparkDataFlow, SparkFlowContext]): CachePlanExtension = {
     val that = other.asInstanceOf[CachePlanExtension]

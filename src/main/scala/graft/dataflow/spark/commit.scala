@@ -37,6 +37,10 @@ final case class CommitExtension(
 
   val identifier: String = "commit"
 
+  // adds staging/move/finish actions — must run before cache elision counts
+  // consumers (see FlowExtension.ordering)
+  override def ordering: Int = 10
+
   override def merge(other: FlowExtension[SparkDataFlow, SparkFlowContext]): CommitExtension = {
     val that = other.asInstanceOf[CommitExtension]
     val dupLabels = for {
@@ -87,10 +91,16 @@ final case class CommitExtension(
       if (!cacheReused) flow
       else {
         import caching._
+        // never override a request the user already planned for the label
+        // (e.g. sparkCachePlanned with a storage level) with our AsParquet(None)
+        val alreadyPlanned = flow.extensions.get("cachePlan")
+          .map(_.asInstanceOf[CachePlanExtension].requests.keySet)
+          .getOrElse(Set.empty[String])
         valid.flatMap(commits(_).map(_.label)).toSeq.distinct.sorted
           .filter { l =>
-            producers.get(l).exists(n =>
-              !n.startsWith("cacheAsParquet:") && !n.startsWith("sparkCache:")) &&
+            !alreadyPlanned.contains(l) &&
+              producers.get(l).exists(n =>
+                !n.startsWith("cacheAsParquet:") && !n.startsWith("sparkCache:")) &&
               consumers.getOrElse(l, 0) >= 1
           }
           .foldLeft(flow)((fl, label) => fl.cacheAsParquetPlanned(label))

@@ -156,15 +156,17 @@ object DataQualityActions {
         new SparkAction(original.inputLabels, original.outputLabels,
           s"dataQuality:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
           val results = original.performAction(entities, ctx).get
-          // persist before checking: each check aggregation is its own Spark
-          // job, and the downstream consumer re-reads the label too — without
-          // this, every one re-executes the full upstream lineage (reference
-          // caches the label ahead of checks the same way,
-          // DataQualityMetadataExtension.scala:15-45)
+          // materialize before checking: each check aggregation is its own
+          // Spark job, and the downstream consumer re-reads the label too —
+          // without this, every one re-executes the full upstream lineage
+          // (reference caches the label ahead of checks the same way,
+          // DataQualityMetadataExtension.scala:15-45). Materialize rather
+          // than persist: its blocks free on GC, so long-running sessions
+          // checking many labels don't accumulate cache entries forever
           val checkedResults = original.outputLabels.zip(results).map {
             case (l, Some(ds: Dataset[_])) if l == label =>
-              val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              check.getAlerts(l, cached.toDF()).foreach(a => handlers.foreach(_.dispatch(a)))
+              val cached = graft.operators.Materialize(ds.toDF())
+              check.getAlerts(l, cached).foreach(a => handlers.foreach(_.dispatch(a)))
               Some(cached)
             case (_, r) => r
           }

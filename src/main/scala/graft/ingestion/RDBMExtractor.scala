@@ -206,24 +206,45 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
     startCol: String = "sys_start", endCol: String = "sys_end")
   extends SQLServerExtractor(spark, connectionDetails) {
 
-  val highEnd = "9999-12-31 23:59:59"
+  /** Fallback sentinel when the detection query returns null (empty table). */
+  val defaultUpperTimestamp = "9999-12-31 23:59:59"
   val lowEnd = "1900-01-01 00:00:00"
+  /** FOR SYSTEM_TIME accepts a plain date upper bound; only the row filters
+    * need the exact sentinel (reference SQLServerTemporalExtractor.scala:76-77). */
+  val upperDateBound = "9999-12-31"
+
+  protected def castToDateTime7(c: String): String =
+    s"cast(${escapeKeyword(c)} as datetime2(7))"
+
+  /** SQL Server writes live-row validity ends as 9999-12-31 23:59:59.0000000
+    * on some versions and ...23:59:59.9999999 on others, so an exact literal
+    * misclassifies every live row as deleted. Detect the sentinel per table
+    * from max(endCol) at datetime2(7) precision, as the reference does
+    * (SQLServerTemporalExtractor.scala:82-112). If all rows were deleted the
+    * max is below the sentinel, but then there are no live rows to flag. */
+  def upperTimestamp(dbSchema: String, tableName: String): String =
+    loadQuery(
+      s"select coalesce(cast(max(${castToDateTime7(endCol)}) as nvarchar(27)), " +
+        s"'$defaultUpperTimestamp') as database_upper_timestamp " +
+        s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}",
+      Seq.empty).collect().head.get(0).toString
 
   override def selectQuery(dbSchema: String, tableName: String,
       lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
     val end = escapeKeyword(endCol)
     val start = escapeKeyword(startCol)
+    val highEnd = upperTimestamp(dbSchema, tableName)
     val base =
       s"select *, case when $end = '$highEnd' then 0 else 1 end as source_type, " +
         s"$sourceDBSystemTimestampFunction as $systemTimestampColumn " +
         s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}"
     lastUpdated match {
       case Some(ts) =>
-        s"$base for system_time from '$ts' to '$highEnd' " +
+        s"$base for system_time from '$ts' to '$upperDateBound' " +
           s"where ($end < '$highEnd' and $end >= '$ts') or $start >= '$ts'"
       case None =>
         // full load = the table's entire version history
-        s"$base for system_time from '$lowEnd' to '$highEnd'"
+        s"$base for system_time from '$lowEnd' to '$upperDateBound'"
     }
   }
 }

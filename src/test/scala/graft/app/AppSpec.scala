@@ -108,6 +108,23 @@ class AppSpec extends SparkTestBase with Matchers {
         MultiAppRunner.runAll(spark, Map.empty, Map("a" -> Seq("ghost")))
       }
     }
+
+    it("keeps transitive ordering through an app that contributed no actions") {
+      // a -> b -> c with b feature-flagged off (zero actions): a must still
+      // wait for c via the substituted edge, not run concurrently with it
+      val order = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      def app(name: String): MultiAppRunner.FlowApp = (base: SparkDataFlow) =>
+        base.open(s"$name-src")(ctx => {
+          Thread.sleep(if (name == "c") 300 else 0) // c slow: a must still come last
+          order.add(name)
+          ctx.spark.read.parquet(s"${sf()}/region.parquet")
+        })
+      val noop: MultiAppRunner.FlowApp = (base: SparkDataFlow) => base
+      MultiAppRunner.runAll(spark,
+        Map("a" -> app("a"), "b" -> noop, "c" -> app("c")),
+        Map("a" -> Seq("b"), "b" -> Seq("c")))
+      order.toArray.toSeq shouldBe Seq("c", "a")
+    }
   }
 
   describe("conf-driven extensions") {

@@ -99,6 +99,26 @@ class CommitSpec extends SparkTestBase with Matchers {
       spark.read.parquet(s"$out/enriched2").count() shouldBe 5
     }
 
+    it("keeps a user's planned cache request for a committed label") {
+      // the commit path must not replace sparkCachePlanned(label, level)
+      // with its own AsParquet(None) request
+      import graft.dataflow.spark.caching._
+      val out = s"$tmpDir/published-plannedcache"
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/commit-pcache-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .transform("region")("enriched3")(_.withColumn("x", org.apache.spark.sql.functions.lit(1)))
+        .transform("enriched3")("consumer3")(_.select("r_regionkey"))
+        .sparkCachePlanned("enriched3")
+        .commit("pp")("enriched3")
+        .push("pp")(ParquetDataCommitter(out))
+      executor.execute(flow)
+      spark.read.parquet(s"$out/enriched3").count() shouldBe 5
+      // and no parquet-cache file was written for it (sparkCache won)
+      new java.io.File(s"$tmpDir/commit-pcache-tmp").listFiles()
+        .exists(_.getName.contains("enriched3")) shouldBe false
+    }
+
     it("skips committed-label caching when the flow has no temp folder") {
       // custom committer that needs no staging folder
       val sink = scala.collection.mutable.ArrayBuffer[Long]()

@@ -68,21 +68,36 @@ class IngestionSpec extends SparkTestBase with Matchers {
       e.clampLastUpdated(ts("2024-01-01 00:00:00")) shouldBe ts("2024-01-01 00:00:00")
     }
 
+    /** Temporal extractor answering the sentinel-detection query from a fixed
+      * string — the real one pushes `max(cast(sys_end as datetime2(7)))`. */
+    class FixedSentinelExtractor(detected: String) extends SQLServerTemporalExtractor(
+        spark, JDBCConnection("jdbc:sqlserver://x")) {
+      val issuedQueries = scala.collection.mutable.ArrayBuffer[String]()
+      override protected def loadQuery(query: String, predicates: Seq[String]): DataFrame = {
+        issuedQueries += query
+        Seq(detected).toDF("database_upper_timestamp")
+      }
+    }
+
     it("temporal extractor reads versions once via FOR SYSTEM_TIME with delete flags") {
-      val e = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      // SQL Server live rows carry .9999999 (or .0000000) validity ends — the
+      // sentinel must be detected per table, never hardcoded at second precision
+      val e = new FixedSentinelExtractor("9999-12-31 23:59:59.9999999")
       val q = e.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00")))
-      q should include("for system_time from '2024-01-01 00:00:00.0' to '9999-12-31 23:59:59'")
+      e.issuedQueries.head should include(
+        "coalesce(cast(max(cast([sys_end] as datetime2(7))) as nvarchar(27))")
+      q should include("for system_time from '2024-01-01 00:00:00.0' to '9999-12-31'")
       // FOR SYSTEM_TIME already unifies history — a separate history select
       // would return closed versions twice
       q should not include "union all"
-      // delete flag derived from the validity end column
-      q should include("case when [sys_end] = '9999-12-31 23:59:59' then 0 else 1 end as source_type")
+      // delete flag uses the DETECTED sentinel, so live rows get source_type=0
+      q should include("case when [sys_end] = '9999-12-31 23:59:59.9999999' then 0 else 1 end as source_type")
       // changed-since filter: closed in window OR opened in window
-      q should include("([sys_end] < '9999-12-31 23:59:59' and [sys_end] >= '2024-01-01 00:00:00.0') " +
+      q should include("([sys_end] < '9999-12-31 23:59:59.9999999' and [sys_end] >= '2024-01-01 00:00:00.0') " +
         "or [sys_start] >= '2024-01-01 00:00:00.0'")
       // full load covers the entire version history
       val full = e.selectQuery("dbo", "users", None, None)
-      full should include("for system_time from '1900-01-01 00:00:00' to '9999-12-31 23:59:59'")
+      full should include("for system_time from '1900-01-01 00:00:00' to '9999-12-31'")
     }
   }
 

@@ -52,6 +52,21 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       s1.length.toDouble / 10000 shouldBe 0.3 +- 0.02
     }
 
+    it("gives null keys a deterministic bucket instead of dropping them") {
+      // md5(null) is null — without the sentinel coalesce every null-key row
+      // would fall out of the sample regardless of rate
+      val df = spark.range(1000)
+        .select(when(col("id") % 2 === 0, col("id").cast("string")).as("k"))
+      Sampling.hashSample(df, col("k"), 1.0).count() shouldBe 1000
+      val half = Sampling.hashSample(df, col("k"), 0.5)
+      // nulls are all-in or all-out at a given rate (one shared bucket), and
+      // membership stays stable across partitionings
+      val nullsKept = half.where(col("k").isNull).count()
+      Seq(0L, 500L) should contain(nullsKept)
+      Sampling.hashSample(df.repartition(13), col("k"), 0.5)
+        .where(col("k").isNull).count() shouldBe nullsKept
+    }
+
     it("applies per-stratum rates with a default") {
       val df = spark.range(4000)
         .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
