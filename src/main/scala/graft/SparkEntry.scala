@@ -691,6 +691,37 @@ object SparkEntry {
         |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // MinHash+LSH: the md5-affine signature family (Dedup.minHashParams) is
+    // recomputable in any SQL engine; the LSH bucket criterion "xxhash64 of
+    // the band slice collides" is replaced by its semantic equivalent "the
+    // band slices are equal" (a collision without slice equality is ~2^-64)
+    "q18_minhash_lsh_pairs" ->
+      """WITH params AS (
+        |  SELECT
+        |    list_transform(range(0, 64), i ->
+        |      (('0x' || substr(md5('minhash_a_' || i), 1, 8))::BIGINT % 536870912) * 2 + 1) AS pa,
+        |    list_transform(range(0, 64), i ->
+        |      ('0x' || substr(md5('minhash_b_' || i), 1, 8))::BIGINT) AS pb
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |), p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      list_min(list_transform(xs, x -> (pa[i+1] * x + pb[i+1]) % 2305843009213693951))) AS sig
+        |  FROM (SELECT doc_id,
+        |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+        |        FROM sh), params
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(0, 8), bb -> a.sig[bb*8+1:bb*8+8] = b.sig[bb*8+1:bb*8+8])) > 0
+        |  AND round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q20_embed_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -53,32 +53,57 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** splitmix64 finaliser — full-avalanche 64-bit mixer. */
-  @inline private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
+  /** MinHash permutation family, chosen to be recomputable by any SQL engine
+    * (the property that lets the correctness gate verify signatures against
+    * a DuckDB oracle, like simHash's md5-derived bits):
+    *
+    *   x(shingle) = first 8 hex chars of md5(shingle) as a 32-bit integer
+    *   h_i(x)     = (a_i * x + b_i) mod (2^61 - 1)
+    *   a_i        = (md5_32("minhash_a_" + i) & 0x1FFFFFFF) * 2 + 1  (odd, < 2^30)
+    *   b_i        = md5_32("minhash_b_" + i)                          (< 2^32)
+    *
+    * a_i * x < 2^62, so everything stays in signed-64 arithmetic with no
+    * wraparound — the same expression evaluates identically in Spark, DuckDB,
+    * or any engine with md5 and 64-bit integers. The affine-mod-prime family
+    * is the classic universal-hash minwise construction. */
+  private[graft] val MinHashP: Long = (1L << 61) - 1
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** MinHash signature: length-`k` array of 64-bit minima over a shingle
-    * array. One string hash per shingle, extended to k independent functions
-    * by mixing with per-index constants (splitmix64 family) in a tight JVM
-    * loop.
+  /** First 4 bytes of md5(s) as an unsigned 32-bit value in a Long —
+    * equal to `('0x' || substr(md5(s),1,8))::BIGINT` in SQL. */
+  @inline private[graft] def md5Int32(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+  }
+
+  private[graft] def minHashParams(k: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(k)(i => (md5Int32(s"minhash_a_$i") & 0x1FFFFFFFL) * 2 + 1),
+    Array.tabulate(k)(i => md5Int32(s"minhash_b_$i")))
+
+  /** MinHash signature: length-`k` array of minima over a shingle array
+    * under the affine family above. One md5 per shingle, extended to k
+    * independent functions in a tight JVM loop.
     *
     * Deliberately a Scala UDF, not a higher-order-function expression: the
     * HOF formulation (`transform(sequence(0,k-1), i -> array_min(transform(
-    * shingles, s -> xxhash64(i, s))))`) re-inlines the shingle subtree into
+    * shingles, s -> hash(i, s))))`) re-inlines the shingle subtree into
     * every lambda and runs interpreted — measured 47 ms/row at k=64 vs
     * ~20 µs/row for this loop. Pure map-side — no shuffle. */
   def minHashSignature(shingleCol: Column, k: Int): Column = {
+    val (pa, pb) = minHashParams(k)
     val f = udf { (sh: Array[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
-        val base = splitmix64(scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+        val x = md5Int32(s)
         var i = 0
         while (i < k) {
-          val h = splitmix64(base ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+          val h = (pa(i) * x + pb(i)) % MinHashP
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -122,6 +147,7 @@ object Dedup {
     // Fused tokenize→shingle→minhash in one JVM loop per row (no HOF
     // intermediate arrays). Signatures feed three branches (band explode +
     // two re-attach joins); persist so the map stage runs once per row.
+    val (pa, pb) = minHashParams(k)
     val sigUdf = udf { (txt: String) =>
       val toks = txt.split("\\s+").filter(_.nonEmpty)
       val sig = Array.fill(k)(Long.MaxValue)
@@ -135,10 +161,10 @@ object Dedup {
           if (w > 0) sb.append(' ')
           sb.append(toks(s + w)); w += 1
         }
-        val base = splitmix64(scala.util.hashing.MurmurHash3.stringHash(sb.toString).toLong)
+        val x = md5Int32(sb.toString)
         var i = 0
         while (i < k) {
-          val h = splitmix64(base ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+          val h = (pa(i) * x + pb(i)) % MinHashP
           if (h < sig(i)) sig(i) = h
           i += 1
         }

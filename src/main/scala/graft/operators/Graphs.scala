@@ -34,13 +34,12 @@ object Graphs {
       maxIterations: Int = 25): DataFrame = {
     // materialise the edge list BEFORE symmetrising: both union legs read
     // it, and the upstream pair pipeline (shingling + blocked join + verify)
-    // is far too expensive to execute twice
+    // is far too expensive to execute twice. The union itself stays lazy —
+    // it is a narrow op over the checkpointed blocks, and min-propagation is
+    // idempotent over duplicate edges, so no distinct (a full extra shuffle
+    // of the edge list) and no second checkpoint are needed
     val mat = Materialize(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val sym = mat
-      .union(mat.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .transform(Materialize.apply)
-    Materialize.release(mat) // sym holds the symmetrised copy now
+    val sym = mat.union(mat.select(col("dst").as("src"), col("src").as("dst")))
 
     // init already folds one neighbour-min round: component0(v) =
     // min(v, N(v)) — same aggregation cost as building the plain vertex
@@ -79,7 +78,7 @@ object Graphs {
       labels = next.select(col("vertex"), col("component"))
       iter += 1
     }
-    Materialize.release(sym)
+    Materialize.release(mat)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIterations rounds; " +
