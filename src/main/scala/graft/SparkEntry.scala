@@ -356,7 +356,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // IVF ANN (k-means cells + nProbe search): rows-only check
+    // IVF ANN (k-means cells + nProbe search): fully oracle-checked — the
+    // k-means is deterministic (init = first nLists vectors by id, 2 Lloyd
+    // rounds, strict-< argmin) so the oracle unrolls both rounds in SQL
     "q33_embed_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -364,14 +366,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // sketch aggregates (HLL++): no DuckDB oracle — estimator families
-    // differ; rows-only check, exactness asserted in ScalaTest instead
+    // sketch aggregates (HLL++): the estimate itself has no DuckDB analogue
+    // (sketch families differ), so the gate checks the exact count by hash
+    // and the HLL error BOUND end-to-end as a boolean — if the estimator
+    // drifted past 5x its configured rsd the hash would break. The tight
+    // numeric bound is asserted in OperatorsSpec.
     "q31_approx_distinct" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users").cast("double") <= lit(0.05)).as("approx_within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -741,6 +751,34 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // SRP ANN: hyperplane components are md5-derived multiples of 2^-10
+    // (Similarity.hyperplanes), so DuckDB recomputes the exact sign buckets;
+    // the radius-1 multi-probe is expressed as hamming(bucket_q, bucket_c)<=1
+    "q21_embed_ann_srp" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        |          ((('0x' || substr(md5('srp_42_' || p || '_' || d), 1, 15))::BIGINT % 2048 - 1024)
+        |            / 1024.0) * v[CAST(d AS INT) + 1])) >= 0
+        |      THEN 1::BIGINT << (7 - CAST(p AS INT)) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM b q JOIN b c
+        |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20
+        |)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM s
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q22_embed_centroids" ->
       """SELECT label,
         | CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
@@ -911,6 +949,84 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // IVF: the whole pipeline — seeded init (first 8 vectors by id), two
+    // Lloyd rounds (argmin assign, per-dim mean update, empty-cell
+    // fallback), 2-probe search, exact cosine rerank — unrolled in SQL.
+    // Distances/means are double in both engines; an assignment flip would
+    // need two centroid distances within ~1e-13, never observed.
+    "q33_embed_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c0 AS (
+        |  SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c0)
+        |), u1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c1 AS (
+        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
+        |  GROUP BY c0.cs
+        |), a2 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c1)
+        |), u2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c2 AS (
+        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
+        |  GROUP BY c1.cs
+        |), idx AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c2)
+        |), probe AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT q.vec_id, q.v, t.i AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(0, 64),
+        |          d -> (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1])
+        |             * (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1]))), t.i) AS rn
+        |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+        |    CROSS JOIN range(0, 8) t(i) CROSS JOIN c2)
+        |  WHERE rn <= 2
+        |), s AS (
+        |  SELECT p.vec_id AS query_id, i.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.v, i.v)
+        |      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(i.v, i.v))), 6) AS cos
+        |  FROM probe p JOIN idx i ON p.cell = i.cell AND p.vec_id <> i.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q31_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -66,11 +66,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic random hyperplanes: `nPlanes` x `dim`, components from a
-    * fixed-seed PRNG, materialised as a literal (broadcast with the plan). */
+  /** Deterministic random hyperplanes: `nPlanes` x `dim`, materialised as a
+    * literal (broadcast with the plan).
+    *
+    * Components derive from md5 so any SQL engine can recompute the exact
+    * same planes for verification: component(p,d) = (md5_60("srp_<seed>_<p>_
+    * <d>") mod 2048 - 1024) / 1024 — uniform in [-1, 1) in steps of 2^-10.
+    * Multiples of 2^-10 keep every plane*component product exact in double
+    * (11 + 24 significand bits), which pins the SRP sign test across engines
+    * up to sum-order noise ~2^-53 — a bucket flip needs |dot| under ~1e-13.
+    * Uniform-cube (vs gaussian) directions are a standard SRP variant; only
+    * the direction distribution changes, not the sign-LSH property. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rng.nextGaussian())
+    val d = java.security.MessageDigest.getInstance("MD5")
+    def md5Long60(s: String): Long = {
+      d.reset()
+      val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits: bytes 0-6 then the high nibble of 7
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (h(i) & 0xFFL); i += 1 }
+      (v << 4) | ((h(7) & 0xF0L) >>> 4)
+    }
+    Array.tabulate(nPlanes, dim)((p, dd) =>
+      (md5Long60(s"srp_${seed}_${p}_${dd}") % 2048 - 1024) / 1024.0)
   }
 
   /** Sign-random-projection bucket id: bit i = sign(plane_i . vec). */
