@@ -493,6 +493,28 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // BM25 relevance for a query-term bag: corpus stats (N, total length,
+    // per-term df) reduce in one bounded pass; the score is then map-side
+    // only — no shuffle of document data (operators.Ranking)
+    "q43_bm25" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "window", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals (token-level variant): distinct-token
+    // ratio, top-token fraction, top-bigram fraction
+    "q44_repetition" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.distinctTokenRatio(txt).as("distinct_ratio"),
+        TextFunctions.topTokenFrac(txt).as("top_token_frac"),
+        TextFunctions.topBigramFrac(txt).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1027,6 +1049,51 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // BM25: corpus stats from exact integer sums (identical in any engine);
+    // idf rounded to 6 decimals on both sides so libm-vs-JVM ln ulps cannot
+    // surface; term order in the score sum is fixed left-to-right
+    "q43_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), s AS (
+        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(
+        |    round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1), 6) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n))))
+        |  + round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1), 6) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n))))
+        |  + round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1), 6) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n)))), 4) AS bm25
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |  FROM d), s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q44_repetition" ->
+      """SELECT doc_id,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_ratio,
+        |  round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))), 0) AS DOUBLE)
+        |    / greatest(len(toks), 1), 4) AS top_token_frac,
+        |  round(CAST(coalesce(list_max(list_transform(list_distinct(bg),
+        |      t -> len(list_filter(bg, x -> x = t)))), 0) AS DOUBLE)
+        |    / greatest(len(bg), 1), 4) AS top_bigram_frac
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |      i -> array_to_string(toks[i:i+1], ' ')) AS bg
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -109,6 +109,47 @@ object TextFunctions {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
 
+  // ---------------------------------------------- repetition signals ---
+  // Gopher-style repetition filters (Rae et al. 2021 use line/paragraph and
+  // top-n-gram fractions; the token-level forms below are the variant that
+  // is meaningful for single-line corpora). All pure column expressions —
+  // reproducible in any SQL engine with list lambdas.
+
+  /** Distinct-token ratio: |distinct tokens| / |tokens| — low values mean a
+    * repetitive document. 1.0 for empty docs (nothing repeated). */
+  def distinctTokenRatio(text: Column, scale: Int = 4): Column = {
+    val toks = tokens(text)
+    round(size(array_distinct(toks)).cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), scale)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token. */
+  def topTokenFrac(text: Column, scale: Int = 4): Column = {
+    val toks = tokens(text)
+    val maxCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    round(coalesce(maxCount, lit(0)).cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), scale)
+  }
+
+  /** Consecutive word bigrams ("a b", "b c", ...); a doc with < 2 tokens
+    * yields one degenerate bigram (its own tokens joined). */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+  }
+
+  /** Fraction of word bigrams taken by the most frequent bigram — high
+    * values flag boilerplate/templated text that token-level stats miss. */
+  def topBigramFrac(text: Column, scale: Int = 4): Column = {
+    val bg = wordBigrams(text)
+    val maxCount = array_max(transform(array_distinct(bg),
+      t => size(filter(bg, x => x === t))))
+    round(coalesce(maxCount, lit(0)).cast("double")
+      / greatest(size(bg), lit(1)).cast("double"), scale)
+  }
+
   /** Canonical fingerprint: lowercase, collapse whitespace, trim, md5. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-statistics relevance scoring for training-data curation.
+  *
+  * A 100 TB corpus is filtered/weighted against query term lists (domain
+  * vocabularies, quality seed words) far more often than it is "searched";
+  * BM25 is the standard closed-form for that. The reference framework has no
+  * ranking operators (user transforms only — SURVEY.md §2.9); this extends
+  * the engine the way the text/dedup operators do.
+  *
+  * Scale design: corpus statistics (doc count, total token count, per-term
+  * document frequency) reduce in ONE bounded aggregation pass — a single
+  * driver-collected row whose width is |terms|, never corpus-sized. The
+  * per-document score is then a pure map-side expression over literals, so
+  * the whole operator costs one full scan plus one narrow scan: no shuffle
+  * of document data at all.
+  */
+object Ranking {
+
+  /** BM25 score of every document for a bag of query `terms` (exact
+    * whitespace-token match, case-sensitive — normalise upstream if needed).
+    *
+    * idf uses the Robertson–Sparck-Jones form with the +1 floor (as in
+    * Lucene): ln((N - df + 0.5) / (df + 0.5) + 1), rounded to 6 decimals on
+    * the driver so any SQL oracle's libm `ln` (which may differ from the
+    * JVM's in the final ulp) reproduces the identical constant.
+    *
+    * Output: (doc_id, n_tokens, bm25), bm25 rounded to `scale`.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val d = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+    // one bounded reduction: N, total length (exact longs), df per term
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val row = d.agg(statAggs.head, statAggs.tail: _*).first()
+    val nDocs = row.getLong(0)
+    require(nDocs > 0, "bm25 over an empty corpus")
+    val avgdl = row.getLong(1).toDouble / nDocs // exact longs -> identical in any engine
+    val idf = terms.indices.map { i =>
+      val df = row.getLong(2 + i).toDouble
+      BigDecimal(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    // map-side score: fixed left-to-right term order keeps double
+    // accumulation identical to a SQL `t0 + t1 + ...` chain
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      lit(idf(i)) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))
+    }.reduce(_ + _)
+
+    d.select(col("doc_id"), col("dl").as("n_tokens"), round(score, scale).as("bm25"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+class RankingSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  describe("bm25") {
+    val docs = Seq(
+      (0L, "spark shuffle join join join"),
+      (1L, "spark spark spark spark spark"),
+      (2L, "window filter scan table row"),
+      (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
+
+    it("scores term-bearing docs above term-free docs") {
+      val scored = Ranking.bm25(docs, "doc_id", "text", Seq("join"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      scored(0L) should be > 0.0
+      scored(1L) shouldBe 0.0
+      scored(3L) shouldBe 0.0
+    }
+
+    it("saturates in tf: 5 repeats score less than 5x a single occurrence") {
+      val d = Seq((0L, "spark a b c d"), (1L, "spark spark spark spark spark"))
+        .toDF("doc_id", "text")
+      val scored = Ranking.bm25(d, "doc_id", "text", Seq("spark"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      scored(1L) should be > scored(0L)
+      scored(1L) should be < scored(0L) * 5
+    }
+
+    it("rewards rarer terms: lower df means higher idf weight") {
+      // "rare" df=1, "common" df=3; equal tf and equal doc length
+      val d = Seq(
+        (0L, "rare x"), (1L, "common x"),
+        (2L, "common y"), (3L, "common z")).toDF("doc_id", "text")
+      val scored = Ranking.bm25(d, "doc_id", "text", Seq("rare", "common"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      scored(0L) should be > scored(1L)
+    }
+
+    it("is a pure map job after one bounded stats pass (no shuffle in the scoring plan)") {
+      val plan = Ranking.bm25(docs, "doc_id", "text", Seq("spark"))
+        .queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+    }
+  }
+
+  describe("repetition signals") {
+    it("flags fully repetitive text and passes diverse text") {
+      val d = Seq(
+        (0L, "spam spam spam spam"),
+        (1L, "all these tokens differ here")).toDF("doc_id", "text")
+      val out = d.select(
+        col("doc_id"),
+        TextFunctions.distinctTokenRatio(col("text")).as("dr"),
+        TextFunctions.topTokenFrac(col("text")).as("tt"),
+        TextFunctions.topBigramFrac(col("text")).as("tb"))
+        .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+      out(0L)._2 shouldBe 0.25 // 1 distinct / 4
+      out(0L)._3 shouldBe 1.0
+      out(0L)._4 shouldBe 1.0 // "spam spam" x3
+      out(1L)._2 shouldBe 1.0
+      out(1L)._3 shouldBe 0.2
+      out(1L)._4 shouldBe 0.25 // 4 distinct bigrams of 4
+    }
+
+    it("handles empty and single-token docs without dividing by zero") {
+      val d = Seq((0L, ""), (1L, "solo")).toDF("doc_id", "text")
+      val out = d.select(
+        col("doc_id"),
+        TextFunctions.distinctTokenRatio(col("text")).as("dr"),
+        TextFunctions.topTokenFrac(col("text")).as("tt"),
+        TextFunctions.topBigramFrac(col("text")).as("tb"))
+        .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+      out(0L)._2 shouldBe 0.0
+      out(0L)._3 shouldBe 0.0
+      out(1L)._2 shouldBe 1.0
+      out(1L)._3 shouldBe 1.0
+    }
+  }
+}
