@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the standard memory
+  * path for vector search at 100 TB (an IVF-PQ index stores m one-byte codes
+  * per vector instead of dim floats: 64-dim float32 → 4 bytes of codes is a
+  * 64x compression).
+  *
+  * The vector space splits into `m` contiguous subspaces; each learns a
+  * small k-means codebook over its subvectors; a vector's code is the
+  * per-subspace nearest-centroid index. Asymmetric-distance search (ADC)
+  * scores query-to-code distances through the codebooks without ever
+  * reconstructing corpus vectors.
+  *
+  * Determinism contract (what makes the correctness gate able to verify
+  * codes against a SQL oracle, like [[Similarity.ivfTopK]]): codebook init =
+  * subvectors of the first k vectors in id order; Lloyd assignment uses
+  * strict-< argmin (first minimum wins); centroid update is the per-dim
+  * mean; empty cells keep their previous centroid.
+  *
+  * Scale design: training collects only (m x k x subDim) doubles to the
+  * driver — never corpus-sized. Encoding is one map-side pass; ADC search
+  * is a broadcast of (queries x m x k) distance tables against a scan of
+  * the coded corpus.
+  */
+object Quantization {
+
+  /** Learned PQ model: codebooks(j)(c) = centroid c of subspace j. */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  private def argminCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var ci = 0
+    while (ci < cents.length) {
+      val d = sqDist(v, cents(ci))
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks with `lloydIters` rounds of Lloyd's
+    * algorithm. `dim` must split evenly into `m` subspaces. */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 4,
+      k: Int = 8,
+      lloydIters: Int = 1): PqModel = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val subDim = dim / m
+    val c = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .transform(Materialize.apply) // read once per Lloyd round, not per subspace
+
+    // init: subvectors of the first k vectors by id — one tiny collect
+    val seed = c.orderBy(col("vid")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var codebooks = Array.tabulate(m, k)((j, ci) =>
+      java.util.Arrays.copyOfRange(seed(ci), j * subDim, (j + 1) * subDim))
+
+    var it = 0
+    while (it < lloydIters) {
+      val cb = codebooks
+      val assignAll = udf { (v: Array[Double]) =>
+        Array.tabulate(m) { j =>
+          argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
+        }
+      }
+      // one aggregation job refreshes every subspace: rows explode to
+      // (subspace, cell, pos, x) and reduce to per-centroid means
+      val updated = c.withColumn("cells", assignAll(col("v")))
+        .select(posexplode(col("v")).as(Seq("p", "x")), col("cells"))
+        .select((col("p") / subDim).cast("int").as("j"),
+          (col("p") % subDim).cast("int").as("pos"),
+          element_at(col("cells"), (col("p") / subDim).cast("int") + 1).as("cell"),
+          col("x"))
+        .groupBy("j", "cell", "pos").agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      // cells with no members never appear in `updated` -> keep previous
+      codebooks = next
+      it += 1
+    }
+    Materialize.release(c)
+    PqModel(subDim, codebooks)
+  }
+
+  /** Per-subspace nearest-centroid codes as one map-side pass:
+    * (idCol, code_0 .. code_{m-1}) — integer output, exactly reproducible
+    * by any engine that replays the training recurrence. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val cb = model.codebooks
+    val subDim = model.subDim
+    val m = model.m
+    val codeUdf = udf { (v: Array[Double]) =>
+      Array.tabulate(m) { j =>
+        argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
+      }
+    }
+    val coded = df.select(col(idCol),
+      codeUdf(col(vecCol).cast("array<double>")).as("codes"))
+    (0 until m).foldLeft(coded) { (acc, j) =>
+      acc.withColumn(s"code_$j", element_at(col("codes"), j + 1).cast("long"))
+    }.drop("codes")
+  }
+
+  /** Asymmetric-distance top-k: squared-L2 from each query to each coded
+    * corpus vector, summed over subspaces through the codebooks. The coded
+    * corpus streams (never reconstructed); queries broadcast. Rounded
+    * distance + id tie-break keeps ranking engine-stable. */
+  def adcTopK(
+      codedCorpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = model.m
+    val subDim = model.subDim
+    // per-query distance TABLES (m x k doubles, computed once per query on
+    // the broadcast side) — the "asymmetric" trick: scoring a corpus vector
+    // is then m table lookups + (m-1) adds, independent of dim
+    val tabled = (0 until m).foldLeft(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))) { (acc, j) =>
+      val cbLit = array(model.codebooks(j).toIndexedSeq.map(cent =>
+        array(cent.toIndexedSeq.map(lit): _*)): _*)
+      val qSub = slice(col("q_vec"), j * subDim + 1, subDim)
+      acc.withColumn(s"table_$j", transform(cbLit, cent =>
+        aggregate(
+          zip_with(qSub, cent, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (accum, v) => accum + v)))
+    }
+    val q = broadcast(tabled)
+    // same doubles as computing each subspace distance in place (identical
+    // per-element ops and fold order), so the SQL oracle formula matches
+    val dist: Column = (0 until m).map { j =>
+      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    q.crossJoin(codedCorpus.withColumnRenamed(idCol, "neighbor_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(dist, scale))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+}
