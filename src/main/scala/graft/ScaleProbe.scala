@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom measurement: replicates the sf0.1 corpus 10x (distinct
+  * ids per replica) and times the beyond-parity pipelines end-to-end with a
+  * noop write — count() would prune the very projections being measured.
+  * Source of the numbers in COVERAGE.md "Scale headroom". */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val replicas = 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+
+    def rep(df: DataFrame, idCol: String): DataFrame = {
+      val n = df.count()
+      (0 until replicas).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * n))).reduce(_ unionByName _)
+    }
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val docs = rep(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .localCheckpoint(true) // measure the operators, not the replication
+    val emb = rep(spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id")
+      .localCheckpoint(true)
+    println(s"docs=${docs.count()} vectors=${emb.count()}")
+
+    time("bm25 (3 terms)") {
+      Ranking.bm25(docs, "doc_id", "text", Seq("spark", "window", "join"))
+    }
+    time("repetition signals") {
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.distinctTokenRatio(col("text")),
+        graft.functions.TextFunctions.topTokenFrac(col("text")),
+        graft.functions.TextFunctions.topBigramFrac(col("text")))
+    }
+    val model = {
+      val t0 = System.nanoTime()
+      val m = Quantization.train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8)
+      println(f"${"pq train (4x8, 1 Lloyd round)"}%-40s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      m
+    }
+    val coded = Quantization.encode(emb, "vec_id", "embedding", model).localCheckpoint(true)
+    time("pq encode") {
+      Quantization.encode(emb, "vec_id", "embedding", model)
+    }
+    time("pq ADC top-5 (1000 queries)") {
+      Quantization.adcTopK(coded, emb.filter(col("vec_id") < 1000),
+        "vec_id", "embedding", model, k = 5)
+    }
+    spark.stop()
+  }
+}

@@ -112,42 +112,71 @@ object TextFunctions {
   // ---------------------------------------------- repetition signals ---
   // Gopher-style repetition filters (Rae et al. 2021 use line/paragraph and
   // top-n-gram fractions; the token-level forms below are the variant that
-  // is meaningful for single-line corpora). All pure column expressions —
-  // reproducible in any SQL engine with list lambdas.
+  // is meaningful for single-line corpora).
+  //
+  // The counting runs in ONE fused JVM loop per row (hash-map occurrence
+  // counts): the equivalent higher-order-function chain
+  // (array_max(transform(array_distinct(toks), t -> size(filter(toks, ...)))))
+  // is interpreted AND quadratic in tokens — measured 3.5 ms/row on the
+  // sf0.1 corpus (~175 s for 50k docs) vs ~40 µs/row for this loop. The
+  // division + rounding stay in Catalyst so a SQL oracle reproduces the
+  // ratios exactly from the same integer counts.
+
+  /** (distinct tokens, max token count, tokens, max bigram count, bigrams)
+    * — one counting pass. Bigram edge: < 2 tokens yields one degenerate
+    * bigram (the remaining tokens joined; "" for an empty doc). */
+  private case class RepStats(nDistinct: Int, topTok: Int, nToks: Int,
+      topBg: Int, nBgs: Int)
+
+  private val repStatsUdf = udf { (txt: String) =>
+    val toks =
+      if (txt == null) Array.empty[String]
+      else txt.split("\\s+").filter(_.nonEmpty)
+    val tokCounts = new java.util.HashMap[String, Int](toks.length * 2)
+    var topTok = 0
+    toks.foreach { t =>
+      val c = tokCounts.merge(t, 1, Integer.sum)
+      if (c > topTok) topTok = c
+    }
+    val nBgs = math.max(toks.length - 1, 1)
+    val bgCounts = new java.util.HashMap[String, Int](nBgs * 2)
+    var topBg = 0
+    var i = 0
+    while (i < nBgs) {
+      val bg =
+        if (toks.isEmpty) ""
+        else if (i + 1 < toks.length) toks(i) + " " + toks(i + 1)
+        else toks(i)
+      val c = bgCounts.merge(bg, 1, Integer.sum)
+      if (c > topBg) topBg = c
+      i += 1
+    }
+    RepStats(tokCounts.size, topTok, toks.length, topBg, nBgs)
+  }
 
   /** Distinct-token ratio: |distinct tokens| / |tokens| — low values mean a
-    * repetitive document. 1.0 for empty docs (nothing repeated). */
+    * repetitive document. 0 for empty docs. */
   def distinctTokenRatio(text: Column, scale: Int = 4): Column = {
-    val toks = tokens(text)
-    round(size(array_distinct(toks)).cast("double")
-      / greatest(size(toks), lit(1)).cast("double"), scale)
+    val s = repStatsUdf(text)
+    round(s.getField("nDistinct").cast("double")
+      / greatest(s.getField("nToks"), lit(1)).cast("double"), scale)
   }
 
   /** Fraction of tokens taken by the single most frequent token. */
   def topTokenFrac(text: Column, scale: Int = 4): Column = {
-    val toks = tokens(text)
-    val maxCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    round(coalesce(maxCount, lit(0)).cast("double")
-      / greatest(size(toks), lit(1)).cast("double"), scale)
-  }
-
-  /** Consecutive word bigrams ("a b", "b c", ...); a doc with < 2 tokens
-    * yields one degenerate bigram (its own tokens joined). */
-  def wordBigrams(text: Column): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val s = repStatsUdf(text)
+    round(s.getField("topTok").cast("double")
+      / greatest(s.getField("nToks"), lit(1)).cast("double"), scale)
   }
 
   /** Fraction of word bigrams taken by the most frequent bigram — high
-    * values flag boilerplate/templated text that token-level stats miss. */
+    * values flag boilerplate/templated text that token-level stats miss.
+    * (Identical repStats subtrees across the three signals collapse to one
+    * evaluation per row via Spark's common-subexpression elimination.) */
   def topBigramFrac(text: Column, scale: Int = 4): Column = {
-    val bg = wordBigrams(text)
-    val maxCount = array_max(transform(array_distinct(bg),
-      t => size(filter(bg, x => x === t))))
-    round(coalesce(maxCount, lit(0)).cast("double")
-      / greatest(size(bg), lit(1)).cast("double"), scale)
+    val s = repStatsUdf(text)
+    round(s.getField("topBg").cast("double")
+      / greatest(s.getField("nBgs"), lit(1)).cast("double"), scale)
   }
 
   /** Canonical fingerprint: lowercase, collapse whitespace, trim, md5. */
