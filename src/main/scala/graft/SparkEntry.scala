@@ -540,6 +540,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // bloom-pruned join: the large side (lineitem) is filtered by a compact
+    // Bloom sketch of the selective small side's keys BEFORE its shuffle —
+    // false positives are removed by the real join, so the oracle is the
+    // plain join (operators.Bloom)
+    "q47_bloom_join" -> ((s, dir) => {
+      import graft.operators.Bloom
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Bloom.bloomPrunedJoin(
+        t(s, dir, "lineitem"), Seq("l_orderkey"),
+        urgent, Seq("o_orderkey"), fpp = 0.01)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("double"), 2).as("revenue"))
+        .orderBy(col("month"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1241,6 +1260,14 @@ object SparkEntry {
         |      i -> array_to_string(toks[i:i+1], ' ')) AS bg
         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "q47_bloom_join" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,
