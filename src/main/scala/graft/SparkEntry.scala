@@ -559,6 +559,24 @@ object SparkEntry {
         .orderBy(col("month"))
     }),
 
+    // SCD2 history build: per-user event_type intervals with run
+    // compression — lag-filter, lead and version share ONE window shuffle
+    // (operators.Scd)
+    "q48_scd2" -> ((s, dir) => {
+      import graft.operators.Scd
+      Scd.scd2FromChanges(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        keys = Seq("user_id"), tsCol = "ts",
+        trackedCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        // the driver's compare can't equate null timestamps (NaT != NaT in
+        // numpy) — close the open interval with the usual warehouse sentinel
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp"))
+            .as("valid_to"),
+          col("is_current"), col("version"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1268,6 +1286,23 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q48_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS DISTINCT FROM event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31') AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,
