@@ -577,6 +577,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // Z-order layout key: Morton interleave of (user bucket, value bucket)
+    // — pure shift/mask codegen arithmetic, bit-identical in any engine
+    // (operators.Layout; the write path is spec-tested for file-skipping)
+    "q49_zorder_key" -> ((s, dir) => {
+      import graft.operators.Layout
+      val x = pmod(col("user_id"), lit(256L))
+      val y = Layout.rangeBucket(col("value"), 0.0, 512.0, bits = 8)
+      events(s, dir).select(
+        col("event_id"), x.as("zx"), y.as("zy"),
+        Layout.mortonKey(Seq(x, y), bits = 8).as("zkey"))
+        .orderBy(col("event_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1303,6 +1316,17 @@ object SparkEntry {
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q49_zorder_key" -> (
+      """WITH b AS (
+        |  SELECT event_id,
+        |    user_id % 256 AS zx,
+        |    least(greatest(CAST(floor((value - 0.0) / 512.0 * 256.0) AS BIGINT), 0), 255) AS zy
+        |  FROM events
+        |)
+        |SELECT event_id, zx, zy, """.stripMargin +
+        graft.operators.Layout.mortonKeySql(Seq("zx", "zy"), 8) +
+        " AS zkey FROM b ORDER BY event_id"),
 
     "q30_value_percentiles" ->
       """SELECT event_type,
