@@ -590,6 +590,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // full Gopher document-filter rule set (Rae et al. 2021 §A1.1) — every
+    // signal + the combined verdict, all codegen'd regex/arithmetic
+    "q50_gopher_filter" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).as("n_words"),
+        TextFunctions.meanTokenLength(txt).as("mean_word_len"),
+        TextFunctions.symbolToWordRatio(txt).as("symbol_ratio"),
+        TextFunctions.bulletLineFrac(txt).as("bullet_frac"),
+        TextFunctions.ellipsisLineFrac(txt).as("ellipsis_frac"),
+        TextFunctions.alphaWordFrac(txt).as("alpha_frac"),
+        TextFunctions.stopwordPresence(txt).as("n_stopwords"),
+        TextFunctions.gopherPass(txt).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1327,6 +1344,42 @@ object SparkEntry {
         |SELECT event_id, zx, zy, """.stripMargin +
         graft.operators.Layout.mortonKeySql(Seq("zx", "zy"), 8) +
         " AS zkey FROM b ORDER BY event_id"),
+
+    "q50_gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_word_len,
+        |    round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS symbol_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+        |      / greatest(len(string_split(text, chr(10))), 1), 6) AS bullet_frac,
+        |    round(CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS DOUBLE)
+        |      / greatest(len(string_split(text, chr(10))), 1), 6) AS ellipsis_frac,
+        |    round(CAST(len(regexp_extract_all(text, '\S*\p{L}\S*')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS alpha_frac,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+        |    )::BIGINT AS n_stopwords
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1
+        |   AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8
+        |   AND n_stopwords >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -179,6 +179,76 @@ object TextFunctions {
       / greatest(s.getField("nBgs"), lit(1)).cast("double"), scale)
   }
 
+  // ------------------------------------------- Gopher-style doc filters ---
+  // The full document-level rule set of Rae et al. 2021 (§A1.1): word-count
+  // bounds, mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis
+  // line fractions, alphabetic-word fraction, minimum stop-word presence.
+  // All pure codegen'd regex/arith — patterns restricted to constructs with
+  // identical semantics in Java regex and RE2, so a SQL engine replays them.
+
+  /** Symbols counted by the symbol-to-word rule: '#', the one-char ellipsis,
+    * and a literal "..." (greedy leftmost match, so "...." counts once —
+    * same in any leftmost-longest engine). */
+  def symbolToWordRatio(text: Column, scale: Int = 6): Column = {
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+    round(symbols.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
+  }
+
+  /** Fraction of lines starting with a bullet ( -, *, or • after optional
+    * indent). `[ \t]` rather than `\s` so the indent cannot swallow the
+    * newline of an empty previous line. */
+  def bulletLineFrac(text: Column, scale: Int = 6): Column = {
+    val bullets = size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+    val lines = size(split(text, "\n"))
+    round(bullets.cast("double") / greatest(lines, lit(1)).cast("double"), scale)
+  }
+
+  /** Fraction of lines ending with an ellipsis ("..." or the one-char form). */
+  def ellipsisLineFrac(text: Column, scale: Int = 6): Column = {
+    val ell = size(regexp_extract_all(text, lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
+    val lines = size(split(text, "\n"))
+    round(ell.cast("double") / greatest(lines, lit(1)).cast("double"), scale)
+  }
+
+  /** Fraction of tokens containing at least one letter. */
+  def alphaWordFrac(text: Column, scale: Int = 6): Column = {
+    val alpha = size(regexp_extract_all(text, lit("\\S*\\p{L}\\S*"), lit(0)))
+    round(alpha.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
+  }
+
+  /** Gopher's stop-word presence list (distinct-word hits, not counts). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many of the GopherStopwords appear at least once. */
+  def stopwordPresence(text: Column): Column =
+    GopherStopwords.map(w =>
+      when(lower(text).rlike("\\b" + java.util.regex.Pattern.quote(w) + "\\b"), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+
+  /** The full Gopher document filter with the paper's default thresholds.
+    * Thresholds are parameters so corpus-specific tuning doesn't fork the
+    * expression tree. */
+  def gopherPass(
+      text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Long = 2L): Column = {
+    val n = tokenCount(text)
+    n.geq(minWords) && n.leq(maxWords) &&
+      meanTokenLength(text).between(minMeanWordLen, maxMeanWordLen) &&
+      symbolToWordRatio(text) <= maxSymbolRatio &&
+      bulletLineFrac(text) <= maxBulletFrac &&
+      ellipsisLineFrac(text) <= maxEllipsisFrac &&
+      alphaWordFrac(text) >= minAlphaFrac &&
+      stopwordPresence(text) >= minStopwords
+  }
+
   /** Canonical fingerprint: lowercase, collapse whitespace, trim, md5. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
