@@ -607,6 +607,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // whole-vocabulary TF-IDF, top-3 terms per doc: map-combined tf shuffle,
+    // df as a window count (no vocab self-join), top-k window
+    // (operators.Ranking.tfIdfTopTerms)
+    "q51_tfidf" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1380,6 +1389,25 @@ object SparkEntry {
         |   AND alpha_frac >= 0.8
         |   AND n_stopwords >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // idf rounded to 6 decimals BEFORE the tf multiply on both sides, so the
+    // ranking doubles are bit-identical despite libm-vs-JVM ln differences
+    "q51_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), wdf AS (
+        |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(CAST(tf AS DOUBLE) * round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(CAST(tf AS DOUBLE) * round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) DESC,
+        |      term ASC) AS BIGINT) AS rank
+        |FROM wdf, n
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -70,5 +71,48 @@ object Ranking {
     }.reduce(_ + _)
 
     d.select(col("doc_id"), col("dl").as("n_tokens"), round(score, scale).as("bm25"))
+  }
+
+  /** Top-`topK` TF-IDF terms per document (exact whitespace tokens).
+    *
+    * Unlike [[bm25]] (a fixed term bag, zero shuffles of document data),
+    * this scores the WHOLE vocabulary, so it is shuffle-bound by design —
+    * but every shuffle stays linear and map-combined:
+    *   1. explode → partial-aggregated `(doc, term) → tf` (one shuffle,
+    *      combiners collapse repeats before the wire);
+    *   2. document frequency as a window count over the term partitioning —
+    *      no vocabulary self-join, no second pass over the corpus;
+    *   3. per-document top-k via row_number (one shuffle by doc).
+    *
+    * idf = ln(N / df), rounded to `scale` before the multiply so a SQL
+    * oracle's libm reproduces the exact ranking doubles; ties break on term
+    * ascending. Output: (doc_id, term, tf, df, score, rank).
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+      scale: Int = 6): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val n = docs.count()
+    require(n > 0, "tfIdf over an empty corpus")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val idf = round(log(lit(n.toDouble) / col("df").cast("double")), scale)
+    val scored = withDf.withColumn("score",
+      round(col("tf").cast("double") * idf, scale))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
   }
 }

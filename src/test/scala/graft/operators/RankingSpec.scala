@@ -51,6 +51,43 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("tfIdfTopTerms") {
+    val docs = Seq(
+      (0L, "apple apple apple banana"),
+      (1L, "banana cherry cherry"),
+      (2L, "apple banana cherry date")).toDF("doc_id", "text")
+
+    it("ranks frequent-and-rare terms first, ties broken by term asc") {
+      val out = Ranking.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
+        .as[(Long, String, Long, Long, Double, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._6).map(r => (r._2, r._3, r._4))).toMap
+      // doc 0: apple tf=3 df=2 beats banana tf=1 df=3
+      out(0L) shouldBe Array(("apple", 3L, 2L), ("banana", 1L, 3L))
+      // doc 1: cherry tf=2 df=2 first; banana second
+      out(1L) shouldBe Array(("cherry", 2L, 2L), ("banana", 1L, 3L))
+      // doc 2: date tf=1 df=1 has max idf; then apple/cherry tie on
+      // (tf=1, df=2) -> term asc puts apple ahead
+      out(2L) shouldBe Array(("date", 1L, 1L), ("apple", 1L, 2L))
+    }
+
+    it("scores monotonically: higher tf and lower df never score lower") {
+      val all = Ranking.tfIdfTopTerms(docs, "doc_id", "text", topK = 100)
+        .as[(Long, String, Long, Long, Double, Long)].collect()
+      all.foreach { case (_, _, tf, df, score, _) =>
+        score shouldBe (tf * math.round(math.log(3.0 / df) * 1e6) / 1e6 +- 1e-6)
+      }
+      // df=3 terms (present everywhere) have idf 0 -> score 0
+      all.filter(_._4 == 3L).foreach(_._5 shouldBe 0.0)
+    }
+
+    it("drops empty documents rather than erroring") {
+      val d = Seq((0L, ""), (1L, "word")).toDF("doc_id", "text")
+      val out = Ranking.tfIdfTopTerms(d, "doc_id", "text", topK = 3)
+        .select("doc_id").as[Long].collect()
+      out shouldBe Array(1L)
+    }
+  }
+
   describe("repetition signals") {
     it("flags fully repetitive text and passes diverse text") {
       val d = Seq(
