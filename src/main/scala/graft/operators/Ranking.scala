@@ -80,8 +80,11 @@ object Ranking {
     * but every shuffle stays linear and map-combined:
     *   1. explode → partial-aggregated `(doc, term) → tf` (one shuffle,
     *      combiners collapse repeats before the wire);
-    *   2. document frequency as a window count over the term partitioning —
-    *      no vocabulary self-join, no second pass over the corpus;
+    *   2. document frequency by a vocabulary-sized groupBy, joined back on
+    *      term. Deliberately a JOIN and not a window count: stop words put
+    *      every document into a handful of term partitions, and a window's
+    *      partition cannot be split — the join lets AQE broadcast the
+    *      vocab-sized df side (or skew-split the shuffle when it can't);
     *   3. per-document top-k via row_number (one shuffle by doc).
     *
     * idf = ln(N / df), rounded to `scale` before the multiply so a SQL
@@ -102,8 +105,8 @@ object Ranking {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(df, "term")
     val idf = round(log(lit(n.toDouble) / col("df").cast("double")), scale)
     val scored = withDf.withColumn("score",
       round(col("tf").cast("double") * idf, scale))
