@@ -616,6 +616,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // benchmark decontamination: word-3-gram overlap of every doc against a
+    // benchmark set (docs 0-9); bench gram hashes broadcast, corpus-side
+    // explode hits them with no corpus-wide shuffle (Dedup.decontaminate)
+    "q52_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, "doc_id", "text",
+        benchmark = docs.filter(col("doc_id") < 10), benchTextCol = "text",
+        n = 3, maxHits = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1408,6 +1419,27 @@ object SparkEntry {
         |FROM wdf, n
         |QUALIFY rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q52_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS grams
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10
+        |), ex AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |), hits AS (
+        |  SELECT ex.doc_id, count(*) AS n_hits
+        |  FROM ex JOIN bench USING (gram) GROUP BY ex.doc_id
+        |)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -345,6 +345,50 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word n-grams
+    * with an evaluation/benchmark set (the GPT-3/PaLM-style hygiene pass —
+    * a training corpus that contains eval n-grams corrupts the benchmark).
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    * so its DISTINCT gram hashes build a broadcast-sized relation; the
+    * corpus explodes to (doc, gram-hash) and hits it with a broadcast
+    * inner join (no corpus-wide shuffle), then one partial-aggregated
+    * count per doc. Grams are xxhash64'd so the exploded stream and the
+    * broadcast table carry 8-byte longs, not strings — the hash never
+    * reaches the output, which is exact gram-overlap counts.
+    *
+    * @return docs' id column + `n_grams` (distinct grams in the doc),
+    *         `n_hits` (of them, how many occur anywhere in the benchmark),
+    *         `contaminated` (n_hits > maxHits).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      maxHits: Long = 0L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = docs.select(col(idCol), wordShingles(col(textCol), n).as("_grams"))
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("_gram"))
+      .select(xxhash64(col("_gram")).as("_gh"))
+      .distinct()
+    val hits = grams
+      .select(col(idCol), explode(col("_grams")).as("_gram"))
+      .select(col(idCol), xxhash64(col("_gram")).as("_gh"))
+      .join(broadcast(benchGrams), Seq("_gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    grams
+      .select(col(idCol), size(col("_grams")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > maxHits)
+  }
+
   // -------------------------------------------------------------- simhash ---
 
   /** 60-bit SimHash over whitespace tokens of the named column. Per token a
