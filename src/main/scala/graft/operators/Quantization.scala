@@ -120,6 +120,24 @@ object Quantization {
     }.drop("codes")
   }
 
+  /** Append per-row distance TABLES `table_0 .. table_{m-1}` (m x k doubles,
+    * computed once per row on the broadcast side) over the vector column —
+    * the "asymmetric" trick: scoring a corpus vector is then m table
+    * lookups + (m-1) adds, independent of dim. */
+  private[graft] def withDistTables(df: DataFrame, vecColName: String,
+      model: PqModel): DataFrame = {
+    val subDim = model.subDim
+    (0 until model.m).foldLeft(df) { (acc, j) =>
+      val cbLit = array(model.codebooks(j).toIndexedSeq.map(cent =>
+        array(cent.toIndexedSeq.map(lit): _*)): _*)
+      val qSub = slice(col(vecColName), j * subDim + 1, subDim)
+      acc.withColumn(s"table_$j", transform(cbLit, cent =>
+        aggregate(
+          zip_with(qSub, cent, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (accum, v) => accum + v)))
+    }
+  }
+
   /** Asymmetric-distance top-k: squared-L2 from each query to each coded
     * corpus vector, summed over subspaces through the codebooks. The coded
     * corpus streams (never reconstructed); queries broadcast. Rounded
@@ -134,21 +152,9 @@ object Quantization {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = model.m
-    val subDim = model.subDim
-    // per-query distance TABLES (m x k doubles, computed once per query on
-    // the broadcast side) — the "asymmetric" trick: scoring a corpus vector
-    // is then m table lookups + (m-1) adds, independent of dim
-    val tabled = (0 until m).foldLeft(
+    val tabled = withDistTables(
       queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("q_vec"))) { (acc, j) =>
-      val cbLit = array(model.codebooks(j).toIndexedSeq.map(cent =>
-        array(cent.toIndexedSeq.map(lit): _*)): _*)
-      val qSub = slice(col("q_vec"), j * subDim + 1, subDim)
-      acc.withColumn(s"table_$j", transform(cbLit, cent =>
-        aggregate(
-          zip_with(qSub, cent, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (accum, v) => accum + v)))
-    }
+        col(vecCol).cast("array<double>").as("q_vec")), "q_vec", model)
     val q = broadcast(tabled)
     // same doubles as computing each subspace distance in place (identical
     // per-element ops and fold order), so the SQL oracle formula matches
@@ -164,5 +170,94 @@ object Quantization {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ composite search (the FAISS `IVFPQ` shape, as DataFrame ops):
+    * coarse k-means cells prune the corpus to `nProbe` inverted lists per
+    * query, and within a cell the RESIDUAL (vector minus its cell centroid)
+    * is product-quantized — residual encoding is what makes small codebooks
+    * accurate, because each subspace only has to cover the spread around a
+    * centroid, not the whole space.
+    *
+    * Search: each query expands to its `nProbe` nearest cells, builds one
+    * residual distance table per probed cell on the broadcast side, and
+    * scores ONLY that cell's codes via table lookups — corpus cost is
+    * |probed lists| x m lookups, never dim-sized math, and the coded corpus
+    * (cell + m small ints per vector) is the only thing scanned.
+    *
+    * Deterministic end to end (seeded coarse + PQ k-means, strict-< argmin,
+    * rounded distance, id tie-break). Ranking quality is spec-tested for
+    * recall against [[Similarity.bruteForceTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nLists: Int = 16,
+      coarseIters: Int = 2,
+      nProbe: Int = 2,
+      m: Int = 4,
+      codesPerSubspace: Int = 8,
+      pqIters: Int = 1,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+      .transform(Materialize.apply) // coarse rounds + residual encode reread it
+
+    val coarse = Similarity.kmeansCentroids(c, "neighbor_id", "c_vec", nLists, coarseIters)
+    val residualUdf = udf { (v: Array[Double]) =>
+      val cell = argminCell(v, coarse)
+      val cent = coarse(cell)
+      val res = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+      (cell, res)
+    }
+    // one pass derives (cell, residual); PQ trains and encodes on residuals
+    val withRes = c.withColumn("_cr", residualUdf(col("c_vec")))
+      .select(col("neighbor_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
+      .transform(Materialize.apply)
+    val model = train(withRes, "neighbor_id", "res", dim, m, codesPerSubspace, pqIters)
+    val coded = encode(withRes.select(col("neighbor_id"), col("cell"), col("res")),
+      "neighbor_id", "res", model)
+      .join(withRes.select(col("neighbor_id"), col("cell")), Seq("neighbor_id"))
+
+    // queries: explode to nProbe probed cells, each with its own residual —
+    // the distance tables below are PER (query, cell)
+    val probeUdf = udf { (v: Array[Double]) =>
+      coarse.indices.map { ci =>
+        (sqDist(v, coarse(ci)), ci)
+      }.sorted.take(nProbe).map { case (_, ci) =>
+        val cent = coarse(ci)
+        val res = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+        (ci, res)
+      }.toArray
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("_probe", explode(probeUdf(col("q_vec"))))
+      .select(col("query_id"), col("_probe._1").as("cell"), col("_probe._2").as("q_res"))
+    val tabled = broadcast(withDistTables(q, "q_res", model))
+
+    val dist: Column = (0 until m).map { j =>
+      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val out = tabled.join(coded, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(dist, scale))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+    Materialize.release(c)
+    out
   }
 }

@@ -151,6 +151,50 @@ object Similarity {
     * per-dimension mean). Driver-side state is bounded at nLists x dim
     * doubles — never corpus-sized.
     */
+  /** Nearest-centroid assignment (strict-< argmin, first wins on ties). */
+  private[graft] def cellAssignUdf(cents: Array[Array[Double]]) =
+    udf { (v: Array[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val cent = cents(ci); var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+
+  /** Deterministic distributed k-means over `(idColName, vecColName)`:
+    * seeded with the first `nCells` vectors by id order, `iters` Lloyd
+    * rounds (assignment = argmin over a broadcast centroid array; update =
+    * grouped per-dimension mean; empty cells keep their previous centroid).
+    * Driver-side state is bounded at nCells x dim doubles — never
+    * corpus-sized. Shared by [[ivfTopK]] and the IVF-PQ composite. */
+  private[graft] def kmeansCentroids(c: DataFrame, idColName: String,
+      vecColName: String, nCells: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = c.orderBy(col(idColName)).limit(nCells)
+      .select(col(vecColName)).collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = c.withColumn("cell", cellAssignUdf(centroids)(col(vecColName)))
+      val updated = assigned
+        .select(col("cell"), posexplode(col(vecColName)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = updated.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { ci =>
+        byCell.get(ci).map { rows =>
+          val arr = new Array[Double](centroids(ci).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(centroids(ci))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -164,38 +208,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("c_vec"))
       .transform(Materialize.apply) // reused per Lloyd round + final probe join
 
-    var centroids: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(nLists)
-      .collect().map(_.getSeq[Double](1).toArray)
-
-    def cellUdf(cents: Array[Array[Double]]) = udf { (v: Array[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < cents.length) {
-        val cent = cents(ci); var d = 0.0; var i = 0
-        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      best
-    }
-
-    var it = 0
-    while (it < lloydIters) {
-      val assigned = c.withColumn("cell", cellUdf(centroids)(col("c_vec")))
-      val updated = assigned
-        .select(col("cell"), posexplode(col("c_vec")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .collect()
-      val byCell = updated.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { ci =>
-        byCell.get(ci).map { rows =>
-          val arr = new Array[Double](centroids(ci).length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(centroids(ci))
-      }.toArray
-      it += 1
-    }
+    val centroids = kmeansCentroids(c, "neighbor_id", "c_vec", nLists, lloydIters)
 
     val probeUdf = {
       val cents = centroids
@@ -208,7 +221,7 @@ object Similarity {
       }
     }
 
-    val indexed = c.withColumn("cell", cellUdf(centroids)(col("c_vec")))
+    val indexed = c.withColumn("cell", cellAssignUdf(centroids)(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell", explode(probeUdf(col("q_vec"))))

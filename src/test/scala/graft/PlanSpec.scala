@@ -73,6 +73,38 @@ class PlanSpec extends SparkTestBase with Matchers {
     q.queryExecution.explainString(CodegenMode) should include("WholeStageCodegen")
   }
 
+  it("bloom prune filters the large side BEFORE the join") {
+    val p = plan("q47_bloom_join")
+    // the membership probe must sit on the lineitem scan side, upstream of
+    // the join — i.e. the plan filters with the UDF somewhere
+    p should include("UDF")
+    p should not include "CartesianProduct"
+    // the pruned lineitem side still joins the orders side by key
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  it("scd2 builds lag, lead and version over a single window shuffle") {
+    val p = plan("q48_scd2")
+    // one hash exchange for the window partitioning + one range exchange for
+    // the final presentation sort — nothing else
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  it("tfidf aggregates map-side before its shuffles and never goes cartesian") {
+    val p = plan("q51_tfidf")
+    p should include("partial_count") // map-side combine on the tf aggregation
+    p should not include "CartesianProduct"
+    p should not include "NestedLoop"
+  }
+
+  it("decontamination hits the benchmark grams with a broadcast join") {
+    val p = plan("q52_decontaminate")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
