@@ -14,6 +14,7 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ns ts
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators._
@@ -57,6 +58,36 @@ object ScaleProbe {
     time("pq ADC top-5 (1000 queries)") {
       Quantization.adcTopK(coded, emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", model, k = 5)
+    }
+    time("ivf-pq top-5 (1000 queries, 4/16 probe)") {
+      Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000),
+        "vec_id", "embedding", dim = 64, k = 5, nLists = 16, nProbe = 4)
+    }
+    time("tfidf top-3 terms") {
+      Ranking.tfIdfTopTerms(docs, "doc_id", "text", topK = 3)
+    }
+    time("decontaminate (3-grams vs 500-doc bench)") {
+      Dedup.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 500), "text", n = 3)
+    }
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    time("scd2 history (1M events)") {
+      Scd.scd2FromChanges(
+        events.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select("o_orderkey", "o_orderdate")
+    time("bloom-pruned join (600k lineitem)") {
+      Bloom.bloomPrunedJoin(li, Seq("l_orderkey"), ord, Seq("o_orderkey"))
+    }
+    time("zorder write key (1M events)") {
+      events.select(col("event_id"),
+        Layout.mortonKey(Seq(pmod(col("user_id"), lit(256L)),
+          Layout.rangeBucket(col("value"), 0.0, 512.0, 8)), 8).as("z"))
     }
     spark.stop()
   }
