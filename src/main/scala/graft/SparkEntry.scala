@@ -627,6 +627,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic per-key cap: at most 5 events per user, chosen by a
+    // content-hash ranking — stable under re-runs/repartitioning, unlike
+    // head-N of file order (operators.Sampling.cappedPerKey)
+    "q53_capped_per_key" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.cappedPerKey(
+        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+        keys = Seq(col("user_id")), rankKey = col("event_id"), maxPerKey = 5)
+        .orderBy(col("event_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1440,6 +1451,13 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q53_capped_per_key" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    CAST(event_id AS VARCHAR)) <= 5
+        |ORDER BY event_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -46,6 +46,11 @@ object Bloom {
     require(largeKeys.nonEmpty && largeKeys.size == smallKeys.size,
       "largeKeys and smallKeys must be non-empty and of equal arity")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    // pruning the large side is only sound when unmatched large rows are
+    // dropped by the join anyway — a left/full join would silently lose the
+    // unmatched rows the caller asked to keep
+    require(Set("inner", "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
+      s"bloomPrunedJoin preserves semantics only for inner/left_semi joins, got $joinType")
 
     def keyHash(keys: Seq[String]): Column = xxhash64(keys.map(col): _*)
 

@@ -61,5 +61,13 @@ class BloomSpec extends SparkTestBase with Matchers {
       an[IllegalArgumentException] should be thrownBy
         Bloom.bloomPrunedJoin(df, Seq("k"), df, Seq("k"), fpp = 1.5)
     }
+
+    it("refuses join types whose unmatched rows the prune would lose") {
+      val df = spark.range(1).toDF("k")
+      an[IllegalArgumentException] should be thrownBy
+        Bloom.bloomPrunedJoin(df, Seq("k"), df, Seq("k"), joinType = "left")
+      an[IllegalArgumentException] should be thrownBy
+        Bloom.bloomPrunedJoin(df, Seq("k"), df, Seq("k"), joinType = "full_outer")
+    }
   }
 }

@@ -67,6 +67,23 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
         .where(col("k").isNull).count() shouldBe nullsKept
     }
 
+    it("caps rows per key deterministically") {
+      val df = spark.range(1000)
+        .select((col("id") % 10).as("k"), col("id").as("v"))
+      val capped = Sampling.cappedPerKey(df, Seq(col("k")), col("v"), maxPerKey = 7)
+      // every key capped at exactly 7 (each has 100 rows)
+      capped.groupBy("k").count().select("count").as[Long].collect()
+        .foreach(_ shouldBe 7L)
+      // the surviving set is content-determined, not partitioning-determined
+      val a = capped.select("v").as[Long].collect().sorted
+      val b = Sampling.cappedPerKey(df.repartition(13), Seq(col("k")), col("v"), 7)
+        .select("v").as[Long].collect().sorted
+      b shouldBe a
+      // keys with fewer rows than the cap keep everything
+      val tiny = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
+      Sampling.cappedPerKey(tiny, Seq(col("k")), col("v"), 7).count() shouldBe 3L
+    }
+
     it("applies per-stratum rates with a default") {
       val df = spark.range(4000)
         .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
