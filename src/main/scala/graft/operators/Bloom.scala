@@ -54,11 +54,16 @@ object Bloom {
 
     def keyHash(keys: Seq[String]): Column = xxhash64(keys.map(col): _*)
 
-    val n = if (expectedItems > 0) expectedItems
-      else math.max(small.count(), 1L)
-    // one pass over the small side builds the sketch on the driver...
-    val filter = small.select(keyHash(smallKeys).as("_graft_bloom_key"))
-      .stat.bloomFilter("_graft_bloom_key", n, fpp)
+    // ONE evaluation of the small-side pipeline feeds the whole sketch
+    // path: the distinct key hashes are materialized, sized (exact distinct
+    // count — a row count would oversize the filter under key duplication),
+    // and bloom-built from the stored blocks. The only other evaluation is
+    // the join itself.
+    val keys = Materialize(
+      small.select(keyHash(smallKeys).as("_graft_bloom_key")).distinct())
+    val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
+    val filter = keys.stat.bloomFilter("_graft_bloom_key", n, fpp)
+    Materialize.release(keys) // the sketch is driver-held from here
     // ...and a broadcast ships it once per executor, not once per task
     val bc = large.sparkSession.sparkContext.broadcast(filter)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))

@@ -345,22 +345,6 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Benchmark decontamination: flag corpus documents sharing word n-grams
-    * with an evaluation/benchmark set (the GPT-3/PaLM-style hygiene pass —
-    * a training corpus that contains eval n-grams corrupts the benchmark).
-    *
-    * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
-    * so its DISTINCT gram hashes build a broadcast-sized relation; the
-    * corpus explodes to (doc, gram-hash) and hits it with a broadcast
-    * inner join (no corpus-wide shuffle), then one partial-aggregated
-    * count per doc. Grams are xxhash64'd so the exploded stream and the
-    * broadcast table carry 8-byte longs, not strings — the hash never
-    * reaches the output, which is exact gram-overlap counts.
-    *
-    * @return docs' id column + `n_grams` (distinct grams in the doc),
-    *         `n_hits` (of them, how many occur anywhere in the benchmark),
-    *         `contaminated` (n_hits > maxHits).
-    */
   /** Distinct word-n-gram hashes in one fused JVM loop per row (tokenize →
     * window → 64-bit hash → dedup). The HOF formulation
     * (`array_distinct(transform(sequence(...), concat_ws(slice)))`) is
@@ -394,6 +378,22 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word n-grams
+    * with an evaluation/benchmark set (the GPT-3/PaLM-style hygiene pass —
+    * a training corpus that contains eval n-grams corrupts the benchmark).
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    * so its DISTINCT gram hashes build a broadcast-sized relation; the
+    * corpus explodes to (doc, gram-hash) and hits it with a broadcast
+    * join (no corpus-wide shuffle), then one partial-aggregated count per
+    * doc. The exploded stream and the broadcast table carry 8-byte longs,
+    * not gram strings — the hash never reaches the output, which is exact
+    * gram-overlap counts.
+    *
+    * @return docs' id column + `n_grams` (distinct grams in the doc),
+    *         `n_hits` (of them, how many occur anywhere in the benchmark),
+    *         `contaminated` (n_hits > maxHits).
+    */
   def decontaminate(
       docs: DataFrame,
       idCol: String,

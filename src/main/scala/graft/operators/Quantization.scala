@@ -102,9 +102,12 @@ object Quantization {
   }
 
   /** Per-subspace nearest-centroid codes as one map-side pass:
-    * (idCol, code_0 .. code_{m-1}) — integer output, exactly reproducible
-    * by any engine that replays the training recurrence. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    * (idCol, passthrough..., code_0 .. code_{m-1}) — integer output, exactly
+    * reproducible by any engine that replays the training recurrence.
+    * `passthrough` columns ride along so callers (IVF-PQ keeps its cell id)
+    * never need a corpus-wide re-join to recover them. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      passthrough: Seq[String] = Seq.empty): DataFrame = {
     val cb = model.codebooks
     val subDim = model.subDim
     val m = model.m
@@ -113,8 +116,8 @@ object Quantization {
         argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
       }
     }
-    val coded = df.select(col(idCol),
-      codeUdf(col(vecCol).cast("array<double>")).as("codes"))
+    val coded = df.select((idCol +: passthrough).map(col) :+
+      codeUdf(col(vecCol).cast("array<double>")).as("codes"): _*)
     (0 until m).foldLeft(coded) { (acc, j) =>
       acc.withColumn(s"code_$j", element_at(col("codes"), j + 1).cast("long"))
     }.drop("codes")
@@ -187,7 +190,9 @@ object Quantization {
     *
     * Deterministic end to end (seeded coarse + PQ k-means, strict-< argmin,
     * rounded distance, id tie-break). Ranking quality is spec-tested for
-    * recall against [[Similarity.bruteForceTopK]].
+    * recall against exact L2 top-k (ADC approximates squared-L2 — cosine
+    * rankings like [[Similarity.bruteForceTopK]] are a different metric on
+    * unnormalised vectors).
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -222,9 +227,8 @@ object Quantization {
       .select(col("neighbor_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
       .transform(Materialize.apply)
     val model = train(withRes, "neighbor_id", "res", dim, m, codesPerSubspace, pqIters)
-    val coded = encode(withRes.select(col("neighbor_id"), col("cell"), col("res")),
-      "neighbor_id", "res", model)
-      .join(withRes.select(col("neighbor_id"), col("cell")), Seq("neighbor_id"))
+    // cell rides through the encode projection — no corpus-wide re-join
+    val coded = encode(withRes, "neighbor_id", "res", model, passthrough = Seq("cell"))
 
     // queries: explode to nProbe probed cells, each with its own residual —
     // the distance tables below are PER (query, cell)
@@ -257,6 +261,11 @@ object Quantization {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("long").as("rank"))
+      // queries x k rows — materializing the (tiny) result lets BOTH
+      // corpus-sized intermediates release immediately instead of leaking
+      // replicated cache entries for the session (persist mode contract)
+      .transform(Materialize.apply)
+    Materialize.release(withRes)
     Materialize.release(c)
     out
   }

@@ -98,16 +98,18 @@ object Ranking {
       topK: Int,
       scale: Int = 6): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val n = docs.count()
-    require(n > 0, "tfIdf over an empty corpus")
+    // corpus size as a broadcast scalar INSIDE the lazy DAG (the oracle's
+    // `n` CTE shape) — an eager docs.count() here would scan an expensive
+    // upstream pipeline twice and make composition side-effecting
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_graft_n"))
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(df, "term")
-    val idf = round(log(lit(n.toDouble) / col("df").cast("double")), scale)
+    val withDf = tf.join(df, "term").crossJoin(broadcast(nDocs))
+    val idf = round(log(col("_graft_n") / col("df").cast("double")), scale)
     val scored = withDf.withColumn("score",
       round(col("tf").cast("double") * idf, scale))
     val w = Window.partitionBy(col("doc_id"))

@@ -82,6 +82,18 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       // keys with fewer rows than the cap keep everything
       val tiny = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
       Sampling.cappedPerKey(tiny, Seq(col("k")), col("v"), 7).count() shouldBe 3L
+      // duplicate rank keys: a tieBreak column restores total order, so the
+      // surviving rows are still partitioning-independent
+      val dup = spark.range(100).select(lit(1L).as("k"), lit("same").as("r"),
+        col("id").as("payload"))
+      val d1 = Sampling.cappedPerKey(dup, Seq(col("k")), col("r"), 5,
+        tieBreak = Seq(col("payload")))
+        .select("payload").as[Long].collect().sorted
+      val d2 = Sampling.cappedPerKey(dup.repartition(7), Seq(col("k")), col("r"), 5,
+        tieBreak = Seq(col("payload")))
+        .select("payload").as[Long].collect().sorted
+      d2 shouldBe d1
+      d1.length shouldBe 5
     }
 
     it("applies per-stratum rates with a default") {
