@@ -31,6 +31,33 @@ object Quantization {
   final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
     def m: Int = codebooks.length
     def k: Int = codebooks.head.length
+
+    /** Persist as one tiny parquet (m*k rows of (j, c, centroid)) so a
+      * model trains once and encodes in any later job/session — retraining
+      * per job would silently shift codes and corrupt an incrementally
+      * coded corpus. */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq.toDF("j", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Load a [[PqModel]] written by [[PqModel.save]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("j"), col("c"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no PQ model at $path")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (j, c, cent) => codebooks(j)(c) = cent.toArray }
+    require(codebooks.forall(_.forall(_ != null)), s"PQ model at $path is incomplete")
+    PqModel(codebooks.head.head.length, codebooks)
   }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {

@@ -53,6 +53,21 @@ class QuantizationSpec extends SparkTestBase with Matchers {
       c999 shouldBe c0
     }
 
+    it("a saved model reloads bit-identically and encodes the same codes") {
+      val model = Quantization.train(corpus, "vec_id", "embedding", dim, m = 4, k = 4)
+      val path = s"$tmpDir/pq_model"
+      model.save(spark, path)
+      val loaded = Quantization.loadModel(spark, path)
+      loaded.subDim shouldBe model.subDim
+      loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      val a = Quantization.encode(corpus, "vec_id", "embedding", model)
+        .orderBy("vec_id").collect().map(_.toString)
+      val b = Quantization.encode(corpus, "vec_id", "embedding", loaded)
+        .orderBy("vec_id").collect().map(_.toString)
+      b shouldBe a
+    }
+
     it("ADC search surfaces the query's own blob (codes preserve cluster geometry)") {
       val model = Quantization.train(corpus, "vec_id", "embedding", dim, m = 2, k = 4)
       val coded = Quantization.encode(corpus, "vec_id", "embedding", model)
