@@ -351,7 +351,7 @@ object Dedup {
     * interpreted and allocates per window — measured 8x slower over the
     * 500k-doc scale probe. 64-bit hashes (two seeded murmur32 halves) keep
     * cross-set collision odds negligible at 10^8+ distinct grams. */
-  private def gramHashUdf(n: Int) = udf { (txt: String) =>
+  private[graft] def gramHashUdf(n: Int) = udf { (txt: String) =>
     val toks =
       if (txt == null) Array.empty[String]
       else txt.split("\\s+").filter(_.nonEmpty)

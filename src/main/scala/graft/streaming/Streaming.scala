@@ -139,6 +139,31 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming benchmark decontamination: flag documents sharing word
+    * n-grams with a STATIC benchmark set, at ingest time. The benchmark's
+    * distinct gram hashes collect once to the driver (eval suites are tiny
+    * by definition) and broadcast; each arriving doc is scored by one
+    * in-row set-membership pass — completely stateless, no stream-side
+    * shuffle, works in append mode with no watermark. The batch twin
+    * ([[graft.operators.Dedup.decontaminate]]) shares the same gram-hash
+    * function, so flags agree between backfill and live ingest. */
+  def decontaminateStream(docs: DataFrame, textCol: String, benchmark: DataFrame,
+      benchTextCol: String, n: Int = 8, maxHits: Long = 0L): DataFrame = {
+    import graft.operators.Dedup
+    val gh = Dedup.gramHashUdf(n)
+    val benchSet: Set[Long] = benchmark
+      .select(explode(gh(col(benchTextCol))).as("_gh"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(benchSet)
+    val hitsUdf = udf { (ghs: Array[Long]) => ghs.count(bc.value.contains).toLong }
+    docs
+      .withColumn("_ghs", gh(col(textCol)))
+      .withColumn("n_grams", size(col("_ghs")).cast("long"))
+      .withColumn("n_hits", hitsUdf(col("_ghs")))
+      .withColumn("contaminated", col("n_hits") > maxHits)
+      .drop("_ghs")
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable sink shape for production (exactly-once via checkpoint + file
     * sink). Returns the running query. */

@@ -116,6 +116,37 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming decontamination flags docs at ingest, matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox runs")).toDF("bid", "btext")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = Streaming.decontaminateStream(docs, "text", bench, "btext", n = 3)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (0L, "the quick brown fox appears here"), // shares two 3-grams
+        (1L, "nothing in common with anything"),
+        (2L, "quick brown fox sighted"))          // shares one 3-gram
+      query.processAllAvailable()
+      val out = spark.table("decon_out")
+        .select("doc_id", "n_hits", "contaminated")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      out shouldBe Array((0L, 2L, true), (1L, 0L, false), (2L, 1L, true))
+      // flags agree with the batch operator over the same data
+      val batch = graft.operators.Dedup.decontaminate(
+        Seq((0L, "the quick brown fox appears here"),
+          (1L, "nothing in common with anything"),
+          (2L, "quick brown fox sighted")).toDF("doc_id", "text"),
+        "doc_id", "text", bench, "btext", n = 3)
+        .select("doc_id", "n_hits", "contaminated")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      batch shouldBe out
+    } finally query.stop()
+  }
+
   it("sessionize keeps late events out of the live session beyond the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.SessionInput]
