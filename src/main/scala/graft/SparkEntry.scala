@@ -1435,8 +1435,11 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
         |), g AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(t[i:i+2], ' '))) AS grams
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |           i -> array_to_string(t[i:i+2], ' ')))
+        |    END AS grams
         |  FROM toks
         |), bench AS (
         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10

@@ -355,6 +355,13 @@ object Dedup {
     val toks =
       if (txt == null) Array.empty[String]
       else txt.split("\\s+").filter(_.nonEmpty)
+    // token-free text has NO grams (not a hash of "") — otherwise one blank
+    // benchmark row would flag every blank corpus doc as contaminated
+    if (toks.isEmpty) Array.empty[Long]
+    else gramHashes(toks, n)
+  }
+
+  private def gramHashes(toks: Array[String], n: Int): Array[Long] = {
     val nW = math.max(toks.length - n + 1, 1)
     val seen = new java.util.LinkedHashSet[java.lang.Long](nW * 2)
     var i = 0
@@ -414,8 +421,10 @@ object Dedup {
     // corpus-side shuffle wider than (id, count)
     docs
       .select(col(idCol), gh(col(textCol)).as("_ghs"))
+      // explode_outer: token-free docs have ZERO grams and must still
+      // appear in the output (n_grams = 0, n_hits = 0), not vanish
       .select(col(idCol), size(col("_ghs")).cast("long").as("n_grams"),
-        explode(col("_ghs")).as("_gh"))
+        explode_outer(col("_ghs")).as("_gh"))
       .join(broadcast(benchGrams), Seq("_gh"), "left")
       .groupBy(col(idCol))
       .agg(first(col("n_grams")).as("n_grams"),

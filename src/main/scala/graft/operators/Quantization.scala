@@ -135,10 +135,18 @@ object Quantization {
     * never need a corpus-wide re-join to recover them. */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
       passthrough: Seq[String] = Seq.empty): DataFrame = {
+    val reserved = "codes" +: (0 until model.m).map(j => s"code_$j")
+    require(passthrough.forall(c => !reserved.contains(c)),
+      s"passthrough columns may not use the reserved names ${reserved.mkString(", ")}")
     val cb = model.codebooks
     val subDim = model.subDim
     val m = model.m
     val codeUdf = udf { (v: Array[Double]) =>
+      // fail loudly on dim drift: copyOfRange would silently zero-pad a
+      // too-short vector into garbage codes (hazard once models persist
+      // across jobs and schemas evolve)
+      require(v.length == m * subDim,
+        s"vector of dim ${v.length} does not match PQ model dim ${m * subDim}")
       Array.tabulate(m) { j =>
         argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
       }

@@ -89,7 +89,9 @@ object Ranking {
     *
     * idf = ln(N / df), rounded to `scale` before the multiply so a SQL
     * oracle's libm reproduces the exact ranking doubles; ties break on term
-    * ascending. Output: (doc_id, term, tf, df, score, rank).
+    * ascending. Output: (doc_id, term, tf, df, score, rank). An empty
+    * corpus yields an empty frame (the count is a lazy in-DAG scalar, so
+    * there is no composition-time emptiness check).
     */
   def tfIdfTopTerms(
       docs: DataFrame,

@@ -52,6 +52,22 @@ class DecontaminateSpec extends SparkTestBase with Matchers {
       out._4 shouldBe false
     }
 
+    it("blank text has zero grams: a blank bench row cannot poison blank docs") {
+      val blankyCorpus = Seq((0L, ""), (1L, "   "), (2L, "the quick brown fox"))
+        .toDF("doc_id", "text")
+      val blankyBench = Seq((100L, ""), (101L, "quick brown fox here"))
+        .toDF("bid", "btext")
+      val out = Dedup.decontaminate(blankyCorpus, "doc_id", "text",
+        blankyBench, "btext", n = 3)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      // blank docs still appear, with no grams and no hits
+      out(0) shouldBe ((0L, 0L, 0L, false))
+      out(1) shouldBe ((1L, 0L, 0L, false))
+      // the real doc matches "quick brown fox" only
+      out(2)._3 shouldBe 1L
+      out(2)._4 shouldBe true
+    }
+
     it("benchmark side is broadcast — no corpus-wide join shuffle") {
       val plan = Dedup.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 3)
         .queryExecution.executedPlan.toString

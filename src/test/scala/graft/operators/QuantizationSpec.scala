@@ -53,6 +53,18 @@ class QuantizationSpec extends SparkTestBase with Matchers {
       c999 shouldBe c0
     }
 
+    it("encode rejects dim drift and reserved passthrough names") {
+      val model = Quantization.train(corpus, "vec_id", "embedding", dim, m = 4, k = 4)
+      val wrongDim = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+      val ex = intercept[Exception] {
+        Quantization.encode(wrongDim, "vec_id", "embedding", model).collect()
+      }
+      ex.getMessage should include("does not match PQ model dim")
+      an[IllegalArgumentException] should be thrownBy
+        Quantization.encode(corpus, "vec_id", "embedding", model,
+          passthrough = Seq("code_0"))
+    }
+
     it("a saved model reloads bit-identically and encodes the same codes") {
       val model = Quantization.train(corpus, "vec_id", "embedding", dim, m = 4, k = 4)
       val path = s"$tmpDir/pq_model"
