@@ -638,6 +638,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // one-pass column profiling: row/null/distinct counts + ranges for four
+    // orders columns in a single aggregation (operators.Profile); string
+    // rendering keeps min/max comparable across engines for the long and
+    // string columns profiled here
+    "q54_profile" -> ((s, dir) => {
+      import graft.operators.Profile
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1461,6 +1472,32 @@ object SparkEntry {
         |  ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
         |    CAST(event_id AS VARCHAR)) <= 5
         |ORDER BY event_id""".stripMargin,
+
+    "q54_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders
+        |)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class ProfileSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, Some("b"), None),
+    (3L, None, Some(2.5)),
+    (4L, Some("a"), Some(2.5))).toDF("id", "s", "v")
+
+  describe("profile") {
+
+    it("computes counts, nulls, distincts and ranges per column") {
+      val out = Profile.profile(df, Seq("id", "s", "v"))
+        .as[(String, Long, Long, Long, String, String)].collect()
+        .map(r => r._1 -> r).toMap
+      out("id") shouldBe (("id", 4L, 0L, 4L, "1", "4"))
+      out("s") shouldBe (("s", 4L, 1L, 2L, "a", "b"))
+      out("v") shouldBe (("v", 4L, 1L, 2L, "1.5", "2.5"))
+    }
+
+    it("runs as a single aggregation pass (one scan in the plan)") {
+      val plan = Profile.profile(df, Seq("id", "s", "v"))
+        .queryExecution.executedPlan.toString
+      "LocalTableScan|Scan".r.findAllIn(plan).size shouldBe 1
+    }
+
+    it("approx mode avoids the Expand row multiplication") {
+      val exact = Profile.profile(df, Seq("id", "s"))
+        .queryExecution.executedPlan.toString
+      val approx = Profile.profile(df, Seq("id", "s"), approxDistinct = true)
+        .queryExecution.executedPlan.toString
+      exact should include("Expand")
+      approx should not include "Expand"
+      // approx counts are exact at this cardinality
+      Profile.profile(df, Seq("id"), approxDistinct = true)
+        .select("n_distinct").as[Long].head() shouldBe 4L
+    }
+
+    it("rejects an empty column list") {
+      an[IllegalArgumentException] should be thrownBy Profile.profile(df, Seq.empty)
+    }
+  }
+}
