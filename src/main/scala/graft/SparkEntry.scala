@@ -649,6 +649,29 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // quality-weighted deterministic sampling: each doc kept with its own
+    // probability (= its quality score), content-hash decided
+    "q55_weighted_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.weightedHashSample(t(s, dir, "documents"),
+        key = col("doc_id"), weight = TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing: per-language token streams split into 512-token
+    // training windows (operators.Packing)
+    "q56_packing" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        shardCols = Seq(col("lang")), orderCol = col("doc_id"),
+        tokenCol = TextFunctions.tokenCount(col("text")), windowTokens = 512L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"), col("spans_boundary"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1498,6 +1521,31 @@ object SparkEntry {
         |  FROM orders
         |)
         |SELECT * FROM p ORDER BY col_name""".stripMargin,
+
+    // weight = the q15 quality score, recomputed; membership = md5 bucket
+    "q55_weighted_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |  < round(round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + greatest(1.0 - round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) * 5.0, 0.0)
+        |      + least(round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) * 4.0, 1.0)
+        |     ) / 3.0, 6) * 10000)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q56_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+        |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+        |  ((sum(n_tokens) OVER w - n_tokens) % 512 + n_tokens) > 512 AS spans_boundary
+        |FROM t
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -62,6 +62,17 @@ object Sampling {
       .drop("_graft_rn")
   }
 
+  /** Per-row weighted deterministic sampling: keep each row with its OWN
+    * probability (`weight` in [0,1], e.g. a quality score) — the
+    * quality-weighted downsampling step of a curation pipeline. Membership
+    * is still content-hash-decided, so it is reproducible and monotone in
+    * the weight: raising a row's weight can only add it to the sample,
+    * never evict it (stable incremental re-curation). Map-side only. */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      buckets: Int = 10000): DataFrame =
+    df.where(hashBucket(key, buckets) <
+      round(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets))
+
   /** Stratified deterministic sampling: a rate per stratum value (e.g.
     * downsample dominant languages, keep the tail). Strata missing from
     * `rates` use `defaultRate`. */

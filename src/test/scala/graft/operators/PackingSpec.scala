@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class PackingSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  // (id, shard, tokens): shard a fills 10+200+300 tokens, shard b 50+512
+  private val docs = Seq(
+    (1L, "a", 10L), (2L, "a", 200L), (3L, "a", 300L),
+    (4L, "b", 50L), (5L, "b", 512L)).toDF("id", "shard", "toks")
+
+  describe("packSequences") {
+
+    it("assigns contiguous offsets and window-of-first-token chunk ids per shard") {
+      val out = Packing.packSequences(docs, Seq(col("shard")), col("id"),
+        col("toks"), windowTokens = 512L)
+        .select("id", "start_offset", "chunk_id", "spans_boundary")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      out shouldBe Array(
+        (1L, 0L, 0L, false),
+        (2L, 10L, 0L, false),
+        (3L, 210L, 0L, false),   // 210+300=510 <= 512: fits window 0
+        (4L, 0L, 0L, false),     // shard b restarts at 0
+        (5L, 50L, 0L, true))     // 50+512 crosses into window 1
+    }
+
+    it("the stream layout is deterministic under repartitioning") {
+      val big = spark.range(10000).select(col("id"), (col("id") % 7).as("shard"),
+        (col("id") % 97 + 1).as("toks"))
+      val a = Packing.packSequences(big, Seq(col("shard")), col("id"), col("toks"), 2048L)
+        .select("id", "start_offset", "chunk_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val b = Packing.packSequences(big.repartition(13), Seq(col("shard")),
+        col("id"), col("toks"), 2048L)
+        .select("id", "start_offset", "chunk_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      b shouldBe a
+      // offsets within each shard are gapless: sum of tokens == max end offset
+      val totals = big.groupBy("shard").agg(sum("toks")).as[(Long, Long)].collect().toMap
+      a.groupBy(r => r._1 % 7).foreach { case (shard, rows) =>
+        val last = rows.maxBy(_._2)
+        last._2 + (last._1 % 97 + 1) shouldBe totals(shard)
+      }
+    }
+
+    it("packs in a single window shuffle") {
+      val plan = Packing.packSequences(docs, Seq(col("shard")), col("id"),
+        col("toks"), 512L).queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(plan).size shouldBe 1
+    }
+
+    it("rejects non-positive windows") {
+      an[IllegalArgumentException] should be thrownBy
+        Packing.packSequences(docs, Seq(col("shard")), col("id"), col("toks"), 0L)
+    }
+  }
+}

@@ -96,6 +96,24 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       d1.length shouldBe 5
     }
 
+    it("weighted sampling keeps rows in proportion to their own weight, monotonically") {
+      val df = spark.range(20000).select(col("id"),
+        when(col("id") % 2 === 0, 0.9).otherwise(0.1).as("w"))
+      val kept = Sampling.weightedHashSample(df, col("id"), col("w"))
+        .groupBy((col("id") % 2).as("par")).count().as[(Long, Long)].collect().toMap
+      kept(0L).toDouble / 10000 shouldBe 0.9 +- 0.02
+      kept(1L).toDouble / 10000 shouldBe 0.1 +- 0.02
+      // monotone: raising every weight only ADDS rows (same hash, higher bar)
+      val low = Sampling.weightedHashSample(df, col("id"), col("w"))
+        .select("id").as[Long].collect().toSet
+      val high = Sampling.weightedHashSample(df, col("id"), col("w") + 0.05)
+        .select("id").as[Long].collect().toSet
+      low.subsetOf(high) shouldBe true
+      // weights clamp: >1 keeps everything, <0 keeps nothing
+      Sampling.weightedHashSample(df, col("id"), lit(5.0)).count() shouldBe 20000L
+      Sampling.weightedHashSample(df, col("id"), lit(-1.0)).count() shouldBe 0L
+    }
+
     it("applies per-stratum rates with a default") {
       val df = spark.range(4000)
         .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
