@@ -73,6 +73,17 @@ object Scd {
     * splice into the correct position instead of corrupting the tail, and
     * re-delivering an already-seen observation is a no-op (run compression
     * absorbs it). `updates` must carry the key, tracked and ts columns.
+    *
+    * One caveat, inherent to storing compressed history: run compression
+    * discards re-confirmations (a second observation of the SAME state
+    * inside a run), so a retroactive DIFFERENT-state observation landing
+    * inside an already-compressed run splits the run but cannot resurrect
+    * a discarded later re-confirmation — the run's tail stays with the
+    * retro state. In-order delivery (each batch newer than the dimension's
+    * horizon) is always exactly one-shot-equivalent
+    * (ScdPropertySpec verifies every cut point on random logs); keep raw
+    * change logs (e.g. in an audit table) if fully out-of-order rebuilds
+    * must be lossless.
     */
   def scd2Merge(
       dim: DataFrame,
