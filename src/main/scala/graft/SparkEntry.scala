@@ -1535,7 +1535,7 @@ object SparkEntry {
     "q56_packing" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(coalesce(len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
         |  FROM documents
         |)
         |SELECT doc_id, lang, n_tokens,

@@ -33,14 +33,29 @@ object Packing {
       shardCols: Seq[Column],
       orderCol: Column,
       tokenCol: Column,
-      windowTokens: Long): DataFrame = {
+      windowTokens: Long,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
-    val w = Window.partitionBy(shardCols: _*).orderBy(orderCol)
+    // an empty partitioning would serialise the whole corpus through ONE
+    // reducer — the exact failure mode sharding exists to prevent
+    require(shardCols.nonEmpty,
+      "packSequences needs at least one shard column (a global token stream " +
+        "cannot be packed distributedly; shard by language/source/bucket)")
+    val reserved = Seq("n_tokens", "start_offset", "chunk_id", "spans_boundary")
+    require(!docs.columns.exists(reserved.contains),
+      s"input already carries one of ${reserved.mkString(", ")} — rename it " +
+        "(packSequences would silently overwrite it)")
+    // (orderCol, tieBreak) must totally order each shard — with ties the
+    // ROWS-frame running sum is partitioning-dependent and shards stop
+    // being reproducible. Null token counts pack as zero-length docs
+    // (offsets stay defined for every row).
+    val tok = coalesce(tokenCol.cast("long"), lit(0L))
+    val w = Window.partitionBy(shardCols: _*).orderBy(orderCol +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val endOffset = sum(tokenCol).over(w) // inclusive running total
+    val endOffset = sum(tok).over(w) // inclusive running total
     docs
-      .withColumn("n_tokens", tokenCol.cast("long"))
-      .withColumn("start_offset", (endOffset - tokenCol).cast("long"))
+      .withColumn("n_tokens", tok)
+      .withColumn("start_offset", (endOffset - tok).cast("long"))
       .withColumn("chunk_id", floor(col("start_offset") / lit(windowTokens)))
       .withColumn("spans_boundary",
         col("start_offset") % lit(windowTokens) + col("n_tokens") > lit(windowTokens))

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Backtick-quote an arbitrary column name for Column resolution — names
+    * with dots, spaces or quotes are legal in schemas and must not be
+    * parsed as field paths (or worse, spliced into SQL text). */
+  private def q(c: String) = "`" + c.replace("`", "``") + "`"
+
   /** Profile `columns` of `df` → one row per column:
     * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value).
     * min/max are rendered as strings so heterogeneous column types stack
@@ -25,23 +30,34 @@ object Profile {
   def profile(df: DataFrame, columns: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
-    val aggs = columns.flatMap { c =>
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    // internal aliases are index-based: immune to whatever the user's
+    // column names contain
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(col(q(c))).as(s"__cnt_$i"),
+        (if (approxDistinct) approx_count_distinct(col(q(c)))
+         else countDistinct(col(q(c)))).as(s"__nd_$i"),
+        min(col(q(c))).cast("string").as(s"__min_$i"),
+        max(col(q(c))).cast("string").as(s"__max_$i"))
     }
     val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    val stackArgs = columns
-      .map(c => s"'$c', __cnt_$c, __nd_$c, __min_$c, __max_$c")
-      .mkString(", ")
+    // unpivot by exploding an array of per-column structs — pure Column
+    // construction, no SQL-text splicing
+    val entries = columns.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__cnt_$i").as("n_nonnull"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
+    }
     row
-      .selectExpr("__total",
-        s"stack(${columns.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_value, max_value)")
-      .select(col("col_name"), col("__total").as("n_rows"),
-        (col("__total") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+      .select(col("__total"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("__total").as("n_rows"),
+        (col("__total") - col("__e.n_nonnull")).as("n_nulls"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.min_value").as("min_value"), col("__e.max_value").as("max_value"))
   }
 }

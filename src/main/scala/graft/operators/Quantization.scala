@@ -136,8 +136,8 @@ object Quantization {
   def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
       passthrough: Seq[String] = Seq.empty): DataFrame = {
     val reserved = "codes" +: (0 until model.m).map(j => s"code_$j")
-    require(passthrough.forall(c => !reserved.contains(c)),
-      s"passthrough columns may not use the reserved names ${reserved.mkString(", ")}")
+    require((idCol +: passthrough).forall(c => !reserved.contains(c)),
+      s"idCol/passthrough may not use the reserved names ${reserved.mkString(", ")}")
     val cb = model.codebooks
     val subDim = model.subDim
     val m = model.m

@@ -54,9 +54,28 @@ class PackingSpec extends SparkTestBase with Matchers {
       "Exchange".r.findAllIn(plan).size shouldBe 1
     }
 
-    it("rejects non-positive windows") {
+    it("rejects non-positive windows, empty sharding and reserved input columns") {
       an[IllegalArgumentException] should be thrownBy
         Packing.packSequences(docs, Seq(col("shard")), col("id"), col("toks"), 0L)
+      an[IllegalArgumentException] should be thrownBy
+        Packing.packSequences(docs, Seq.empty, col("id"), col("toks"), 512L)
+      an[IllegalArgumentException] should be thrownBy
+        Packing.packSequences(docs.withColumn("chunk_id", lit(1)),
+          Seq(col("shard")), col("id"), col("toks"), 512L)
+    }
+
+    it("tied order values become deterministic with a tieBreak; null tokens pack as zero") {
+      val tied = Seq((1L, "a", "t0", Some(10L)), (2L, "a", "t0", None),
+        (3L, "a", "t0", Some(5L))).toDF("id", "shard", "at", "toks")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Packing.packSequences(df, Seq(col("shard")), col("at"), col("toks"),
+          512L, tieBreak = Seq(col("id")))
+          .select("id", "n_tokens", "start_offset")
+          .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val a = run(tied)
+      val b = run(tied.repartition(5))
+      b shouldBe a
+      a shouldBe Array((1L, 10L, 0L), (2L, 0L, 10L), (3L, 5L, 10L))
     }
   }
 }

@@ -44,8 +44,21 @@ class ProfileSpec extends SparkTestBase with Matchers {
         .select("n_distinct").as[Long].head() shouldBe 4L
     }
 
-    it("rejects an empty column list") {
+    it("rejects an empty column list and unknown columns") {
       an[IllegalArgumentException] should be thrownBy Profile.profile(df, Seq.empty)
+      an[IllegalArgumentException] should be thrownBy Profile.profile(df, Seq("nope"))
+    }
+
+    it("handles column names with dots, spaces and quotes (no SQL splicing)") {
+      val weird = df.withColumnRenamed("id", "order key")
+        .withColumnRenamed("s", "a.b")
+        .withColumnRenamed("v", "it's")
+      val out = Profile.profile(weird, Seq("order key", "a.b", "it's"))
+        .as[(String, Long, Long, Long, String, String)].collect()
+        .map(r => r._1 -> r).toMap
+      out("order key")._4 shouldBe 4L
+      out("a.b")._3 shouldBe 1L     // one null
+      out("it's")._6 shouldBe "2.5" // max survives the quote
     }
   }
 }
