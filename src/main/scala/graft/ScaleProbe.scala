@@ -89,6 +89,18 @@ object ScaleProbe {
         Layout.mortonKey(Seq(pmod(col("user_id"), lit(256L)),
           Layout.rangeBucket(col("value"), 0.0, 512.0, 8)), 8).as("z"))
     }
+    time("sequence packing (500k docs, per-lang)") {
+      Packing.packSequences(docs.select(col("doc_id"), col("lang"), col("text")),
+        Seq(col("lang")), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")), 2048L)
+    }
+    time("profile 4 cols exact (1M events)") {
+      Profile.profile(events, Seq("event_id", "user_id", "event_type", "value"))
+    }
+    time("profile 4 cols approx (1M events)") {
+      Profile.profile(events, Seq("event_id", "user_id", "event_type", "value"),
+        approxDistinct = true)
+    }
     spark.stop()
   }
 }
