@@ -75,6 +75,31 @@ object actions {
       open(label)(ctx => ctx.spark.read.options(opts).csv(path))
     }
 
+    /** ORC folders per label (columnar alternative where the lake standard
+      * is ORC rather than parquet; same layout conventions as openParquet). */
+    def openORC(basePath: String, snapshotFolder: Option[String] = None)(
+        labels: String*): SparkDataFlow =
+      labels.foldLeft(flow) { (fl, label) =>
+        val path = snapshotFolder.fold(s"$basePath/$label")(s => s"$basePath/$label/$s")
+        new SparkFlowOps(fl).open(label)(ctx => ctx.spark.read.orc(path))
+      }
+
+    def openFileORC(path: String, label: String): SparkDataFlow =
+      open(label)(ctx => ctx.spark.read.orc(path))
+
+    /** JSON-lines folders per label. Schema inference scans the data once —
+      * pass an explicit `schema` DDL for production pipelines (inference at
+      * 100 TB is a full extra read, and drifting input silently widens
+      * inferred types between runs). */
+    def openJSON(basePath: String, schema: Option[String] = None,
+        options: Map[String, String] = Map.empty)(labels: String*): SparkDataFlow =
+      labels.foldLeft(flow) { (fl, label) =>
+        new SparkFlowOps(fl).open(label) { ctx =>
+          val r = ctx.spark.read.options(options)
+          schema.fold(r)(s => r.schema(s)).json(s"$basePath/$label")
+        }
+      }
+
     /** Open metastore tables as labels (label = table name). */
     def openTable(database: String)(tables: String*): SparkDataFlow =
       tables.foldLeft(flow) { (fl, table) =>
@@ -278,6 +303,25 @@ object actions {
           .write.options(options).partitionBy(partitionCols: _*)
           .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
           .csv(s"$basePath/$label")
+      }
+
+    def writeORC(basePath: String, overwrite: Boolean = false)(
+        labels: String*): SparkDataFlow =
+      labels.foldLeft(flow) { (fl, label) =>
+        new SparkFlowOps(fl).writeAction(label, "writeORC") { (df, _) =>
+          df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+            .orc(s"$basePath/$label")
+        }
+      }
+
+    def writeJSON(basePath: String, overwrite: Boolean = false,
+        numFiles: Option[Int] = Some(1))(labels: String*): SparkDataFlow =
+      labels.foldLeft(flow) { (fl, label) =>
+        new SparkFlowOps(fl).writeAction(label, "writeJSON") { (df, _) =>
+          val repart = numFiles.fold(df)(df.repartition)
+          repart.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+            .json(s"$basePath/$label")
+        }
       }
 
     def writeHiveManagedTable(database: String, overwrite: Boolean = false)(

@@ -164,6 +164,47 @@ object Streaming {
       .drop("_ghs")
   }
 
+  /** Stream into an audit table: each micro-batch appends one region via
+    * [[graft.storage.AuditTable.append]], wiring Structured Streaming into
+    * the storage layer's snapshot/compact lifecycle (the reference reaches
+    * storage only from batch flows; this is the streaming ingest path).
+    *
+    * Delivery is AT-LEAST-ONCE: a batch replayed after a crash appends a
+    * second region. For tables with primary keys that is absorbed
+    * downstream — `snapshot(ts)` dedups to the latest row per PK — and
+    * compaction merges the extra regions; append-only tables without PKs
+    * should derive `lastUpdatedCol` from event time so replays are at
+    * least idempotent per row, not per delivery.
+    *
+    * @param batchTimestamp append timestamp per epoch id — inject a
+    *                       deterministic mapping in tests; defaults to
+    *                       wall clock. */
+  def writeToStorageStream(
+      stream: DataFrame,
+      basePath: String,
+      info: graft.storage.AuditTableInfo,
+      checkpoint: String,
+      lastUpdatedCol: Option[String] = None,
+      batchTimestamp: Long => java.sql.Timestamp =
+        _ => new java.sql.Timestamp(System.currentTimeMillis()))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the handle is one-shot per mutation (append returns the refreshed
+    // table); the sink closure threads it across epochs
+    var table: graft.storage.AuditTable = null
+    val appendBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      if (!batch.isEmpty) {
+        if (table == null)
+          table = graft.storage.Storage.getOrCreateTable(
+            batch.sparkSession, basePath, info)
+        table = table.append(batch, lastUpdatedCol, batchTimestamp(epochId))
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(appendBatch)
+      .start()
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable sink shape for production (exactly-once via checkpoint + file
     * sink). Returns the running query. */

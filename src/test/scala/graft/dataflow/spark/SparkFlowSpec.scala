@@ -223,5 +223,25 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       val (_, f2) = executor.execute(read)
       f2.inputs.get[org.apache.spark.sql.Dataset[_]]("region").count() shouldBe 5
     }
+
+    it("openORC and openJSON round-trip their write actions") {
+      val write = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/region.parquet", "region")
+        .writeORC(s"$tmpDir/orc")("region")
+        .writeJSON(s"$tmpDir/json")("region")
+      executor.execute(write)
+
+      val (_, orcDone) = executor.execute(
+        Graft.sparkFlow(spark).openORC(s"$tmpDir/orc")("region"))
+      val (_, jsonDone) = executor.execute(
+        Graft.sparkFlow(spark).openJSON(s"$tmpDir/json",
+          schema = Some("r_regionkey BIGINT, r_name STRING, r_comment STRING"))("region"))
+      val orc = orcDone.inputs.get[org.apache.spark.sql.Dataset[_]]("region").toDF()
+      val json = jsonDone.inputs.get[org.apache.spark.sql.Dataset[_]]("region").toDF()
+      orc.count() shouldBe 5
+      json.count() shouldBe 5
+      json.columns.toSeq shouldBe Seq("r_regionkey", "r_name", "r_comment")
+      orc.select("r_name").except(json.select("r_name")).count() shouldBe 0
+    }
   }
 }

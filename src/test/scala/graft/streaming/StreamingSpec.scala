@@ -147,6 +147,32 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streams micro-batches into an audit table; snapshot resolves latest per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.storage._
+    import spark.implicits._
+    val base = s"$tmpDir/stream_storage"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("user_id", "state")
+    val query = Streaming.writeToStorageStream(docs, base,
+      AuditTableInfo("user_state", Seq("user_id"), Map.empty, retainHistory = true),
+      checkpoint = s"$tmpDir/stream_ckpt",
+      batchTimestamp = bid => ts(s"2024-01-0${bid + 1} 00:00:00"))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((1L, "c")) // batch 1: user 1 updates
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val table = Storage.openTable(spark, base, "user_state").get
+    val snap = table.snapshot(ts("2024-06-01 00:00:00")).get
+      .select("user_id", "state").as[(Long, String)].collect().sortBy(_._1)
+    snap shouldBe Array((1L, "c"), (2L, "b")) // batch-2 state wins for user 1
+    // two appended regions — one per non-empty micro-batch
+    table.regions.length shouldBe 2
+  }
+
   it("sessionize keeps late events out of the live session beyond the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.SessionInput]
