@@ -76,27 +76,31 @@ object actions {
     }
 
     /** ORC folders per label (columnar alternative where the lake standard
-      * is ORC rather than parquet; same layout conventions as openParquet). */
-    def openORC(basePath: String, snapshotFolder: Option[String] = None)(
-        labels: String*): SparkDataFlow =
+      * is ORC rather than parquet; same layout conventions as openParquet,
+      * including the snapshot subfolder and output-label prefix). */
+    def openORC(basePath: String, snapshotFolder: Option[String] = None,
+        outputPrefix: Option[String] = None)(labels: String*): SparkDataFlow =
       labels.foldLeft(flow) { (fl, label) =>
+        val out = outputPrefix.fold(label)(p => s"${p}_$label")
         val path = snapshotFolder.fold(s"$basePath/$label")(s => s"$basePath/$label/$s")
-        new SparkFlowOps(fl).open(label)(ctx => ctx.spark.read.orc(path))
+        new SparkFlowOps(fl).open(out)(ctx => ctx.spark.read.orc(path))
       }
 
     def openFileORC(path: String, label: String): SparkDataFlow =
       open(label)(ctx => ctx.spark.read.orc(path))
 
-    /** JSON-lines folders per label. Schema inference scans the data once —
-      * pass an explicit `schema` DDL for production pipelines (inference at
-      * 100 TB is a full extra read, and drifting input silently widens
-      * inferred types between runs). */
+    /** JSON-lines folders per label, same layout conventions as openCSV.
+      * Schema inference scans the data once — pass an explicit `schema` DDL
+      * for production pipelines (inference at 100 TB is a full extra read,
+      * and drifting input silently widens inferred types between runs). */
     def openJSON(basePath: String, schema: Option[String] = None,
-        options: Map[String, String] = Map.empty)(labels: String*): SparkDataFlow =
+        options: Map[String, String] = Map.empty,
+        snapshotFolder: Option[String] = None)(labels: String*): SparkDataFlow =
       labels.foldLeft(flow) { (fl, label) =>
+        val path = snapshotFolder.fold(s"$basePath/$label")(s => s"$basePath/$label/$s")
         new SparkFlowOps(fl).open(label) { ctx =>
           val r = ctx.spark.read.options(options)
-          schema.fold(r)(s => r.schema(s)).json(s"$basePath/$label")
+          schema.fold(r)(s => r.schema(s)).json(path)
         }
       }
 
@@ -314,12 +318,14 @@ object actions {
         }
       }
 
-    def writeJSON(basePath: String, overwrite: Boolean = false,
-        numFiles: Option[Int] = Some(1))(labels: String*): SparkDataFlow =
+    def writeJSON(basePath: String, options: Map[String, String] = Map.empty,
+        overwrite: Boolean = false, numFiles: Option[Int] = Some(1))(
+        labels: String*): SparkDataFlow =
       labels.foldLeft(flow) { (fl, label) =>
         new SparkFlowOps(fl).writeAction(label, "writeJSON") { (df, _) =>
           val repart = numFiles.fold(df)(df.repartition)
-          repart.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+          repart.write.options(options)
+            .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
             .json(s"$basePath/$label")
         }
       }

@@ -70,15 +70,8 @@ object Sampling {
     * never evict it (stable incremental re-curation). Map-side only. */
   def weightedHashSample(df: DataFrame, key: Column, weight: Column,
       buckets: Int = 10000): DataFrame =
-    // weight is computed in a PROJECT below the filter, not inline in the
-    // predicate: a wide weight expression (quality scores are regex-heavy)
-    // inside Filter can exceed codegen limits and fall back to interpreted
-    // evaluation of the whole predicate per row — measured 14x slower on
-    // the gate's quality-weighted query
-    df.withColumn("_graft_w",
+    df.where(hashBucket(key, buckets) <
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets))
-      .where(hashBucket(key, buckets) < col("_graft_w"))
-      .drop("_graft_w")
 
   /** Stratified deterministic sampling: a rate per stratum value (e.g.
     * downsample dominant languages, keep the tail). Strata missing from

@@ -170,11 +170,12 @@ object Streaming {
     * storage only from batch flows; this is the streaming ingest path).
     *
     * Delivery is AT-LEAST-ONCE: a batch replayed after a crash appends a
-    * second region. For tables with primary keys that is absorbed
-    * downstream — `snapshot(ts)` dedups to the latest row per PK — and
-    * compaction merges the extra regions; append-only tables without PKs
-    * should derive `lastUpdatedCol` from event time so replays are at
-    * least idempotent per row, not per delivery.
+    * second region. For tables with PRIMARY KEYS that is absorbed
+    * downstream — `snapshot(ts)` dedups to the latest row per PK, and
+    * compaction merges the extra regions. PK-less append-only tables have
+    * NO dedup anywhere on the read or compact path, so a replay
+    * double-counts those rows permanently — give streamed tables primary
+    * keys, or dedup downstream of `allBetween`.
     *
     * @param batchTimestamp append timestamp per epoch id — inject a
     *                       deterministic mapping in tests; defaults to
@@ -188,16 +189,22 @@ object Streaming {
       batchTimestamp: Long => java.sql.Timestamp =
         _ => new java.sql.Timestamp(System.currentTimeMillis()))
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the handle is one-shot per mutation (append returns the refreshed
-    // table); the sink closure threads it across epochs
-    var table: graft.storage.AuditTable = null
     val appendBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
-      if (!batch.isEmpty) {
-        if (table == null)
-          table = graft.storage.Storage.getOrCreateTable(
-            batch.sparkSession, basePath, info)
-        table = table.append(batch, lastUpdatedCol, batchTimestamp(epochId))
-      }
+      // persist: the emptiness probe and the append both execute the batch
+      // plan, and upstream streaming transforms can be expensive
+      batch.persist()
+      try {
+        if (!batch.isEmpty) {
+          // re-open the table EVERY epoch: a handle cached across epochs
+          // goes stale the moment a maintenance job compacts the table,
+          // and its next region id would then collide with the compactor's
+          // freshly written region
+          graft.storage.Storage
+            .getOrCreateTable(batch.sparkSession, basePath, info)
+            .append(batch, lastUpdatedCol, batchTimestamp(epochId))
+          ()
+        }
+      } finally { batch.unpersist(); () }
     }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
