@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.dataflow.spark.{Graft => G}
+import graft.dataflow.spark.actions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Sampling}
+
+/** End-to-end training-data curation through the flow framework: the
+  * pipeline a user of the reference would actually assemble — sources,
+  * parallel-schedulable transforms and sinks declared as one DAG — with
+  * the beyond-parity operators doing the curation work at each stage.
+  * Quality filter → benchmark decontamination → near-dup removal →
+  * per-language caps → sequence packing → parquet. */
+class CurationPipelineSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  it("curates a corpus end-to-end as one scheduled flow") {
+    val out = s"$tmpDir/curated"
+    val flow = G.sparkFlow(spark)
+      .openFileParquet(s"${sf()}/documents.parquet", "raw")
+      // stage 1: drop degenerate docs (relaxed Gopher bounds — the synthetic
+      // corpus is short-doc-heavy)
+      .transform("raw")("filtered") { docs =>
+        docs.where(TextFunctions.gopherPass(col("text"),
+          minWords = 5L, minStopwords = 1L, minAlphaFrac = 0.5))
+      }
+      // stage 2: flag + drop docs overlapping the "benchmark" (docs 0-4)
+      .transform("filtered")("clean") { docs =>
+        val flags = Dedup.decontaminate(docs, "doc_id", "text",
+          docs.where(col("doc_id") < 5), "text", n = 3)
+        docs.join(flags.where(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+      // stage 3: near-dup removal (keep one doc per cluster)
+      .transform("clean")("deduped") { docs =>
+        Dedup.dedupCorpus(docs, "doc_id", "text",
+          blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50))),
+          n = 3, threshold = 0.7)
+      }
+      // stage 4: cap docs per language (deterministic survivors)
+      .transform("deduped")("capped") { docs =>
+        Sampling.cappedPerKey(docs, Seq(col("lang")), col("doc_id"), maxPerKey = 50)
+      }
+      // stage 5: pack per-language token streams into 512-token windows
+      .transform("capped")("packed") { docs =>
+        Packing.packSequences(docs.select(col("doc_id"), col("lang"), col("text")),
+          Seq(col("lang")), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), windowTokens = 512L)
+      }
+      .writeParquet(out)("packed")
+
+    flow.isValidFlowDAG.isSuccess shouldBe true
+    G.sparkExecutor(maxParallelActions = 4).execute(flow)
+
+    val packed = spark.read.parquet(s"$out/packed")
+    val nRaw = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    packed.count() should be > 0L
+    packed.count() should be < nRaw // every stage actually dropped something
+
+    // benchmark docs and their contaminated neighbours are gone
+    packed.where(col("doc_id") < 5).count() shouldBe 0L
+
+    // per-language caps hold
+    packed.groupBy("lang").count().select("count").as[Long].collect()
+      .foreach(_ should be <= 50L)
+
+    // packing invariants: offsets gapless per lang, chunks start at 0
+    val byLang = packed.select("lang", "start_offset", "n_tokens")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.head._2 shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._2 shouldBe a._2 + a._3
+        case _ =>
+      }
+    }
+  }
+}
