@@ -672,6 +672,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // equi-depth binning: quartile boundaries reduce once to the driver,
+    // assignment is map-side comparisons (operators.Binning)
+    "q57_equidepth_bins" -> ((s, dir) => {
+      import graft.operators.Binning
+      Binning.equiDepth(
+        events(s, dir).select(col("event_id"), col("value")), "value", nBins = 4)
+        .select(col("event_id"), col("value"), col("bin"))
+        .orderBy(col("event_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1546,6 +1556,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+
+    "q57_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT [round(quantile_cont(value, 0.25), 6),
+        |          round(quantile_cont(value, 0.50), 6),
+        |          round(quantile_cont(value, 0.75), 6)] AS bs
+        |  FROM events
+        |)
+        |SELECT event_id, value,
+        |  CAST(len(list_filter(bs, x -> x < value)) AS BIGINT) AS bin
+        |FROM events, b
+        |ORDER BY event_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,
