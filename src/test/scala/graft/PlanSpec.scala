@@ -109,6 +109,25 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  it("equi-depth assignment is map-side only — no window, no extra shuffle") {
+    val p = plan("q57_equidepth_bins")
+    // boundaries were reduced at construction time; the returned plan must
+    // be scan + project + presentation sort, with no Window (an ntile
+    // formulation would drag the corpus through one sort partition)
+    p should not include "Window"
+    "Exchange".r.findAllIn(p).size shouldBe 1 // only the ORDER BY range exchange
+  }
+
+  it("capped sampling runs one window shuffle") {
+    val p = plan("q53_capped_per_key")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  it("sequence packing runs one window shuffle per shard set") {
+    val p = plan("q56_packing")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
