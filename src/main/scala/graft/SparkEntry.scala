@@ -906,6 +906,7 @@ object SparkEntry {
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |  WHERE len(toks) > 0
         |), p AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 64), i ->

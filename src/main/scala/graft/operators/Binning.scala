@@ -21,9 +21,14 @@ object Binning {
       scale: Int = 6): Seq[Double] = {
     require(nBins > 1, s"nBins must be > 1, got $nBins")
     val fracs = (1 until nBins).map(i => i.toDouble / nBins)
+    // backtick-quote: legal column names with dots/spaces must not be
+    // parsed as field paths or spliced as SQL
+    val q = "`" + valueCol.replace("`", "``") + "`"
     val arr = df.select(
-      expr(s"percentile($valueCol, array(${fracs.mkString(",")}))")).head()
+      expr(s"percentile($q, array(${fracs.mkString(",")}))")).head()
       .getSeq[Double](0)
+    require(arr != null,
+      s"equiDepth over an empty (or all-null '$valueCol') input")
     arr.map(b => BigDecimal(b).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       .toDouble)
   }

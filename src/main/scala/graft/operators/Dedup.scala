@@ -99,7 +99,8 @@ object Dedup {
     val (pa, pb) = minHashParams(k)
     val f = udf { (sh: Array[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
-      sh.foreach { s =>
+      val shingles = if (sh == null) Array.empty[String] else sh
+      shingles.foreach { s =>
         val x = md5Int32(s)
         var i = 0
         while (i < k) {
@@ -149,7 +150,14 @@ object Dedup {
     // two re-attach joins); persist so the map stage runs once per row.
     val (pa, pb) = minHashParams(k)
     val sigUdf = udf { (txt: String) =>
-      val toks = txt.split("\\s+").filter(_.nonEmpty)
+      val toks =
+        if (txt == null) Array.empty[String]
+        else txt.split("\\s+").filter(_.nonEmpty)
+      // token-free docs return null (filtered below): they have no shingle
+      // set, and giving them md5("")'s signature would make EVERY blank doc
+      // collide in every band — a quadratic all-pairs explosion among blanks
+      if (toks.isEmpty) null
+      else {
       val sig = Array.fill(k)(Long.MaxValue)
       val nSh = math.max(toks.length - shingleWords + 1, 1)
       val sb = new java.lang.StringBuilder(64)
@@ -171,10 +179,12 @@ object Dedup {
         s += 1
       }
       sig
+      }
     }
     // materialise the signature stage once for its three consumers (see
     // Materialize for the localCheckpoint-vs-replicated-persist trade)
     val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
       .transform(Materialize.apply)
 
     val banded = signed
@@ -439,11 +449,14 @@ object Dedup {
     * recompute the fingerprint for verification); each bit votes +1/-1 into
     * a counter vector (one pass via zip_with); sign-bits pack into one
     * BIGINT with overflow-safe shifts (ANSI-mode friendly). Map-side only. */
-  def simHash(textColName: String): Column = expr(
+  def simHash(textColName: String): Column = {
+    // backtick-quote: the name is interpolated into SQL text
+    val q = "`" + textColName.replace("`", "``") + "`"
+    expr(
     s"""aggregate(
        |  transform(
        |    aggregate(
-       |      transform(regexp_extract_all($textColName, '\\\\S+', 0),
+       |      transform(regexp_extract_all($q, '\\\\S+', 0),
        |                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
        |      array_repeat(CAST(0 AS BIGINT), 60),
        |      (acc, h) -> zip_with(acc, sequence(0, 59),
@@ -454,6 +467,7 @@ object Dedup {
        |  CAST(0 AS BIGINT),
        |  (acc, bit) -> (acc << 1) | bit
        |)""".stripMargin)
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

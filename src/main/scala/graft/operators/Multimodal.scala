@@ -78,7 +78,10 @@ object Multimodal {
     * Returns the repartitioned frame (range-partitioned by size bucket). */
   def repartitionForDecode(df: DataFrame, contentCol: String,
       targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = df.agg(sum(octet_length(col(contentCol)).cast("long"))).head().getLong(0)
+    // sum() over an empty/all-null frame is SQL NULL — an empty media batch
+    // (routine in incremental ingestion) must pass through, not NPE
+    val totalBytes = Option(df.agg(sum(octet_length(col(contentCol)).cast("long")))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     df.repartition(parts)
   }

@@ -85,16 +85,24 @@ object Quantization {
       dim: Int,
       m: Int = 4,
       k: Int = 8,
-      lloydIters: Int = 1): PqModel = {
+      lloydIters: Int = 1,
+      preMaterialized: Boolean = false): PqModel = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val subDim = dim / m
-    val c = corpus.select(col(idCol).as("vid"),
+    // read once per Lloyd round, not per subspace; callers that already
+    // materialized the input (IVF-PQ's residual frame) skip the second
+    // corpus-sized checkpoint
+    val c0 = corpus.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .transform(Materialize.apply) // read once per Lloyd round, not per subspace
+    val c = if (preMaterialized) c0 else Materialize(c0)
 
     // init: subvectors of the first k vectors by id — one tiny collect
     val seed = c.orderBy(col("vid")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
+    require(seed.length >= k,
+      s"PQ train needs at least k=$k vectors, corpus has ${seed.length}")
+    seed.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
+      s"PQ train: vector of dim ${v.length} does not match declared dim=$dim"))
     var codebooks = Array.tabulate(m, k)((j, ci) =>
       java.util.Arrays.copyOfRange(seed(ci), j * subDim, (j + 1) * subDim))
 
@@ -124,7 +132,7 @@ object Quantization {
       codebooks = next
       it += 1
     }
-    Materialize.release(c)
+    if (!preMaterialized) Materialize.release(c)
     PqModel(subDim, codebooks)
   }
 
@@ -261,7 +269,8 @@ object Quantization {
     val withRes = c.withColumn("_cr", residualUdf(col("c_vec")))
       .select(col("neighbor_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
       .transform(Materialize.apply)
-    val model = train(withRes, "neighbor_id", "res", dim, m, codesPerSubspace, pqIters)
+    val model = train(withRes, "neighbor_id", "res", dim, m, codesPerSubspace,
+      pqIters, preMaterialized = true)
     // cell rides through the encode projection — no corpus-wide re-join
     val coded = encode(withRes, "neighbor_id", "res", model, passthrough = Seq("cell"))
 

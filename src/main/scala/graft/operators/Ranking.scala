@@ -42,10 +42,15 @@ object Ranking {
       b: Double = 0.75,
       scale: Int = 4): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // materialize the tokenized frame: the stats reduction and the scored
+    // output each read it, and re-running an expensive upstream pipeline +
+    // tokenization twice doubles the dominant cost (blocks free on GC in
+    // the default localCheckpoint mode — see Materialize)
     val d = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+      .transform(Materialize.apply)
 
     // one bounded reduction: N, total length (exact longs), df per term
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")) ++

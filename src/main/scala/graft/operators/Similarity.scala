@@ -92,11 +92,18 @@ object Similarity {
       (md5Long60(s"srp_${seed}_${p}_${dd}") % 2048 - 1024) / 1024.0)
   }
 
-  /** Sign-random-projection bucket id: bit i = sign(plane_i . vec). */
+  /** Sign-random-projection bucket id: bit i = sign(plane_i . vec).
+    * Vector length is validated per row: a dim mismatch would null out
+    * every dot product, put ALL rows in bucket 0 and silently degrade the
+    * bucketed join into a full cross product. */
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    val checked = when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"srpBucket: vector of dim "), size(vec),
+      lit(s" does not match the $dim-dim hyperplanes"))))
     val bits = planes.map { p =>
       val planeLit = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(planeLit, vec) >= 0, lit(1L)).otherwise(lit(0L))
+      when(dot(planeLit, checked) >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
   }

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt from the FULL row content. A positional id
+    * (monotonically_increasing_id / round-robin) would spread identical
+    * rows better, but its value depends on partition row order — a stage
+    * retry after executor loss recomputes rows into DIFFERENT (key, salt)
+    * reducers than the ones that already fetched old map output, silently
+    * duplicating/dropping rows. On 1000-executor jobs retries are routine;
+    * correctness wins. Fully-identical duplicate rows share a bucket —
+    * residual in-bucket skew from that corner is what AQE's skew split
+    * still handles. */
+  private def contentSalt(df: DataFrame, buckets: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int")
+
   /** Inner equi-join with the left side treated as skewed. `saltBuckets`
     * bounds the replication of the right side. */
   def saltedJoin(
@@ -26,11 +38,7 @@ object Skew {
       joinKeys: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    // round-robin salt from the row id: spreads even fully-identical hot
-    // rows (a row hash would map duplicates to one bucket); join correctness
-    // does not depend on which bucket a row lands in
-    val salted = skewedLeft.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val salted = skewedLeft.withColumn("_salt", contentSalt(skewedLeft, saltBuckets))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, joinKeys :+ "_salt")
@@ -45,8 +53,7 @@ object Skew {
       groupKeys: Seq[String],
       sumCols: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val salted = df.withColumn("_salt", contentSalt(df, saltBuckets))
     val partial = salted
       .groupBy((groupKeys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_cnt"),

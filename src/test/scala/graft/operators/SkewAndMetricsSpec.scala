@@ -23,12 +23,21 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       salted.columns.toSet shouldBe Set("k", "payload", "name")
     }
 
-    it("spreads a hot key over multiple salt buckets") {
-      val left = Seq.fill(500)((1L, "x")).toDF("k", "payload")
-      val salts = left.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(8)).cast("int"))
-        .select("_salt").distinct().count()
-      salts should be > 1L
+    it("spreads a hot key over multiple salt buckets, deterministically") {
+      // hot key with VARYING payload (the real-world hot-key shape): the
+      // content salt spreads it; identical rows sharing a bucket is the
+      // documented trade for stage-retry determinism
+      val left = Seq.tabulate(500)(i => (1L, s"payload_$i")).toDF("k", "payload")
+      val salted = left.withColumn("_salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int"))
+      salted.select("_salt").distinct().count() should be > 4L
+      // salt depends only on content — identical under repartitioning
+      // (what a stage retry amounts to), unlike a positional id
+      val a = salted.select("payload", "_salt").as[(String, Int)].collect().sorted
+      val b = left.repartition(13).withColumn("_salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int"))
+        .select("payload", "_salt").as[(String, Int)].collect().sorted
+      b shouldBe a
     }
 
     it("salted count/sum equals the direct aggregation") {
