@@ -682,6 +682,94 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // typed extraction from the semi-structured props column: ONE from_json
+    // parse per row feeds every field + the aggregate (operators
+    // .Semistructured) — not a get_json_object per field per row
+    "q58_json_extract" -> ((s, dir) => {
+      import graft.operators.Semistructured
+      import org.apache.spark.sql.types.{LongType, StructField}
+      Semistructured.extractJson(
+        events(s, dir).select(col("event_id"), col("event_type"), col("props")),
+        "props", Seq(StructField("k", LongType)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // token-window chunking into overlapping context windows — pure narrow
+    // map (sequence+explode+slice), chunk ids derived arithmetically so
+    // results are partitioning-independent (operators.Chunking)
+    "q59_chunk_tokens" -> ((s, dir) => {
+      import graft.operators.Chunking
+      Chunking.chunkTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"), "text", windowTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
+    // canonical + aggressive text normalization (codegen'd regexp chain)
+    "q60_normalize" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalizeText(txt).as("norm_text"),
+        length(TextFunctions.normalizeText(txt)).cast("long").as("n_norm"),
+        length(TextFunctions.normalizeAggressive(txt)).cast("long").as("n_aggr"),
+        md5(TextFunctions.normalizeAggressive(txt)).as("aggr_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-substring duplication profile: distinct 8-token windows per doc,
+    // shared iff the window occurs in another doc (Dedup.substringDupProfile;
+    // window strings never shuffle — only 64-bit hashes do)
+    "q61_substring_dup" -> ((s, dir) => {
+      Dedup.substringDupProfile(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8, minShare = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub over synthesized contact lines (the corpus itself carries no
+    // PII, so the patterns are planted deterministically from doc_id — the
+    // redaction regexes then have real matches to erase)
+    "q62_pii_redact" -> ((s, dir) => {
+      val synth = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com via 10.1."), (col("doc_id") % 200).cast("string"),
+        lit(".7 call +1 555-00"), (col("doc_id") % 90 + 10).cast("string"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.piiEmailCount(synth).as("n_emails"),
+        TextFunctions.piiIpCount(synth).as("n_ips"),
+        TextFunctions.piiPhoneCount(synth).as("n_phones"),
+        TextFunctions.redactPii(synth).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robust per-group outlier flags (median/MAD z-score): group stats
+    // reduce twice to a tiny broadcast relation, the flagging pass is
+    // map-side (operators.Outliers)
+    "q63_outliers" -> ((s, dir) => {
+      import graft.operators.Outliers
+      Outliers.robustZ(
+        events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 3.0)
+        .orderBy(col("event_id"))
+    }),
+
+    // corpus vocabulary with cumulative coverage: distributed TopK prunes
+    // the vocab BEFORE the single-partition prefix-sum window
+    // (operators.Ranking.vocabulary)
+    "q64_vocabulary" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.vocabulary(t(s, dir, "documents"), "text", topN = 100)
+        .orderBy(col("rank"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1569,6 +1657,121 @@ object SparkEntry {
         |  CAST(len(list_filter(bs, x -> x < value)) AS BIGINT) AS bin
         |FROM events, b
         |ORDER BY event_id""".stripMargin,
+
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back; avg spelled as an
+    // explicit exact-sum / count division so both engines round the same
+    // double
+    "q58_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 0), 24)) AS tok_start
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_ix,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(len(t[tok_start + 1 : tok_start + 32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[tok_start + 1 : tok_start + 32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    "q60_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_aggr,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS aggr_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the Spark hash-internal pipeline on gram STRINGS: per-doc
+    // distinct 8-token windows, shared iff seen in >= 2 docs
+    "q61_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+        |           i -> array_to_string(t[i:i+7], ' ')))
+        |    END AS grams
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |), sh AS (
+        |  SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2
+        |), cnt AS (
+        |  SELECT ex.doc_id, count(*) AS n_shared
+        |  FROM ex JOIN sh USING (gram) GROUP BY ex.doc_id
+        |)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_windows,
+        |  coalesce(cnt.n_shared, 0) AS n_shared,
+        |  round(coalesce(cnt.n_shared, 0) / greatest(len(grams), 1), 6) AS dup_frac,
+        |  round(coalesce(cnt.n_shared, 0) / greatest(len(grams), 1), 6) >= 0.25 AS flagged
+        |FROM g LEFT JOIN cnt ON g.doc_id = cnt.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // same synthesized contact line; RE2-compatible patterns mirror the
+    // Spark side verbatim ('g' flag: DuckDB replaces first match only by
+    // default, Spark replaces all)
+    "q62_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com via 10.1.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.7 call +1 555-00' || CAST(doc_id % 90 + 10 AS VARCHAR) AS synth
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(synth, '\+\d[\d .-]{7,}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d .-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // median/MAD spelled with the same arithmetic shape as the Spark side
+    // so the rounded z doubles agree bit-for-bit
+    "q63_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type, median(abs(e.value - med.m)) AS d
+        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN mad.d = 0 THEN NULL
+        |       ELSE round(abs(e.value - med.m) / (1.4826 * mad.d), 6) END AS robust_z,
+        |  coalesce(CASE WHEN mad.d = 0 THEN NULL
+        |       ELSE round(abs(e.value - med.m) / (1.4826 * mad.d), 6) END > 3.0,
+        |    false) AS outlier
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q64_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, count(*) AS n FROM tok GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS total FROM tf
+        |)
+        |SELECT term, n, CAST(row_number() OVER o AS BIGINT) AS rank,
+        |  round(CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total, 6) AS cum_frac
+        |FROM tf, tot
+        |WINDOW o AS (ORDER BY n DESC, term ASC)
+        |QUALIFY rank <= 100
+        |ORDER BY rank""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

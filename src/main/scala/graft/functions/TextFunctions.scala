@@ -253,6 +253,45 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Canonical text normalization: lowercase, collapse whitespace runs to a
+    * single space, trim. The string the [[fingerprint]] hashes — exposed so
+    * pipelines can store the normalized form itself. Pure codegen'd
+    * regexp/lower/trim, no UDF. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Aggressive normalization: additionally strip every character outside
+    * letters, digits and whitespace (unicode classes, so accented letters
+    * and non-Latin scripts survive; punctuation and symbols do not). */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  // PII scrubbing. Pattern notes: the regexes are RE2-compatible (no
+  // backtracking constructs) so the DuckDB oracle can mirror them verbatim.
+  // Replacement order matters — emails first (their domains contain dots a
+  // later rule must not see), then IPv4, then phone numbers (the +-prefixed
+  // international form; a bare-digit-run rule would eat ids and amounts).
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+\\d[\\d .-]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses and international phone numbers with
+    * typed placeholders. Three codegen'd regexp_replace passes per row —
+    * a narrow map at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match counts per PII class (before redaction) — the audit metric a
+    * scrubbing pass reports alongside the rewritten text. */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(EmailRe)).cast("long")
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(Ipv4Re)).cast("long")
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe)).cast("long")
+
   /** Character n-gram shingles (distinct). Guards short strings by clamping
     * the range start so the sequence is always ascending. */
   def shingles(text: Column, n: Int): Column =

@@ -442,6 +442,53 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > maxHits)
   }
 
+  /** Exact-substring duplication profile: for every document, how many of
+    * its token windows (length `windowTokens`, stride 1, de-duplicated
+    * within the doc) occur verbatim in at least one OTHER document — the
+    * Lee et al. "Deduplicating Training Data Makes Language Models Better"
+    * signal at token-window granularity, without the suffix array.
+    *
+    * Scale shape: the corpus is shingled ONCE (the fused gram-hash UDF,
+    * same kernel as [[decontaminate]]) and materialized as (id, hash64)
+    * longs; window strings never enter a shuffle. Because hashes are
+    * de-duplicated per doc, `count(*)` per hash IS the distinct-document
+    * count — a map-combinable aggregation, no countDistinct expansion. The
+    * shared-window join keys on the same hash the aggregation grouped on,
+    * so AQE/exchange reuse keeps it to one extra shuffle of 8-byte keys.
+    *
+    * @return id column + `n_windows` (distinct windows in the doc),
+    *         `n_shared` (of them, how many appear in ≥1 other doc),
+    *         `dup_frac` (= n_shared / n_windows, 6dp), `flagged`
+    *         (dup_frac >= minShare). Docs shorter than `windowTokens`
+    *         contribute their single whole-text window; empty docs have
+    *         zero windows and are never flagged. */
+  def substringDupProfile(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minShare: Double = 0.5): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val gh = gramHashUdf(windowTokens)
+    val grams = Materialize(
+      docs.select(col(idCol), gh(col(textCol)).as("_ghs"))
+        .select(col(idCol),
+          size(col("_ghs")).cast("long").as("n_windows"),
+          explode_outer(col("_ghs")).as("_gh")))
+    val shared = grams.where(col("_gh").isNotNull)
+      .groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= 2)
+    val out = grams.join(shared, Seq("_gh"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("n_windows")).as("n_windows"),
+        sum(when(col("_docs").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared") / greatest(col("n_windows"), lit(1L)), 6))
+      .withColumn("flagged", col("dup_frac") >= minShare)
+    out
+  }
+
   // -------------------------------------------------------------- simhash ---
 
   /** 60-bit SimHash over whitespace tokens of the named column. Per token a

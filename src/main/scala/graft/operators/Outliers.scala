@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection — the numeric data-quality twin of
+  * the text quality filters: flag rows whose value sits far from its
+  * group's median in MAD units (robust z-score, Iglewicz–Hoaglin). Median
+  * and MAD shrug off the very outliers a mean/stddev rule would absorb.
+  *
+  * Scale shape: two aggregation passes over the data (exact medians need
+  * one, MADs need a second with the medians attached) reducing to a
+  * GROUP-sized relation each time; both stat relations broadcast back, so
+  * flagging is a map-side expression, and the data itself never shuffles.
+  * With a group count near the row count this degrades to ordinary keyed
+  * aggregation — the broadcast assumption is |groups| ≪ |rows|.
+  */
+object Outliers {
+
+  /** 1 / Φ⁻¹(3/4): scales MAD to estimate σ under normality. */
+  val MadSigma = 1.4826
+
+  /** Flag rows with robust z = |x − median| / (MadSigma · MAD) > k.
+    *
+    * Groups where MAD = 0 (over half the values identical) yield a null
+    * z-score and `outlier = false` — a constant group has no scale to
+    * measure deviation in, and inf/NaN must not leak into comparisons.
+    * Null values are never outliers (their z is null).
+    *
+    * @return input columns + `robust_z` (rounded to `scale`), `outlier`.
+    */
+  def robustZ(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.5, scale: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val med = df.groupBy(gcols: _*)
+      .agg(expr(s"percentile(${quote(valueCol)}, 0.5)").as("_graft_med"))
+    val mad = df.join(broadcast(med), groupCols)
+      .groupBy(gcols: _*)
+      .agg(expr(s"percentile(abs(${quote(valueCol)} - _graft_med), 0.5)")
+        .as("_graft_mad"))
+    val z = when(col("_graft_mad") === 0.0, lit(null).cast("double"))
+      .otherwise(round(abs(v - col("_graft_med")) / (lit(MadSigma) * col("_graft_mad")), scale))
+    df.join(broadcast(med), groupCols)
+      .join(broadcast(mad), groupCols)
+      .withColumn("robust_z", z)
+      .withColumn("outlier", coalesce(col("robust_z") > k, lit(false)))
+      .drop("_graft_med", "_graft_mad")
+  }
+
+  private def quote(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+}

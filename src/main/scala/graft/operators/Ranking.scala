@@ -131,4 +131,35 @@ object Ranking {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
+    * rank, count and cumulative corpus coverage (the tokenizer-training /
+    * vocab-pruning primitive: "how many terms cover 95% of tokens?").
+    *
+    * Scale shape: term counts reduce map-combined (the only corpus-wide
+    * shuffle); the distributed TopK (`orderBy.limit`) prunes the vocab to
+    * `topN` rows BEFORE the single-partition prefix-sum window, so the
+    * unpartitioned window — unavoidable for a global cumulative sum — only
+    * ever sees `topN` rows, not the full vocabulary. The corpus token total
+    * rides in as a broadcast 1-row scalar on the pruned side.
+    *
+    * Ties break on term ascending. Output: (term, n, rank, cum_frac).
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int,
+      scale: Int = 6): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val tf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+    val total = tf.agg(sum(col("n")).cast("double").as("_graft_total"))
+    val top = tf.orderBy(col("n").desc, col("term").asc).limit(topN)
+    val ord = Window.orderBy(col("n").desc, col("term").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_frac", round(
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("_graft_total"), scale))
+      .select(col("term"), col("n"), col("rank"), col("cum_frac"))
+  }
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+/** Round-3 curation additions: JSON extraction, chunking, normalization,
+  * PII redaction, exact-substring duplication profile. */
+class CurationOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  describe("Semistructured.extractJson") {
+    it("extracts typed fields in one parse and nulls malformed rows") {
+      val df = Seq(
+        (1L, """{"k": 7, "s": "x"}"""),
+        (2L, """{"k": 9}"""),
+        (3L, """not json"""),
+        (4L, null.asInstanceOf[String])).toDF("id", "props")
+      val out = Semistructured.extractJson(df, "props",
+        Seq(StructField("k", LongType), StructField("s", StringType)))
+        .orderBy("id")
+        .collect()
+      assert(out.map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)))).toSeq ===
+        Seq((1L, Some(7L), Some("x")), (2L, Some(9L), None),
+          (3L, None, None), (4L, None, None)))
+    }
+
+    it("parses the JSON document once, not once per field") {
+      // non-foldable input (a literal LocalRelation constant-folds the whole
+      // parse away); CollapseProject must keep the one from_json rather than
+      // inlining a copy per projected field
+      val df = spark.range(10).withColumn("props",
+        concat(lit("""{"a":"""), col("id"), lit(""","b":2,"c":3}""")))
+      val plan = Semistructured.extractJson(df, "props",
+        Seq(StructField("a", LongType), StructField("b", LongType),
+          StructField("c", LongType)))
+        .queryExecution.optimizedPlan.toString()
+      assert("from_json".r.findAllIn(plan).size === 1,
+        s"expected a single from_json in:\n$plan")
+    }
+  }
+
+  describe("Chunking") {
+    it("char chunks cover the text with the configured overlap") {
+      val df = Seq((1L, "abcdefghij")).toDF("id", "text") // 10 chars
+      val out = Chunking.chunkChars(df, Seq("id"), "text", size = 4, stride = 3)
+        .orderBy("chunk_ix").collect()
+      assert(out.map(_.getString(4)).toSeq ===
+        Seq("abcd", "defg", "ghij", "j"))
+      assert(out.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L, 9L))
+    }
+
+    it("token chunks slice the token stream and rejoin with single spaces") {
+      val df = Seq((1L, "a  b\tc d e")).toDF("id", "text")
+      val out = Chunking.chunkTokens(df, Seq("id"), "text",
+        windowTokens = 3, strideTokens = 2).orderBy("chunk_ix").collect()
+      assert(out.map(_.getString(4)).toSeq === Seq("a b c", "c d e", "e"))
+      assert(out.map(_.getLong(3)).toSeq === Seq(3L, 3L, 1L))
+    }
+
+    it("empty and null texts produce zero chunks") {
+      val df = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "ok"))
+        .toDF("id", "text")
+      assert(Chunking.chunkChars(df, Seq("id"), "text", 5, 5).count() === 1)
+      assert(Chunking.chunkTokens(df, Seq("id"), "text", 5, 5).count() === 1)
+    }
+
+    it("chunking is a narrow map — no exchange in the plan") {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      val plan = Chunking.chunkTokens(docs, Seq("doc_id"), "text", 32, 24)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    }
+  }
+
+  describe("TextFunctions normalization and PII") {
+    it("normalizeText lowercases, collapses whitespace, trims") {
+      val out = Seq("  Fast\t\tQUERY  plan\n").toDF("t")
+        .select(TextFunctions.normalizeText($"t")).head.getString(0)
+      assert(out === "fast query plan")
+    }
+
+    it("normalizeAggressive also strips punctuation but keeps letters/digits") {
+      val out = Seq("Hello, wörld! 42?").toDF("t")
+        .select(TextFunctions.normalizeAggressive($"t")).head.getString(0)
+      assert(out === "hello wörld 42")
+    }
+
+    it("redactPii erases emails, IPs and phones; counts see each match") {
+      val s = "mail a.b+c@ex-1.org or 10.0.0.255 or call +44 20-7946 0958 now"
+      val row = Seq(s).toDF("t").select(
+        TextFunctions.redactPii($"t"),
+        TextFunctions.piiEmailCount($"t"),
+        TextFunctions.piiIpCount($"t"),
+        TextFunctions.piiPhoneCount($"t")).head
+      assert(row.getString(0) === "mail <EMAIL> or <IP> or call <PHONE> now")
+      assert((row.getLong(1), row.getLong(2), row.getLong(3)) === ((1L, 1L, 1L)))
+    }
+
+    it("redaction leaves clean text untouched") {
+      val s = "no contact details here, just 42 words and 3.14"
+      val out = Seq(s).toDF("t")
+        .select(TextFunctions.redactPii($"t")).head.getString(0)
+      assert(out === s)
+    }
+  }
+
+  describe("Outliers.robustZ") {
+    it("flags the planted outlier and no one else") {
+      val base = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3)))
+      val df = (base :+ (("a", 99L, 1e6))).toDF("grp", "id", "v")
+      val out = Outliers.robustZ(df, Seq("grp"), "v", k = 3.5)
+        .where($"outlier").select($"id").collect()
+      assert(out.map(_.getLong(0)).toSeq === Seq(99L))
+    }
+
+    it("constant groups (MAD=0) yield null z and no outliers") {
+      val df = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0))
+        .toDF("grp", "id", "v")
+      val out = Outliers.robustZ(df, Seq("grp"), "v").collect()
+      assert(out.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+      assert(out.forall(!_.getBoolean(4)))
+    }
+
+    it("broadcasts the group stats — no shuffle of the data side") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ns ts
+      val df = spark.read.parquet(s"${sf()}/events.parquet")
+        .select($"event_id", $"event_type", ($"value" * 1.0).as("v"))
+      val plan = Outliers.robustZ(df, Seq("event_type"), "v")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    }
+  }
+
+  describe("Ranking.vocabulary") {
+    it("ranks terms by count with deterministic ties and exact coverage") {
+      val df = Seq("b b b a a c", "a d").toDF("text")
+        .withColumn("doc_id", monotonically_increasing_id())
+      val out = Ranking.vocabulary(df, "text", topN = 3).orderBy("rank").collect()
+      // counts: a=3, b=3, c=1, d=1 → ties: a before b, c before d
+      assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
+      assert(out.map(_.getDouble(3)).toSeq === Seq(0.375, 0.75, 0.875))
+    }
+  }
+
+  describe("Dedup.substringDupProfile") {
+    it("flags docs sharing verbatim token windows, ignores unique docs") {
+      val shared = "one two three four five six seven eight"
+      val docs = Seq(
+        (1L, shared + " a"),
+        (2L, shared + " b"),
+        (3L, "totally different words in this unique document here"),
+        (4L, ""),
+        (5L, "short")).toDF("doc_id", "text")
+      val out = Dedup.substringDupProfile(docs, "doc_id", "text",
+        windowTokens = 8, minShare = 0.4)
+        .orderBy("doc_id").collect()
+      // docs 1/2: 2 windows each (9 tokens, window 8), the first is shared
+      assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq ===
+        Seq((1L, 2L, 1L, true), (2L, 2L, 1L, true),
+          (3L, 1L, 0L, false), (4L, 0L, 0L, false), (5L, 1L, 0L, false)))
+    }
+
+    it("is independent of input partitioning") {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      val a = Dedup.substringDupProfile(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val b = Dedup.substringDupProfile(docs.repartition(7, $"lang"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(a === b)
+    }
+  }
+}
