@@ -86,6 +86,55 @@ object Graphs {
     labels
   }
 
+  /** Adaptive connected components: near-dup graphs are SPARSE (edges ≪
+    * vertices after LSH banding), so after materialising the edge list the
+    * actual edge count is known for the price of a count over checkpointed
+    * blocks — the same runtime-statistics trick AQE uses to pick broadcast
+    * joins. At or below `driverEdgeLimit` integral-keyed edges the
+    * component labels come from a driver union-find (milliseconds, zero
+    * iterative Spark jobs); above it, or for non-integral vertex ids, the
+    * distributed pointer-jumping loop runs unchanged. Both paths produce
+    * identical labels (component = min reachable vertex id). */
+  def connectedComponentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+      driverEdgeLimit: Long = 1000000L, maxIterations: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val integral = sel.schema.fields.forall(f =>
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    if (!integral) return connectedComponents(edges, srcCol, dstCol, maxIterations)
+    val mat = Materialize(sel)
+    val result =
+      if (mat.count() <= driverEdgeLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val verts = scala.collection.mutable.HashSet.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        mat.collect().foreach { row =>
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val (a, b) = (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
+            verts += a; verts += b
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { // min-label union: the smaller root wins
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+        }
+        val labels = verts.iterator.map(v => (v, find(v))).toSeq
+        val spark = edges.sparkSession
+        import spark.implicits._
+        labels.toDF("vertex", "component")
+          .select(col("vertex").cast(sel.schema("src").dataType),
+            col("component").cast(sel.schema("src").dataType))
+      } else connectedComponents(mat, "src", "dst", maxIterations)
+    Materialize.release(mat)
+    result
+  }
+
   /** Dedup clusters from a document frame + near-dup pair frame: every doc
     * mapped to its cluster id (min doc id in the component; singletons map
     * to themselves) plus a keep flag. The components frame covers only
@@ -93,7 +142,7 @@ object Graphs {
     * `docs`, so AQE turns the left join into a broadcast. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       idACol: String, idBCol: String): DataFrame = {
-    val components = connectedComponents(pairs, idACol, idBCol)
+    val components = connectedComponentsAuto(pairs, idACol, idBCol)
       .withColumnRenamed("vertex", idCol)
     docs.select(col(idCol))
       .join(components, Seq(idCol), "left")

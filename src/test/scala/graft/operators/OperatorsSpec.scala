@@ -24,6 +24,24 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       cc.map(_._2).distinct shouldBe Array(1L)
     }
 
+    it("auto (driver union-find) matches the distributed labels exactly") {
+      val rnd = new scala.util.Random(7)
+      val edges = (1 to 300).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .toDF("src", "dst")
+      val driver = Graphs.connectedComponentsAuto(edges, "src", "dst")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val dist = Graphs.connectedComponentsAuto(edges, "src", "dst", driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      driver shouldBe dist
+    }
+
+    it("auto falls back to distributed for non-integral vertex ids") {
+      val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+      val cc = Graphs.connectedComponentsAuto(edges, "src", "dst")
+        .as[(String, String)].collect().sortBy(_._1)
+      cc shouldBe Array(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"))
+    }
+
     it("dedupClusters maps singletons to themselves with keep=true") {
       val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
       val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
