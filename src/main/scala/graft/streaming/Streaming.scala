@@ -127,6 +127,33 @@ object Streaming {
   def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Watermarked stream-stream join: correlate right-stream events to
+    * left-stream events sharing `keys` where the right event lands within
+    * `[0, within]` AFTER the left event (signup→purchase attribution,
+    * request→response pairing).
+    *
+    * Both sides carry watermarks and the join predicate bounds the
+    * event-time distance — the two conditions Spark needs to age out join
+    * state on unbounded input; an unconstrained stream-stream join would
+    * buffer both streams forever. State per side is bounded by
+    * watermark + `within`. `joinType` supports the watermark-compatible
+    * outer variants ("inner", "leftOuter", "rightOuter", "fullOuter") —
+    * outer rows emit only once the watermark proves no match can arrive.
+    *
+    * The time-bound predicate makes this the streaming twin of the batch
+    * `Temporal.intervalJoin`. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, watermark: String, within: String,
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "at least one join key")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"interval $within")
+    l.join(r, keyCond && timeCond, joinType)
+  }
+
   /** Streaming content dedup: canonical md5 fingerprint per document, state
     * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
     * streaming twin of batch exact dedup, safe on unbounded input because

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.matchers.should.Matchers
 
@@ -200,6 +201,62 @@ class StreamingSpec extends SparkTestBase with Matchers {
       sessions.map(_.n_events).toSeq shouldBe Seq(1, 2) // retro single + live pair
       sessions.head.session_start shouldBe ts("2024-01-01 11:56:00")
       sessions(1).session_start shouldBe ts("2024-01-01 12:00:00")
+    } finally query.stop()
+  }
+
+  it("stream-stream join pairs events on key within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val l = signups.toDF().toDF("user_id", "signup_ts")
+    val r = purchases.toDF().toDF("user_id", "purchase_ts", "amount")
+    val query = Streaming.streamStreamJoin(l, r, Seq("user_id"),
+      "signup_ts", "purchase_ts", watermark = "10 minutes", within = "1 hour")
+      .select(l("user_id"), col("signup_ts"), col("purchase_ts"), col("amount"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:30:00"), 9.0),  // in window -> match
+        (1L, ts("2024-01-01 12:00:00"), 7.0),  // after window -> no match
+        (2L, ts("2024-01-01 09:30:00"), 5.0),  // before signup -> no match
+        (3L, ts("2024-01-01 10:10:00"), 4.0))  // no signup -> no match
+      query.processAllAvailable()
+      val rows = spark.table("attributed")
+        .as[(Long, Timestamp, Timestamp, Double)].collect().toSeq
+      rows shouldBe Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 9.0))
+    } finally query.stop()
+  }
+
+  it("stream-stream left-outer emits unmatched rows once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val l = signups.toDF().toDF("user_id", "signup_ts")
+    val r = purchases.toDF().toDF("user_id", "purchase_ts", "amount")
+    val query = Streaming.streamStreamJoin(l, r, Seq("user_id"),
+      "signup_ts", "purchase_ts", watermark = "5 minutes", within = "10 minutes",
+      joinType = "leftOuter")
+      .select(l("user_id"), col("purchase_ts"))
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((1L, ts("2024-01-01 10:00:00")))
+      purchases.addData((1L, ts("2024-01-01 10:05:00"), 9.0))
+      query.processAllAvailable()
+      // push both watermarks far past signup+within so the unmatched check fires
+      signups.addData((99L, ts("2024-01-01 12:00:00")))
+      purchases.addData((99L, ts("2024-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+      signups.addData((98L, ts("2024-01-01 14:00:00")))
+      purchases.addData((98L, ts("2024-01-01 15:00:00"), 0.0))
+      query.processAllAvailable()
+      val byUser = spark.table("attributed_outer")
+        .as[(Long, Option[Timestamp])].collect().groupBy(_._1)
+      byUser(1L).map(_._2) shouldBe Array(Some(ts("2024-01-01 10:05:00")))
+      // user 99's purchase at 13:00 is outside signup+10min -> outer null row
+      byUser(99L).map(_._2) shouldBe Array(None)
     } finally query.stop()
   }
 }
