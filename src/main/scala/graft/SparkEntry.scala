@@ -770,6 +770,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // data-mixture sampling: largest en:2/de:1/fr:1 corpus achievable
+    // without upsampling, per-source caps filled by content-hash rank
+    // (operators.Sampling.mixtureSample); es/zh are unweighted -> dropped
+    "q65_mixture_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0),
+        rankKey = col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1772,6 +1784,28 @@ object SparkEntry {
         |WINDOW o AS (ORDER BY n DESC, term ASC)
         |QUALIFY rank <= 100
         |ORDER BY rank""".stripMargin,
+
+    // scale = min(n_s / w_s); caps = max(floor(w_s * scale), 1); fill by
+    // the same md5 rank as the Spark side
+    "q65_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES ('en', 2.0), ('de', 1.0), ('fr', 1.0)) AS t(lang, wt)
+        |), c AS (
+        |  -- DOUBLE, not the VALUES literal's DECIMAL: the Spark side's
+        |  -- scale/caps are IEEE double arithmetic
+        |  SELECT d.lang, CAST(w.wt AS DOUBLE) AS wt, count(*) AS n
+        |  FROM documents d JOIN w USING (lang) GROUP BY d.lang, w.wt
+        |), sc AS (
+        |  SELECT min(n / wt) AS scale FROM c
+        |), caps AS (
+        |  SELECT lang, greatest(CAST(floor(wt * scale) AS BIGINT), 1) AS cap
+        |  FROM c, sc
+        |)
+        |SELECT doc_id, d.lang FROM documents d JOIN caps USING (lang)
+        |QUALIFY row_number() OVER (PARTITION BY d.lang
+        |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    CAST(doc_id AS VARCHAR)) <= cap
+        |ORDER BY doc_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

@@ -51,6 +51,48 @@ object Sampling {
     * a key — with duplicate rankKey values and no tieBreak, which duplicate
     * survives is partitioning-dependent. Pass a row id as `rankKey` (usual
     * case) or supply `tieBreak` columns. */
+  /** Mixture sampling: downsample a multi-source corpus so the surviving
+    * composition across `sourceCol` values matches the given relative
+    * `weights` — the data-mixture primitive of LLM corpus assembly ("webtext
+    * 60 / code 30 / reference 10").
+    *
+    * The output is the LARGEST weight-proportional corpus achievable
+    * without upsampling: scale = min over weighted sources of n_s / w_s,
+    * giving per-source caps floor(w_s * scale); each source keeps its
+    * cap-many rows ranked by content hash (stable under re-runs and
+    * repartitioning). Sources absent from `weights` are dropped; a weighted
+    * source absent from the data pins the scale to zero only if its weight
+    * is > 0 — it simply contributes nothing, callers wanting a hard failure
+    * should validate upstream.
+    *
+    * Scale shape: one map-combined count per source (the |sources|-row
+    * result lands on the driver — mixtures have dozens of sources, not
+    * millions), then one window shuffle partitioned by source for the
+    * capped rank filter. The caps travel as a broadcast literal relation.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], rankKey: Column): DataFrame = {
+    require(weights.nonEmpty, "at least one source weight")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.where(lit(false))
+    val scale = present.map { case (s, w) => counts(s) / w }.min
+    val caps = present.map { case (s, w) =>
+      s -> math.max(math.floor(w * scale).toLong, 1L) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capsDf = caps.toSeq.toDF(sourceCol, "_graft_cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashRank(rankKey), rankKey.cast("string"))
+    df.join(broadcast(capsDf), Seq(sourceCol))
+      .withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") <= col("_graft_cap"))
+      .drop("_graft_rn", "_graft_cap")
+  }
+
   def cappedPerKey(df: DataFrame, keys: Seq[Column], rankKey: Column,
       maxPerKey: Int, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive, got $maxPerKey")

@@ -147,6 +147,31 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  describe("Sampling.mixtureSample") {
+    it("hits the weight-proportional composition without upsampling") {
+      val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+        .select($"doc_id", $"lang")
+      val out = Sampling.mixtureSample(docs, "lang",
+        Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0), rankKey = $"doc_id")
+      val byLang = out.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // counts en=218 de=70 fr=64 -> scale = 64 -> caps 128/64/64
+      assert(byLang === Map("en" -> 128L, "de" -> 64L, "fr" -> 64L))
+    }
+
+    it("is deterministic under repartitioning and drops unweighted sources") {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select($"doc_id", $"lang")
+      val weights = Map("en" -> 3.0, "zh" -> 1.0)
+      val a = Sampling.mixtureSample(docs, "lang", weights, $"doc_id")
+        .orderBy("doc_id").collect().toSeq
+      val b = Sampling.mixtureSample(docs.repartition(11, $"doc_id"), "lang",
+        weights, $"doc_id").orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.map(_.getString(0)).toSet.subsetOf(Set("en", "zh")))
+    }
+  }
+
   describe("Dedup.substringDupProfile") {
     it("flags docs sharing verbatim token windows, ignores unique docs") {
       val shared = "one two three four five six seven eight"
