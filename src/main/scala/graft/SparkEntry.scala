@@ -782,6 +782,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CDC diff between the latest-event-per-user snapshot at Jan-15 and at
+    // Jan-25: one PK-shuffled full outer join classifies added/changed
+    // (removals can't occur on append-only events; ScdSpec covers them)
+    "q66_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.Scd
+      val ev = events(s, dir)
+      def snap(cut: String) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.where(col("ts") < lit(cut).cast("timestamp"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+      }
+      Scd.snapshotDiff(snap("2024-01-15 00:00:00"), snap("2024-01-25 00:00:00"),
+        Seq("user_id"), Seq("event_id", "event_type"))
+        .orderBy(col("user_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1806,6 +1824,32 @@ object SparkEntry {
         |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
         |    CAST(doc_id AS VARCHAR)) <= cap
         |ORDER BY doc_id""".stripMargin,
+
+    "q66_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |), a AS (
+        |  SELECT user_id, event_id, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+        |  b.event_id AS event_id_before, a.event_id AS event_id_after,
+        |  b.event_type AS event_type_before, a.event_type AS event_type_after,
+        |  CASE WHEN b.user_id IS NULL THEN 'added'
+        |       WHEN a.user_id IS NULL THEN 'removed'
+        |       WHEN (b.event_id IS DISTINCT FROM a.event_id)
+        |         OR (b.event_type IS DISTINCT FROM a.event_type) THEN 'changed'
+        |  END AS change_type
+        |FROM b FULL OUTER JOIN a USING (user_id)
+        |WHERE CASE WHEN b.user_id IS NULL THEN 'added'
+        |       WHEN a.user_id IS NULL THEN 'removed'
+        |       WHEN (b.event_id IS DISTINCT FROM a.event_id)
+        |         OR (b.event_type IS DISTINCT FROM a.event_type) THEN 'changed'
+        |  END IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
 
     "q30_value_percentiles" ->
       """SELECT event_type,

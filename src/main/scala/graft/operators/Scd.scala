@@ -104,4 +104,40 @@ object Scd {
     val incoming = updates.select(obsCols.map(col): _*)
     scd2FromChanges(reopened.unionByName(incoming), keys, tsCol, trackedCols, tieBreak)
   }
+
+  /** Change-data-capture diff of two keyed snapshots: classify every key as
+    * `added` (only in `after`), `removed` (only in `before`) or `changed`
+    * (in both, any compared column differs — null-safe). Unchanged keys are
+    * dropped: a CDC feed carries deltas, not the full table.
+    *
+    * Scale shape: ONE full outer join shuffled on the primary key — the
+    * minimal work for a diff — with old/new values carried side by side so
+    * downstream apply/merge steps don't re-join. Comparison is null-safe
+    * `<=>` per column (a value appearing or disappearing IS a change).
+    *
+    * @return key columns + `change_type` + `<col>_before`/`<col>_after`
+    *         for each compared column.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(compareCols.nonEmpty, "at least one compared column")
+    val b = before.select((keys ++ compareCols).map(col): _*)
+      .withColumn("_graft_b", lit(1))
+    val a = after.select((keys ++ compareCols).map(col): _*)
+      .withColumn("_graft_a", lit(1))
+    val bAliased = compareCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"${c}_before"))
+    val aAliased = compareCols.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"${c}_after"))
+    val joined = bAliased.join(aAliased, keys, "full_outer")
+    val anyDiff = compareCols
+      .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("_graft_b").isNull, "added")
+          .when(col("_graft_a").isNull, "removed")
+          .when(anyDiff, "changed"))
+      .where(col("change_type").isNotNull)
+      .drop("_graft_b", "_graft_a")
+  }
 }

@@ -99,4 +99,26 @@ class ScdSpec extends SparkTestBase with Matchers {
           tieBreak = Seq("event_id"))
     }
   }
+
+  describe("snapshotDiff") {
+    it("classifies added/removed/changed, drops unchanged, null-safe") {
+      val before = Seq(
+        (1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]), (4L, Some("d")))
+        .toDF("id", "v")
+      val after = Seq(
+        (1L, Some("a")),                 // unchanged -> dropped
+        (2L, Some("B")),                 // changed
+        (3L, Some("c")),                 // null -> value = changed
+        (5L, Some("e")))                 // added; 4 removed
+        .toDF("id", "v")
+      val out = Scd.snapshotDiff(before, after, Seq("id"), Seq("v"))
+        .orderBy("id")
+        .as[(Long, Option[String], Option[String], String)].collect().toSeq
+      out shouldBe Seq(
+        (2L, Some("b"), Some("B"), "changed"),
+        (3L, None, Some("c"), "changed"),
+        (4L, Some("d"), None, "removed"),
+        (5L, None, Some("e"), "added"))
+    }
+  }
 }
