@@ -34,16 +34,24 @@ object Outliers {
     require(groupCols.nonEmpty, "at least one group column")
     val gcols = groupCols.map(col)
     val v = col(valueCol)
+    // null-safe joins throughout: groupBy treats null as a group of its own,
+    // and an equi-join back on the group key would silently drop that
+    // group's rows from the output (the same nullable-key trap the sampling
+    // operators guard against)
+    def joinStats(base: DataFrame, stats: DataFrame): DataFrame = {
+      val statsR = groupCols.foldLeft(stats)((d, c) => d.withColumnRenamed(c, s"_g_$c"))
+      val cond = groupCols.map(c => base(c) <=> statsR(s"_g_$c")).reduce(_ && _)
+      base.join(broadcast(statsR), cond).drop(groupCols.map(c => s"_g_$c"): _*)
+    }
     val med = df.groupBy(gcols: _*)
       .agg(expr(s"percentile(${quote(valueCol)}, 0.5)").as("_graft_med"))
-    val mad = df.join(broadcast(med), groupCols)
+    val mad = joinStats(df, med)
       .groupBy(gcols: _*)
       .agg(expr(s"percentile(abs(${quote(valueCol)} - _graft_med), 0.5)")
         .as("_graft_mad"))
     val z = when(col("_graft_mad") === 0.0, lit(null).cast("double"))
       .otherwise(round(abs(v - col("_graft_med")) / (lit(MadSigma) * col("_graft_mad")), scale))
-    df.join(broadcast(med), groupCols)
-      .join(broadcast(mad), groupCols)
+    joinStats(joinStats(df, med), mad)
       .withColumn("robust_z", z)
       .withColumn("outlier", coalesce(col("robust_z") > k, lit(false)))
       .drop("_graft_med", "_graft_mad")

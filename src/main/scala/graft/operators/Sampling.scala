@@ -74,6 +74,9 @@ object Sampling {
       weights: Map[String, Double], rankKey: Column): DataFrame = {
     require(weights.nonEmpty, "at least one source weight")
     require(weights.values.forall(_ > 0.0), "weights must be positive")
+    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mixtureSample source column '$sourceCol' must be a string " +
+        "(weights are keyed by string; cast upstream for other types)")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }

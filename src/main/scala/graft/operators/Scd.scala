@@ -122,6 +122,8 @@ object Scd {
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
     require(compareCols.nonEmpty, "at least one compared column")
+    require(keys.intersect(compareCols).isEmpty,
+      s"key and compare columns overlap: ${keys.intersect(compareCols).mkString(", ")}")
     val b = before.select((keys ++ compareCols).map(col): _*)
       .withColumn("_graft_b", lit(1))
     val a = after.select((keys ++ compareCols).map(col): _*)

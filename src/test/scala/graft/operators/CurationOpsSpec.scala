@@ -124,6 +124,17 @@ class CurationOpsSpec extends SparkTestBase {
       assert(out.forall(!_.getBoolean(4)))
     }
 
+    it("keeps null-group rows (null-safe stats joins)") {
+      val df = Seq(
+        (Option("a"), 1L, 1.0), (Option("a"), 2L, 2.0), (Option("a"), 3L, 3.0),
+        (Option.empty[String], 4L, 1.0), (Option.empty[String], 5L, 2.0),
+        (Option.empty[String], 6L, 3.0))
+        .toDF("grp", "id", "v")
+      val out = Outliers.robustZ(df, Seq("grp"), "v")
+      assert(out.count() === 6, "null-group rows must survive the stats joins")
+      assert(out.where($"grp".isNull && $"robust_z".isNotNull).count() === 3)
+    }
+
     it("broadcasts the group stats — no shuffle of the data side") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ns ts
       val df = spark.read.parquet(s"${sf()}/events.parquet")
