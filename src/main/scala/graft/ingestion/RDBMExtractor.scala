@@ -220,14 +220,19 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
     * on some versions and ...23:59:59.9999999 on others, so an exact literal
     * misclassifies every live row as deleted. Detect the sentinel per table
     * from max(endCol) at datetime2(7) precision, as the reference does
-    * (SQLServerTemporalExtractor.scala:82-112). If all rows were deleted the
-    * max is below the sentinel, but then there are no live rows to flag. */
-  def upperTimestamp(dbSchema: String, tableName: String): String =
-    loadQuery(
+    * (SQLServerTemporalExtractor.scala:82-112). The detected value is only
+    * trusted when it IS a 9999-12-31 sentinel: in a table whose rows were all
+    * deleted, max(endCol) is the latest deletion time, and using it would
+    * flag that closed version as live and hide it from the delta's
+    * closed-in-window branch. */
+  def upperTimestamp(dbSchema: String, tableName: String): String = {
+    val detected = loadQuery(
       s"select coalesce(cast(max(${castToDateTime7(endCol)}) as nvarchar(27)), " +
         s"'$defaultUpperTimestamp') as database_upper_timestamp " +
         s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}",
       Seq.empty).collect().head.get(0).toString
+    if (detected.startsWith("9999-12-31")) detected else defaultUpperTimestamp
+  }
 
   override def selectQuery(dbSchema: String, tableName: String,
       lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {

@@ -47,4 +47,33 @@ object Binning {
     df.withColumn(binCol,
       binColumn(col(valueCol), equiDepthBoundaries(df, valueCol, nBins, scale)))
   }
+
+  /** Equi-width histogram over explicit [lo, hi) bounds: one aggregation,
+    * map-side bin assignment (`width_bucket` semantics: below-range rows in
+    * bin 0, at-or-above-range in nBins+1, interior bins 1..nBins with ties
+    * to the UPPER bin since bins are half-open [a, b)). Empty bins are
+    * filled in with zero counts so the output always has nBins+2 rows —
+    * chartable as-is and diffable across runs.
+    *
+    * Explicit bounds (vs data-derived min/max) keep the operator one-pass
+    * and the bins stable across incremental corpus versions. Scale: the
+    * shuffle carries at most nBins+2 partial rows per task. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, 0L)
+      .when(v >= hi, nBins + 1L)
+      .otherwise((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
+        .cast("long"))
+    val counted = df.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 6).as("bin_min"), round(max(v), 6).as("bin_max"))
+    val allBins = df.sparkSession.range(0, nBins + 2L).select(col("id").as("bin"))
+    broadcast(allBins).join(counted, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        col("bin_min"), col("bin_max"))
+  }
 }

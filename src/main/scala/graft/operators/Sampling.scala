@@ -118,6 +118,35 @@ object Sampling {
     df.where(hashBucket(key, buckets) <
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets))
 
+  /** Deterministic dataset split (train/validation/test): assign each row a
+    * named split by its key's hash bucket, with fractions `splits` (must sum
+    * to ≤ 1; any remainder falls into the LAST split). The assignment is a
+    * pure map-side expression — no shuffle, no sampling state — and is
+    * stable under re-runs, repartitioning and corpus growth: a row's split
+    * never changes when other rows are added or removed, which is the
+    * property that keeps eval sets leak-free across corpus versions.
+    *
+    * Fractions are quantised to 1/buckets (default 1e-4); order of `splits`
+    * determines the bucket-range layout, so pass them in a fixed order. */
+  def splitByHash(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      splitCol: String = "split", buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    require(!df.columns.contains(splitCol),
+      s"input already carries '$splitCol' — pass a different splitCol")
+    // cumulative upper bucket bounds; last split absorbs rounding remainder
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * buckets))
+    val b = hashBucket(key, buckets)
+    val assigned = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), hi), acc) =>
+      when(b < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Stratified deterministic sampling: a rate per stratum value (e.g.
     * downsample dominant languages, keep the tail). Strata missing from
     * `rates` use `defaultRate`. */

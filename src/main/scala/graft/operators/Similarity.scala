@@ -266,6 +266,48 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic deduplication (SemDeDup-style): k-means clusters bound the
+    * pairwise search, then a row is flagged as a semantic duplicate when an
+    * earlier row (smaller id) in the SAME cluster has cosine similarity at
+    * or above `threshold`. Output: one row per input with its cell, a `keep`
+    * flag and `dup_of` = the smallest such earlier id (null when kept).
+    *
+    * Dedup policy: "similar to ANY earlier row" rather than the paper's
+    * sequential "similar to an earlier KEPT row" — the former is order-free
+    * and fully parallel (a self-join), the latter is an inherently
+    * sequential scan per cluster. Both keep exactly one row of every tight
+    * duplicate group; they differ only on chains (a~b, b~c, a!~c), where
+    * this policy dedups MORE aggressively — the safe direction for training
+    * data.
+    *
+    * Scale: pair generation is blocked per cell, so work follows cell
+    * occupancy (corpus²/nCells at uniform fill), not corpus². At 100 TB
+    * raise `nCells` so cells stay ~10⁴ rows and the per-cell quadratic
+    * stays bounded; the k-means itself holds only nCells x dim doubles on
+    * the driver. */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int = 16,
+      lloydIters: Int = 2,
+      scale: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .transform(Materialize.apply) // reused per Lloyd round + pair join
+    val cents = kmeansCentroids(c, "id", "v", nCells, lloydIters)
+    val assigned = c.withColumn("cell", cellAssignUdf(cents)(col("v")))
+    val pairs = cosineNearDupPairs(
+      assigned.withColumnRenamed("id", idCol).withColumnRenamed("v", vecCol),
+      idCol, vecCol, col("cell"), threshold, scale)
+    val dupOf = pairs.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   /** Per-label centroids of an embedding column: posexplode → two-level agg.
     * The partial aggregation (map-side combine) keeps the shuffle at
     * |labels| x dim rows regardless of corpus size. */

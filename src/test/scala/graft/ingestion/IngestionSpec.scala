@@ -99,6 +99,16 @@ class IngestionSpec extends SparkTestBase with Matchers {
       val full = e.selectQuery("dbo", "users", None, None)
       full should include("for system_time from '1900-01-01 00:00:00' to '9999-12-31'")
     }
+
+    it("temporal extractor only trusts a detected sentinel that IS 9999-12-31") {
+      // all-rows-deleted table: max(sys_end) is the latest deletion time, not
+      // the live-row sentinel — using it would flag that closed version as
+      // live AND hide it from the delta's closed-in-window branch
+      val e = new FixedSentinelExtractor("2024-06-01 10:00:00.0000000")
+      val q = e.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00")))
+      q should include("case when [sys_end] = '9999-12-31 23:59:59' then 0 else 1 end")
+      q should include("[sys_end] < '9999-12-31 23:59:59'")
+    }
   }
 
   describe("temporal snapshot") {
