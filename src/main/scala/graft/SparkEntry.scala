@@ -800,6 +800,62 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // semantic dedup (SemDeDup-style): k-means cells bound the pairwise
+    // search; a row is a duplicate when an EARLIER same-cell row has cosine
+    // >= 0.3. Same deterministic k-means as q33 (first-8-by-id init, 2
+    // Lloyd rounds), so the oracle reuses the unrolled-Lloyd SQL prefix
+    "q67_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nCells = 8, lloydIters = 2)
+        // kept rows have no dup_of; -1 sentinel keeps the gate column
+        // null-free (null == null is not "equal" to a bitwise differ)
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+        .orderBy(col("vec_id"))
+    }),
+
+    // equi-width histogram, explicit [0, 500) bounds, 20 interior bins +
+    // under/overflow, zero-filled empty bins (operators.Binning.histogram)
+    "q68_histogram" -> ((s, dir) => {
+      import graft.operators.Binning
+      Binning.histogram(events(s, dir), "value", lo = 0.0, hi = 500.0, nBins = 20)
+        // empty bins carry null min/max; sentinel for a null-free gate frame
+        .withColumn("bin_min", coalesce(col("bin_min"), lit(-1.0)))
+        .withColumn("bin_max", coalesce(col("bin_max"), lit(-1.0)))
+        .orderBy(col("bin"))
+    }),
+
+    // deterministic train/val/test split: md5-bucket assignment, stable
+    // under corpus growth (a doc's split never changes when others come or
+    // go) — the leak-free eval-set property
+    "q69_split_assign" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.splitByHash(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
+    // fuzzy dup pairs (record linkage): token-blocked candidates (equi-join
+    // on a shared lowercase word — never all-pairs), Levenshtein <= 2
+    "q70_fuzzy_dups" -> ((s, dir) => {
+      import graft.operators.Fuzzy
+      Fuzzy.fuzzyDupPairs(t(s, dir, "part"), "p_partkey", "p_name", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
+    // point stats by self-subtraction, explicit-variance z-score >= 3
+    "q71_rolling_z" -> ((s, dir) => {
+      import graft.operators.Temporal
+      Temporal.rollingZScore(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value",
+        windowSec = 86400L, minPrior = 5, zThreshold = 3.0)
+        .where(col("is_anomaly"))
+        .select(col("event_id"), col("user_id"), col("n_prior"),
+          col("mean_prior"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1857,7 +1913,133 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(min(value), 6) AS vmin,
         |  round(max(value), 6) AS vmax
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SemDeDup: same unrolled deterministic k-means as q33 (seeded init,
+    // two Lloyd rounds), then within-cell earlier-row cosine test
+    "q67_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c0 AS (
+        |  SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c0)
+        |), u1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c1 AS (
+        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
+        |  GROUP BY c0.cs
+        |), a2 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c1)
+        |), u2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c2 AS (
+        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
+        |  GROUP BY c1.cs
+        |), idx AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c2)
+        |), dups AS (
+        |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        |  GROUP BY b.vec_id
+        |)
+        |SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell,
+        |  coalesce(d.dup_of, -1) AS dup_of,
+        |  d.dup_of IS NULL AS keep
+        |FROM idx i LEFT JOIN dups d USING (vec_id)
+        |ORDER BY i.vec_id""".stripMargin,
+
+    "q68_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 21
+        |              ELSE CAST(floor((value - 0.0) / 25.0) + 1 AS BIGINT) END AS bin,
+        |    value
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT bin, count(*) AS n,
+        |    round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+        |  FROM b GROUP BY bin
+        |)
+        |SELECT t.i AS bin, coalesce(c.n, 0) AS n,
+        |  coalesce(c.bin_min, -1.0) AS bin_min,
+        |  coalesce(c.bin_max, -1.0) AS bin_max
+        |FROM range(0, 22) t(i) LEFT JOIN c ON c.bin = t.i
+        |ORDER BY bin""".stripMargin,
+
+    // cumulative bucket bounds: train < 8000, val < 9000, test = rest
+    "q69_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q70_fuzzy_dups" ->
+      """WITH tok AS (
+        |  SELECT p_partkey, p_name,
+        |    unnest(list_distinct(string_split_regex(lower(p_name), '\s+'))) AS t
+        |  FROM part
+        |), cand AS (
+        |  SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    a.p_name AS n1, b.p_name AS n2
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.p_partkey < b.p_partkey
+        |  WHERE len(a.t) > 0 AND len(b.t) > 0
+        |)
+        |SELECT id_a, id_b, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(n1, n2) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
+    // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z
+    "q71_rolling_z" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value AS v,
+        |    count(value) OVER win - 1 AS n,
+        |    sum(value) OVER win - value AS s,
+        |    sum(value * value) OVER win - value * value AS ss
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |), z AS (
+        |  SELECT event_id, user_id, n, s / n AS mean,
+        |    sqrt(greatest((ss - n * (s / n) * (s / n)) / (n - 1), 0.0)) AS std, v
+        |  FROM w WHERE n >= 5
+        |)
+        |SELECT event_id, user_id, n AS n_prior,
+        |  round(mean, 4) AS mean_prior, round((v - mean) / std, 4) AS z
+        |FROM z
+        |WHERE std > 1e-9 AND abs(round((v - mean) / std, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin
   )
 
   private val storageOracleSql: String =

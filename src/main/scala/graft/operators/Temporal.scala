@@ -117,4 +117,64 @@ object Temporal {
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Trailing-window anomaly detection: per key, flag a point whose value
+    * deviates more than `zThreshold` sample standard deviations from the
+    * mean of the PRIOR points inside `windowSec` seconds before it — the
+    * monitoring primitive for metric streams (one keyed window shuffle; no
+    * self-join, no collect).
+    *
+    * Prior-window stats come from a RANGE frame ending at the current row
+    * with the row's own contribution subtracted out, so ties on the
+    * timestamp (frame peers) are handled identically by any engine that
+    * implements SQL RANGE frames. Variance uses the explicit
+    * (Σx² − n·mean²)/(n−1) form — the same arithmetic an oracle can write —
+    * rather than an engine-specific streaming estimator, and the mean/z
+    * round before thresholding so boundary decisions are reproducible.
+    * Rows with fewer than `minPrior` prior points are never flagged
+    * (cold-start guard).
+    *
+    * Output: input columns plus `n_prior`, `mean_prior`, `z` (null when
+    * undefined) and `is_anomaly`. */
+  def rollingZScore(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      windowSec: Long,
+      minPrior: Int = 5,
+      zThreshold: Double = 3.0,
+      scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    val widthUs = windowSec * 1000000L
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-widthUs, 0)
+    // null-valued rows contribute nothing to the frame aggregates, so only
+    // subtract the row's own contribution when it has one
+    val self = when(v.isNotNull, lit(1L)).otherwise(lit(0L))
+    val withSums = df
+      .withColumn("__n", count(v).over(w) - self)
+      .withColumn("__sum", sum(v).over(w) - coalesce(v, lit(0.0)))
+      .withColumn("__sumsq", sum(v * v).over(w) - coalesce(v * v, lit(0.0)))
+    val mean = col("__sum") / col("__n")
+    val variance = (col("__sumsq") - col("__n") * mean * mean) /
+      (col("__n") - 1)
+    // max(var, 0): the subtraction form can go epsilon-negative on
+    // near-constant windows, and sqrt(-0.0001) would null the z of exactly
+    // the rows most worth flagging
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val z = when(col("__n") >= minPrior && std > lit(1e-9),
+      round((v - mean) / std, scale))
+    withSums
+      .withColumn("n_prior", col("__n").cast("long"))
+      .withColumn("mean_prior",
+        when(col("__n") >= 1, round(mean, scale)))
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > lit(zThreshold), lit(false)))
+      .drop("__n", "__sum", "__sumsq")
+  }
 }

@@ -9,6 +9,34 @@ class BinningSpec extends SparkTestBase with Matchers {
 
   import spark.implicits._
 
+  describe("histogram") {
+
+    it("buckets with width_bucket semantics and zero-fills empty bins") {
+      // [0, 10) in 5 bins of width 2: -1 -> 0 (underflow), 10/11 -> 6
+      // (overflow), boundary 2.0 -> upper bin 2 (half-open bins)
+      val df = Seq(-1.0, 0.0, 0.5, 2.0, 9.9, 10.0, 11.0).toDF("v")
+      val out = Binning.histogram(df, "v", lo = 0.0, hi = 10.0, nBins = 5)
+        .orderBy("bin")
+        .select("bin", "n").as[(Long, Long)].collect()
+      out shouldBe Array(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L,
+        5L -> 1L, 6L -> 2L)
+    }
+
+    it("ignores nulls and reports per-bin min/max") {
+      val df = Seq[Option[Double]](Some(1.0), Some(1.5), None, Some(3.0))
+        .toDF("v")
+      val rows = Binning.histogram(df, "v", 0.0, 4.0, 2)
+        .orderBy("bin")
+        .select("bin", "n", "bin_min", "bin_max")
+        .as[(Long, Long, Option[Double], Option[Double])].collect()
+      rows(1) shouldBe (1L, 2L, Some(1.0), Some(1.5))
+      rows(2) shouldBe (2L, 1L, Some(3.0), Some(3.0))
+      rows(0)._2 shouldBe 0L // empty underflow bin present with n=0
+      an[IllegalArgumentException] should be thrownBy
+        Binning.histogram(df, "v", 5.0, 5.0, 2)
+    }
+  }
+
   describe("equiDepth") {
 
     it("produces near-equal bin occupancy on skewed data") {

@@ -123,6 +123,29 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       Sampling.weightedHashSample(df, col("id"), lit(-1.0)).count() shouldBe 0L
     }
 
+    it("splits into named fractions, stable under corpus growth") {
+      val df = spark.range(20000).toDF("id")
+      val out = Sampling.splitByHash(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+      counts.keySet shouldBe Set("train", "val", "test")
+      counts("train").toDouble / 20000 shouldBe 0.8 +- 0.02
+      counts("val").toDouble / 20000 shouldBe 0.1 +- 0.01
+      counts("test").toDouble / 20000 shouldBe 0.1 +- 0.01
+      // growth stability: the assignment of the first 10k ids is unchanged
+      // when the other 10k arrive — the leak-free eval-set property
+      val small = Sampling.splitByHash(spark.range(10000).toDF("id"), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val big = out.where(col("id") < 10000).as[(Long, String)].collect().sortBy(_._1)
+      big shouldBe small
+      // fractions must be sane; split column must not collide
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.splitByHash(df, col("id"), Seq("a" -> 0.9, "b" -> 0.2))
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.splitByHash(out, col("id"), Seq("a" -> 1.0))
+    }
+
     it("applies per-stratum rates with a default") {
       val df = spark.range(4000)
         .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))

@@ -138,4 +138,93 @@ class TemporalSpec extends SparkTestBase with Matchers {
       out shouldBe Set(1L -> 2L)
     }
   }
+
+  describe("semDedup") {
+    it("keeps the earliest row of each within-cell duplicate group") {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.3, nCells = 8, lloydIters = 2)
+      out.count() shouldBe emb.count() // one verdict per input row
+      val rows = out.as[(Long, Long, Option[Long], Boolean)].collect()
+      // keep <=> no dup_of; dup_of always an earlier id
+      rows.foreach { case (id, _, dupOf, keep) =>
+        keep shouldBe dupOf.isEmpty
+        dupOf.foreach(_ should be < id)
+      }
+      // every dup points at a KEPT-or-earlier row that exists
+      val ids = rows.map(_._1).toSet
+      rows.flatMap(_._3).foreach(ids should contain(_))
+      // some dups found at this threshold on the test corpus
+      rows.count(!_._4) should be > 0
+      // deterministic under repartitioning
+      val again = Similarity.semDedup(emb.repartition(13), "vec_id", "embedding",
+        threshold = 0.3, nCells = 8, lloydIters = 2)
+        .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1)
+      again shouldBe rows.sortBy(_._1)
+    }
+
+    it("never compares across cells and dedups chains aggressively") {
+      import spark.implicits._
+      // two tight clusters far apart: with 2 cells each cluster is its own
+      // cell; within a cluster all pairs are similar -> only the min id kept
+      val vecs = Seq(
+        (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.02f)), (3L, Array(1.0f, 0.0f)),
+        (10L, Array(-1.0f, 0.01f)), (11L, Array(-1.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nCells = 2, lloydIters = 2)
+        .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+      out shouldBe Map(1L -> true, 2L -> false, 3L -> false,
+        10L -> true, 11L -> false)
+    }
+  }
+
+  describe("rollingZScore") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("k", "t", "v").select(col("k"), col("t").cast("timestamp").as("ts"), col("v"))
+
+    it("flags a spike against its trailing window and guards cold starts") {
+      val base = (0 until 10).map(i => (1L, f"2024-01-01 10:${i}%02d:00", 50.0 + i % 3))
+      val spike = Seq((1L, "2024-01-01 10:10:30", 500.0))
+      val out = Temporal.rollingZScore(mk(base ++ spike), Seq("k"), "ts", "v",
+        windowSec = 3600, minPrior = 5, zThreshold = 3.0)
+      val flagged = out.where(col("is_anomaly")).select("v").as[Double].collect()
+      flagged shouldBe Array(500.0)
+      // the first rows (fewer than minPrior prior points) are never flagged,
+      // even though the early variance is tiny
+      out.where(col("n_prior") < 5 && col("is_anomaly")).count() shouldBe 0L
+    }
+
+    it("handles constant windows (zero variance) and null values") {
+      val const = (0 until 8).map(i => (1L, f"2024-01-01 10:0$i:00", 7.0))
+      val out = Temporal.rollingZScore(mk(const), Seq("k"), "ts", "v",
+        windowSec = 3600, minPrior = 3, zThreshold = 3.0)
+      // std = 0 -> z undefined -> never anomalous (no division blowup)
+      out.where(col("is_anomaly")).count() shouldBe 0L
+      out.where(col("z").isNotNull).count() shouldBe 0L
+      // a null value contributes nothing and is not flagged
+      val withNull = mk(const).unionByName(
+        Seq((1L, "2024-01-01 10:08:00")).toDF("k", "t")
+          .select(col("k"), col("t").cast("timestamp").as("ts"),
+            lit(null).cast("double").as("v")))
+      val nr = Temporal.rollingZScore(withNull, Seq("k"), "ts", "v",
+        windowSec = 3600, minPrior = 3, zThreshold = 3.0)
+      nr.count() shouldBe 9L
+      nr.where(col("v").isNull).select("n_prior").as[Long].head() shouldBe 8L
+    }
+
+    it("windows are per key and time-bounded") {
+      val rows = (0 until 6).map(i => (1L, f"2024-01-01 10:0$i:00", 10.0)) ++
+        Seq((2L, "2024-01-01 10:06:00", 99999.0)) ++ // other key: own window
+        Seq((1L, "2024-01-01 13:00:00", 10.0)) // 3h later: empty 1h window
+      val out = Temporal.rollingZScore(mk(rows), Seq("k"), "ts", "v",
+        windowSec = 3600, minPrior = 2, zThreshold = 3.0)
+      out.where(col("k") === 2).select("n_prior").as[Long].head() shouldBe 0L
+      out.where(col("k") === 1 && col("ts") === lit("2024-01-01 13:00:00").cast("timestamp"))
+        .select("n_prior").as[Long].head() shouldBe 0L
+      out.where(col("is_anomaly")).count() shouldBe 0L
+    }
+  }
 }
