@@ -15,16 +15,25 @@ import org.apache.spark.sql.functions._
   * matched, whatever its edit distance) — the standard blocking trade-off,
   * stated rather than hidden.
   *
-  * Scale: hot tokens (stopword-like) create quadratic buckets; cap them
-  * with `maxTokenFreq` — blocking tokens occurring in more than that many
-  * rows are dropped from candidate generation (pairs may still match via a
-  * rarer shared token). At 100 TB set it so the biggest bucket stays ~10⁴.
+  * Execution collapses to DISTINCT strings before any comparison: duplicate
+  * values are the norm in dirty-key corpora, and comparing each distinct
+  * pair once then expanding back to ids via two hash joins removes a
+  * |dup-group|² factor from the expensive blocked join. The string-level
+  * match cost then follows distinct-value token-bucket occupancy — low-
+  * cardinality columns stop degenerating into row-level all-pairs.
+  *
+  * Scale: hot tokens (stopword-like) still create quadratic buckets over
+  * distinct values; cap them with `maxTokenFreq` — blocking tokens carried
+  * by more than that many distinct values are dropped from candidate
+  * generation (pairs may still match via a rarer shared token). At 100 TB
+  * set it so the biggest bucket stays ~10⁴. Distance evaluation is bounded
+  * by a sound length-band prefilter plus the thresholded Levenshtein
+  * (O(maxDist·n) early-exit DP).
   */
 object Fuzzy {
 
-  private def tokenized(df: DataFrame, idCol: String, strCol: String,
-      side: String): DataFrame =
-    df.select(col(idCol).as(s"id_$side"), col(strCol).as(s"name_$side"))
+  private def tokenized(names: DataFrame, side: String): DataFrame =
+    names.select(col("name").as(s"name_$side"))
       .withColumn("tok",
         explode(array_distinct(split(lower(col(s"name_$side")), "\\s+"))))
       .where(length(col("tok")) > 0)
@@ -38,34 +47,85 @@ object Fuzzy {
         tok.join(broadcast(hot), Seq("tok"), "left_anti")
     }
 
+  /** Distinct-string match pairs (`name_a` lexically < `name_b`, both
+    * sides tokenized from `names`, a one-column frame named `name`). */
+  private def namePairs(names: DataFrame, maxDist: Int,
+      maxTokenFreq: Option[Long]): DataFrame = {
+    val a = capped(tokenized(names, "a"), maxTokenFreq)
+    val b = capped(tokenized(names, "b"), maxTokenFreq)
+    a.join(b, Seq("tok"))
+      .where(col("name_a") < col("name_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // threshold floor of 1: distinct unequal strings can't be at distance
+      // 0, so a post-filter keeps maxDist=0 exact without relying on the
+      // engine's behaviour for a zero threshold
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), math.max(maxDist, 1)))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist").distinct()
+  }
+
   /** Near-duplicate pairs within one table: ids `id_a < id_b` whose strings
-    * share a blocking token and have Levenshtein distance ≤ `maxDist`. */
+    * share a blocking token and have Levenshtein distance ≤ `maxDist`.
+    * Identical strings (distance 0) match whenever they carry a token. */
   def fuzzyDupPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxTokenFreq: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val a = capped(tokenized(df, idCol, strCol, "a"), maxTokenFreq)
-    val b = capped(tokenized(df, idCol, strCol, "b"), maxTokenFreq)
-    a.join(b, Seq("tok"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    val ids = df.select(col(idCol).as("__fid"), col(strCol).as("name"))
+      .where(col("name").isNotNull)
+    val names = ids.select("name").distinct()
+    val pairs = namePairs(names, maxDist, maxTokenFreq)
+
+    // cross-name expansion: every id of name_a against every id of name_b
+    val cross = pairs
+      .join(ids.select(col("name").as("name_a"), col("__fid").as("ia")), Seq("name_a"))
+      .join(ids.select(col("name").as("name_b"), col("__fid").as("ib")), Seq("name_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+
+    // same-name expansion: a duplicated string pairs with itself (dist 0)
+    // iff it carries at least one surviving blocking token
+    val selfBlocked = capped(tokenized(names, "a"), maxTokenFreq)
+      .select(col("name_a").as("name")).distinct()
+    val withTok = ids.join(selfBlocked, Seq("name"))
+    val same = withTok.select(col("name"), col("__fid").as("ia"))
+      .join(withTok.select(col("name"), col("__fid").as("ib")), Seq("name"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0L).as("dist"))
+
+    cross.unionByName(same)
   }
 
   /** Fuzzy left-right join: every (left, right) pair sharing a blocking
-    * token with Levenshtein distance ≤ `maxDist`, plus the distance. */
+    * token with Levenshtein distance ≤ `maxDist`, plus the distance. Token
+    * frequencies for the `maxTokenFreq` cap are counted over the combined
+    * distinct values of both sides. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String, leftStr: String, rightStr: String,
       maxDist: Int, maxTokenFreq: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val a = capped(tokenized(left, leftId, leftStr, "a"), maxTokenFreq)
-    val b = capped(tokenized(right, rightId, rightStr, "b"), maxTokenFreq)
-    a.join(b, Seq("tok"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
-      .select(col("id_a").as(leftId), col("id_b").as(rightId),
+    val lIds = left.select(col(leftId).as("__lid"), col(leftStr).as("name"))
+      .where(col("name").isNotNull)
+    val rIds = right.select(col(rightId).as("__rid"), col(rightStr).as("name"))
+      .where(col("name").isNotNull)
+    val names = lIds.select("name").unionByName(rIds.select("name")).distinct()
+    // both orientations plus the diagonal: namePairs orders lexically, but
+    // a left value matches a right value in either order — and equal
+    // strings (dist 0, tokened) match too
+    val ordered = namePairs(names, maxDist, maxTokenFreq)
+    val tokened = capped(tokenized(names, "a"), maxTokenFreq)
+      .select(col("name_a")).distinct()
+    val pairs = ordered
+      .unionByName(ordered.select(col("name_b").as("name_a"),
+        col("name_a").as("name_b"), col("dist")))
+      .unionByName(tokened.select(col("name_a"),
+        col("name_a").as("name_b"), lit(0).as("dist")))
+    pairs
+      .join(lIds.select(col("name").as("name_a"), col("__lid")), Seq("name_a"))
+      .join(rIds.select(col("name").as("name_b"), col("__rid")), Seq("name_b"))
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
         col("dist").cast("long").as("dist"))
   }
 }
