@@ -856,6 +856,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // winsorization: clip values to per-group [p5, p95] exact percentiles —
+    // broadcast-stats map-side clipping (operators.Outliers.winsorize)
+    "q72_winsorize" -> ((s, dir) => {
+      import graft.operators.Outliers
+      Outliers.winsorize(
+        events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value_w"), col("clipped"))
+        .orderBy(col("event_id"))
+    }),
+
+    // unigram-LM surprisal quality signal: corpus-fitted token frequencies,
+    // mean -ln p(token) per doc (operators.Ranking.unigramSurprisal)
+    "q73_unigram_surprisal" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        // token-less docs carry a null score; sentinel keeps the gate frame
+        // null-free
+        .withColumn("avg_surprisal", coalesce(col("avg_surprisal"), lit(-1.0)))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2039,7 +2061,38 @@ object SparkEntry {
         |  round(mean, 4) AS mean_prior, round((v - mean) / std, 4) AS z
         |FROM z
         |WHERE std > 1e-9 AND abs(round((v - mean) / std, 4)) > 3.0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // quantile_cont matches Spark's exact `percentile` interpolation
+    "q72_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type,
+        |  round(least(greatest(value, lo), hi), 6) AS value_w,
+        |  (value < lo OR value > hi) AS clipped
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q73_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT term, count(*) AS c FROM tok GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab
+        |), s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(-ln(c / n)), 4) AS avg_surprisal
+        |  FROM tok JOIN vocab USING (term), tot GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.avg_surprisal, -1.0) AS avg_surprisal
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   private val storageOracleSql: String =

@@ -124,9 +124,16 @@ object TextFunctions {
 
   /** (distinct tokens, max token count, tokens, max bigram count, bigrams)
     * — one counting pass. Bigram edge: < 2 tokens yields one degenerate
-    * bigram (the remaining tokens joined; "" for an empty doc). */
-  private case class RepStats(nDistinct: Int, topTok: Int, nToks: Int,
-      topBg: Int, nBgs: Int)
+    * bigram (the remaining tokens joined; "" for an empty doc).
+    *
+    * Returns a TUPLE, not a named case class: Janino cannot resolve
+    * methods on application-classloader classes inside generated code, so
+    * a case-class result knocks the whole surrounding projection out of
+    * codegen ("No applicable constructor/method found" fallback warnings).
+    * Tuple accessors live in Spark's own classloader and stay codegen'd;
+    * the field-name indirection below keeps call sites readable. */
+  private val repFields = Map("nDistinct" -> "_1", "topTok" -> "_2",
+    "nToks" -> "_3", "topBg" -> "_4", "nBgs" -> "_5")
 
   private val repStatsUdf = udf { (txt: String) =>
     val toks =
@@ -151,22 +158,22 @@ object TextFunctions {
       if (c > topBg) topBg = c
       i += 1
     }
-    RepStats(tokCounts.size, topTok, toks.length, topBg, nBgs)
+    (tokCounts.size, topTok, toks.length, topBg, nBgs)
   }
 
   /** Distinct-token ratio: |distinct tokens| / |tokens| — low values mean a
     * repetitive document. 0 for empty docs. */
   def distinctTokenRatio(text: Column, scale: Int = 4): Column = {
     val s = repStatsUdf(text)
-    round(s.getField("nDistinct").cast("double")
-      / greatest(s.getField("nToks"), lit(1)).cast("double"), scale)
+    round(s.getField(repFields("nDistinct")).cast("double")
+      / greatest(s.getField(repFields("nToks")), lit(1)).cast("double"), scale)
   }
 
   /** Fraction of tokens taken by the single most frequent token. */
   def topTokenFrac(text: Column, scale: Int = 4): Column = {
     val s = repStatsUdf(text)
-    round(s.getField("topTok").cast("double")
-      / greatest(s.getField("nToks"), lit(1)).cast("double"), scale)
+    round(s.getField(repFields("topTok")).cast("double")
+      / greatest(s.getField(repFields("nToks")), lit(1)).cast("double"), scale)
   }
 
   /** Fraction of word bigrams taken by the most frequent bigram — high
@@ -175,8 +182,8 @@ object TextFunctions {
     * evaluation per row via Spark's common-subexpression elimination.) */
   def topBigramFrac(text: Column, scale: Int = 4): Column = {
     val s = repStatsUdf(text)
-    round(s.getField("topBg").cast("double")
-      / greatest(s.getField("nBgs"), lit(1)).cast("double"), scale)
+    round(s.getField(repFields("topBg")).cast("double")
+      / greatest(s.getField(repFields("nBgs")), lit(1)).cast("double"), scale)
   }
 
   // ------------------------------------------- Gopher-style doc filters ---

@@ -72,7 +72,9 @@ object Binning {
       .agg(count(lit(1)).as("n"),
         round(min(v), 6).as("bin_min"), round(max(v), 6).as("bin_max"))
     val allBins = df.sparkSession.range(0, nBins + 2L).select(col("id").as("bin"))
-    broadcast(allBins).join(counted, Seq("bin"), "left")
+    // broadcast the aggregated side: it is at most nBins+2 rows, and a
+    // left-outer join can only broadcast its non-preserved (right) side
+    allBins.join(broadcast(counted), Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
         col("bin_min"), col("bin_max"))
   }

@@ -57,6 +57,38 @@ object Outliers {
       .drop("_graft_med", "_graft_mad")
   }
 
+  /** Winsorize: clip `valueCol` to its per-group [pLo, pHi] exact
+    * percentiles — the standard tail-taming step before training on noisy
+    * numeric features (clip, don't drop: row count and joins stay intact).
+    *
+    * Same scale shape as [[robustZ]]: one aggregation reduces the bounds
+    * to a GROUP-sized relation, which broadcasts back so clipping is a
+    * map-side expression; the data never shuffles. Output: input columns
+    * plus `<valueCol>_w` (clipped, rounded to `scale`) and `clipped`.
+    * Null values pass through unclipped (`clipped = false`). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99, scale: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val bounds = df.groupBy(gcols: _*)
+      .agg(expr(s"percentile(${quote(valueCol)}, $pLo)").as("_graft_lo"),
+        expr(s"percentile(${quote(valueCol)}, $pHi)").as("_graft_hi"))
+    val statsR = groupCols.foldLeft(bounds)((d, c) => d.withColumnRenamed(c, s"_g_$c"))
+    val cond = groupCols.map(c => df(c) <=> statsR(s"_g_$c")).reduce(_ && _)
+    df.join(broadcast(statsR), cond)
+      .drop(groupCols.map(c => s"_g_$c"): _*)
+      // explicit null passthrough: Spark's greatest/least SKIP nulls, so
+      // a null value would otherwise silently "clip" to the lower bound
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(round(least(greatest(v, col("_graft_lo")), col("_graft_hi")), scale)))
+      .withColumn("clipped",
+        coalesce(v < col("_graft_lo") || v > col("_graft_hi"), lit(false)))
+      .drop("_graft_lo", "_graft_hi")
+  }
+
   private def quote(name: String): String =
     "`" + name.replace("`", "``") + "`"
 }

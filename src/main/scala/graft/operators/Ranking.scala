@@ -132,6 +132,35 @@ object Ranking {
         col("score"), col("rank"))
   }
 
+  /** Unigram-LM surprisal scoring: fit token frequencies on the corpus
+    * itself, then score each document by the mean per-token surprisal
+    * −ln p(token) — the cheap language-model quality signal (very low =
+    * boilerplate/repetitive, very high = garbage/rare-token soup; the
+    * useful corpus lives in between). Tokens are lowercased whitespace
+    * tokens, so p covers every scored token (no smoothing needed: c ≥ 1
+    * for a token being scored).
+    *
+    * Scale shape: one map-combined shuffle builds the vocab relation; the
+    * corpus token total attaches to the VOCAB side as a broadcast 1-row
+    * scalar (the tf-idf lesson above); scoring joins tokens to vocab on
+    * the term — AQE splits the stop-word skew — and reduces per doc.
+    * Output: (doc_id, n_tokens, avg_surprisal). Token-less documents are
+    * kept with n_tokens = 0 and a null score. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      scale: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("_graft_total"))
+    val scored = toks.join(vocab.crossJoin(broadcast(total)), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("_graft_total"))), scale)
+          .as("avg_surprisal"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
     * rank, count and cumulative corpus coverage (the tokenizer-training /
     * vocab-pruning primitive: "how many terms cover 95% of tokens?").

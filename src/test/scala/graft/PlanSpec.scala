@@ -128,6 +128,35 @@ class PlanSpec extends SparkTestBase with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  it("histogram is one aggregation with a broadcast bin spine") {
+    val p = plan("q68_histogram")
+    // bin assignment is map-side arithmetic; the zero-fill joins a
+    // broadcast 22-row range, never shuffling the counted side again
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1 // the groupBy
+  }
+
+  it("split assignment is pure map-side — no shuffle, no window") {
+    val p = plan("q69_split_assign")
+    p should not include "Window"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
+  it("rolling z-score runs one keyed window shuffle and no self-join") {
+    val p = plan("q71_rolling_z")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
+  it("fuzzy matching joins distinct names by token — no cartesian, no row-level blocking") {
+    val p = plan("q70_fuzzy_dups")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the blocked join keys on the token
+    p should include("tok")
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

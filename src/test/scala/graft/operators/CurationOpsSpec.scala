@@ -146,6 +146,43 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  describe("Outliers.winsorize") {
+    it("clips to the per-group percentile bounds and flags clipped rows") {
+      // group a: 1..100; p10=10.9, p90=90.1 (exact interpolation)
+      val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble)).toDF("grp", "id", "v")
+      val out = Outliers.winsorize(df, Seq("grp"), "v", pLo = 0.1, pHi = 0.9)
+      assert(out.count() === 100)
+      val clipped = out.where($"clipped").select($"id").as[Long].collect().sorted
+      assert(clipped.toSeq === ((1L to 10L) ++ (91L to 100L)))
+      // clipped values sit exactly at the bounds; interior values untouched
+      assert(math.abs(out.where($"id" === 1L).select($"v_w").as[Double].head() - 10.9) < 1e-9)
+      assert(math.abs(out.where($"id" === 100L).select($"v_w").as[Double].head() - 90.1) < 1e-9)
+      assert(out.where($"id" === 50L).select($"v_w").as[Double].head() === 50.0)
+    }
+
+    it("null values pass through unclipped; groups are independent") {
+      val df = Seq(
+        (Option("a"), 1L, Option(1.0)), (Option("a"), 2L, Option(2.0)),
+        (Option("a"), 3L, Option(1000.0)), (Option("a"), 4L, Option.empty[Double]),
+        (Option.empty[String], 5L, Option(7.0)), (Option.empty[String], 6L, Option(8.0)))
+        .toDF("grp", "id", "v")
+      val out = Outliers.winsorize(df, Seq("grp"), "v", pLo = 0.25, pHi = 0.75)
+      assert(out.count() === 6) // null group survives (null-safe join)
+      assert(out.where($"id" === 4L).select($"clipped").as[Boolean].head() === false)
+      assert(out.where($"id" === 4L).where($"v_w".isNull).count() === 1)
+    }
+
+    it("winsorize broadcasts bounds — the data side never shuffles") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"${sf()}/events.parquet")
+        .select($"event_id", $"event_type", ($"value" * 1.0).as("v"))
+      val plan = Outliers.winsorize(df, Seq("event_type"), "v")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    }
+  }
+
   describe("Ranking.vocabulary") {
     it("ranks terms by count with deterministic ties and exact coverage") {
       val df = Seq("b b b a a c", "a d").toDF("text")

@@ -88,6 +88,36 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("unigramSurprisal") {
+    it("scores common-token docs low and rare-token docs high") {
+      // "the" dominates the corpus; doc 3 is all rare tokens
+      val d = Seq(
+        (1L, "the the the the the the the the"),
+        (2L, "the the the cat"),
+        (3L, "zyx qwv pqr"),
+        (4L, "")).toDF("doc_id", "text")
+      val out = Ranking.unigramSurprisal(d, "doc_id", "text")
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+      out.map(_._2) shouldBe Array(8L, 4L, 3L, 0L)
+      val score = out.map(r => r._1 -> r._3).toMap
+      score(4L) shouldBe None // token-less doc: null score, kept
+      score(1L).get should be < score(2L).get
+      score(2L).get should be < score(3L).get
+      // exact value: doc 1 is pure "the", p = 11/15
+      score(1L).get shouldBe
+        BigDecimal(-math.log(11.0 / 15.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+
+    it("is case-insensitive and keeps every doc once") {
+      val d = Seq((1L, "The THE the"), (2L, "foo")).toDF("doc_id", "text")
+      val out = Ranking.unigramSurprisal(d, "doc_id", "text")
+      out.count() shouldBe 2
+      // all three "the" variants collapse to one token with c=3
+      out.where(col("doc_id") === 1L).select("avg_surprisal").as[Double].head() shouldBe
+        BigDecimal(-math.log(3.0 / 4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+  }
+
   describe("repetition signals") {
     it("flags fully repetitive text and passes diverse text") {
       val d = Seq(
