@@ -878,6 +878,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fixed-iteration PageRank on the customer->supplier purchase graph:
+    // 3 power iterations, per-round rounding pins cross-engine floats;
+    // the oracle unrolls the same 3 rounds in SQL
+    "q74_pagerank" -> ((s, dir) => {
+      import graft.operators.Graphs
+      // key spaces overlap numerically; prefix so customer 5 and supplier 5
+      // stay distinct vertices
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("vertex"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2075,6 +2090,47 @@ object SparkEntry {
         |  (value < lo OR value > hi) AS clipped
         |FROM events e JOIN b USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // 3 unrolled power iterations; all literals cast to DOUBLE so DuckDB's
+    // default DECIMAL parsing cannot change the arithmetic
+    "q74_pagerank" ->
+      """WITH e AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), v AS (
+        |  SELECT src AS vertex FROM e UNION SELECT dst FROM e
+        |), nn AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM e GROUP BY src
+        |), base AS (
+        |  SELECT vertex, deg FROM v LEFT JOIN deg ON vertex = deg.src
+        |), s0 AS (
+        |  SELECT vertex, deg, round(CAST(1.0 AS DOUBLE) / n, 9) AS pr FROM base, nn
+        |), c1 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s0 JOIN e ON s0.vertex = e.src GROUP BY dst
+        |), s1 AS (
+        |  SELECT b.vertex, b.deg,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c1 ON b.vertex = c1.dst, nn
+        |), c2 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s1 JOIN e ON s1.vertex = e.src GROUP BY dst
+        |), s2 AS (
+        |  SELECT b.vertex, b.deg,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c2 ON b.vertex = c2.dst, nn
+        |), c3 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s2 JOIN e ON s2.vertex = e.src GROUP BY dst
+        |), s3 AS (
+        |  SELECT b.vertex, b.deg,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |      + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
+        |)
+        |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
 
     "q73_unigram_surprisal" ->
       """WITH tok AS (

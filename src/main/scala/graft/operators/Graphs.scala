@@ -135,6 +135,67 @@ object Graphs {
     result
   }
 
+  /** Fixed-iteration PageRank over an edge list — the importance/centrality
+    * primitive (seed-page weighting, spam-domain discounting, entity
+    * salience). Deterministic by construction: a FIXED number of power
+    * iterations (no convergence test — runs are reproducible and the
+    * computation is SQL-unrollable for verification), each score rounded to
+    * `iterScale` decimals per round so independent engines cannot drift
+    * apart through float sum ordering.
+    *
+    * Dangling vertices (no out-edges) leak their mass — the plain
+    * power-iteration variant; total mass is then < 1, which rescales
+    * rankings identically and keeps each iteration a single join + agg
+    * (dangling redistribution would add a global barrier per round).
+    * Multi-edges count multiplicity (a src with two edges to the same dst
+    * sends it double weight); pre-`distinct` the edges to change that.
+    *
+    * Scale shape per iteration: one shuffle joining scores to edges on src
+    * (out-degree pre-attached), one map-combined aggregation by dst. The
+    * score relation is |V|-sized; edges never re-shuffle once bucketed.
+    * Output: (vertex, pagerank) over ALL vertices, including dangling ones.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85,
+      iterScale: Int = 9, scale: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = Materialize(sel) // reused every iteration
+    val vertices = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex"))).distinct()
+      .transform(Materialize.apply)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg attaches to the |V|-sized score relation, not per-edge
+    val base = vertices.join(outDeg.withColumnRenamed("src", "vertex"),
+      Seq("vertex"), "left")
+      .transform(Materialize.apply)
+
+    val n = vertices.count().toDouble
+    val init = BigDecimal(1.0 / n)
+      .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var scores = base.withColumn("pr", lit(init))
+    var it = 0
+    while (it < iterations) {
+      val contrib = scores
+        .where(col("deg").isNotNull)
+        .join(e, col("vertex") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("in_mass"))
+      scores = base.join(contrib.withColumnRenamed("dst", "vertex"),
+        Seq("vertex"), "left")
+        .withColumn("pr", round(
+          lit((1 - damping) / n) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
+          iterScale))
+        .drop("in_mass")
+      it += 1
+    }
+    val out = scores.select(col("vertex"), round(col("pr"), scale).as("pagerank"))
+      .transform(Materialize.apply)
+    Materialize.release(e); Materialize.release(vertices); Materialize.release(base)
+    out
+  }
+
   /** Dedup clusters from a document frame + near-dup pair frame: every doc
     * mapped to its cluster id (min doc id in the component; singletons map
     * to themselves) plus a keep flag. The components frame covers only

@@ -51,6 +51,46 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("pageRank") {
+    it("a 2-cycle is the exact fixed point: both vertices hold 0.5") {
+      val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      val pr = Graphs.pageRank(edges, "src", "dst", iterations = 5)
+        .as[(String, Double)].collect().toMap
+      pr shouldBe Map("a" -> 0.5, "b" -> 0.5)
+    }
+
+    it("ranks the vertex with more in-links higher; dangling vertices kept") {
+      // b receives from a, c, d; e receives only from b; a,c,d receive nothing
+      val edges = Seq(("a", "b"), ("c", "b"), ("d", "b"), ("b", "e"))
+        .toDF("src", "dst")
+      val pr = Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .as[(String, Double)].collect().toMap
+      pr.keySet shouldBe Set("a", "b", "c", "d", "e")
+      // at the fixed point e outranks b: b's three sources hold only
+      // teleport mass (3 x 0.03 x 0.85 = 0.0765 in), while e receives
+      // 0.85 x pr(b) = 0.0905 — more mass from one strong link than from
+      // three weak ones
+      pr("e") should be > pr("b")
+      pr("b") should be > pr("a")
+      pr("a") shouldBe pr("c") // symmetric sources
+      // exact 3-iteration values, hand-computed
+      pr("a") shouldBe 0.03 +- 1e-9
+      pr("b") shouldBe 0.1065 +- 1e-9
+      pr("e") shouldBe 0.120525 +- 1e-9
+    }
+
+    it("multi-edges carry multiplicity and results are partitioning-stable") {
+      val edges = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("src", "dst")
+      val pr = Graphs.pageRank(edges, "src", "dst", iterations = 2)
+        .as[(String, Double)].collect().toMap
+      // a's mass splits 2/3 to b, 1/3 to c
+      pr("b") should be > pr("c")
+      val again = Graphs.pageRank(edges.repartition(7), "src", "dst", iterations = 2)
+        .as[(String, Double)].collect().toMap
+      again shouldBe pr
+    }
+  }
+
   describe("IVF ANN") {
     it("achieves high recall against brute force on the test embeddings") {
       val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
