@@ -101,6 +101,45 @@ object ScaleProbe {
       Profile.profile(events, Seq("event_id", "user_id", "event_type", "value"),
         approxDistinct = true)
     }
+    time("semantic dedup (20k vectors, 32 cells)") {
+      Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.3, nCells = 32, lloydIters = 2)
+    }
+    // fuzzy matching has two cost regimes: low-cardinality values (the
+    // distinct-name matcher is trivial, id expansion dominates) and
+    // high-cardinality values (the token-blocked matcher dominates, with
+    // maxTokenFreq as the occupancy knob)
+    val part = rep(spark.read.parquet(s"$sfDir/part.parquet"), "p_partkey")
+      .localCheckpoint(true)
+    time("fuzzy dups (200k rows, 64 distinct names)") {
+      Fuzzy.fuzzyDupPairs(part, "p_partkey", "p_name", maxDist = 1)
+    }
+    time("fuzzy dups (200k rows, 51k distinct names, cap 2000)") {
+      val named = part.withColumn("p_name",
+        concat(col("p_name"), lit(" v"), pmod(col("p_partkey"), lit(797L))))
+      Fuzzy.fuzzyDupPairs(named, "p_partkey", "p_name", maxDist = 2,
+        maxTokenFreq = Some(2000L))
+    }
+    time("rolling z-score (1M events, 24h window)") {
+      Temporal.rollingZScore(
+        events.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", windowSec = 86400L)
+    }
+    time("unigram surprisal (500k docs)") {
+      Ranking.unigramSurprisal(docs, "doc_id", "text")
+    }
+    val edges = ord.sparkSession.read.parquet(s"$sfDir/orders.parquet")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    time("pagerank 3 iters (600k edges)") {
+      Graphs.pageRank(edges, "src", "dst", iterations = 3)
+    }
+    time("winsorize (1M events, per-type p5/p95)") {
+      Outliers.winsorize(
+        events.select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", 0.05, 0.95)
+    }
     spark.stop()
   }
 }

@@ -159,15 +159,22 @@ object Temporal {
       .withColumn("__n", count(v).over(w) - self)
       .withColumn("__sum", sum(v).over(w) - coalesce(v, lit(0.0)))
       .withColumn("__sumsq", sum(v * v).over(w) - coalesce(v * v, lit(0.0)))
-    val mean = col("__sum") / col("__n")
+    // structurally non-zero denominators, NOT when-guards around the
+    // division: codegen's subexpression elimination hoists a subexpression
+    // shared by several output columns (mean feeds both mean_prior and z)
+    // out of its conditional branches, and under ANSI mode the eagerly
+    // evaluated 0/0 of a no-prior-rows row throws DIVIDE_BY_ZERO. The
+    // when-guards below still decide which rows get a value; greatest()
+    // only keeps the unused arithmetic finite
+    val mean = col("__sum") / greatest(col("__n"), lit(1L))
     val variance = (col("__sumsq") - col("__n") * mean * mean) /
-      (col("__n") - 1)
+      greatest(col("__n") - 1, lit(1L))
     // max(var, 0): the subtraction form can go epsilon-negative on
     // near-constant windows, and sqrt(-0.0001) would null the z of exactly
     // the rows most worth flagging
     val std = sqrt(greatest(variance, lit(0.0)))
     val z = when(col("__n") >= minPrior && std > lit(1e-9),
-      round((v - mean) / std, scale))
+      round((v - mean) / greatest(std, lit(1e-12)), scale))
     withSums
       .withColumn("n_prior", col("__n").cast("long"))
       .withColumn("mean_prior",
