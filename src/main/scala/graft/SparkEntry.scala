@@ -893,6 +893,16 @@ object SparkEntry {
         .orderBy(col("vertex"))
     }),
 
+    // exactly-100 deterministic sample: distributed TopK on the content
+    // hash — exact size AND content-determined membership
+    "q75_sample_exact_k" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.sampleExactK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), k = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2131,6 +2141,14 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    "q75_sample_exact_k" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |    CAST(doc_id AS VARCHAR)
+        |  LIMIT 100
+        |) ORDER BY doc_id""".stripMargin,
 
     "q73_unigram_surprisal" ->
       """WITH tok AS (

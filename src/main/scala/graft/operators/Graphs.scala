@@ -172,6 +172,7 @@ object Graphs {
       .transform(Materialize.apply)
 
     val n = vertices.count().toDouble
+    require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
     val init = BigDecimal(1.0 / n)
       .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
     var scores = base.withColumn("pr", lit(init))

@@ -118,6 +118,17 @@ object Sampling {
     df.where(hashBucket(key, buckets) <
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets))
 
+  /** Exactly-k deterministic global sample: the k rows whose key hashes
+    * smallest (ties broken by the key's string form). Unlike rate-based
+    * [[hashSample]] the size is exact; unlike `df.limit(k)` the selection
+    * is content-determined, not partition-order-determined. Executes as a
+    * distributed TopK (per-partition heads + driver merge of k rows) — no
+    * global sort, no single-partition shuffle. */
+  def sampleExactK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.orderBy(hashRank(key), keyStr(key)).limit(k)
+  }
+
   /** Deterministic dataset split (train/validation/test): assign each row a
     * named split by its key's hash bucket, with fractions `splits` (must sum
     * to ≤ 1; any remainder falls into the LAST split). The assignment is a

@@ -121,6 +121,67 @@ object Streaming {
       }
   }
 
+  final case class PointInput(key: Long, ts: Timestamp, value: Double)
+  final case class RollingState(points: List[(Long, Double)])
+  final case class PointScore(key: Long, ts: Timestamp, value: Double,
+      n_prior: Long, z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming trailing-window anomaly detection — the streaming twin of
+    * [[graft.operators.Temporal.rollingZScore]]: flag a point whose value
+    * deviates more than `zThreshold` sample standard deviations from the
+    * mean of the prior points inside `windowSec` before it.
+    *
+    * State per key is the point buffer of the last `windowSec` of event
+    * time (pruned every batch, evicted entirely via event-time timeout
+    * once the watermark passes), so memory follows key-rate × window, not
+    * stream length. Arithmetic matches the batch twin exactly — same
+    * left-to-right prior-sum order, same explicit variance form, same
+    * rounding — so backfill (batch) and live (stream) flags agree, except
+    * on timestamp TIES: the batch RANGE frame lets tied rows see each
+    * other, while a stream scores strictly in arrival order. */
+  def anomalyStream(points: Dataset[PointInput], windowSec: Long,
+      minPrior: Int = 5, zThreshold: Double = 3.0, scale: Int = 4,
+      watermark: String = "1 hour"): Dataset[PointScore] = {
+    import points.sparkSession.implicits._
+    val windowMs = windowSec * 1000L
+    points
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RollingState, PointScore](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[RollingState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var pts = state.getOption.map(_.points).getOrElse(Nil)
+            val scored = rows.toSeq.sortBy(r => (r.ts.getTime, r.value)).map { r =>
+              val t = r.ts.getTime
+              val prior = pts.filter(p => p._1 >= t - windowMs && p._1 <= t)
+              val n = prior.length
+              var s = 0.0; var ss = 0.0
+              prior.foreach { p => s += p._2; ss += p._2 * p._2 }
+              val mean = s / math.max(n, 1)
+              val variance = (ss - n * mean * mean) / math.max(n - 1, 1)
+              val std = math.sqrt(math.max(variance, 0.0))
+              val z = if (n >= minPrior && std > 1e-9)
+                Some(BigDecimal((r.value - mean) / std)
+                  .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None
+              pts = pts :+ (t -> r.value)
+              PointScore(key, r.ts, r.value, n.toLong, z,
+                z.exists(v => math.abs(v) > zThreshold))
+            }
+            val newest = pts.iterator.map(_._1).max
+            // keep ascending (ts, value) order so the NEXT batch's prior
+            // sums accumulate in the same order the batch twin uses
+            val kept = pts.filter(_._1 >= newest - windowMs).sorted
+            state.update(RollingState(kept))
+            state.setTimeoutTimestamp(
+              math.max(newest + windowMs, state.getCurrentWatermarkMs() + 1))
+            scored.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: attach dimension attributes to each event.
     * The static side re-resolves per micro-batch (a metastore-backed dim
     * picks up updates) and broadcasts — no stream-side shuffle at all. */

@@ -123,6 +123,23 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       Sampling.weightedHashSample(df, col("id"), lit(-1.0)).count() shouldBe 0L
     }
 
+    it("samples exactly k rows, content-determined") {
+      val df = spark.range(5000).toDF("id")
+      val a = Sampling.sampleExactK(df, col("id"), 50)
+        .select("id").as[Long].collect().sorted
+      a.length shouldBe 50
+      // same members whatever the partitioning; limit(k) would differ
+      val b = Sampling.sampleExactK(df.repartition(13), col("id"), 50)
+        .select("id").as[Long].collect().sorted
+      b shouldBe a
+      // growth property: adding rows can only swap members in, never
+      // reorder the hash ranking of existing ones — the k-sample of a
+      // superset is drawn from the same ranking prefix
+      val bigger = Sampling.sampleExactK(spark.range(10000).toDF("id"), col("id"), 50)
+        .select("id").as[Long].collect().toSet
+      (a.toSet intersect bigger).size should be >= 25 // ~half survive a 2x corpus
+    }
+
     it("splits into named fractions, stable under corpus growth") {
       val df = spark.range(20000).toDF("id")
       val out = Sampling.splitByHash(df, col("id"),

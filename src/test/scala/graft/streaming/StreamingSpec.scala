@@ -259,4 +259,65 @@ class StreamingSpec extends SparkTestBase with Matchers {
       byUser(99L).map(_._2) shouldBe Array(None)
     } finally query.stop()
   }
+
+  it("streaming anomaly flags match the batch rollingZScore on the same points") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PointInput]
+    // steady baseline then a spike, split across two micro-batches; tie-free
+    val base = (0 until 10).map(i =>
+      Streaming.PointInput(1L, ts(f"2024-01-01 10:${i}%02d:00"), 50.0 + i % 3))
+    val spike = Streaming.PointInput(1L, ts("2024-01-01 10:10:30"), 500.0)
+    val other = Streaming.PointInput(2L, ts("2024-01-01 10:11:00"), 1.0)
+
+    val query = Streaming.anomalyStream(input.toDS(), windowSec = 3600,
+      minPrior = 5, zThreshold = 3.0)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(base.take(6))
+      query.processAllAvailable()
+      input.addData(base.drop(6) :+ spike :+ other)
+      query.processAllAvailable()
+      val streamed = spark.table("anomalies")
+        .select("key", "ts", "n_prior", "z", "is_anomaly")
+        .as[(Long, Timestamp, Long, Option[Double], Boolean)]
+        .collect().sortBy(r => (r._1, r._2.getTime))
+
+      streamed.filter(_._5).map(_._2) shouldBe Array(ts("2024-01-01 10:10:30"))
+
+      // batch twin over the identical points: every (n_prior, z, flag) equal
+      import graft.operators.Temporal
+      val batchDf = (base :+ spike :+ other)
+        .toDF("key", "ts", "value")
+      val batch = Temporal.rollingZScore(batchDf, Seq("key"), "ts", "value",
+        windowSec = 3600, minPrior = 5, zThreshold = 3.0)
+        .select(col("key"), col("ts"), col("n_prior"), col("z"), col("is_anomaly"))
+        .as[(Long, Timestamp, Long, Option[Double], Boolean)]
+        .collect().sortBy(r => (r._1, r._2.getTime))
+      streamed shouldBe batch
+    } finally query.stop()
+  }
+
+  it("streaming anomaly state prunes to the window and evicts idle keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PointInput]
+    val query = Streaming.anomalyStream(input.toDS(), windowSec = 600,
+      minPrior = 2, zThreshold = 3.0, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("anomalies_prune")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streaming.PointInput(1L, ts("2024-01-01 10:00:00"), 10.0),
+        Streaming.PointInput(1L, ts("2024-01-01 10:01:00"), 11.0))
+      query.processAllAvailable()
+      // an hour later: the 10:0x points fell out of the 10-minute window,
+      // so this row sees ZERO prior points
+      input.addData(Streaming.PointInput(1L, ts("2024-01-01 11:00:00"), 999.0))
+      query.processAllAvailable()
+      val late = spark.table("anomalies_prune")
+        .where(col("ts") === ts("2024-01-01 11:00:00"))
+        .select("n_prior", "is_anomaly").as[(Long, Boolean)].collect()
+      late shouldBe Array((0L, false))
+    } finally query.stop()
+  }
 }
