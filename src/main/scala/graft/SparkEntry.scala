@@ -903,6 +903,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // JL random projection 64 -> 8 dims: md5-derived directions are exact
+    // multiples of 2^-10, so the oracle recomputes the identical matrix
+    "q76_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(t(s, dir, "embeddings"), "embedding",
+        outDim = 8, dim = 64)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2141,6 +2151,19 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // plane component(p,d) = (md5_60("srp_42_p_d") % 2048 - 1024) / 1024 —
+    // the same formula Similarity.hyperplanes uses (see q21)
+    "q76_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT vec_id, CAST(t.p AS BIGINT) AS pos,
+        |  round(list_sum(list_transform(range(0, 64), d ->
+        |    (((('0x' || substr(md5('srp_42_' || t.p || '_' || d), 1, 15))::BIGINT % 2048)
+        |      - 1024) / 1024.0) * v[CAST(d AS INT) + 1])), 6) AS component
+        |FROM e CROSS JOIN range(0, 8) t(p)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q75_sample_exact_k" ->
       """SELECT doc_id, lang FROM (

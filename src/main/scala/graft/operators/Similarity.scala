@@ -266,6 +266,36 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project `vecCol` onto `outDim` md5-derived directions — the cheap
+    * pre-step that makes downstream ANN / clustering / dedup distance
+    * computations `outDim/dim` times cheaper while approximately
+    * preserving pairwise distances. The projection matrix derives from
+    * [[hyperplanes]] (seeded md5, components exact multiples of 2⁻¹⁰), so
+    * any SQL engine can recompute the identical projection for
+    * verification; it ships as plan literals — no driver state, no
+    * shuffle, pure map-side codegen arithmetic.
+    *
+    * Output: input columns plus `outCol` = array of `outDim` doubles,
+    * each component rounded to `scale`. */
+  def randomProjection(df: DataFrame, vecCol: String, outDim: Int,
+      dim: Int, outCol: String = "projected", seed: Long = 42L,
+      scale: Int = 6): DataFrame = {
+    require(outDim > 0 && dim > 0, s"need positive dims, got $outDim of $dim")
+    require(!df.columns.contains(outCol),
+      s"input already carries '$outCol' — pass a different outCol")
+    val planes = hyperplanes(outDim, dim, seed)
+    val v = col(vecCol).cast("array<double>")
+    val checked = when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit("randomProjection: vector of dim "), size(v),
+      lit(s" does not match the declared dim $dim"))))
+    val components = planes.map { p =>
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
+      round(dot(planeLit, checked), scale)
+    }
+    df.withColumn(outCol, array(components.toIndexedSeq: _*))
+  }
+
   /** Semantic deduplication (SemDeDup-style): k-means clusters bound the
     * pairwise search, then a row is flagged as a semantic duplicate when an
     * earlier row (smaller id) in the SAME cluster has cosine similarity at

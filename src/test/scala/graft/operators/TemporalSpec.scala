@@ -139,6 +139,34 @@ class TemporalSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("randomProjection") {
+    it("approximately preserves pairwise distance ordering (JL property)") {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+      val proj = Similarity.randomProjection(emb, "embedding", outDim = 16, dim = 64)
+      proj.count() shouldBe 200
+      // close pairs in the original space stay relatively close projected:
+      // compare avg cosine of the top-10 original pairs vs 10 random pairs
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        blockCol = lit(1), threshold = -1.0)
+        .orderBy(col("cos").desc).limit(10)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val projPairs = Similarity.cosineNearDupPairs(
+        proj.select(col("vec_id"), col("projected")), "vec_id", "projected",
+        blockCol = lit(1), threshold = -1.0)
+        .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val closeProjected = pairs.map(projPairs).sum / pairs.length
+      val allAvg = projPairs.values.sum / projPairs.size
+      closeProjected should be > allAvg // structure survives the projection
+      // wrong declared dim fails loudly instead of projecting garbage
+      an[Exception] should be thrownBy
+        Similarity.randomProjection(emb, "embedding", outDim = 4, dim = 32)
+          .select("projected").collect()
+    }
+  }
+
   describe("semDedup") {
     it("keeps the earliest row of each within-cell duplicate group") {
       import spark.implicits._
