@@ -913,6 +913,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // categorical drift between the first and second half of the event
+    // stream: per-category smoothed probabilities + pointwise KL/PSI terms
+    "q77_category_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      val ev = events(s, dir)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      Drift.categoryDrift(ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+        col("event_type"))
+        .orderBy(col("category"))
+    }),
+
+    // token-distribution drift between the en and de sub-corpora: KL both
+    // ways, Jensen-Shannon, PSI — one summary row
+    "q78_token_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      val docs = t(s, dir, "documents")
+      Drift.tokenDrift(docs.where(col("lang") === "en"),
+        docs.where(col("lang") === "de"), "text")
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2151,6 +2171,62 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // Laplace smoothing over the union vocabulary: p = (n + 1) / (N + V)
+    "q77_category_drift" ->
+      """WITH a AS (
+        |  SELECT event_type AS category, count(*) AS n_a FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+        |), b AS (
+        |  SELECT event_type AS category, count(*) AS n_b FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(a.category, b.category) AS category,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.category = b.category
+        |), t AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v, CAST(sum(n_a) AS DOUBLE) AS na,
+        |    CAST(sum(n_b) AS DOUBLE) AS nb
+        |  FROM j
+        |)
+        |SELECT category, n_a, n_b,
+        |  round((n_a + 1) / (na + v), 6) AS p_a,
+        |  round((n_b + 1) / (nb + v), 6) AS p_b,
+        |  round(((n_a + 1) / (na + v)) * ln(((n_a + 1) / (na + v)) / ((n_b + 1) / (nb + v))), 6) AS kl_ab_term,
+        |  round(((n_b + 1) / (nb + v)) * ln(((n_b + 1) / (nb + v)) / ((n_a + 1) / (na + v))), 6) AS kl_ba_term,
+        |  round((((n_a + 1) / (na + v)) - ((n_b + 1) / (nb + v)))
+        |    * ln(((n_a + 1) / (na + v)) / ((n_b + 1) / (nb + v))), 6) AS psi_term
+        |FROM j, t ORDER BY category""".stripMargin,
+
+    "q78_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS category
+        |  FROM documents WHERE lang = 'en'
+        |), tb AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS category
+        |  FROM documents WHERE lang = 'de'
+        |), a AS (
+        |  SELECT category, count(*) AS n_a FROM ta GROUP BY 1
+        |), b AS (
+        |  SELECT category, count(*) AS n_b FROM tb GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(a.category, b.category) AS category,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.category = b.category
+        |), t AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v, CAST(sum(n_a) AS DOUBLE) AS na,
+        |    CAST(sum(n_b) AS DOUBLE) AS nb
+        |  FROM j
+        |), p AS (
+        |  SELECT (n_a + 1) / (na + v) AS pa, (n_b + 1) / (nb + v) AS pb
+        |  FROM j, t
+        |)
+        |SELECT
+        |  round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+        |  round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2 + pb * ln(pb / ((pa + pb) / 2)) / 2), 6) AS js,
+        |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+        |FROM p""".stripMargin,
 
     // plane component(p,d) = (md5_60("srp_42_p_d") % 2048 - 1024) / 1024 —
     // the same formula Similarity.hyperplanes uses (see q21)

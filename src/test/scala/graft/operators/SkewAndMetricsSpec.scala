@@ -174,6 +174,38 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("distribution drift") {
+    it("identical distributions give ~zero divergence; shifts are positive") {
+      val a = spark.range(1000).select((col("id") % 4).cast("string").as("c"))
+      val same = Drift.driftSummary(a, a, col("c"))
+        .as[(Double, Double, Double, Double)].head()
+      same shouldBe ((0.0, 0.0, 0.0, 0.0))
+      // skew one category hard
+      val b = spark.range(1000).select((col("id") % 2).cast("string").as("c"))
+      val (klAb, klBa, js, psi) = Drift.driftSummary(a, b, col("c"))
+        .as[(Double, Double, Double, Double)].head()
+      klAb should be > 0.0
+      klBa should be > 0.0
+      js should be > 0.0
+      js should be <= math.log(2) + 1e-9 // JS bounded by ln 2
+      psi should be > 0.0
+    }
+
+    it("categories seen on one side only stay finite via smoothing") {
+      val a = Seq("x", "x", "y").toDF("c")
+      val b = Seq("x", "z").toDF("c")
+      val rows = Drift.categoryDrift(a, b, col("c"))
+        .select("category", "n_a", "n_b", "kl_ab_term")
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+      rows.map(_._1) shouldBe Array("x", "y", "z")
+      rows.foreach { case (_, _, _, kl) => kl.isNaN shouldBe false }
+      // y missing on b: n_b = 0, contribution finite and positive
+      val y = rows.find(_._1 == "y").get
+      y._3 shouldBe 0L
+      y._4 should be > 0.0
+    }
+  }
+
   describe("metrics repository") {
     it("stores runs and flags anomalous metric movement") {
       val repo = new MetricsRepository(spark, s"$tmpDir/metrics")
