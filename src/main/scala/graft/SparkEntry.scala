@@ -933,6 +933,21 @@ object SparkEntry {
         docs.where(col("lang") === "de"), "text")
     }),
 
+    // HTML -> text preprocessing: wrap each doc in deterministic markup
+    // (script/style bodies, attributes, comments, entities), strip, hash.
+    // Every pass is an RE2-safe regexp the oracle replays verbatim
+    "q79_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body onload=\"f()\"><p>"),
+        col("text"),
+        lit("</p><br>&amp;lt;<script>var x = 1 < 2;</script><!-- tail --></body></html>"))
+      val stripped = TextFunctions.stripHtml(html)
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(stripped).as("stripped_md5"),
+          length(stripped).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2171,6 +2186,35 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // same regexp pipeline as TextFunctions.stripHtml, 'g' option per pass
+    "q79_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body onload="f()"><p>'
+        |    || text ||
+        |    '</p><br>&amp;lt;<script>var x = 1 < 2;</script><!-- tail --></body></html>' AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&#39;', CHR(39), 'g'),
+        |          '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS stripped
+        |  FROM h
+        |)
+        |SELECT doc_id, md5(stripped) AS stripped_md5,
+        |  CAST(length(stripped) AS BIGINT) AS n_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Laplace smoothing over the union vocabulary: p = (n + 1) / (N + V)
     "q77_category_drift" ->

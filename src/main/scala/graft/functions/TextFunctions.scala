@@ -274,6 +274,30 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
 
+  /** HTML → text: drop script/style elements WITH their contents, replace
+    * remaining tags and comments with spaces (so `a<br>b` stays two
+    * tokens), decode the five XML entities plus numeric escapes' common
+    * ampersand form, collapse whitespace. Regex-based — the standard
+    * web-corpus preprocessing cut, not a conforming HTML5 parser (CDATA
+    * and conditional comments are out of scope; a malformed unclosed
+    * `<script` drops the tail, which is the safe direction for training
+    * data). All passes are RE2-safe codegen'd regexp_replace — a narrow
+    * map at any scale. */
+  def stripHtml(html: Column): Column = {
+    // two explicit passes, not one with a backreference: RE2 (the DuckDB
+    // oracle's engine) has no backreferences
+    val noScript = regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTag,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // PII scrubbing. Pattern notes: the regexes are RE2-compatible (no
   // backtracking constructs) so the DuckDB oracle can mirror them verbatim.
   // Replacement order matters — emails first (their domains contain dots a

@@ -105,6 +105,23 @@ class CurationOpsSpec extends SparkTestBase {
         .select(TextFunctions.redactPii($"t")).head.getString(0)
       assert(out === s)
     }
+
+    it("stripHtml drops script/style bodies, tags, comments; decodes entities") {
+      val html = """<html><head><STYLE>p {x}</STYLE><script src="a.js"></script>
+        |</head><body class="c"><h1>Title</h1><p>a&amp;b &lt;tag&gt; it&#39;s
+        |<b>bold</b></p><script>if (1 < 2) { alert("hi"); }</script>
+        |<!-- secret comment --><br>end</body></html>""".stripMargin
+      val out = Seq(html).toDF("t")
+        .select(TextFunctions.stripHtml($"t")).head.getString(0)
+      assert(out === """Title a&b <tag> it's bold end""")
+    }
+
+    it("stripHtml double-encoded entities decode exactly once") {
+      // &amp;lt; is the TEXT "&lt;", not a tag opener
+      val out = Seq("x &amp;lt;b&amp;gt; y").toDF("t")
+        .select(TextFunctions.stripHtml($"t")).head.getString(0)
+      assert(out === "x &lt;b&gt; y")
+    }
   }
 
   describe("Outliers.robustZ") {
