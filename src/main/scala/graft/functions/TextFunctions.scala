@@ -279,10 +279,11 @@ object TextFunctions {
     * tokens), decode the five XML entities plus numeric escapes' common
     * ampersand form, collapse whitespace. Regex-based — the standard
     * web-corpus preprocessing cut, not a conforming HTML5 parser (CDATA
-    * and conditional comments are out of scope; a malformed unclosed
-    * `<script` drops the tail, which is the safe direction for training
-    * data). All passes are RE2-safe codegen'd regexp_replace — a narrow
-    * map at any scale. */
+    * and conditional comments are out of scope; an UNCLOSED `<script>`
+    * never matches the element pass, so only its tags strip and the
+    * script text leaks into the output — run a quality filter downstream
+    * if that matters). All passes are RE2-safe codegen'd regexp_replace —
+    * a narrow map at any scale. */
   def stripHtml(html: Column): Column = {
     // two explicit passes, not one with a backreference: RE2 (the DuckDB
     // oracle's engine) has no backreferences

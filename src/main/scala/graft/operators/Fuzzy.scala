@@ -73,7 +73,9 @@ object Fuzzy {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val ids = df.select(col(idCol).as("__fid"), col(strCol).as("name"))
       .where(col("name").isNotNull)
-    val names = ids.select("name").distinct()
+    // materialized: three consumers (both tokenized join sides + the
+    // self-expansion) would otherwise each re-run the distinct shuffle
+    val names = Materialize(ids.select("name").distinct())
     val pairs = namePairs(names, maxDist, maxTokenFreq)
 
     // cross-name expansion: every id of name_a against every id of name_b
@@ -110,7 +112,8 @@ object Fuzzy {
       .where(col("name").isNotNull)
     val rIds = right.select(col(rightId).as("__rid"), col(rightStr).as("name"))
       .where(col("name").isNotNull)
-    val names = lIds.select("name").unionByName(rIds.select("name")).distinct()
+    val names = Materialize(
+      lIds.select("name").unionByName(rIds.select("name")).distinct())
     // both orientations plus the diagonal: namePairs orders lexically, but
     // a left value matches a right value in either order — and equal
     // strings (dist 0, tokened) match too

@@ -323,8 +323,9 @@ object Similarity {
       nCells: Int = 16,
       lloydIters: Int = 2,
       scale: Int = 6): DataFrame = {
-    require(idCol != "cell" && vecCol != "cell",
-      "'cell' is the output cluster column — rename the input column")
+    val reserved = Set("cell", "dup_of", "keep")
+    require(!reserved.contains(idCol) && !reserved.contains(vecCol),
+      s"${reserved.mkString("/")} are output columns — rename the input column")
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .transform(Materialize.apply) // reused per Lloyd round + pair join

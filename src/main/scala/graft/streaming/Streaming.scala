@@ -152,13 +152,26 @@ object Streaming {
         case (key, rows, state: GroupState[RollingState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var pts = state.getOption.map(_.points).getOrElse(Nil)
+            val old = state.getOption.map(_.points).getOrElse(Nil)
+            // O(1) append for the batch's own points (a List :+ per row is
+            // quadratic in batch size); prior lookup walks old state + the
+            // buffer, both in ascending (ts, value) order. On in-order
+            // streams that is exactly the batch twin's frame order; a LATE
+            // point sums after the state points despite its earlier ts —
+            // a float-ulp divergence the output rounding absorbs
+            val fresh = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+            def prior(t: Long): (Int, Double, Double) = {
+              var n = 0; var s = 0.0; var ss = 0.0
+              def add(p: (Long, Double)): Unit =
+                if (p._1 >= t - windowMs && p._1 <= t) {
+                  n += 1; s += p._2; ss += p._2 * p._2
+                }
+              old.foreach(add); fresh.foreach(add)
+              (n, s, ss)
+            }
             val scored = rows.toSeq.sortBy(r => (r.ts.getTime, r.value)).map { r =>
               val t = r.ts.getTime
-              val prior = pts.filter(p => p._1 >= t - windowMs && p._1 <= t)
-              val n = prior.length
-              var s = 0.0; var ss = 0.0
-              prior.foreach { p => s += p._2; ss += p._2 * p._2 }
+              val (n, s, ss) = prior(t)
               val mean = s / math.max(n, 1)
               val variance = (ss - n * mean * mean) / math.max(n - 1, 1)
               val std = math.sqrt(math.max(variance, 0.0))
@@ -166,10 +179,11 @@ object Streaming {
                 Some(BigDecimal((r.value - mean) / std)
                   .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
               else None
-              pts = pts :+ (t -> r.value)
+              fresh += (t -> r.value)
               PointScore(key, r.ts, r.value, n.toLong, z,
                 z.exists(v => math.abs(v) > zThreshold))
             }
+            val pts = old ++ fresh
             val newest = pts.iterator.map(_._1).max
             // keep ascending (ts, value) order so the NEXT batch's prior
             // sums accumulate in the same order the batch twin uses
