@@ -81,4 +81,51 @@ class CurationPipelineSpec extends SparkTestBase with Matchers {
       }
     }
   }
+
+  it("curates web-ish HTML with drift monitoring, semantic dedup and splits") {
+    import graft.operators.{Drift, Sampling, Similarity}
+    val out = s"$tmpDir/curated2"
+    val flow = G.sparkFlow(spark)
+      .openFileParquet(s"${sf()}/documents.parquet", "raw")
+      .openFileParquet(s"${sf()}/embeddings.parquet", "embeddings")
+      // stage 1: pretend the corpus arrived as markup — extract text
+      .transform("raw")("extracted") { docs =>
+        docs.withColumn("text", TextFunctions.stripHtml(
+          concat(lit("<p>"), col("text"), lit("</p><!-- crawl -->"))))
+      }
+      // stage 2: drift gate vs the previous snapshot (here: the en slice) —
+      // a real pipeline would alert when js exceeds a budget
+      .transform("extracted")("drift") { docs =>
+        Drift.tokenDrift(docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"), "text")
+      }
+      // stage 3: semantic dedup on the embedding table, join survivors
+      .transform("embeddings")("kept_vectors") { emb =>
+        Similarity.semDedup(emb, "vec_id", "embedding",
+          threshold = 0.3, nCells = 4)
+          .where(col("keep")).select(col("vec_id").as("doc_id"))
+      }
+      .transform("extracted", "kept_vectors")("deduped") { (docs, kept) =>
+        docs.join(kept, Seq("doc_id"), "left_semi")
+      }
+      // stage 4: leak-free train/val/test assignment
+      .transform("deduped")("split") { docs =>
+        Sampling.splitByHash(docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      }
+      .writeParquet(out)("split", "drift")
+
+    flow.isValidFlowDAG.isSuccess shouldBe true
+    G.sparkExecutor(maxParallelActions = 4).execute(flow)
+
+    val split = spark.read.parquet(s"$out/split")
+    val drift = spark.read.parquet(s"$out/drift")
+    drift.count() shouldBe 1L
+    drift.select("js").as[Double].head() should be > 0.0 // en vs rest differ
+    split.count() should be > 0L
+    split.select("split").distinct().as[String].collect().toSet shouldBe
+      Set("train", "val", "test")
+    // entity extraction really ran: no markup survives
+    split.where(col("text").contains("<p>")).count() shouldBe 0L
+  }
 }

@@ -157,6 +157,23 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("tok")
   }
 
+  it("random projection is pure map-side — no shuffle, no driver state") {
+    val p = plan("q76_random_projection")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
+  it("drift comparison joins two category-sized relations, totals broadcast") {
+    val p = plan("q77_category_drift")
+    p should include("BroadcastNestedLoopJoin") // the 1-row totals cross join
+    p should not include "CartesianProduct"
+  }
+
+  it("strip-html is a narrow map: scan feeds the projection directly") {
+    val p = plan("q79_strip_html")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "Join"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
