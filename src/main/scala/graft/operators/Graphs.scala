@@ -162,16 +162,19 @@ object Graphs {
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     val e = Materialize(sel) // reused every iteration
-    val vertices = e.select(col("src").as("vertex"))
-      .unionByName(e.select(col("dst").as("vertex"))).distinct()
-      .transform(Materialize.apply)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // deg attaches to the |V|-sized score relation, not per-edge
-    val base = vertices.join(outDeg.withColumnRenamed("src", "vertex"),
-      Seq("vertex"), "left")
+    // vertex set AND out-degrees in ONE aggregation: both edge endpoints
+    // flow into a single map-combined groupBy (src endpoints count toward
+    // the degree, dst endpoints only assert existence) — replaces a
+    // union-distinct, a second groupBy and a join
+    val base = e.select(col("src").as("vertex"), lit(1L).as("c"))
+      .unionByName(e.select(col("dst").as("vertex"), lit(0L).as("c")))
+      .groupBy(col("vertex"))
+      .agg(sum(col("c")).as("_deg0"))
+      .withColumn("deg", when(col("_deg0") > 0, col("_deg0"))) // dangling -> null
+      .drop("_deg0")
       .transform(Materialize.apply)
 
-    val n = vertices.count().toDouble
+    val n = base.count().toDouble
     require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
     val init = BigDecimal(1.0 / n)
       .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -193,7 +196,7 @@ object Graphs {
     }
     val out = scores.select(col("vertex"), round(col("pr"), scale).as("pagerank"))
       .transform(Materialize.apply)
-    Materialize.release(e); Materialize.release(vertices); Materialize.release(base)
+    Materialize.release(e); Materialize.release(base)
     out
   }
 
