@@ -47,6 +47,29 @@ class RecordingAlertHandler(override val alertOn: AlertImportance = AlertImporta
   def alerts: Seq[DataQualityAlert] = buf.synchronized(buf.toSeq)
 }
 
+/** Appends alerts to a directory as one small file per alert (Hadoop FS
+  * API, so local paths, HDFS and object stores all work; a single
+  * appendable file would need FS append support, which local and object
+  * stores lack). The offline-friendly alert channel: a notifier tails the
+  * directory. File name carries timestamp + importance; body is the
+  * alert message. Reference shape: email/Slack handlers
+  * (waimak-dataquality/.../SlackQualityAlert.scala:39-54) — same trait,
+  * different transport. */
+class FileAlertHandler(hadoopConf: org.apache.hadoop.conf.Configuration,
+    dir: String,
+    override val alertOn: AlertImportance = AlertImportance.Warning)
+  extends DataQualityAlertHandler {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  def handleAlert(alert: DataQualityAlert): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir,
+      f"alert-${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%04d-${alert.importance.toString.toLowerCase}.txt")
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, false)
+    try out.write(alert.message.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
 class DataQualityException(message: String) extends RuntimeException(message)
 
 /** A check over a produced dataset yielding alerts. Checks on the same label

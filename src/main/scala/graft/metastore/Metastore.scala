@@ -63,6 +63,33 @@ trait HadoopDBConnector extends DBConnector {
   }
 }
 
+/** Submits DDLs over a plain JDBC connection — the Impala/HiveServer2
+  * shape (reference waimak-impala/.../ImpalaDBConnector.scala:19-76). The
+  * connection factory is injectable: production supplies the vendor
+  * driver's `DriverManager` call, tests a recording fake — so the
+  * connector logic is testable with zero vendor dependencies on the
+  * classpath. One connection per atomic batch; statements run in order on
+  * one `Statement`, and the connection always closes. */
+final case class JdbcDBConnector(
+    jdbcUrl: String,
+    database: String,
+    connectionFactory: String => java.sql.Connection =
+      url => java.sql.DriverManager.getConnection(url),
+    override val forceRecreateTables: Boolean = false)
+  extends HadoopDBConnector {
+
+  def submitResultlessQuery(ddl: String): Unit =
+    submitAtomicResultlessQueries(Seq(ddl))
+
+  override def submitAtomicResultlessQueries(ddls: Seq[String]): Unit = {
+    val conn = connectionFactory(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      try ddls.foreach(st.execute) finally st.close()
+    } finally conn.close()
+  }
+}
+
 /** Runs DDLs through `spark.sql` against the session catalog (Hive when
   * enabled). Reference: HiveDBConnector.scala:94-107. */
 final case class SparkSqlConnector(spark: SparkSession, database: String,

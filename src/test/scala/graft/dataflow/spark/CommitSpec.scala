@@ -6,7 +6,7 @@ import graft.SparkTestBase
 import graft.dataflow.FlowException
 import graft.dataflow.spark.actions._
 import graft.dataflow.spark.commit._
-import graft.metastore.RecordingConnector
+import graft.metastore.{JdbcDBConnector, RecordingConnector}
 
 class CommitSpec extends SparkTestBase with Matchers {
 
@@ -149,6 +149,34 @@ class CommitSpec extends SparkTestBase with Matchers {
         .push("p4")(ParquetDataCommitter(out))
       executor.execute(flow)
       new java.io.File(s"$out/nation").list().count(_.startsWith("n_regionkey=")) shouldBe 5
+    }
+
+    it("JDBC connector runs an atomic DDL batch on one statement and always closes") {
+      import java.lang.reflect.{InvocationHandler, Method, Proxy}
+      val executed = scala.collection.mutable.ArrayBuffer[String]()
+      val events = scala.collection.mutable.ArrayBuffer[String]()
+      def proxy[T](cls: Class[T])(handle: (String, Array[AnyRef]) => AnyRef): T =
+        Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+          new InvocationHandler {
+            def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+              handle(m.getName, args)
+          }).asInstanceOf[T]
+      val stmt = proxy(classOf[java.sql.Statement]) {
+        case ("execute", args) => executed += args(0).toString; java.lang.Boolean.TRUE
+        case ("close", _) => events += "stmt-close"; null
+        case _ => null
+      }
+      val conn = proxy(classOf[java.sql.Connection]) {
+        case ("createStatement", _) => stmt
+        case ("close", _) => events += "conn-close"; null
+        case _ => null
+      }
+      val connector = JdbcDBConnector("jdbc:impala://h:21050", "testdb", _ => conn)
+      connector.submitAtomicResultlessQueries(Seq("create table t", "alter table t"))
+      executed.toSeq shouldBe Seq("create table t", "alter table t")
+      events.toSeq shouldBe Seq("stmt-close", "conn-close")
+      // DDL generation comes from the shared HadoopDBConnector trait
+      connector.dropTableDDL("t") shouldBe "drop table if exists testdb.t"
     }
   }
 }

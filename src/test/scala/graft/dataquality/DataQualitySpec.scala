@@ -74,4 +74,21 @@ class DataQualitySpec extends SparkTestBase with Matchers {
     executor.execute(flow)
     handler.alerts shouldBe empty
   }
+
+  it("file alert handler writes one readable file per alert") {
+    val dir = s"$tmpDir/alerts"
+    val handler = new FileAlertHandler(
+      spark.sparkContext.hadoopConfiguration, dir, AlertImportance.Warning)
+    handler.dispatch(DataQualityAlert("completeness low", AlertImportance.Critical))
+    handler.dispatch(DataQualityAlert("all good", AlertImportance.Information)) // filtered
+    handler.dispatch(DataQualityAlert("rows dropped", AlertImportance.Warning))
+    val files = new java.io.File(dir).listFiles()
+      .filterNot(_.getName.startsWith(".")) // hadoop local-FS .crc sidecars
+      .sortBy(_.getName)
+    files.length shouldBe 2
+    files.map(_.getName).count(_.contains("critical")) shouldBe 1
+    val body = new String(java.nio.file.Files.readAllBytes(
+      files.find(_.getName.contains("critical")).get.toPath))
+    body shouldBe "completeness low"
+  }
 }
