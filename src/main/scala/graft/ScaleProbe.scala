@@ -140,6 +140,13 @@ object ScaleProbe {
         events.select(col("event_id"), col("event_type"), col("value")),
         Seq("event_type"), "value", 0.05, 0.95)
     }
+    time("token drift, 250k vs 250k docs") {
+      Drift.tokenDrift(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
+    }
+    time("random projection 64->16 (20k vectors)") {
+      Similarity.randomProjection(emb, "embedding", outDim = 16, dim = 64)
+    }
     spark.stop()
   }
 }

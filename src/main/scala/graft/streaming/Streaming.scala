@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -264,6 +264,35 @@ object Streaming {
       .withColumn("n_hits", hitsUdf(col("_ghs")))
       .withColumn("contaminated", col("n_hits") > maxHits)
       .drop("_ghs")
+  }
+
+  /** Streaming drift monitor: per micro-batch, compare the batch's
+    * categorical distribution against a STATIC reference snapshot
+    * ([[graft.operators.Drift.driftSummary]] — KL both ways, JS, PSI) and
+    * append one summary row per batch to `outPath` (columns: batch_id +
+    * the four divergences). The monitoring loop for live ingest: alerting
+    * tails the parquet and fires when js/psi exceed a budget.
+    *
+    * Stateless across batches by design — each batch is judged on its own
+    * distribution, so a drifting source is visible immediately and state
+    * never grows. The reference frame re-resolves per batch (a
+    * metastore-backed snapshot picks up updates). */
+  def driftMonitorStream(stream: DataFrame, reference: DataFrame,
+      cat: Column, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Drift
+    val monitorBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      if (!batch.isEmpty) {
+        Drift.driftSummary(batch, reference, cat)
+          .withColumn("batch_id", lit(epochId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(monitorBatch)
+      .start()
   }
 
   /** Stream into an audit table: each micro-batch appends one region via

@@ -298,6 +298,28 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("drift monitor emits one summary row per micro-batch vs the reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val reference = (1 to 80).map(_ => "en").union((1 to 20).map(_ => "de"))
+      .toDF("lang")
+    val out = s"$tmpDir/drift_out"
+    val query = Streaming.driftMonitorStream(input.toDF().toDF("lang"),
+      reference, col("lang"), out, s"$tmpDir/drift_cp")
+    try {
+      input.addData((1 to 40).map(_ => "en") ++ (1 to 10).map(_ => "de"): _*)
+      query.processAllAvailable()
+      input.addData((1 to 50).map(_ => "zh"): _*) // full vocabulary shift
+      query.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("batch_id", "js").as[(Long, Double)].collect().sortBy(_._1)
+      rows.length shouldBe 2
+      // batch 0 matches the reference mix (~zero); batch 1 is disjoint
+      rows(0)._2 should be < 0.01
+      rows(1)._2 should be > 0.3
+    } finally query.stop()
+  }
+
   it("streaming anomaly state prunes to the window and evicts idle keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.PointInput]
