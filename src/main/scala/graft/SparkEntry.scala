@@ -948,6 +948,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-document token-distribution entropy (quality signal): fused
+    // one-pass count; oracle recomputes via group-by
+    "q80_token_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenEntropy(col("text")).as("token_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2186,6 +2195,22 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    "q80_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+        |), n AS (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY doc_id
+        |), h AS (
+        |  SELECT c.doc_id, round(-sum((c.c / n.n) * ln(c.c / n.n)), 4) AS token_entropy
+        |  FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(h.token_entropy, 0.0) AS token_entropy
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same regexp pipeline as TextFunctions.stripHtml, 'g' option per pass
     "q79_strip_html" ->

@@ -161,6 +161,31 @@ object TextFunctions {
     (tokCounts.size, topTok, toks.length, topBg, nBgs)
   }
 
+  /** Shannon entropy (nats) of the document's own token distribution —
+    * the quality signal separating natural text (high) from templated /
+    * repeated boilerplate (low). Same fused one-pass counting rationale
+    * as the repetition stats; the -Σ p·ln p accumulates over hash-map
+    * order, whose float-sum variation vs a SQL engine's grouping order is
+    * ~1e-15 and vanishes at the output rounding. 0.0 for empty docs. */
+  private val tokenEntropyUdf = udf { (txt: String) =>
+    val toks =
+      if (txt == null) Array.empty[String]
+      else txt.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) 0.0
+    else {
+      val counts = new java.util.HashMap[String, Int](toks.length * 2)
+      toks.foreach(t => counts.merge(t, 1, Integer.sum))
+      val n = toks.length.toDouble
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) { val p = it.next() / n; h -= p * math.log(p) }
+      h
+    }
+  }
+
+  def tokenEntropy(text: Column, scale: Int = 4): Column =
+    round(tokenEntropyUdf(text), scale)
+
   /** Distinct-token ratio: |distinct tokens| / |tokens| — low values mean a
     * repetitive document. 0 for empty docs. */
   def distinctTokenRatio(text: Column, scale: Int = 4): Column = {

@@ -118,6 +118,26 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("tokenEntropy") {
+    it("uniform tokens maximize entropy; repeats lower it; empty is zero") {
+      val d = Seq(
+        (1L, "a b c d"),            // uniform over 4: ln 4
+        (2L, "a a a b"),            // skewed: lower
+        (3L, "x x x x"),            // constant: 0
+        (4L, "  ")                  // empty: 0
+      ).toDF("doc_id", "text")
+      val out = d.select(col("doc_id"),
+        TextFunctions.tokenEntropy(col("text")).as("h"))
+        .as[(Long, Double)].collect().toMap
+      out(1L) shouldBe BigDecimal(math.log(4))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      out(2L) should be < out(1L)
+      out(2L) should be > 0.0
+      out(3L) shouldBe 0.0
+      out(4L) shouldBe 0.0
+    }
+  }
+
   describe("repetition signals") {
     it("flags fully repetitive text and passes diverse text") {
       val d = Seq(
