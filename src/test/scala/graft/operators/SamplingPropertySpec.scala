@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import scala.util.Random
+
+import graft.SparkTestBase
+
+/** Property-style checks for the deterministic sampling/binning family:
+  * the contracts these operators sell — membership decided only by content,
+  * splits exhaustive and exclusive, histograms conserving mass — must hold
+  * for arbitrary key distributions, not just the unit-test examples.
+  * Deterministic seeds; plain Scala recomputations are the ground truth. */
+class SamplingPropertySpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private val Trials = 10
+
+  it("splitByHash is exhaustive, exclusive and growth-stable on random key sets") {
+    val rnd = new Random(11)
+    (1 to Trials).foreach { _ =>
+      // keys from a random band: duplicates and negatives included
+      val keys = (1 to 500 + rnd.nextInt(1500))
+        .map(_ => rnd.nextInt(10000).toLong - 5000L)
+      val fracs = {
+        val a = 0.1 + rnd.nextDouble() * 0.7
+        val b = rnd.nextDouble() * (0.95 - a)
+        Seq("train" -> a, "val" -> b, "test" -> (1.0 - a - b))
+      }
+      val df = keys.toDF("id")
+      val out = Sampling.splitByHash(df, col("id"), fracs)
+        .as[(Long, String)].collect()
+      out.length shouldBe keys.length // exhaustive: every row assigned
+      out.map(_._2).toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+      // content-determined: the same key always lands in the same split
+      out.groupBy(_._1).values.foreach(_.map(_._2).distinct.length shouldBe 1)
+      // growth-stable: assignment of a subset is the full run's restriction
+      val half = keys.take(keys.length / 2)
+      val sub = Sampling.splitByHash(half.toDF("id"), col("id"), fracs)
+        .as[(Long, String)].collect().toMap
+      val full = out.toMap
+      sub.foreach { case (k, s) => full(k) shouldBe s }
+    }
+  }
+
+  it("histogram conserves mass and respects bounds on random data") {
+    val rnd = new Random(23)
+    (1 to Trials).foreach { _ =>
+      val lo = rnd.nextDouble() * 10 - 5
+      val hi = lo + 0.5 + rnd.nextDouble() * 20
+      val nBins = 1 + rnd.nextInt(30)
+      val vals = (1 to 200 + rnd.nextInt(800))
+        .map(_ => lo - 5 + rnd.nextDouble() * (hi - lo + 10))
+      val out = Binning.histogram(vals.toDF("v"), "v", lo, hi, nBins)
+        .select("bin", "n").as[(Long, Long)].collect()
+      out.length shouldBe nBins + 2 // every bin present, zero-filled
+      out.map(_._2).sum shouldBe vals.length // no row lost or double-counted
+      // ground truth per bin
+      val width = (hi - lo) / nBins
+      val expected = vals.groupBy { v =>
+        if (v < lo) 0L
+        else if (v >= hi) nBins + 1L
+        else math.floor((v - lo) / width).toLong + 1L
+      }.view.mapValues(_.length.toLong).toMap
+      out.foreach { case (bin, n) => n shouldBe expected.getOrElse(bin, 0L) }
+    }
+  }
+
+  it("hashSample of a union equals the union of hashSamples (content membership)") {
+    val rnd = new Random(37)
+    val a = (1 to 1000).map(_ => rnd.nextInt(100000).toLong).distinct
+    val b = (1 to 1000).map(_ => rnd.nextInt(100000).toLong).distinct
+    def sample(ks: Seq[Long]) = Sampling.hashSample(ks.toDF("id"), col("id"), 0.37)
+      .as[Long].collect().toSet
+    sample((a ++ b).distinct) shouldBe (sample(a) union sample(b))
+  }
+}
