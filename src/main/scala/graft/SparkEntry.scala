@@ -957,6 +957,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // one-call per-source curation report; the gate checks the oracle-
+    // expressible columns (gopher/entropy components are gated on their
+    // own as q50/q80 — Catalyst prunes their aggregates out of this plan)
+    "q81_curation_report" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.report(t(s, dir, "documents"), "source", "text")
+        .select(col("source"), col("docs"), col("total_tokens"),
+          col("mean_tokens"), col("mean_quality"), col("exact_dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2195,6 +2206,26 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // quality formula replayed from q15; fingerprint from q14; HUGEINT sum
+    // cast back to BIGINT (DuckDB sum(BIGINT) widens)
+    "q81_curation_report" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + greatest(1.0 - round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1), 6) * 5.0, 0.0)
+        |      + least(round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) * 4.0, 1.0)
+        |     ) / 3.0, 6) AS q,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(avg(toks), 4) AS mean_tokens,
+        |  round(avg(q), 4) AS mean_quality,
+        |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) AS exact_dup_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
 
     "q80_token_entropy" ->
       """WITH tok AS (

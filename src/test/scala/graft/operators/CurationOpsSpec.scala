@@ -124,6 +124,31 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  describe("Curation.report") {
+    it("summarizes per source with sane signal ranges and dup detection") {
+      val docs = Seq(
+        ("web", "the cat sat on the mat and it is a fine day in the sun"),
+        ("web", "the cat sat on the mat and it is a fine day in the sun"), // exact dup
+        ("web", "an entirely different document about the weather and rain today"),
+        ("code", "x x x x x x x x")).toDF("source", "text")
+      val rep = Curation.report(docs, "source", "text",
+        gopherMinWords = 5L, gopherMinStopwords = 1L, gopherMinAlphaFrac = 0.5)
+      val bySource = rep.collect().map(r => r.getAs[String]("source") -> r).toMap
+      assert(bySource("web").getAs[Long]("docs") === 3L)
+      // one of three web docs is an exact dup
+      assert(math.abs(bySource("web").getAs[Double]("exact_dup_rate") - 0.3333) < 1e-4)
+      assert(bySource("code").getAs[Double]("exact_dup_rate") === 0.0)
+      // repeated-token source scores zero entropy and fails gopher
+      assert(bySource("code").getAs[Double]("mean_token_entropy") === 0.0)
+      assert(bySource("code").getAs[Double]("gopher_pass_rate") === 0.0)
+      assert(bySource("web").getAs[Double]("mean_token_entropy") > 1.0)
+      // only the long-worded doc clears Gopher's mean-word-length bound;
+      // the cat-sat pair averages ~2.8 chars/word, below the 3.0 floor
+      assert(math.abs(bySource("web").getAs[Double]("gopher_pass_rate") - 0.3333) < 1e-4)
+      assert(bySource("web").getAs[Long]("total_tokens") === (15L + 15L + 10L))
+    }
+  }
+
   describe("Outliers.robustZ") {
     it("flags the planted outlier and no one else") {
       val base = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3)))
