@@ -7,6 +7,12 @@ import org.scalatest.matchers.should.Matchers
   * documented example works verbatim. */
 class DocExampleSpec extends SparkTestBase with Matchers {
 
+  it("driver entry point (smoke contract) returns rows") {
+    // the driver smoke-checks rows>0 on sf0.001 every round; guard it here
+    // so a refactor can't silently break the contract between rounds
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
   it("runs the README quick-start pipeline end-to-end") {
     val testdata = sf() // /root/testdata/sf0.001
     val out = s"$tmpDir/published"
