@@ -968,6 +968,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // pairwise Pearson correlations in one aggregation pass, explicit
+    // raw-moment formula (no engine-specific streaming estimator)
+    "q82_correlations" -> ((s, dir) => {
+      import graft.operators.Profile
+      Profile.correlations(
+        events(s, dir).withColumn("ts_us", unix_micros(col("ts")).cast("double")),
+        Seq("user_id", "value", "ts_us"))
+        .withColumn("corr", coalesce(col("corr"), lit(-99.0))) // null-free gate
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2206,6 +2217,33 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    "q82_correlations" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS DOUBLE) AS a, CAST(value AS DOUBLE) AS b,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+        |    sum(a*a) AS qa, sum(b*b) AS qb, sum(c*c) AS qc,
+        |    sum(a*b) AS xab, sum(a*c) AS xac, sum(b*c) AS xbc
+        |  FROM e
+        |)
+        |SELECT * FROM (
+        |  SELECT 'user_id' AS col_a, 'value' AS col_b, CAST(n AS BIGINT) AS n,
+        |    round((n*xab - sa*sb) / (sqrt(n*qa - sa*sa) * sqrt(n*qb - sb*sb)), 4) AS corr
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'user_id', 'ts_us', CAST(n AS BIGINT),
+        |    round((n*xac - sa*sc) / (sqrt(n*qa - sa*sa) * sqrt(n*qc - sc*sc)), 4)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'value', 'ts_us', CAST(n AS BIGINT),
+        |    round((n*xbc - sb*sc) / (sqrt(n*qb - sb*sb) * sqrt(n*qc - sc*sc)), 4)
+        |  FROM s
+        |) ORDER BY col_a, col_b""".stripMargin,
 
     // quality formula replayed from q15; fingerprint from q14; HUGEINT sum
     // cast back to BIGINT (DuckDB sum(BIGINT) widens)

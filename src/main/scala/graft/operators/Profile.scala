@@ -60,4 +60,47 @@ object Profile {
         col("__e.n_distinct").as("n_distinct"),
         col("__e.min_value").as("min_value"), col("__e.max_value").as("max_value"))
   }
+
+  /** Pairwise Pearson correlations between numeric columns — the
+    * feature-redundancy scan before training. ONE aggregation pass
+    * computes every raw moment (k sums, k sums of squares, k·(k−1)/2
+    * cross-products, map-combined), and r assembles from the explicit
+    * formula r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) —
+    * the same arithmetic a SQL oracle writes, not an engine-specific
+    * streaming estimator. The single stats row is the only thing that
+    * reaches the driver (O(k²) doubles — bounded, never row-scaled).
+    *
+    * Rows with a null in ANY of `cols` are excluded (listwise deletion),
+    * so every pair shares one n and one scan suffices. Constant columns
+    * yield null r (zero variance has no direction). */
+  def correlations(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val complete = df.na.drop(cols).select(cols.map(c => col(c).cast("double")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("_n")) ++
+        cols.map(c => sum(col(c)).as(s"_s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"_q_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"_x_${a}_$b") }
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("_n").toDouble
+    def d(name: String): Double = row.getAs[Double](name)
+    val out = pairs.map { case (a, b) =>
+      if (n == 0) (a, b, 0L, Option.empty[Double]) else {
+      val num = n * d(s"_x_${a}_$b") - d(s"_s_$a") * d(s"_s_$b")
+      val varA = n * d(s"_q_$a") - d(s"_s_$a") * d(s"_s_$a")
+      val varB = n * d(s"_q_$b") - d(s"_s_$b") * d(s"_s_$b")
+      val r =
+        if (n < 2 || varA <= 0 || varB <= 0) None
+        else Some(BigDecimal(num / (math.sqrt(varA) * math.sqrt(varB)))
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (a, b, n.toLong, r)
+      }
+    }
+    import df.sparkSession.implicits._
+    out.toDF("col_a", "col_b", "n", "corr")
+  }
 }

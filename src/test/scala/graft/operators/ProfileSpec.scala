@@ -5,6 +5,34 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
+class CorrelationsSpec extends SparkTestBase with org.scalatest.matchers.should.Matchers {
+  import spark.implicits._
+
+  it("recovers known correlations, listwise-deletes nulls, nulls constants") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 2000).map { _ =>
+      val x = rnd.nextDouble() * 10
+      (x, 3.0 * x + 1.0, rnd.nextDouble(), 7.0) // y = 3x+1 exactly, z noise, k const
+    }
+    val df = rows.toDF("x", "y", "z", "k")
+    val out = Profile.correlations(df, Seq("x", "y", "z", "k"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out(("x", "y"))._2.get shouldBe 1.0 +- 1e-6 // perfectly linear
+    math.abs(out(("x", "z"))._2.get) should be < 0.1 // independent
+    out(("x", "k"))._2 shouldBe None // constant column: no direction
+    // listwise deletion: a null row drops from EVERY pair's n
+    val withNull = df.unionByName(
+      Seq((Option.empty[Double], Option(1.0), Option(1.0), Option(7.0)))
+        .toDF("x", "y", "z", "k"))
+    val n2 = Profile.correlations(withNull, Seq("x", "y", "z", "k"))
+      .select("n").as[Long].collect()
+    n2.toSet shouldBe Set(2000L)
+    an[IllegalArgumentException] should be thrownBy
+      Profile.correlations(df, Seq("x"))
+  }
+}
+
 class ProfileSpec extends SparkTestBase with Matchers {
 
   import spark.implicits._
