@@ -979,6 +979,25 @@ object SparkEntry {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // per-group equi-width histogram: one aggregation + a group x bin spine
+    "q83_histogram_by" -> ((s, dir) => {
+      import graft.operators.Binning
+      Binning.histogramBy(events(s, dir), "event_type", "value",
+        lo = 0.0, hi = 500.0, nBins = 10)
+        .orderBy(col("group"), col("bin"))
+    }),
+
+    // mutual information between event type and a user cohort (categorical
+    // feature-selection signal; observed-cells-only, so every log is finite)
+    "q84_mutual_info" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.mutualInformation(events(s, dir),
+        col("event_type"), pmod(col("user_id"), lit(10L)))
+        // nmi is defined here (both entropies positive); coalesce anyway to
+        // keep the gate frame null-free under data changes
+        .withColumn("nmi", coalesce(col("nmi"), lit(-1.0)))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2217,6 +2236,43 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    "q83_histogram_by" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 500.0 THEN 11
+        |         ELSE CAST(floor((value - 0.0) / 50.0) + 1 AS BIGINT) END AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT grp, bin, count(*) AS n FROM b GROUP BY grp, bin
+        |), spine AS (
+        |  SELECT DISTINCT event_type AS grp FROM events
+        |)
+        |SELECT s.grp AS "group", t.i AS bin, coalesce(c.n, 0) AS n
+        |FROM spine s CROSS JOIN range(0, 12) t(i)
+        |LEFT JOIN c ON c.grp = s.grp AND c.bin = t.i
+        |ORDER BY "group", bin""".stripMargin,
+
+    // observed joint cells only: p(x,y) > 0 implies both marginals > 0
+    "q84_mutual_info" ->
+      """WITH j AS (
+        |  SELECT event_type AS x, CAST(user_id % 10 AS VARCHAR) AS y,
+        |    count(*) AS nxy
+        |  FROM events GROUP BY 1, 2
+        |), nx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY x
+        |), ny AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY y
+        |), t AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM j
+        |), hx AS (SELECT -sum((nx / n) * ln(nx / n)) AS hx FROM nx, t
+        |), hy AS (SELECT -sum((ny / n) * ln(ny / n)) AS hy FROM ny, t
+        |), mi AS (
+        |  SELECT sum((nxy / n) * ln(nxy * n / (nx * ny))) AS mi
+        |  FROM j JOIN nx USING (x) JOIN ny USING (y), t
+        |)
+        |SELECT CAST(t.n AS BIGINT) AS n, round(mi.mi, 6) AS mi,
+        |  CASE WHEN hx > 1e-12 AND hy > 1e-12
+        |       THEN round(mi.mi / sqrt(hx * hy), 6) ELSE -1.0 END AS nmi
+        |FROM t, hx, hy, mi""".stripMargin,
 
     "q82_correlations" ->
       """WITH e AS (

@@ -78,4 +78,27 @@ object Binning {
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
         col("bin_min"), col("bin_max"))
   }
+
+  /** Per-group equi-width histogram: [[histogram]] semantics computed for
+    * every value of `groupCol` in one aggregation; the zero-fill spine is
+    * |groups| × (nBins+2), built from the distinct groups (a GROUP-sized
+    * relation) crossed with the bin range — the counted side broadcasts,
+    * the data never shuffles twice. */
+  def histogramBy(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, 0L)
+      .when(v >= hi, nBins + 1L)
+      .otherwise((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
+        .cast("long"))
+    val counted = df.where(v.isNotNull)
+      .groupBy(col(groupCol).as("group"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spine = df.select(col(groupCol).as("group")).distinct()
+      .crossJoin(df.sparkSession.range(0, nBins + 2L).select(col("id").as("bin")))
+    spine.join(broadcast(counted), Seq("group", "bin"), "left")
+      .select(col("group"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

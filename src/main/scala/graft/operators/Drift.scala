@@ -71,6 +71,42 @@ object Drift {
       round(sum((pA - pB) * log(pA / pB)), scale).as("psi"))
   }
 
+  /** Mutual information (nats) between two categorical expressions — the
+    * feature-selection signal for categorical pairs (the numeric
+    * correlation scan's counterpart). I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    * over the OBSERVED joint distribution: no smoothing needed, since an
+    * observed cell implies both marginals are positive — every log is
+    * finite. Output one row: n, `mi`, and `nmi` = I/√(H(x)·H(y)) in [0,1]
+    * (null when either variable is constant).
+    *
+    * Scale shape: ONE corpus-wide shuffle builds the joint counts;
+    * marginals, totals and entropies all derive from that cell-sized
+    * relation without rescanning the data. */
+  def mutualInformation(df: DataFrame, x: Column, y: Column,
+      scale: Int = 6): DataFrame = {
+    val joint = Materialize(
+      df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy")))
+    val nx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = joint.agg(sum(col("nxy")).cast("double").as("n"))
+    val hx = nx.crossJoin(broadcast(tot))
+      .agg((-sum((col("nx") / col("n")) * log(col("nx") / col("n")))).as("hx"))
+    val hy = ny.crossJoin(broadcast(tot))
+      .agg((-sum((col("ny") / col("n")) * log(col("ny") / col("n")))).as("hy"))
+    joint.join(nx, Seq("x")).join(ny, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("nxy") / col("n"))
+        * log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("_mi"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(
+        col("n").cast("long").as("n"),
+        round(col("_mi"), scale).as("mi"),
+        when(col("hx") > 1e-12 && col("hy") > 1e-12,
+          round(col("_mi") / sqrt(col("hx") * col("hy")), scale)).as("nmi"))
+  }
+
   /** Token-distribution drift between two document corpora: tokenize both
     * sides (lowercased whitespace tokens) and compare via [[driftSummary]]
     * — "has the vocabulary shifted between these two crawls?". */

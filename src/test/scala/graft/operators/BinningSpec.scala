@@ -37,6 +37,18 @@ class BinningSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("histogramBy") {
+    it("zero-fills per group and counts independently") {
+      val df = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0)).toDF("g", "v")
+      val out = Binning.histogramBy(df, "g", "v", lo = 0.0, hi = 4.0, nBins = 2)
+        .orderBy("group", "bin")
+        .as[(String, Long, Long)].collect()
+      out.length shouldBe 8 // 2 groups x (2 bins + under/overflow)
+      out.filter(_._1 == "a").map(_._3) shouldBe Array(0L, 1L, 1L, 0L)
+      out.filter(_._1 == "b").map(_._3) shouldBe Array(0L, 1L, 0L, 0L)
+    }
+  }
+
   describe("equiDepth") {
 
     it("produces near-equal bin occupancy on skewed data") {

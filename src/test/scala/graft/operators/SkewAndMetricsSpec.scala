@@ -206,6 +206,31 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("mutual information") {
+    it("is ~zero for independent variables and ln(k) for identical ones") {
+      // x uniform over 4, y = x: I = H(x) = ln 4; nmi = 1
+      val same = spark.range(4000).select((col("id") % 4).as("x"))
+        .select(col("x"), col("x").as("y"))
+      val (n1, mi1, nmi1) = Drift.mutualInformation(same, col("x"), col("y"))
+        .as[(Long, Double, Option[Double])].head()
+      n1 shouldBe 4000L
+      mi1 shouldBe math.log(4) +- 1e-4
+      nmi1.get shouldBe 1.0 +- 1e-4
+      // independent: x = id%4, y = (id/4)%5 — every cell equally likely
+      val indep = spark.range(4000).select((col("id") % 4).as("x"),
+        ((col("id") / 4).cast("long") % 5).as("y")) // integer div: / on longs is double
+      val (_, mi2, _) = Drift.mutualInformation(indep, col("x"), col("y"))
+        .as[(Long, Double, Option[Double])].head()
+      mi2 shouldBe 0.0 +- 1e-6
+      // constant variable: undefined nmi, zero mi
+      val const = spark.range(100).select(lit("c").as("x"), (col("id") % 3).as("y"))
+      val (_, mi3, nmi3) = Drift.mutualInformation(const, col("x"), col("y"))
+        .as[(Long, Double, Option[Double])].head()
+      mi3 shouldBe 0.0
+      nmi3 shouldBe None
+    }
+  }
+
   describe("metrics repository") {
     it("stores runs and flags anomalous metric movement") {
       val repo = new MetricsRepository(spark, s"$tmpDir/metrics")
