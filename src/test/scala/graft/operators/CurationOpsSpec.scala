@@ -124,6 +124,38 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  describe("Boilerplate.stripBoilerplate") {
+    it("strips group-frequent lines, preserves order, respects minDocs") {
+      val docs = Seq(
+        (1L, "d", "FOOTER\nalpha\nbeta"),
+        (2L, "d", "alpha\nFOOTER\ngamma"),
+        (3L, "d", "FOOTER\ndelta"),
+        (4L, "d", "epsilon\nFOOTER"),
+        (5L, "d", "zeta\nFOOTER"),
+        (6L, "d", "FOOTER"), // all-boilerplate doc -> empty, not dropped
+        (10L, "e", "FOOTER\nsolo")) // group below minDocs: untouched
+        .toDF("id", "grp", "text")
+      val out = Boilerplate.stripBoilerplate(docs, "id", "grp", "text",
+        maxDocFrac = 0.5, minDocs = 5L)
+        .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+      assert(out(1L) === "alpha\nbeta") // FOOTER (6/6 docs) stripped, order kept
+      assert(out(2L) === "alpha\ngamma") // alpha in 2/6 = 0.33 <= 0.5: kept
+      assert(out(4L) === "epsilon")
+      assert(out(6L) === "") // survived as a row
+      assert(out(10L) === "FOOTER\nsolo") // 1-doc group: no boilerplate verdicts
+      assert(out.size === 7)
+    }
+
+    it("repeated boilerplate within one doc counts that doc once") {
+      val docs = (1L to 6L).map(i => (i, "g", s"AD\nAD\ncontent $i"))
+        .toDF("id", "grp", "text")
+      val out = Boilerplate.stripBoilerplate(docs, "id", "grp", "text",
+        maxDocFrac = 0.5, minDocs = 5L)
+        .as[(Long, String, String)].collect()
+      out.foreach(r => assert(r._3 === s"content ${r._1}"))
+    }
+  }
+
   describe("Curation.report") {
     it("summarizes per source with sane signal ranges and dup detection") {
       val docs = Seq(
