@@ -123,6 +123,16 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       Sampling.weightedHashSample(df, col("id"), lit(-1.0)).count() shouldBe 0L
     }
 
+    it("epoch shuffle keys reorder between epochs, reproducibly within one") {
+      val df = spark.range(2000).toDF("id")
+      def order(epoch: Long) = df
+        .orderBy(Sampling.epochShuffleKey(col("id"), epoch))
+        .select("id").as[Long].collect().toSeq
+      order(1) shouldBe order(1) // reproducible
+      order(1) should not be order(2) // epochs differ
+      order(1).sorted shouldBe order(2).sorted // same corpus, permuted
+    }
+
     it("samples exactly k rows, content-determined") {
       val df = spark.range(5000).toDF("id")
       val a = Sampling.sampleExactK(df, col("id"), 50)
