@@ -1014,6 +1014,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // personalized PageRank from three seed customers: proximity-to-seed
+    // scores, same deterministic unroll contract as q74
+    "q86_personalized_pagerank" -> ((s, dir) => {
+      import graft.operators.Graphs
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      Graphs.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("c1", "c2", "c3"), iterations = 3)
+        .orderBy(col("vertex"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2250,6 +2263,50 @@ object SparkEntry {
         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
         |      + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
+        |)
+        |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // q74's unroll with seed-restricted teleport: restart mass lands only
+    // on the three seed customers, both in init and every round
+    "q86_personalized_pagerank" ->
+      """WITH e AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), v AS (
+        |  SELECT src AS vertex FROM e UNION SELECT dst FROM e
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM e GROUP BY src
+        |), base AS (
+        |  SELECT vertex, deg,
+        |    CASE WHEN vertex IN ('c1', 'c2', 'c3')
+        |         THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 3
+        |         ELSE CAST(0.0 AS DOUBLE) END AS tp
+        |  FROM v LEFT JOIN deg ON vertex = deg.src
+        |), s0 AS (
+        |  SELECT vertex, deg, tp,
+        |    CASE WHEN vertex IN ('c1', 'c2', 'c3')
+        |         THEN round(CAST(1.0 AS DOUBLE) / 3, 9) ELSE CAST(0.0 AS DOUBLE)
+        |    END AS pr
+        |  FROM base
+        |), c1 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s0 JOIN e ON s0.vertex = e.src GROUP BY dst
+        |), s1 AS (
+        |  SELECT b.vertex, b.deg, b.tp,
+        |    round(b.tp + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c1 ON b.vertex = c1.dst
+        |), c2 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s1 JOIN e ON s1.vertex = e.src GROUP BY dst
+        |), s2 AS (
+        |  SELECT b.vertex, b.deg, b.tp,
+        |    round(b.tp + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c2 ON b.vertex = c2.dst
+        |), c3 AS (
+        |  SELECT dst, sum(pr / deg) AS m FROM s2 JOIN e ON s2.vertex = e.src GROUP BY dst
+        |), s3 AS (
+        |  SELECT b.vertex, b.deg, b.tp,
+        |    round(b.tp + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)), 9) AS pr
+        |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-shaped post-processing for dedup pipelines.
@@ -155,9 +155,13 @@ object Graphs {
     * score relation is |V|-sized; edges never re-shuffle once bucketed.
     * Output: (vertex, pagerank) over ALL vertices, including dangling ones.
     */
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, damping: Double = 0.85,
-      iterScale: Int = 9, scale: Int = 6): DataFrame = {
+  /** Shared power-iteration core: materialized edges + (vertex, deg) base.
+    * `setup` sees the MATERIALIZED base (so counting it is one cheap job)
+    * and returns the initial scores plus the per-round teleport column
+    * (an expression over `vertex`). */
+  private def powerIterate(edges: DataFrame, srcCol: String, dstCol: String,
+      setup: DataFrame => (DataFrame, Column), iterations: Int,
+      damping: Double, iterScale: Int, scale: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -174,11 +178,8 @@ object Graphs {
       .drop("_deg0")
       .transform(Materialize.apply)
 
-    val n = base.count().toDouble
-    require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
-    val init = BigDecimal(1.0 / n)
-      .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var scores = base.withColumn("pr", lit(init))
+    val (init, teleport) = setup(base)
+    var scores = init
     var it = 0
     while (it < iterations) {
       val contrib = scores
@@ -189,7 +190,7 @@ object Graphs {
       scores = base.join(contrib.withColumnRenamed("dst", "vertex"),
         Seq("vertex"), "left")
         .withColumn("pr", round(
-          lit((1 - damping) / n) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
+          teleport + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
           iterScale))
         .drop("in_mass")
       it += 1
@@ -198,6 +199,38 @@ object Graphs {
       .transform(Materialize.apply)
     Materialize.release(e); Materialize.release(base)
     out
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85,
+      iterScale: Int = 9, scale: Int = 6): DataFrame =
+    powerIterate(edges, srcCol, dstCol,
+      setup = { base =>
+        val n = base.count().toDouble // base is materialized: one cheap job
+        require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
+        val initVal = BigDecimal(1.0 / n)
+          .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (base.withColumn("pr", lit(initVal)), lit((1 - damping) / n))
+      },
+      iterations, damping, iterScale, scale)
+
+  /** Personalized PageRank: teleport mass restarts ONLY at the `seeds`
+    * (compared on the vertex's string form), so scores measure proximity
+    * to the seed set — the trust/quality-propagation variant ("rank pages
+    * by closeness to hand-vetted domains"). Same determinism contract as
+    * [[pageRank]]: fixed iterations, per-round rounding, dangling leak. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], iterations: Int = 3, damping: Double = 0.85,
+      iterScale: Int = 9, scale: Int = 6): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val isSeed = col("vertex").cast("string").isin(seeds: _*)
+    val seedInit = BigDecimal(1.0 / seeds.size)
+      .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    powerIterate(edges, srcCol, dstCol,
+      setup = base => (
+        base.withColumn("pr", when(isSeed, lit(seedInit)).otherwise(lit(0.0))),
+        when(isSeed, lit((1 - damping) / seeds.size)).otherwise(lit(0.0))),
+      iterations, damping, iterScale, scale)
   }
 
   /** Dedup clusters from a document frame + near-dup pair frame: every doc

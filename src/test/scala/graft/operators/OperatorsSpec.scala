@@ -91,6 +91,23 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("personalizedPageRank") {
+    it("mass flows only from the seed set; unreachable vertices score zero") {
+      // seed a -> b -> c; x -> y is disconnected from the seed
+      val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+      val pr = Graphs.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("a"), iterations = 3)
+        .as[(String, Double)].collect().toMap
+      pr("x") shouldBe 0.0
+      pr("y") shouldBe 0.0
+      pr("a") should be > 0.0 // restart mass
+      pr("b") should be > pr("c") // one hop from seed vs two
+      pr("c") should be > 0.0
+      an[IllegalArgumentException] should be thrownBy
+        Graphs.personalizedPageRank(edges, "src", "dst", seeds = Seq.empty)
+    }
+  }
+
   describe("IVF ANN") {
     it("achieves high recall against brute force on the test embeddings") {
       val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
