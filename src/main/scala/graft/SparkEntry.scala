@@ -1314,12 +1314,6 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    "q22_embed_centroids" ->
-      """SELECT label,
-        | CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-        | CAST(unnest(embedding) AS DOUBLE) AS component
-        |FROM embeddings""".stripMargin, // replaced below — see note
-
     "q23_media_manifest" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha256_hex
