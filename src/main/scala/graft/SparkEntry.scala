@@ -1027,6 +1027,17 @@ object SparkEntry {
         .orderBy(col("vertex"))
     }),
 
+    // funnel progression signup -> click -> purchase (strictly ordered
+    // first-occurrence times per user), aggregated to the stage histogram
+    "q87_funnel" -> ((s, dir) => {
+      import graft.operators.Temporal
+      Temporal.funnel(events(s, dir), "user_id", "ts", "event_type",
+        stages = Seq("signup", "click", "purchase"))
+        .groupBy(col("stages_reached"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stages_reached"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2259,6 +2270,27 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // first-occurrence cascade: each stage's time = min ts of its type
+    // strictly after the previous stage's time
+    "q87_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, first(t1) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, first(t1) AS t1, first(t2) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+        |)
+        |SELECT (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS stages_reached,
+        |  count(*) AS n_users
+        |FROM s3 GROUP BY 1 ORDER BY stages_reached""".stripMargin,
 
     // q74's unroll with seed-restricted teleport: restart mass lands only
     // on the three seed customers, both in init and every round

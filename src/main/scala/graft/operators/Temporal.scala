@@ -118,6 +118,44 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Funnel analysis: per key, the timestamp of the first occurrence of
+    * each stage STRICTLY AFTER the previous stage's first occurrence — the
+    * ordered-progression primitive (signup → activation → purchase). A
+    * stage reached twice counts once; an out-of-order event (purchase
+    * before signup) does not satisfy a later stage.
+    *
+    * Scale shape: one keyed aggregation per stage (conditional min), each
+    * joined back on the key — k small and fixed, every shuffle keyed by
+    * `keyCol`, so co-partitioning makes the joins cheap after the first.
+    * Output: keyCol, `t_<stage>` per stage (null once progression stops)
+    * and `stages_reached`. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, "duplicate funnel stages")
+    val ev = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(typeCol).as("__tp"))
+    val firstStage = ev.groupBy(col("__k"))
+      .agg(min(when(col("__tp") === stages.head, col("__ts")))
+        .as(s"t_${stages.head}"))
+    val full = stages.sliding(2).foldLeft(firstStage) {
+      case (acc, Seq(prev, stage)) =>
+        // carry previous stage times through (constant per key)
+        val aggCols = acc.columns.filter(_ != "__k")
+          .map(c => first(col(c)).as(c)).toSeq :+
+          min(when(col("__tp") === stage &&
+            col("__ts") > col(s"t_$prev"), col("__ts"))).as(s"t_$stage")
+        ev.join(acc, Seq("__k"))
+          .groupBy(col("__k"))
+          .agg(aggCols.head, aggCols.tail: _*)
+      case (acc, _) => acc
+    }
+    val reached = stages.map(s => when(col(s"t_$s").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumnRenamed("__k", keyCol)
+      .withColumn("stages_reached", reached)
+  }
+
   /** Trailing-window anomaly detection: per key, flag a point whose value
     * deviates more than `zThreshold` sample standard deviations from the
     * mean of the PRIOR points inside `windowSec` seconds before it — the

@@ -208,6 +208,39 @@ class TemporalSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("funnel") {
+    it("stages must occur strictly in order; repeats count once") {
+      import spark.implicits._
+      val ev = Seq(
+        // user 1: full funnel in order
+        (1L, ts("2024-01-01 10:00:00"), "signup"),
+        (1L, ts("2024-01-01 11:00:00"), "click"),
+        (1L, ts("2024-01-01 11:30:00"), "click"), // repeat: first one counts
+        (1L, ts("2024-01-01 12:00:00"), "purchase"),
+        // user 2: purchase BEFORE signup — never reaches stage 3
+        (2L, ts("2024-01-01 09:00:00"), "purchase"),
+        (2L, ts("2024-01-01 10:00:00"), "signup"),
+        (2L, ts("2024-01-01 11:00:00"), "click"),
+        // user 3: no signup at all — zero stages despite later events
+        (3L, ts("2024-01-01 10:00:00"), "click"),
+        (3L, ts("2024-01-01 11:00:00"), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      val out = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
+      val rows = out.collect()
+      rows.map(_.getAs[Long]("stages_reached")).toSeq shouldBe Seq(3L, 2L, 0L)
+      // the repeat click did not shift the recorded first-occurrence
+      rows(0).getAs[Timestamp]("t_click") shouldBe ts("2024-01-01 11:00:00")
+      // simultaneous events do not advance (strictly after)
+      val tied = Seq((9L, ts("2024-01-01 10:00:00"), "signup"),
+        (9L, ts("2024-01-01 10:00:00"), "click"))
+        .toDF("user_id", "ts", "event_type")
+      Temporal.funnel(tied, "user_id", "ts", "event_type", Seq("signup", "click"))
+        .select("stages_reached").as[Long].head() shouldBe 1L
+    }
+  }
+
   describe("rollingZScore") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String, Double)]) =
