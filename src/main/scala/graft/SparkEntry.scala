@@ -1038,6 +1038,16 @@ object SparkEntry {
         .orderBy(col("stages_reached"))
     }),
 
+    // top-50 adjacent-token collocations by PMI (BPE merge-candidate
+    // scoring); PMI rounds BEFORE ranking so libm last-ulp differences
+    // cannot flip near-equal ranks
+    "q88_collocations" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)
+        .orderBy(col("rank"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2270,6 +2280,33 @@ object SparkEntry {
         |  FROM base b LEFT JOIN c3 ON b.vertex = c3.dst, nn
         |)
         |SELECT vertex, round(pr, 6) AS pagerank FROM s3 ORDER BY vertex""".stripMargin,
+
+    // adjacent pairs via list_zip against the tail slice (padding row
+    // filtered); PMI from exact integer counts, rounded before ranking
+    "q88_collocations" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+        |), u AS (
+        |  SELECT tok, count(*) AS n FROM (SELECT unnest(arr) AS tok FROM t) GROUP BY tok
+        |), n1 AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS n1 FROM u
+        |), pairs AS (
+        |  SELECT z[1] AS a, z[2] AS b
+        |  FROM (SELECT unnest(list_zip(arr, arr[2:])) AS z FROM t)
+        |  WHERE z[2] IS NOT NULL
+        |), bi AS (
+        |  SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b
+        |  HAVING count(*) >= 5
+        |), n2 AS (
+        |  SELECT CAST(sum(greatest(len(arr) - 1, 0)) AS DOUBLE) AS n2 FROM t
+        |), scored AS (
+        |  SELECT bi.a, bi.b, bi.n_ab,
+        |    round(ln((n_ab / n2) / ((ua.n / n1) * (ub.n / n1))), 6) AS pmi
+        |  FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok, n1, n2
+        |)
+        |SELECT a, b, n_ab, pmi,
+        |  CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
 
     // first-occurrence cascade: each stage's time = min ts of its type
     // strictly after the previous stage's time

@@ -161,6 +161,47 @@ object Ranking {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Collocations: the top-`topK` adjacent token pairs by pointwise mutual
+    * information — the merge-candidate scoring step of BPE-style tokenizer
+    * training, and the classic collocation extractor ("new york", "machine
+    * learning"). PMI = ln(p(ab) / (p(a)·p(b))) over adjacent lowercased
+    * token pairs; pairs rarer than `minCount` are dropped first (PMI is
+    * noise-dominated at low counts).
+    *
+    * Scale shape: bigram and unigram counts both reduce map-combined; the
+    * scoring join keys on the tokens (vocab-sized relations); corpus
+    * totals attach as broadcast 1-row scalars. PMI ROUNDS before ranking —
+    * libm's ln differs in the last ulp across engines, and an unrounded
+    * order-by could flip near-equal ranks; ties break on the pair. The
+    * distributed TopK prunes before the single-partition rank window.
+    * Output: (a, b, n_ab, pmi, rank). */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 10L,
+      topK: Int = 100, scale: Int = 6): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val arr = TextFunctions.tokens(lower(col(textCol)))
+    val toks = docs.select(explode(arr).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val n1 = uni.agg(sum(col("n")).cast("double").as("_n1"))
+    val bi = docs.select(explode(arrays_zip(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("bg"))
+      .select(col("bg.0").as("a"), col("bg.1").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val n2 = docs.select(sum(greatest(size(arr) - 1, lit(0))).cast("double").as("_n2"))
+    val scored = bi
+      .join(uni.select(col("tok").as("a"), col("n").as("_na")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("n").as("_nb")), Seq("b"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("n_ab") / col("_n2")) /
+          ((col("_na") / col("_n1")) * (col("_nb") / col("_n1")))), scale))
+    val top = scored.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(topK)
+    val w = Window.orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"), col("rank"))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
     * rank, count and cumulative corpus coverage (the tokenizer-training /
     * vocab-pruning primitive: "how many terms cover 95% of tokens?").

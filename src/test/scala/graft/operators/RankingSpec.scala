@@ -118,6 +118,33 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("collocations") {
+    it("surfaces glued pairs above independent ones; minCount prunes noise") {
+      // "new york" always adjacent and exclusive; "and" is frequent
+      // elsewhere, so "and cat" has the same pair count but lower PMI
+      val docs = (1 to 30).map(i =>
+        (i.toLong, s"new york trip and more and cat then dog end $i")).toDF("id", "text")
+      val out = Ranking.collocations(docs, "text", minCount = 5L, topK = 10)
+        .as[(String, String, Long, Double, Long)].collect()
+      val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+      byPair should contain key ("new" -> "york")
+      // "new york" (always glued, both tokens rare) outranks "and cat"
+      byPair(("new", "york")) should be > byPair(("and", "cat"))
+      // rare pairs (the unique "$i and" bridges) pruned by minCount
+      out.foreach(_._3 should be >= 5L)
+      // ranks are 1..k dense and ordered by rounded pmi
+      out.map(_._5).sorted shouldBe (1L to out.length).toArray
+    }
+
+    it("single-token and empty docs contribute no pairs") {
+      val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b a b a b a b a b"))
+        .toDF("id", "text")
+      val out = Ranking.collocations(docs, "text", minCount = 2L, topK = 10)
+        .as[(String, String, Long, Double, Long)].collect()
+      out.map(r => (r._1, r._2)).toSet shouldBe Set("a" -> "b", "b" -> "a")
+    }
+  }
+
   describe("tokenEntropy") {
     it("uniform tokens maximize entropy; repeats lower it; empty is zero") {
       val d = Seq(
