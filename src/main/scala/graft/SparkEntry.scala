@@ -569,9 +569,11 @@ object SparkEntry {
         keys = Seq("user_id"), tsCol = "ts",
         trackedCols = Seq("event_type"), tieBreak = Seq("event_id"))
         // the driver's compare can't equate null timestamps (NaT != NaT in
-        // numpy) — close the open interval with the usual warehouse sentinel
+        // numpy) — close the open interval with a sentinel. Must be ns-safe:
+        // 9999-12-31 overflows parquet timestamp[ns] int64 (Spark 4 writes ns
+        // by default) and silently wraps to 1816-03-29, so use 2200-01-01.
         .select(col("user_id"), col("event_type"), col("valid_from"),
-          coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp"))
+          coalesce(col("valid_to"), lit("2200-01-01 00:00:00").cast("timestamp"))
             .as("valid_to"),
           col("is_current"), col("version"))
         .orderBy(col("user_id"), col("version"))
@@ -1763,7 +1765,7 @@ object SparkEntry {
         |  WHERE prev IS DISTINCT FROM event_type
         |)
         |SELECT user_id, event_type, ts AS valid_from,
-        |  coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31') AS valid_to,
+        |  coalesce(lead(ts) OVER w, TIMESTAMP '2200-01-01') AS valid_to,
         |  lead(ts) OVER w IS NULL AS is_current,
         |  CAST(row_number() OVER w AS BIGINT) AS version
         |FROM ch
@@ -2168,7 +2170,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT CASE WHEN value < 0.0 THEN 0
         |              WHEN value >= 500.0 THEN 21
-        |              ELSE CAST(floor((value - 0.0) / 25.0) + 1 AS BIGINT) END AS bin,
+        |              ELSE least(CAST(floor((value - 0.0) / 25.0) + 1 AS BIGINT), 20) END AS bin,
         |    value
         |  FROM events WHERE value IS NOT NULL
         |), c AS (
@@ -2411,7 +2413,7 @@ object SparkEntry {
         |  SELECT event_type AS grp,
         |    CASE WHEN value < 0.0 THEN 0
         |         WHEN value >= 500.0 THEN 11
-        |         ELSE CAST(floor((value - 0.0) / 50.0) + 1 AS BIGINT) END AS bin
+        |         ELSE least(CAST(floor((value - 0.0) / 50.0) + 1 AS BIGINT), 10) END AS bin
         |  FROM events WHERE value IS NOT NULL
         |), c AS (
         |  SELECT grp, bin, count(*) AS n FROM b GROUP BY grp, bin

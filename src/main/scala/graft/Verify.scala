@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ns-overflow guard: Spark 4 defaults to parquet timestamp[ns], where
+      // far-future values (e.g. warehouse sentinels) overflow int64 and wrap;
+      // µs matches the DuckDB oracle's precision exactly.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -63,10 +63,14 @@ object Binning {
     require(nBins > 0, s"nBins must be > 0, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val v = col(valueCol).cast("double")
+    // clamp the interior bin: when (hi-lo)/nBins rounds DOWN in floating
+    // point, a value just below hi can compute floor(...)+1 = nBins+1 and
+    // leak into the overflow bin, contradicting width_bucket semantics
+    // (overflow holds only at-or-above-range values)
     val bin = when(v < lo, 0L)
       .when(v >= hi, nBins + 1L)
-      .otherwise((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
-        .cast("long"))
+      .otherwise(least((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
+        .cast("long"), lit(nBins.toLong)))
     val counted = df.where(v.isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
@@ -89,10 +93,11 @@ object Binning {
     require(nBins > 0, s"nBins must be > 0, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val v = col(valueCol).cast("double")
+    // same float-width clamp as histogram() above
     val bin = when(v < lo, 0L)
       .when(v >= hi, nBins + 1L)
-      .otherwise((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
-        .cast("long"))
+      .otherwise(least((floor((v - lit(lo)) / lit((hi - lo) / nBins)) + 1L)
+        .cast("long"), lit(nBins.toLong)))
     val counted = df.where(v.isNotNull)
       .groupBy(col(groupCol).as("group"), bin.as("bin"))
       .agg(count(lit(1)).as("n"))

@@ -157,10 +157,14 @@ object Graphs {
     */
   /** Shared power-iteration core: materialized edges + (vertex, deg) base.
     * `setup` sees the MATERIALIZED base (so counting it is one cheap job)
-    * and returns the initial scores plus the per-round teleport column
-    * (an expression over `vertex`). */
+    * and returns (possibly-augmented base, initial-score expression,
+    * per-round teleport expression). An augmented base (extra per-vertex
+    * columns, e.g. a precomputed seed teleport weight) is re-materialized
+    * ONCE so its expressions are physically stored instead of re-evaluated
+    * inside every iteration's projection and re-analyzed in every round's
+    * growing plan. */
   private def powerIterate(edges: DataFrame, srcCol: String, dstCol: String,
-      setup: DataFrame => (DataFrame, Column), iterations: Int,
+      setup: DataFrame => (DataFrame, Column, Column), iterations: Int,
       damping: Double, iterScale: Int, scale: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -170,7 +174,7 @@ object Graphs {
     // flow into a single map-combined groupBy (src endpoints count toward
     // the degree, dst endpoints only assert existence) — replaces a
     // union-distinct, a second groupBy and a join
-    val base = e.select(col("src").as("vertex"), lit(1L).as("c"))
+    val base0 = e.select(col("src").as("vertex"), lit(1L).as("c"))
       .unionByName(e.select(col("dst").as("vertex"), lit(0L).as("c")))
       .groupBy(col("vertex"))
       .agg(sum(col("c")).as("_deg0"))
@@ -178,8 +182,11 @@ object Graphs {
       .drop("_deg0")
       .transform(Materialize.apply)
 
-    val (init, teleport) = setup(base)
-    var scores = init
+    val (aug, initExpr, teleport) = setup(base0)
+    val base = if (aug eq base0) base0 else {
+      val m = Materialize(aug); Materialize.release(base0); m
+    }
+    var scores = base.withColumn("pr", initExpr)
     var it = 0
     while (it < iterations) {
       val contrib = scores
@@ -210,7 +217,7 @@ object Graphs {
         require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
         val initVal = BigDecimal(1.0 / n)
           .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (base.withColumn("pr", lit(initVal)), lit((1 - damping) / n))
+        (base, lit(initVal), lit((1 - damping) / n))
       },
       iterations, damping, iterScale, scale)
 
@@ -227,9 +234,16 @@ object Graphs {
     val seedInit = BigDecimal(1.0 / seeds.size)
       .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
     powerIterate(edges, srcCol, dstCol,
-      setup = base => (
-        base.withColumn("pr", when(isSeed, lit(seedInit)).otherwise(lit(0.0))),
-        when(isSeed, lit((1 - damping) / seeds.size)).otherwise(lit(0.0))),
+      // the seed test is evaluated ONCE into a stored per-vertex teleport
+      // column (powerIterate re-materializes the augmented base), not
+      // re-evaluated in every iteration's projection
+      setup = base => {
+        val aug = base.withColumn("_tp",
+          when(isSeed, lit((1 - damping) / seeds.size)).otherwise(lit(0.0)))
+        (aug,
+          when(col("_tp") > 0.0, lit(seedInit)).otherwise(lit(0.0)),
+          col("_tp"))
+      },
       iterations, damping, iterScale, scale)
   }
 

@@ -40,7 +40,12 @@ for name in sorted(oracle):
         a, b = mine[c], ref[c]
         try:
             if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
-                ok = (pd.to_datetime(a).values == pd.to_datetime(b).values).all()
+                # compare at µs like the driver's DuckDB gate: coercing to ns
+                # (numpy default) silently wraps far-future values on BOTH
+                # sides, masking ns-overflow corruption in the Spark output
+                av = pd.to_datetime(a).values.astype("datetime64[us]")
+                bv = pd.to_datetime(b).values.astype("datetime64[us]")
+                ok = (av == bv).all()
             else:
                 ok = (a.values == b.values).all()
         except Exception:
