@@ -15,7 +15,11 @@ final case class ExtractionTableConfig(
     primaryKeys: Option[Seq[String]] = None,
     lastUpdatedColumn: Option[String] = None,
     maxRowsPerPartition: Option[Int] = None,
-    forceFullLoad: Boolean = false)
+    forceFullLoad: Boolean = false,
+    /** Override the retain-history default (retain iff no lastUpdated column
+      * — a column-less table re-extracts in full each run and would grow
+      * storage unboundedly; see reference RDBMIngestionUtils.scala:96-115). */
+    forceRetainStorageHistory: Option[Boolean] = None)
 
 /** Incremental JDBC extraction into the storage layer.
   *
@@ -205,6 +209,22 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
 class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCConnection,
     startCol: String = "sys_start", endCol: String = "sys_end")
   extends SQLServerExtractor(spark, connectionDetails) {
+
+  /** Temporal tables mark their metadata so the flow-level snapshot action
+    * ([[graft.ingestion.IngestionActions]]) resolves versions + deletes via
+    * [[TemporalSnapshot]] instead of the plain PK-window snapshot; history
+    * retention is forced — delete detection needs the closed versions
+    * (reference SQLServerTemporalExtractor.scala:40-60). */
+  override def getTableMetadata(dbSchema: String, tableName: String,
+      primaryKeys: Option[Seq[String]], lastUpdatedColumn: Option[String],
+      forceRetainStorageHistory: Option[Boolean]): AuditTableInfo = {
+    val base = super.getTableMetadata(dbSchema, tableName, primaryKeys,
+      lastUpdatedColumn, forceRetainStorageHistory)
+    base.copy(
+      meta = base.meta ++ Map(
+        "temporal" -> "true", "startCol" -> startCol, "endCol" -> endCol),
+      retainHistory = true)
+  }
 
   /** Fallback sentinel when the detection query returns null (empty table). */
   val defaultUpperTimestamp = "9999-12-31 23:59:59"

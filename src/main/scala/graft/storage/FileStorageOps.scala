@@ -52,7 +52,19 @@ class FileStorageOps(spark: SparkSession) {
       overwrite: Boolean = true): Path = {
     val staging = new Path(base, s".tmp/$relDest")
     val dest = new Path(base, relDest)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // far-future timestamps (SQL Server temporal validity ends, warehouse
+    // open-interval sentinels like 9999-12-31) overflow Spark 4's default
+    // parquet timestamp[ns] int64 and silently wrap to 1816 — storage
+    // regions always write µs; save/restore so the user's session conf is
+    // not permanently mutated
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     moveOverwriteFolder(staging, dest, overwrite)
     dest
   }

@@ -131,6 +131,110 @@ class IngestionSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("flow-level ingestion actions") {
+    import graft.dataflow.spark.Graft
+    import graft.ingestion.IngestionActions._
+
+    it("extractToStorageFromRDBM runs the full loop: create, extract, append, then delta") {
+      val base = s"$tmpDir/rdbm_flow"
+      val src = Seq(
+        (1L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "b", ts("2024-01-05 10:00:00")),
+        (3L, "c", ts("2024-02-01 10:00:00"))
+      ).toDF("id", "v", "updated")
+      val cfgs = Map("src_table" ->
+        ExtractionTableConfig("src_table", Some(Seq("id")), Some("updated")))
+
+      // run 1: table does not exist yet -> full load
+      val ex1 = new FakeExtractor(spark, Map("src_table" -> src))
+      val flow1 = Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex1, "public", base, cfgs,
+          ts("2024-02-02 00:00:00"))("src_table")
+      Graft.sparkExecutor(4).execute(flow1)
+      ex1.issuedQueries.exists(_.contains("where updated >")) shouldBe false
+
+      Storage.openTable(spark, base, "src_table").get
+        .snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 3
+
+      // run 2: new source row -> only the delta beyond the stored watermark
+      val src2 = src.union(Seq((4L, "d", ts("2024-03-01 10:00:00"))).toDF("id", "v", "updated"))
+      val ex2 = new FakeExtractor(spark, Map("src_table" -> src2))
+      val flow2 = Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex2, "public", base, cfgs,
+          ts("2024-03-02 00:00:00"))("src_table")
+      Graft.sparkExecutor(4).execute(flow2)
+      ex2.issuedQueries.exists(_.contains("where updated > '2024-02-01 10:00:00")) shouldBe true
+
+      val t = Storage.openTable(spark, base, "src_table").get
+      t.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 4
+      t.regions.size shouldBe 2 // full region + delta region
+    }
+
+    it("applies the lastUpdatedOffset safety margin to the pushed watermark") {
+      val base = s"$tmpDir/rdbm_offset"
+      val src = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "v", "updated")
+      val cfgs = Map("src_table" ->
+        ExtractionTableConfig("src_table", Some(Seq("id")), Some("updated")))
+      val ex1 = new FakeExtractor(spark, Map("src_table" -> src))
+      Graft.sparkExecutor(4).execute(Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex1, "public", base, cfgs,
+          ts("2024-01-02 00:00:00"))("src_table"))
+      val ex2 = new FakeExtractor(spark, Map("src_table" -> src))
+      Graft.sparkExecutor(4).execute(Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex2, "public", base, cfgs,
+          ts("2024-01-03 00:00:00"), lastUpdatedOffsetSec = 3600)("src_table"))
+      // watermark 2024-01-01 10:00:00 minus 1h
+      ex2.issuedQueries.exists(_.contains("where updated > '2024-01-01 09:00:00")) shouldBe true
+    }
+
+    it("snapshotTemporalTablesFromStorage resolves versions and deletes; plain tables snapshot normally") {
+      val base = s"$tmpDir/rdbm_temporal"
+      // temporal table: version history with validity intervals
+      val versions = Seq(
+        (1L, "v1", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+        (1L, "v2", ts("2024-02-01 00:00:00"), ts("9999-12-31 23:59:59")),
+        (2L, "gone", ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00"))
+      ).toDF("id", "value", "sys_start", "sys_end")
+      val tmeta = AuditTableInfo("ttable", Seq("id"),
+        Map("temporal" -> "true", "startCol" -> "sys_start", "endCol" -> "sys_end"),
+        retainHistory = true)
+      Storage.getOrCreateTable(spark, base, tmeta)
+        .append(versions, Some("sys_start"), ts("2024-03-02 00:00:00"))
+      // plain table beside it
+      val pmeta = AuditTableInfo("ptable", Seq("id"), Map.empty, retainHistory = true)
+      Storage.getOrCreateTable(spark, base, pmeta)
+        .append(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+
+      val flow = Graft.sparkFlow(spark)
+        .snapshotTemporalTablesFromStorage(base, ts("2024-04-01 00:00:00"))("ttable", "ptable")
+      val (_, done) = Graft.sparkExecutor(4).execute(flow)
+
+      val tt = done.inputs.get[org.apache.spark.sql.Dataset[_]]("ttable").toDF()
+      tt.select("id", "value").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+        Array((1L, "v2")) // id 2 deleted before the snapshot ts; 9999 sentinel survives storage
+      done.inputs.get[org.apache.spark.sql.Dataset[_]]("ptable").count() shouldBe 2
+    }
+
+    it("lowerCaseAll lowercases values and keeps column names") {
+      val df = Seq(("Mixed", "UPPER")).toDF("A_Col", "B_Col")
+      val out = IngestionUtils.lowerCaseAll(df).toDF()
+      out.columns shouldBe Array("A_Col", "B_Col")
+      out.collect().head.toSeq shouldBe Seq("mixed", "upper")
+    }
+
+    it("temporal extractor marks its table metadata for the snapshot action") {
+      val e = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x")) {
+        override protected def loadQuery(q: String, p: Seq[String]): DataFrame =
+          Seq("id").toDF("pk_column")
+      }
+      val m = e.getTableMetadata("dbo", "users", Some(Seq("id")), None, None)
+      m.meta.get("temporal") shouldBe Some("true")
+      m.meta.get("startCol") shouldBe Some("sys_start")
+      m.meta.get("endCol") shouldBe Some("sys_end")
+      m.retainHistory shouldBe true
+    }
+  }
+
   describe("end-to-end incremental ingest with a fake source") {
     it("extracts a delta from the latest stored timestamp into storage") {
       val src = Seq(
