@@ -51,9 +51,15 @@ class PlanSpec extends SparkTestBase with Matchers {
   }
 
   it("intervalJoin pairs via a bucket equi-join, never a nested loop") {
+    // perf note (round 3→4): q35 wall time scales with exploded rows — the
+    // 36h windows span TWO day-buckets (2 rows per interval), so the r03
+    // 2.4× over r02's 24h windows is workload, not plan; this guard pins
+    // the plan shape so a real regression (cartesian fallback, join not
+    // keyed on the bucket) can't hide behind workload changes
     val p = plan("q35_interval_join")
     (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin")) shouldBe true
+    p should include("__bucket") // the equi-join key IS the time bucket
     p should not include "NestedLoop"
     p should not include "CartesianProduct"
   }

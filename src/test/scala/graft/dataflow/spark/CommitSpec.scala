@@ -171,7 +171,7 @@ class CommitSpec extends SparkTestBase with Matchers {
         case ("close", _) => events += "conn-close"; null
         case _ => null
       }
-      val connector = JdbcDBConnector("jdbc:impala://h:21050", "testdb", _ => conn)
+      val connector = JdbcDBConnector("jdbc:impala://h:21050", "testdb", (_, _) => conn)
       connector.submitAtomicResultlessQueries(Seq("create table t", "alter table t"))
       executed.toSeq shouldBe Seq("create table t", "alter table t")
       events.toSeq shouldBe Seq("stmt-close", "conn-close")
