@@ -61,7 +61,18 @@ abstract class SparkApp[E <: Env: ru.TypeTag] {
 
   def confPrefix: String = "spark.graft.environment."
 
-  def parseEnv(spark: SparkSession): E = ConfigParser[E](spark, confPrefix)
+  def parseEnv(spark: SparkSession): E = parseEnv(spark, confPrefix)
+
+  def parseEnv(spark: SparkSession, prefix: String): E = ConfigParser[E](spark, prefix)
+
+  /** Create/destroy the app's environment, parsed from an explicit conf
+    * prefix — the [[EnvironmentManager]] entry points (reference
+    * SparkApp.scala:45-60). */
+  def createEnv(spark: SparkSession, prefix: String): Unit =
+    parseEnv(spark, prefix).create(spark)
+
+  def cleanupEnv(spark: SparkSession, prefix: String): Unit =
+    parseEnv(spark, prefix).cleanup(spark)
 
   def run(spark: SparkSession): Unit = {
     val env = parseEnv(spark)
@@ -70,6 +81,48 @@ abstract class SparkApp[E <: Env: ru.TypeTag] {
   }
 
   protected def runWithEnv(spark: SparkSession, env: E): Unit
+}
+
+/** Conf-driven environment create/cleanup across N sandboxes — run once per
+  * deploy (create) or branch teardown (cleanup), no code per environment.
+  * Configuration (reference EnvironmentManager.scala:18-44):
+  * {{{
+  * spark.graft.environment.ids=dev1,dev2
+  * spark.graft.environment.action=create | cleanup
+  * spark.graft.environment.<id>.appClassName=<SparkApp subclass with a no-arg ctor>
+  * spark.graft.environment.<id>.<env fields...>
+  * }}} */
+object EnvironmentManager {
+
+  val DefaultConfRoot = "spark.graft.environment."
+
+  def performEnvironmentAction(spark: SparkSession,
+      confRoot: String = DefaultConfRoot): Unit = {
+    val ids = spark.conf.getOption(s"${confRoot}ids")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new FlowException(s"${confRoot}ids is not set"))
+    val action = spark.conf.getOption(s"${confRoot}action")
+      .getOrElse(throw new FlowException(s"${confRoot}action is not set"))
+    ids.foreach(performEnvironmentActionForID(spark, _, action, confRoot))
+  }
+
+  def performEnvironmentActionForID(spark: SparkSession, id: String,
+      action: String, confRoot: String = DefaultConfRoot): Unit = {
+    val prefix = s"$confRoot$id."
+    val className = spark.conf.getOption(s"${prefix}appClassName")
+      .getOrElse(throw new FlowException(s"${prefix}appClassName is not set"))
+    val app = instantiateApp(className)
+    action.toLowerCase match {
+      case "create" => app.createEnv(spark, prefix)
+      case "cleanup" => app.cleanupEnv(spark, prefix)
+      case other =>
+        throw new UnsupportedOperationException(s"Unsupported environment action: $other")
+    }
+  }
+
+  def instantiateApp(className: String): SparkApp[_] =
+    Class.forName(className).getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkApp[_]]
 }
 
 /** Flow-based application template: implement `flow`, the template executes. */

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: lines explode once; the frequency pass counts DISTINCT
   * documents per (group, line-hash) — hashes, not line strings, ride the
-  * counting shuffle — and only the boilerplate subset (tiny by definition)
-  * joins back against the exploded lines as a broadcast anti-join. The
-  * rebuild is one groupBy(doc) with an in-row sort of (pos, line) pairs.
+  * counting shuffle — and the boilerplate subset joins back against the
+  * exploded lines as an anti-join whose strategy AQE picks from the
+  * RUNTIME size: usually a broadcast (few frequent lines), but a web-scale
+  * corpus with millions of groups can exceed the broadcast budget, where a
+  * forced hint would OOM and AQE correctly shuffles instead. The rebuild
+  * is one groupBy(doc) with an in-row sort of (pos, line) pairs.
   */
 object Boilerplate {
 
@@ -43,7 +46,7 @@ object Boilerplate {
       .select(col("__grp"), col("__lh"))
     val kept = lines
       .withColumn("__lh", md5(col("__line")))
-      .join(broadcast(boiler), Seq("__grp", "__lh"), "left_anti")
+      .join(boiler, Seq("__grp", "__lh"), "left_anti")
     val rebuilt = kept.groupBy(col("__id"), col("__grp"))
       .agg(array_join(
         transform(

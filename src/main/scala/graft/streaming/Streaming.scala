@@ -131,14 +131,17 @@ object Streaming {
     * deviates more than `zThreshold` sample standard deviations from the
     * mean of the prior points inside `windowSec` before it.
     *
-    * State per key is the point buffer of the last `windowSec` of event
-    * time (pruned every batch, evicted entirely via event-time timeout
-    * once the watermark passes), so memory follows key-rate × window, not
-    * stream length. Arithmetic matches the batch twin exactly — same
-    * left-to-right prior-sum order, same explicit variance form, same
-    * rounding — so backfill (batch) and live (stream) flags agree, except
-    * on timestamp TIES: the batch RANGE frame lets tied rows see each
-    * other, while a stream scores strictly in arrival order. */
+    * State per key is the point buffer reaching `windowSec` behind
+    * min(newest point, watermark) — the pruning horizon a within-watermark
+    * late arrival can still need — evicted entirely via event-time timeout
+    * once the watermark passes, so memory follows key-rate ×
+    * (window + watermark delay), not stream length. Arithmetic matches the
+    * batch twin exactly — same left-to-right prior-sum order, same explicit
+    * variance form, same rounding — so backfill (batch) and live (stream)
+    * flags agree, except on timestamp TIES: the batch RANGE frame lets tied
+    * rows see each other, while a stream scores strictly in arrival order
+    * (a late point also sums state points before its own batch's — a
+    * float-ulp divergence the output rounding absorbs). */
   def anomalyStream(points: Dataset[PointInput], windowSec: Long,
       minPrior: Int = 5, zThreshold: Double = 3.0, scale: Int = 4,
       watermark: String = "1 hour"): Dataset[PointScore] = {
@@ -185,9 +188,17 @@ object Streaming {
             }
             val pts = old ++ fresh
             val newest = pts.iterator.map(_._1).max
+            // prune against min(newest, watermark): a future point cannot
+            // carry ts below the watermark, so anything older than
+            // watermark - window can never enter a prior frame again — but
+            // pruning against newest alone would truncate the prior window
+            // of a within-watermark LATE point whose ts trails the batch
+            // max. State stays bounded by key-rate × (window + watermark
+            // delay).
+            val horizon = math.min(newest, state.getCurrentWatermarkMs()) - windowMs
             // keep ascending (ts, value) order so the NEXT batch's prior
             // sums accumulate in the same order the batch twin uses
-            val kept = pts.filter(_._1 >= newest - windowMs).sorted
+            val kept = pts.filter(_._1 >= horizon).sorted
             state.update(RollingState(kept))
             state.setTimeoutTimestamp(
               math.max(newest + windowMs, state.getCurrentWatermarkMs() + 1))

@@ -20,6 +20,11 @@ final case class OptDefConf(
     name: String,
     region: Option[String] = Some("eu-west-1"))
 
+/** No-arg-constructible app for the EnvironmentManager reflection path. */
+class EnvManagerTestApp extends GraftApp[BaseEnv] {
+  def flow(emptyFlow: SparkDataFlow, env: BaseEnv): SparkDataFlow = emptyFlow
+}
+
 class AppSpec extends SparkTestBase with Matchers {
 
   describe("config parser") {
@@ -86,6 +91,32 @@ class AppSpec extends SparkTestBase with Matchers {
       new java.io.File(s"$tmpDir/envs/data/test/proj/main").exists() shouldBe true
       env.cleanup(spark)
       new java.io.File(s"$tmpDir/envs/data/test/proj/main").exists() shouldBe false
+    }
+
+    it("EnvironmentManager creates and cleans up environments from conf alone") {
+      def conf(k: String, v: String) = spark.conf.set(k, v)
+      conf("spark.graft.environment.ids", "e1, e2")
+      conf("spark.graft.environment.action", "create")
+      Seq("e1", "e2").foreach { id =>
+        conf(s"spark.graft.environment.$id.appClassName", "graft.app.EnvManagerTestApp")
+        conf(s"spark.graft.environment.$id.environment", id)
+        conf(s"spark.graft.environment.$id.project", "proj")
+        conf(s"spark.graft.environment.$id.branch", "main")
+        conf(s"spark.graft.environment.$id.uri", s"file://$tmpDir/envmgr")
+      }
+      EnvironmentManager.performEnvironmentAction(spark)
+      new java.io.File(s"$tmpDir/envmgr/data/e1/proj/main").exists() shouldBe true
+      new java.io.File(s"$tmpDir/envmgr/data/e2/proj/main").exists() shouldBe true
+
+      conf("spark.graft.environment.action", "cleanup")
+      EnvironmentManager.performEnvironmentAction(spark)
+      new java.io.File(s"$tmpDir/envmgr/data/e1/proj/main").exists() shouldBe false
+      new java.io.File(s"$tmpDir/envmgr/data/e2/proj/main").exists() shouldBe false
+
+      conf("spark.graft.environment.action", "recreate")
+      intercept[UnsupportedOperationException] {
+        EnvironmentManager.performEnvironmentAction(spark)
+      }.getMessage should include("recreate")
     }
   }
 

@@ -91,4 +91,35 @@ class DataQualitySpec extends SparkTestBase with Matchers {
       files.find(_.getName.contains("critical")).get.toPath))
     body shouldBe "completeness low"
   }
+
+  it("slack handler formats the webhook payload with severity colors") {
+    val sent = scala.collection.mutable.ArrayBuffer[String]()
+    val handler = new SlackQualityAlert(sent += _, AlertImportance.Warning)
+    handler.dispatch(DataQualityAlert("""null rate "high"""", AlertImportance.Critical))
+    handler.dispatch(DataQualityAlert("fyi", AlertImportance.Information)) // filtered
+    handler.dispatch(DataQualityAlert("late data", AlertImportance.Warning))
+    sent.toSeq shouldBe Seq(
+      """{"attachments":[{"title":"null rate \"high\"","color":"danger"}]}""",
+      """{"attachments":[{"title":"late data","color":"warning"}]}""")
+    SlackQualityAlert.color(AlertImportance.Good) shouldBe "good"
+    SlackQualityAlert.color(AlertImportance.Information) shouldBe "#439FE0"
+  }
+
+  it("email handler builds subject/body and smtp properties; auth demands credentials") {
+    val sent = scala.collection.mutable.ArrayBuffer[EmailMessage]()
+    val settings = SmtpSettings(host = "mail.local", port = 2525,
+      to = Seq("oncall@local"), from = Some("graft@local"),
+      auth = true, user = Some("u"), pass = Some("p"))
+    val handler = new EmailQualityAlert(settings, sent += _, AlertImportance.Critical)
+    handler.dispatch(DataQualityAlert("uniqueness broken", AlertImportance.Critical))
+    handler.dispatch(DataQualityAlert("meh", AlertImportance.Warning)) // filtered
+    sent.map(_.subject) shouldBe Seq("Data Quality Alert: Critical")
+    sent.head.body shouldBe "uniqueness broken"
+    sent.head.settings.properties("mail.smtp.host") shouldBe "mail.local"
+    sent.head.settings.properties("mail.smtp.port") shouldBe "2525"
+    sent.head.settings.properties("mail.smtp.starttls.enable") shouldBe "true"
+    intercept[IllegalArgumentException] {
+      SmtpSettings(host = "h", auth = true) // no user/pass
+    }.getMessage should include("auth=true")
+  }
 }
