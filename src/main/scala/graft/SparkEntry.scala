@@ -2434,8 +2434,8 @@ object SparkEntry {
         |), nx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY x
         |), ny AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY y
         |), t AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM j
-        |), hx AS (SELECT -sum((nx / n) * ln(nx / n)) AS hx FROM nx, t
-        |), hy AS (SELECT -sum((ny / n) * ln(ny / n)) AS hy FROM ny, t
+        |), hx AS (SELECT -sum((nxy / n) * ln(nx / n)) AS hx FROM j JOIN nx USING (x), t
+        |), hy AS (SELECT -sum((nxy / n) * ln(ny / n)) AS hy FROM j JOIN ny USING (y), t
         |), mi AS (
         |  SELECT sum((nxy / n) * ln(nxy * n / (nx * ny))) AS mi
         |  FROM j JOIN nx USING (x) JOIN ny USING (y), t

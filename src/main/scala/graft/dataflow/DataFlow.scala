@@ -94,16 +94,29 @@ trait DataFlow[Self <: DataFlow[Self, C], C <: FlowContext] { self: Self =>
       tagState = after.state.tagState.copy(activeDependsOnTags = ts.activeDependsOnTags)))
   }
 
-  /** All actions added inside `block` run on execution pool `poolName`. */
-  def executionPool(poolName: String)(block: Self => Self): Self = {
-    val sm = state.schedulingMeta
-    val pooled = withState(state.copy(schedulingMeta = sm.copy(activePool = Some(poolName))))
-    val after = block(pooled)
+  /** Generic scoped scheduling-state mutation: every action added inside
+    * `block` captures `mutate(currentState)`; the previous state is
+    * restored afterwards (reference DataFlow.scala:263-268). Pools are one
+    * instance of this; `context` carries anything a custom executor or
+    * extension wants per action. */
+  def schedulingMeta(mutate: SchedulingMetaState => SchedulingMetaState)(
+      block: Self => Self): Self = {
+    val prev = state.schedulingMeta.active
+    val scoped = withState(state.copy(
+      schedulingMeta = state.schedulingMeta.copy(active = mutate(prev))))
+    val after = block(scoped)
     after.withState(after.state.copy(
-      schedulingMeta = after.state.schedulingMeta.copy(activePool = sm.activePool)))
+      schedulingMeta = after.state.schedulingMeta.copy(active = prev)))
   }
 
+  /** All actions added inside `block` run on execution pool `poolName`. */
+  def executionPool(poolName: String)(block: Self => Self): Self =
+    schedulingMeta(_.copy(poolName = Some(poolName)))(block)
+
   def poolOf(action: FlowAction[C]): String = state.schedulingMeta.poolOf(action.guid)
+
+  def schedulingContextOf(action: FlowAction[C]): Option[Any] =
+    state.schedulingMeta.contextOf(action.guid)
 
   // --------------------------------------------------------- interception ---
 
@@ -120,14 +133,14 @@ trait DataFlow[Self <: DataFlow[Self, C], C <: FlowContext] { self: Self =>
     if (idx < 0) throw new FlowException(
       s"Action [${original.actionName}/${original.guid}] not found in the flow")
     val meta = state.tagState.forAction(original.guid)
-    val pool = state.schedulingMeta.actionPools.get(original.guid)
+    val sched = state.schedulingMeta.actionStates.get(original.guid)
     withState(state.copy(
       actions = state.actions.updated(idx, replacement),
       tagState = state.tagState.copy(
         perAction = state.tagState.perAction - original.guid + (replacement.guid -> meta)),
       schedulingMeta = state.schedulingMeta.copy(
-        actionPools = pool.fold(state.schedulingMeta.actionPools - original.guid)(p =>
-          state.schedulingMeta.actionPools - original.guid + (replacement.guid -> p)))))
+        actionStates = sched.fold(state.schedulingMeta.actionStates - original.guid)(s =>
+          state.schedulingMeta.actionStates - original.guid + (replacement.guid -> s)))))
   }
 
   // ------------------------------------------------------------ execution ---

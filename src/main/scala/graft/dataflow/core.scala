@@ -130,16 +130,35 @@ object TagState {
   val empty: TagState = TagState(Set.empty, Set.empty, Map.empty)
 }
 
-/** Execution-pool bookkeeping: pool per action guid; `DefaultPool` unless a
-  * `executionPool` block is active. */
-final case class SchedulingMeta(activePool: Option[String], actionPools: Map[String, String]) {
-  def register(guid: String): SchedulingMeta =
-    activePool.fold(this)(p => copy(actionPools = actionPools + (guid -> p)))
+/** Per-action scheduling state: the execution pool plus an arbitrary
+  * caller-owned context value — the generic scoped-mutation surface
+  * (reference DataFlow.scala:563-620's SchedulingMeta/SchedulingMetaState).
+  * Executors route pools; the context rides along for custom executors
+  * and extensions to interpret. */
+final case class SchedulingMetaState(poolName: Option[String] = None,
+    context: Option[Any] = None)
 
-  def poolOf(guid: String): String = actionPools.getOrElse(guid, SchedulingMeta.DefaultPool)
+object SchedulingMetaState {
+  val empty: SchedulingMetaState = SchedulingMetaState()
+}
+
+/** Scheduling bookkeeping: the state ACTIVE while actions are being added
+  * (scoped by `schedulingMeta`/`executionPool` blocks) and the captured
+  * state per action guid. */
+final case class SchedulingMeta(active: SchedulingMetaState,
+    actionStates: Map[String, SchedulingMetaState]) {
+  def register(guid: String): SchedulingMeta =
+    if (active == SchedulingMetaState.empty) this
+    else copy(actionStates = actionStates + (guid -> active))
+
+  def poolOf(guid: String): String =
+    actionStates.get(guid).flatMap(_.poolName).getOrElse(SchedulingMeta.DefaultPool)
+
+  def contextOf(guid: String): Option[Any] =
+    actionStates.get(guid).flatMap(_.context)
 }
 
 object SchedulingMeta {
   val DefaultPool = "DEFAULT"
-  val empty: SchedulingMeta = SchedulingMeta(None, Map.empty)
+  val empty: SchedulingMeta = SchedulingMeta(SchedulingMetaState.empty, Map.empty)
 }

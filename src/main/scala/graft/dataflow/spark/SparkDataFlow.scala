@@ -119,8 +119,8 @@ final case class SparkDataFlow(
           activeTags = Set.empty,
           activeDependsOnTags = Set.empty,
           perAction = state.tagState.perAction ++ other.state.tagState.perAction),
-        schedulingMeta = SchedulingMeta(None,
-          state.schedulingMeta.actionPools ++ other.state.schedulingMeta.actionPools),
+        schedulingMeta = SchedulingMeta(SchedulingMetaState.empty,
+          state.schedulingMeta.actionStates ++ other.state.schedulingMeta.actionStates),
         executedActions = state.executedActions ++ other.state.executedActions),
       sqlTables = sqlTables ++ other.sqlTables,
       // same-identifier extensions are merged (union of commits/pushes/cache

@@ -90,16 +90,18 @@ object Drift {
     val nx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
     val ny = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
     val tot = joint.agg(sum(col("nxy")).cast("double").as("n"))
-    val hx = nx.crossJoin(broadcast(tot))
-      .agg((-sum((col("nx") / col("n")) * log(col("nx") / col("n")))).as("hx"))
-    val hy = ny.crossJoin(broadcast(tot))
-      .agg((-sum((col("ny") / col("n")) * log(col("ny") / col("n")))).as("hy"))
+    // ONE aggregation pass over the enriched cells computes MI and BOTH
+    // marginal entropies: Σ_{cells of x} nxy = nx turns the per-x entropy
+    // term into per-cell weights, so no separate hx/hy jobs and no extra
+    // scalar cross-joins — fewer jobs over the same cell-sized relation
     joint.join(nx, Seq("x")).join(ny, Seq("y"))
       .crossJoin(broadcast(tot))
-      .agg(sum((col("nxy") / col("n"))
-        * log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("_mi"))
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .agg(
+        first(col("n")).as("n"),
+        sum((col("nxy") / col("n"))
+          * log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("_mi"),
+        (-sum((col("nxy") / col("n")) * log(col("nx") / col("n")))).as("hx"),
+        (-sum((col("nxy") / col("n")) * log(col("ny") / col("n")))).as("hy"))
       .select(
         col("n").cast("long").as("n"),
         round(col("_mi"), scale).as("mi"),

@@ -159,6 +159,31 @@ class DataFlowSpec extends AnyFunSpec with Matchers {
       flow.poolOf(b) shouldBe SchedulingMeta.DefaultPool
       flow.nextRunnable(Set("heavy")).map(_.guid) shouldBe Seq(a.guid)
     }
+
+    it("schedulingMeta scopes arbitrary context; nesting restores the outer state") {
+      val a = TestAction.producer("a", "1")
+      val b = TestAction.producer("b", "2")
+      val c = TestAction.producer("c", "3")
+      val flow = SimpleDataFlow.empty
+        .schedulingMeta(_.copy(context = Some("gpu")))(
+          _.addAction(a)
+            // nested block: overrides context AND pool, both restored after
+            .schedulingMeta(s => s.copy(poolName = Some("heavy"), context = Some(42)))(
+              _.addAction(b))
+            .addAction(c))
+      flow.schedulingContextOf(a) shouldBe Some("gpu")
+      flow.poolOf(a) shouldBe SchedulingMeta.DefaultPool
+      flow.schedulingContextOf(b) shouldBe Some(42)
+      flow.poolOf(b) shouldBe "heavy"
+      flow.schedulingContextOf(c) shouldBe Some("gpu") // outer scope restored
+      // interception re-keys the captured scheduling state to the wrapper
+      val wrapped = flow.interceptPostOutput("b") { orig =>
+        new TestAction(orig.inputLabels, orig.outputLabels)(_ => Seq(Some("w")))
+      }
+      val replacement = wrapped.actions.find(_.outputLabels.contains("b")).get
+      wrapped.schedulingContextOf(replacement) shouldBe Some(42)
+      wrapped.poolOf(replacement) shouldBe "heavy"
+    }
   }
 
   describe("interception") {
