@@ -1050,6 +1050,48 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // URL canonicalization + registrable domain — the first dedup key of a
+    // web corpus. The corpus has no URL column, so each doc gets a
+    // deterministically synthesized MESSY url (mixed-case host, default
+    // port, tracking params in leading AND interior positions, trailing
+    // slash, fragment) exercising every normalization rule; pure map-side
+    // codegen (operators.Urls)
+    "q89_url_canonicalize" -> ((s, dir) => {
+      import graft.operators.Urls
+      val url = concat(
+        lit("HTTPS://WWW."), upper(substring(col("source"), 1, 1)),
+        substring(col("source"), 2, 100), lit(".Example.COM:443/docs/"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit("/page/"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("?id="), col("doc_id").cast("string"),
+            lit("&utm_source=feed&ref=abc&keep=1")))
+          .otherwise(concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"))),
+        lit("#frag"))
+      t(s, dir, "documents").select(col("doc_id"), url.as("raw_url"))
+        .select(col("doc_id"),
+          Urls.canonicalizeUrl(col("raw_url")).as("canonical_url"),
+          Urls.registrableDomain(col("raw_url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // within-document paragraph dedup: first occurrence survives, order
+    // preserved. Corpus texts carry no newlines, so docs are synthesized
+    // with a repeated lead paragraph + a repeated nav block (same
+    // deterministic-synthesis pattern as q85); one doc-keyed shuffle
+    // (operators.Dedup.dedupParagraphs)
+    "q90_paragraph_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val lead = substring(col("text"), 1, 60)
+      val nav = concat(lit("NAV "), col("source"))
+      val body = substring(col("text"), 61, 80)
+      val doc = concat_ws("\n\n", lead, nav, lead, body, nav)
+      val synth = t(s, dir, "documents")
+        .select(col("doc_id"), doc.as("text"))
+      Dedup.dedupParagraphs(synth, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_value_percentiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -2285,6 +2327,62 @@ object SparkEntry {
 
     // adjacent pairs via list_zip against the tail slice (padding row
     // filtered); PMI from exact integer counts, rounded before ranking
+    "q89_url_canonicalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(substr(source, 1, 1)) || substr(source, 2)
+        |      || '.Example.COM:443/docs/' || CAST(doc_id % 7 AS VARCHAR) || '/page/'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed&ref=abc&keep=1'
+        |           ELSE '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) END
+        |      || '#frag' AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+        |  FROM raw
+        |), norm AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')), '^www\.', '') AS host,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+        |    regexp_replace(pth, '/+$', '') AS cpth,
+        |    regexp_replace(
+        |      regexp_replace(qry, '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&]*', '', 'g'),
+        |      '^(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&]*&?', '') AS cqry
+        |  FROM parts
+        |)
+        |SELECT doc_id,
+        |  scheme || '://' || host
+        |    || CASE WHEN prt <> '' AND NOT (scheme = 'https' AND prt = '443')
+        |              AND NOT (scheme = 'http' AND prt = '80')
+        |         THEN ':' || prt ELSE '' END
+        |    || cpth
+        |    || CASE WHEN cqry <> '' THEN '?' || cqry ELSE '' END AS canonical_url,
+        |  CASE WHEN host LIKE '%.%'
+        |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q90_paragraph_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || chr(10) || 'NAV ' || source
+        |      || chr(10) || chr(10) || substr(text, 1, 60) || chr(10) || chr(10)
+        |      || substr(text, 61, 80) || chr(10) || chr(10) || 'NAV ' || source AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, unnest(arr) AS para,
+        |    CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM synth)
+        |), firsts AS (
+        |  SELECT doc_id, para, min(pos) AS pos FROM paras GROUP BY doc_id, para
+        |)
+        |SELECT doc_id,
+        |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q88_collocations" ->
       """WITH t AS (
         |  SELECT regexp_extract_all(lower(text), '\S+') AS arr FROM documents

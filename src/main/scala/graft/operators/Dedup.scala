@@ -523,6 +523,35 @@ object Dedup {
   /** SimHash near-dup pairs: block on the 4 15-bit quadrants (a pair within
     * Hamming distance <= 3 of a 60-bit hash must agree on at least one
     * quadrant), then verify exact Hamming distance. */
+  /** Within-document paragraph dedup — the Common-Crawl curation step that
+    * removes a page's own repeated blocks (headers re-injected per section,
+    * templated pull-quotes, pagination echoes) BEFORE corpus-level dedup,
+    * so a doc's repeated boilerplate cannot inflate its n-gram overlap
+    * with other docs. Keeps the FIRST occurrence of each exact paragraph,
+    * preserving the original relative order of survivors; later repeats
+    * (including repeated empty paragraphs from doubled separators) drop.
+    *
+    * Scale shape: paragraphs explode once; first-occurrence selection and
+    * the rebuild are two aggregations both keyed by the doc id, so the
+    * second groupBy reuses the first's hash partitioning (one effective
+    * shuffle of paragraph rows, map-combined). Output: (idCol, textCol
+    * cleaned) one row per input document. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), quoted)).as(Seq("__pos", "__para")))
+    val firsts = paras.groupBy(col("__id"), col("__para"))
+      .agg(min(col("__pos")).as("__pos"))
+    firsts.groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        sep).as("__text"))
+      .select(col("__id").as(idCol), col("__text").as(textCol))
+  }
+
   def simHashPairs(
       docs: DataFrame,
       idCol: String,

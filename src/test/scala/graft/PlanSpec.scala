@@ -180,6 +180,22 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("url canonicalization is pure map-side codegen — no shuffle, no UDF") {
+    val p = plan("q89_url_canonicalize")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "UDF"
+    p should not include "Join"
+  }
+
+  it("paragraph dedup shuffles on the doc key only — no join, no cartesian") {
+    val p = plan("q90_paragraph_dedup")
+    p should not include "Join"
+    p should not include "CartesianProduct"
+    // first-occurrence groupBy + rebuild groupBy (+AQE may reuse the
+    // partitioning); never more than two hash exchanges
+    ("Exchange hashpartitioning".r.findAllIn(p).size <= 2) shouldBe true
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -321,4 +321,68 @@ class CurationOpsSpec extends SparkTestBase {
       assert(a === b)
     }
   }
+
+  describe("Urls.canonicalizeUrl / registrableDomain") {
+    import org.apache.spark.sql.functions.col
+
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(Urls.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+    it("normalizes case, default ports, www, fragments, trailing slashes") {
+      assert(canon(
+        "HTTPS://WWW.Site.COM:443/A/B/#frag",
+        "http://Site.com:80/x",
+        "http://site.com:8080/x/",
+        "https://site.com/") === Seq(
+        "https://site.com/A/B", // path case is significant, host case is not
+        "http://site.com/x",
+        "http://site.com:8080/x", // non-default port survives
+        "https://site.com"))
+    }
+
+    it("strips tracking params in leading and interior positions, keeps the rest in order") {
+      assert(canon(
+        "https://s.com/p?utm_source=x&id=1&gclid=z&keep=2",
+        "https://s.com/p?id=1&fbclid=y",
+        "https://s.com/p?utm_campaign=only",
+        "https://s.com/p?b=2&a=1") === Seq(
+        "https://s.com/p?id=1&keep=2",
+        "https://s.com/p?id=1",
+        "https://s.com/p", // all-tracking query vanishes entirely
+        "https://s.com/p?b=2&a=1")) // param ORDER preserved, never sorted
+    }
+
+    it("extracts the registrable domain with a single-label passthrough") {
+      assert(Seq("https://a.b.news.example.com/x", "http://localhost:8080/x")
+        .toDF("u").select(Urls.registrableDomain(col("u"))).as[String]
+        .collect().toSeq === Seq("example.com", "localhost"))
+    }
+  }
+
+  describe("Dedup.dedupParagraphs") {
+    it("keeps first occurrences in order and drops later repeats") {
+      val docs = Seq(
+        (1L, "A\n\nB\n\nA\n\nC\n\nB"),
+        (2L, "solo"),
+        (3L, "X\n\n\n\nX\n\n") // doubled separators make empty paragraphs
+      ).toDF("doc_id", "text")
+      val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(out === Seq(
+        (1L, "A\n\nB\n\nC"),
+        (2L, "solo"),
+        (3L, "X\n\n"))) // X, "" survive once each, order kept
+    }
+
+    it("is partitioning-independent") {
+      val docs = Seq.tabulate(50)(i => (i.toLong, s"P$i\n\nNAV\n\nP$i"))
+        .toDF("doc_id", "text")
+      val a = Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val b = Dedup.dedupParagraphs(docs.repartition(7), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.head.getString(1) === "P0\n\nNAV")
+    }
+  }
 }
