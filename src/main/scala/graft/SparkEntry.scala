@@ -1074,6 +1074,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // embedding-based decontamination: every 200th vector plays the eval
+    // set (disjoint from the scored corpus), the rest get their max cosine
+    // to it — the semantic twin of q52's n-gram decontamination; eval side
+    // broadcast, |corpus|×|eval| fused-codegen cosines map-side
+    // (operators.Similarity.decontaminateByEmbedding)
+    "q91_embed_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.where(pmod(col("vec_id"), lit(200L)) === 0)
+      val corpus = emb.where(pmod(col("vec_id"), lit(200L)) =!= 0)
+      Similarity.decontaminateByEmbedding(corpus, "vec_id", "embedding",
+        evalSet, "vec_id", "embedding", threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // within-document paragraph dedup: first occurrence survives, order
     // preserved. Corpus texts carry no newlines, so docs are synthesized
     // with a repeated lead paragraph + a repeated nav block (same
@@ -2364,6 +2378,27 @@ object SparkEntry {
         |  CASE WHEN host LIKE '%.%'
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q91_embed_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ev AS (
+        |  SELECT vec_id AS eid, v AS evec FROM e WHERE vec_id % 200 = 0
+        |), c AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id % 200 <> 0
+        |), scored AS (
+        |  SELECT c.vec_id, ev.eid,
+        |    round(list_dot_product(c.v, ev.evec)
+        |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.evec, ev.evec))), 6) AS cos
+        |  FROM c CROSS JOIN ev
+        |), mx AS (
+        |  SELECT vec_id, max(cos) AS mc FROM scored GROUP BY vec_id
+        |)
+        |SELECT s.vec_id, mx.mc AS max_eval_cos,
+        |  max(s.eid) AS matched_eval_id,
+        |  mx.mc >= 0.3 AS contaminated
+        |FROM scored s JOIN mx USING (vec_id) WHERE s.cos = mx.mc
+        |GROUP BY s.vec_id, mx.mc ORDER BY s.vec_id""".stripMargin,
 
     "q90_paragraph_dedup" ->
       """WITH synth AS (

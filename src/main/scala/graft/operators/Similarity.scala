@@ -66,6 +66,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-based corpus decontamination: flag every corpus row whose
+    * cosine to ANY eval-set vector reaches `threshold` — the semantic
+    * counterpart of n-gram decontamination ([[Dedup.decontaminate]]): a
+    * paraphrased or reformatted eval example sails through exact n-gram
+    * overlap but not through embedding similarity.
+    *
+    * Scale shape: the eval set broadcasts (benchmarks are thousands of
+    * rows; the corpus is the big side), scoring is one map-side pass of
+    * |corpus| × |eval| fused-codegen cosines, and only (id, rounded cos,
+    * eval id) ride the corpus-keyed max aggregation — linear in the
+    * corpus, the vectors themselves never shuffle. Ties on the max cosine
+    * resolve to the HIGHEST eval id (struct-max ordering — deterministic
+    * across engines because the compared cosines are already rounded).
+    *
+    * Output: (idCol, max_eval_cos, matched_eval_id, contaminated) — one
+    * row per corpus row. CAVEAT: an empty eval set produces an empty
+    * result (cross join), not an all-clear; validate upstream. */
+  def decontaminateByEmbedding(corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      threshold: Double, scale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val e = broadcast(evalSet.select(
+      col(evalIdCol).as("__eid"), col(evalVecCol).as("__evec")))
+    corpus.select(col(idCol), col(vecCol).as("__cvec"))
+      .crossJoin(e)
+      .withColumn("__cos", nativeCosine(spark, col("__cvec"), col("__evec"), scale))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), col("__eid"))).as("__best"))
+      .select(col(idCol),
+        col("__best.__cos").as("max_eval_cos"),
+        col("__best.__eid").as("matched_eval_id"),
+        (col("__best.__cos") >= lit(threshold)).as("contaminated"))
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` x `dim`, materialised as a
     * literal (broadcast with the plan).
     *

@@ -180,6 +180,13 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("embedding decontamination broadcasts the eval side, never the corpus") {
+    val p = plan("q91_embed_decontaminate")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    p should include("graft_cosine") // fused-codegen cosine, not 3 HOF passes
+  }
+
   it("url canonicalization is pure map-side codegen — no shuffle, no UDF") {
     val p = plan("q89_url_canonicalize")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0

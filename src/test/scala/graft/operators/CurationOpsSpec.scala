@@ -359,6 +359,42 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  describe("Similarity.decontaminateByEmbedding") {
+    import org.apache.spark.sql.functions.col
+
+    it("flags rows close to any eval vector; ties resolve to the highest eval id") {
+      val corpus = Seq(
+        (1L, Array(1.0f, 0.0f)), // identical to both eval vectors -> cos 1.0
+        (2L, Array(0.0f, 1.0f)), // orthogonal -> cos 0.0
+        (3L, Array(0.9f, 0.1f))  // cos ~0.9939 -> above threshold
+      ).toDF("id", "vec")
+      val evalSet = Seq(
+        (100L, Array(1.0f, 0.0f)),
+        (102L, Array(1.0f, 0.0f)) // duplicate eval vector -> tie on cos
+      ).toDF("id", "vec")
+      val out = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", threshold = 0.95)
+        .orderBy("id").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ===
+        Seq((1L, 102L, true), (2L, 102L, false), (3L, 102L, true)))
+      assert(out(0).getDouble(1) === 1.0)
+      assert(out(1).getDouble(1) === 0.0)
+    }
+
+    it("is partitioning-independent") {
+      val corpus = Seq.tabulate(40)(i =>
+        (i.toLong, Array((i % 5).toFloat + 1f, 1.0f))).toDF("id", "vec")
+      val evalSet = Seq((0L, Array(3.0f, 1.0f))).toDF("id", "vec")
+      val a = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.99)
+        .orderBy("id").collect().toSeq
+      val b = Similarity.decontaminateByEmbedding(
+        corpus.repartition(7), "id", "vec", evalSet, "id", "vec", 0.99)
+        .orderBy("id").collect().toSeq
+      assert(a === b)
+    }
+  }
+
   describe("Dedup.dedupParagraphs") {
     it("keeps first occurrences in order and drops later repeats") {
       val docs = Seq(
