@@ -147,6 +147,27 @@ object ScaleProbe {
     time("random projection 64->16 (20k vectors)") {
       Similarity.randomProjection(emb, "embedding", outDim = 16, dim = 64)
     }
+    time("url canonicalize + domain (500k synthetic urls)") {
+      val url = concat(lit("HTTPS://WWW.src"), pmod(col("doc_id"), lit(1000L)),
+        lit(".Example.COM:443/docs/"), pmod(col("doc_id"), lit(7L)),
+        lit("/page/?id="), col("doc_id"), lit("&utm_source=feed&ref=abc#f"))
+      docs.select(col("doc_id"), Urls.canonicalizeUrl(url).as("u"),
+        Urls.registrableDomain(url).as("d"))
+    }
+    time("paragraph dedup (500k multi-para docs)") {
+      Dedup.dedupParagraphs(
+        docs.select(col("doc_id"), concat_ws("\n\n",
+          substring(col("text"), 1, 60), lit("NAV"),
+          substring(col("text"), 1, 60), substring(col("text"), 61, 80))
+          .as("text")),
+        "doc_id", "text")
+    }
+    time("embed decontaminate (20k corpus vs 100 evals)") {
+      Similarity.decontaminateByEmbedding(
+        emb.where(pmod(col("vec_id"), lit(200L)) =!= 0), "vec_id", "embedding",
+        emb.where(pmod(col("vec_id"), lit(200L)) === 0), "vec_id", "embedding",
+        threshold = 0.3)
+    }
     spark.stop()
   }
 }
