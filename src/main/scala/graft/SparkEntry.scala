@@ -1074,6 +1074,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-level overlap: per-source MinHash signature (component-wise
+    // min over the source's docs — minwise hashing is a union
+    // homomorphism), pairwise estimated 3-gram Jaccard between sources;
+    // the shuffle carries only (group, component, min) cells
+    // (operators.Dedup.corpusOverlap)
+    "q92_corpus_overlap" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.corpusOverlap(t(s, dir, "documents"), "source", "text",
+        shingleWords = 3, k = 64)
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
     // embedding-based decontamination: every 200th vector plays the eval
     // set (disjoint from the scored corpus), the rest get their max cosine
     // to it — the semantic twin of q52's n-gram decontamination; eval side
@@ -2378,6 +2390,38 @@ object SparkEntry {
         |  CASE WHEN host LIKE '%.%'
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q92_corpus_overlap" ->
+      """WITH params AS (
+        |  SELECT
+        |    list_transform(range(0, 64), i ->
+        |      (('0x' || substr(md5('minhash_a_' || i), 1, 8))::BIGINT % 536870912) * 2 + 1) AS pa,
+        |    list_transform(range(0, 64), i ->
+        |      ('0x' || substr(md5('minhash_b_' || i), 1, 8))::BIGINT) AS pb
+        |), sh AS (
+        |  SELECT source,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
+        |  FROM (SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |  WHERE len(toks) > 0
+        |), p AS (
+        |  SELECT source,
+        |    list_transform(range(0, 64), i ->
+        |      list_min(list_transform(xs, x -> (pa[i+1] * x + pb[i+1]) % 2305843009213693951))) AS sig
+        |  FROM (SELECT source,
+        |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+        |        FROM sh), params
+        |), comp AS (
+        |  SELECT source, t.i AS i, min(sig[CAST(t.i AS INT) + 1]) AS h
+        |  FROM p CROSS JOIN range(0, 64) t(i)
+        |  GROUP BY source, t.i
+        |), gsig AS (
+        |  SELECT source, list(h ORDER BY i) AS sig FROM comp GROUP BY source
+        |)
+        |SELECT a.source AS group_a, b.source AS group_b,
+        |  round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |FROM gsig a JOIN gsig b ON a.source < b.source
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "q91_embed_decontaminate" ->
       """WITH e AS (

@@ -136,26 +136,19 @@ object Dedup {
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
     */
-  def minHashLshPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      bands: Int = 8,
-      rowsPerBand: Int = 8,
-      shingleWords: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
-    // Fused tokenize→shingle→minhash in one JVM loop per row (no HOF
-    // intermediate arrays). Signatures feed three branches (band explode +
-    // two re-attach joins); persist so the map stage runs once per row.
+  /** Fused tokenize→shingle→minhash in one JVM loop per row (no HOF
+    * intermediate arrays — measured ~5x over the
+    * `minHashSignature(wordShingles(...))` composition). Token-free docs
+    * return null (they have no shingle set; callers filter — giving them
+    * md5("")'s signature would make every blank doc collide everywhere).
+    * Duplicate shingles need no dedup pass: minima are idempotent. */
+  private[graft] def fusedMinHashUdf(shingleWords: Int, k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val (pa, pb) = minHashParams(k)
-    val sigUdf = udf { (txt: String) =>
+    udf { (txt: String) =>
       val toks =
         if (txt == null) Array.empty[String]
         else txt.split("\\s+").filter(_.nonEmpty)
-      // token-free docs return null (filtered below): they have no shingle
-      // set, and giving them md5("")'s signature would make EVERY blank doc
-      // collide in every band — a quadratic all-pairs explosion among blanks
       if (toks.isEmpty) null
       else {
       val sig = Array.fill(k)(Long.MaxValue)
@@ -181,6 +174,18 @@ object Dedup {
       sig
       }
     }
+  }
+
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      shingleWords: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigUdf = fusedMinHashUdf(shingleWords, k)
     // materialise the signature stage once for its three consumers (see
     // Materialize for the localCheckpoint-vs-replicated-persist trade)
     val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
@@ -523,6 +528,47 @@ object Dedup {
   /** SimHash near-dup pairs: block on the 4 15-bit quadrants (a pair within
     * Hamming distance <= 3 of a 60-bit hash must agree on at least one
     * quadrant), then verify exact Hamming distance. */
+  /** Corpus-level overlap estimation: one MinHash signature PER GROUP over
+    * the union of its documents' shingle sets, then pairwise estimated
+    * Jaccard between groups — the dataset-curation planning question "how
+    * much does crawl A overlap crawl B / how redundant are my sources?"
+    * answered without any cross-corpus document join.
+    *
+    * Works because minwise hashing is a union-homomorphism: the signature
+    * of a UNION of sets is the component-wise min of the sets' signatures,
+    * so per-doc signatures (map-side UDF) reduce to per-group signatures in
+    * one map-combined aggregation. Scale shape: the only shuffle carries
+    * (group, component, partial-min) cells — |groups| × k longs per task,
+    * regardless of corpus size; the pairwise compare is |groups|² on
+    * group-sized relations. Same md5-affine family as [[minHashSignature]],
+    * so the whole estimate replays in SQL.
+    *
+    * Output: (group_a, group_b, est_jaccard) for group_a < group_b. */
+  def corpusOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 64, scale: Int = 4): DataFrame = {
+    // fused signature pass; token-free docs contribute no shingles (null →
+    // filtered), matching the SQL replay's len(toks) > 0 guard
+    val sigs = docs.select(col(groupCol).as("__grp"),
+      fusedMinHashUdf(shingleWords, k)(col(textCol)).as("__sig"))
+      .where(col("__sig").isNotNull)
+    val comps = sigs
+      .select(col("__grp"), posexplode(col("__sig")).as(Seq("__i", "__h")))
+      .groupBy(col("__grp"), col("__i"))
+      .agg(min(col("__h")).as("__h"))
+    // the pairwise compare self-joins the group-signature relation; no
+    // explicit materialization — both legs share the same aggregation
+    // subtree and Spark's ReuseExchange computes the doc-side pass once
+    val grouped = comps.groupBy(col("__grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__h")))),
+        x => x.getField("__h")).as("__sig"))
+    val a = grouped.select(col("__grp").as("group_a"), col("__sig").as("__sa"))
+    val b = grouped.select(col("__grp").as("group_b"), col("__sig").as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        estimatedJaccard(col("__sa"), col("__sb"), scale).as("est_jaccard"))
+  }
+
   /** Within-document paragraph dedup — the Common-Crawl curation step that
     * removes a page's own repeated blocks (headers re-injected per section,
     * templated pull-quotes, pagination echoes) BEFORE corpus-level dedup,

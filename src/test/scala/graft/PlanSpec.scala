@@ -180,6 +180,14 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("corpus overlap shuffles only (group, component) cells; pairwise stays on group-sized relations") {
+    val p = plan("q92_corpus_overlap")
+    // the doc-side reduction is map-combined aggregation, never a doc join
+    p should include("partial_min")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin" // pairwise compare is a broadcast of ~|groups| rows
+  }
+
   it("embedding decontamination broadcasts the eval side, never the corpus") {
     val p = plan("q91_embed_decontaminate")
     p should include("BroadcastNestedLoopJoin")

@@ -123,6 +123,30 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("corpusOverlap") {
+    it("estimates 1.0 for identical corpora, near 0 for disjoint ones, and is partitioning-independent") {
+      val docs = Seq(
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("a", "pack my box with five dozen liquor jugs right now please"),
+        ("b", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "pack my box with five dozen liquor jugs right now please"),
+        ("c", "entirely different content regarding shuffle partitions and parquet row groups")
+      ).toDF("src", "text")
+      val out = Dedup.corpusOverlap(docs, "src", "text")
+        .orderBy("group_a", "group_b")
+        .as[(String, String, Double)].collect().toSeq
+      out.map(r => (r._1, r._2)) shouldBe Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      out.head._3 shouldBe 1.0 // identical shingle sets -> all minima agree
+      out(1)._3 should be < 0.2 // disjoint vocabulary -> few collisions
+      out(2)._3 shouldBe out(1)._3 // b has a's exact shingle set
+
+      val re = Dedup.corpusOverlap(docs.repartition(7), "src", "text")
+        .orderBy("group_a", "group_b")
+        .as[(String, String, Double)].collect().toSeq
+      re shouldBe out // component-wise min is order-insensitive
+    }
+  }
+
   describe("dedupCorpus") {
     it("keeps exactly one doc per near-dup cluster with the original schema") {
       val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
