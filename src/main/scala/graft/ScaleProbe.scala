@@ -162,6 +162,9 @@ object ScaleProbe {
           .as("text")),
         "doc_id", "text")
     }
+    time("corpus overlap (500k docs, 20 sources)") {
+      Dedup.corpusOverlap(docs, "source", "text")
+    }
     time("embed decontaminate (20k corpus vs 100 evals)") {
       Similarity.decontaminateByEmbedding(
         emb.where(pmod(col("vec_id"), lit(200L)) =!= 0), "vec_id", "embedding",
