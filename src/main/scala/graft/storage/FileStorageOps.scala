@@ -55,15 +55,13 @@ class FileStorageOps(spark: SparkSession) {
     // far-future timestamps (SQL Server temporal validity ends, warehouse
     // open-interval sentinels like 9999-12-31) overflow Spark 4's default
     // parquet timestamp[ns] int64 and silently wrap to 1816 — storage
-    // regions always write µs; save/restore so the user's session conf is
-    // not permanently mutated
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // regions always write µs; the guard is depth-counted so the user's
+    // session conf is restored only after the LAST concurrent storage
+    // write (the parallel executor runs appends on several threads — a
+    // naive save/restore would let one thread's finally strip the µs
+    // setting while another thread is still planning its write)
+    FileStorageOps.withMicrosTimestamps(spark) {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     }
     moveOverwriteFolder(staging, dest, overwrite)
     dest
@@ -194,6 +192,41 @@ class FileStorageOps(spark: SparkSession) {
   def listDirs(path: Path): Seq[Path] =
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).filter(_.isDirectory).map(_.getPath).toSeq
+}
+
+object FileStorageOps {
+
+  private val MicrosKey = "spark.sql.parquet.outputTimestampType"
+  // per-session reentrancy state: (active writer count, conf value to restore)
+  private val micros =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
+
+  /** Run `f` with parquet timestamps pinned to µs on `spark`'s session
+    * conf, concurrency-safe: the first concurrent entrant saves and sets,
+    * the last restores. */
+  private[storage] def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    micros.synchronized {
+      micros.get(spark) match {
+        case Some((n, saved)) => micros.update(spark, (n + 1, saved))
+        case None =>
+          val saved = spark.conf.getOption(MicrosKey)
+          spark.conf.set(MicrosKey, "TIMESTAMP_MICROS")
+          micros.update(spark, (1, saved))
+      }
+    }
+    try f
+    finally micros.synchronized {
+      micros(spark) match {
+        case (1, saved) =>
+          micros.remove(spark)
+          saved match {
+            case Some(v) => spark.conf.set(MicrosKey, v)
+            case None => spark.conf.unset(MicrosKey)
+          }
+        case (n, saved) => micros.update(spark, (n - 1, saved))
+      }
+    }
+  }
 }
 
 class StorageException(message: String, cause: Throwable = null)

@@ -142,6 +142,41 @@ class StorageSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("µs timestamp write guard") {
+    // note: getOption on a registered SQL conf returns its DEFAULT
+    // (Some("INT96") on Spark 4.1), never None — the guard restores the
+    // effective value, which is equivalent
+    it("survives overlapping writers and restores the conf only after the last") {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val before = spark.conf.get(key)
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => FileStorageOps.withMicrosTimestamps(spark) {
+        entered.countDown(); release.await()
+      })
+      t.start(); entered.await()
+      // a second writer enters AND exits while the first is still inside —
+      // a naive save/restore would strip the setting here
+      FileStorageOps.withMicrosTimestamps(spark) {
+        spark.conf.get(key) shouldBe "TIMESTAMP_MICROS"
+      }
+      spark.conf.get(key) shouldBe "TIMESTAMP_MICROS" // first writer still in
+      release.countDown(); t.join()
+      spark.conf.get(key) shouldBe before // restored after the LAST writer
+    }
+
+    it("restores a pre-existing user value") {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val before = spark.conf.get(key)
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      FileStorageOps.withMicrosTimestamps(spark) {
+        spark.conf.get(key) shouldBe "TIMESTAMP_MICROS"
+      }
+      spark.conf.get(key) shouldBe "TIMESTAMP_MILLIS"
+      spark.conf.set(key, before)
+    }
+  }
+
   describe("storage flow actions") {
     it("ingests a label end-to-end and snapshots it back") {
       val base = s"$tmpDir/flowstore"
