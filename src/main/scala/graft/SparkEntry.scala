@@ -1074,6 +1074,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // shard manifest: deterministic hash-bucketed shard assignment (no
+    // global row_number — one count job sizes the shard space, assignment
+    // is map-side) + per-shard counts and an order-insensitive xor
+    // fingerprint (operators.Export)
+    "q93_shard_manifest" -> ((s, dir) => {
+      import graft.operators.Export
+      Export.shardManifest(
+        Export.shardAssignment(t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), docsPerShard = 128L),
+        col("doc_id"))
+        .orderBy(col("shard"))
+    }),
+
     // corpus-level overlap: per-source MinHash signature (component-wise
     // min over the source's docs — minwise hashing is a union
     // homomorphism), pairwise estimated 3-gram Jaccard between sources;
@@ -2390,6 +2403,19 @@ object SparkEntry {
         |  CASE WHEN host LIKE '%.%'
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q93_shard_manifest" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % CAST(greatest((cnt + 127) // 128, 1) AS BIGINT) AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents, n
+        |)
+        |SELECT shard, count(*) AS n_docs, bit_xor(h) AS content_xor,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q92_corpus_overlap" ->
       """WITH params AS (

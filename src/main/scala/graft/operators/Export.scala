@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the pipeline ENDING: a curated corpus leaves the
+  * engine as fixed-size-ish shards with a verifiable manifest, so the
+  * training side can schedule, resume and integrity-check without touching
+  * the engine again.
+  *
+  * Shard assignment is content-hash-bucketed, NOT row_number-based: an
+  * exact-count split needs a global ordering (one sort partition — the
+  * classic scale killer), while hash bucketing is map-side, stays balanced
+  * by the law of large numbers (shards deviate from `docsPerShard` by
+  * ~sqrt), and gives every doc a REPRODUCIBLE home: re-exporting the same
+  * corpus yields identical shards, and an incremental re-export moves only
+  * docs whose content changed. One count job sizes the shard space;
+  * everything after is narrow.
+  */
+object Export {
+
+  /** Append a deterministic `shard` column in [0, ceil(n / docsPerShard)).
+    * The shard space size comes from ONE count job; assignment is the
+    * 60-bit md5 bucket of `key` — stable under re-runs and repartitioning. */
+  def shardAssignment(df: DataFrame, key: Column, docsPerShard: Long,
+      shardCol: String = "shard"): DataFrame = {
+    require(docsPerShard > 0, s"docsPerShard must be > 0, got $docsPerShard")
+    require(!df.columns.contains(shardCol),
+      s"input already carries '$shardCol' — pass a different shardCol")
+    val n = df.count()
+    val nShards = math.max((n + docsPerShard - 1) / docsPerShard, 1L).toInt
+    df.withColumn(shardCol, Sampling.hashBucket(key, nShards))
+  }
+
+  /** Per-shard manifest: row count plus an ORDER-INSENSITIVE content
+    * fingerprint (xor of the docs' 60-bit key hashes) and the key range —
+    * enough for the consumer to integrity-check a shard without re-reading
+    * the corpus. One map-combined aggregation. */
+  def shardManifest(df: DataFrame, key: Column,
+      shardCol: String = "shard"): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bit_xor(Sampling.hashRank(key)).as("content_xor"),
+        min(key).as("min_key"),
+        max(key).as("max_key"))
+
+  /** Write the corpus as hive-partitioned shard folders
+    * (`<path>/shard=N/`) and return the manifest of what was written.
+    * The write repartitions BY the shard column first so each shard folder
+    * is one task's output (one file per shard at `docsPerShard` sized for
+    * a task), not `shuffle.partitions` fragments. */
+  def writeShards(df: DataFrame, key: Column, path: String,
+      docsPerShard: Long, format: String = "parquet"): DataFrame = {
+    val assigned = shardAssignment(df, key, docsPerShard)
+    assigned
+      .repartition(col("shard"))
+      .write.mode("overwrite").format(format)
+      .partitionBy("shard").save(path)
+    shardManifest(assigned, key)
+  }
+}

@@ -180,6 +180,13 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("shard manifest is one map-combined aggregation — no window, no join") {
+    val p = plan("q93_shard_manifest")
+    p should not include "Window" // an exact-count split would need one global sort
+    p should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   it("corpus overlap shuffles only (group, component) cells; pairwise stays on group-sized relations") {
     val p = plan("q92_corpus_overlap")
     // the doc-side reduction is map-combined aggregation, never a doc join
