@@ -128,4 +128,64 @@ class CurationPipelineSpec extends SparkTestBase with Matchers {
     // entity extraction really ran: no markup survives
     split.where(col("text").contains("<p>")).count() shouldBe 0L
   }
+
+  it("curates a URL-keyed crawl: canonicalize, paragraph-dedup, decontaminate, export shards") {
+    import graft.operators.{Export, Urls}
+    val out = s"$tmpDir/curated3"
+    val flow = G.sparkFlow(spark)
+      .openFileParquet(s"${sf()}/documents.parquet", "raw")
+      // stage 1: synthesize the crawl shape — messy per-doc URLs and docs
+      // whose pages repeat their own lead block
+      .transform("raw")("crawl") { docs =>
+        docs
+          .withColumn("url", concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.com/p/"), col("doc_id"), lit("/?utm_source=x&id="),
+            col("doc_id"), lit("#top")))
+          .withColumn("text", concat_ws("\n\n",
+            substring(col("text"), 1, 50), col("text"),
+            substring(col("text"), 1, 50)))
+      }
+      // stage 2: URL-level dedup key — canonical URL + registrable domain
+      .transform("crawl")("url_keyed") { docs =>
+        docs.select(col("doc_id"), col("lang"),
+          Urls.canonicalizeUrl(col("url")).as("url"),
+          Urls.registrableDomain(col("url")).as("domain"), col("text"))
+          .dropDuplicates("url")
+      }
+      // stage 3: strip each page's internal repeats
+      .transform("url_keyed")("para_deduped") { docs =>
+        Dedup.dedupParagraphs(docs.select(col("doc_id"), col("text")), "doc_id", "text")
+          .join(docs.drop("text"), Seq("doc_id"))
+      }
+      // stage 4: drop docs overlapping the benchmark (docs 0-4)
+      .transform("para_deduped")("clean") { docs =>
+        val flags = Dedup.decontaminate(docs, "doc_id", "text",
+          docs.where(col("doc_id") < 5), "text", n = 3)
+        docs.join(flags.where(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+      // stage 5: ship as deterministic shards + manifest
+      .transform("clean")("manifest") { docs =>
+        Export.writeShards(docs, col("doc_id"), s"$out/shards", docsPerShard = 100L)
+      }
+      .writeParquet(out)("manifest")
+
+    flow.isValidFlowDAG.isSuccess shouldBe true
+    G.sparkExecutor(maxParallelActions = 4).execute(flow)
+
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val shards = spark.read.parquet(s"$out/shards")
+    // canonicalization ran: no tracking params, fragments, or www survive
+    // (the shards carry the url column through)
+    shards.where(col("url").contains("utm_") || col("url").contains("#") ||
+      col("url").contains("://www.")).count() shouldBe 0L
+    shards.where(col("domain") =!= "example.com").count() shouldBe 0L
+    // paragraph dedup ran: the duplicated lead block collapsed
+    shards.selectExpr("min(size(split(text, '\\n\\n')))").as[Int].head() should be <= 2
+    // benchmark docs gone
+    shards.where(col("doc_id") < 5).count() shouldBe 0L
+    // manifest agrees with what landed on disk
+    manifest.agg(sum("n_docs")).as[Long].head() shouldBe shards.count()
+    manifest.count() shouldBe shards.select("shard").distinct().count()
+  }
 }
