@@ -186,11 +186,18 @@ object Graphs {
     val base = if (aug eq base0) base0 else {
       val m = Materialize(aug); Materialize.release(base0); m
     }
+    // |V| is known exactly (base is materialized — one cheap job): when the
+    // score relation fits a broadcast, ship IT to the edges instead of
+    // shuffling the edge relation through a sort-merge join every round —
+    // per-iteration work becomes map-side join + map-combined agg over
+    // |V|-sized groups. Past the threshold (a real web graph) the shuffled
+    // join is the correct plan and nothing changes.
+    val broadcastScores = base.count() <= 5000000L
     var scores = base.withColumn("pr", initExpr)
     var it = 0
     while (it < iterations) {
-      val contrib = scores
-        .where(col("deg").isNotNull)
+      val active = scores.where(col("deg").isNotNull)
+      val contrib = (if (broadcastScores) broadcast(active) else active)
         .join(e, col("vertex") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("in_mass"))
