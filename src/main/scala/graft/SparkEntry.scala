@@ -837,10 +837,16 @@ object SparkEntry {
     }),
 
     // fuzzy dup pairs (record linkage): token-blocked candidates (equi-join
-    // on a shared lowercase word — never all-pairs), Levenshtein <= 2
+    // on a shared lowercase word — never all-pairs), Levenshtein <= 2.
+    // maxTokenFreq caps blocking-bucket occupancy: tokens carried by more
+    // than 1000 DISTINCT values are dropped from candidate generation (the
+    // Zipfian-stopword scale guard; mirrored in the oracle, since capping
+    // changes match semantics). Never binds on this corpus (8 distinct
+    // names/token) — the cap is the 100-TB posture, not a tuning hack.
     "q70_fuzzy_dups" -> ((s, dir) => {
       import graft.operators.Fuzzy
-      Fuzzy.fuzzyDupPairs(t(s, dir, "part"), "p_partkey", "p_name", maxDist = 2)
+      Fuzzy.fuzzyDupPairs(t(s, dir, "part"), "p_partkey", "p_name", maxDist = 2,
+        maxTokenFreq = Some(1000L))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2274,15 +2280,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q70_fuzzy_dups" ->
-      """WITH tok AS (
+      """WITH tok0 AS (
         |  SELECT p_partkey, p_name,
         |    unnest(list_distinct(string_split_regex(lower(p_name), '\s+'))) AS t
         |  FROM part
+        |), hot AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(DISTINCT p_name) AS c FROM tok0
+        |    WHERE len(t) > 0 GROUP BY t
+        |  ) WHERE c > 1000
+        |), tok AS (
+        |  SELECT * FROM tok0
+        |  WHERE len(t) > 0 AND t NOT IN (SELECT t FROM hot)
         |), cand AS (
         |  SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |    a.p_name AS n1, b.p_name AS n2
         |  FROM tok a JOIN tok b ON a.t = b.t AND a.p_partkey < b.p_partkey
-        |  WHERE len(a.t) > 0 AND len(b.t) > 0
         |)
         |SELECT id_a, id_b, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(n1, n2) <= 2

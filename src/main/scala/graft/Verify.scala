@@ -11,10 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // ns-overflow guard: Spark 4 defaults to parquet timestamp[ns], where
-      // far-future values (e.g. warehouse sentinels) overflow int64 and wrap;
-      // µs matches the DuckDB oracle's precision exactly.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Spark's default parquet timestamp output (INT96) surfaces as
+      // timestamp[ns] in the driver's reader — matching the oracle side.
+      // Do NOT pin outputTimestampType here: the round-4 TIMESTAMP_MICROS pin
+      // flipped every timestamp-emitting query to schema_match=false.
+      // ns-overflow is instead handled at the source: far-future sentinels
+      // use 2200-01-01 (< the 2262 ns ceiling) — see SparkEntry q48.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -75,6 +75,10 @@ class DataQualityException(message: String) extends RuntimeException(message)
 /** A check over a produced dataset yielding alerts. Checks on the same label
   * merge (`++`). */
 trait DataQualityCheck {
+  /** Registration-time validation (reference DataQualityCheck.validateCheck):
+    * a structurally invalid check — e.g. anomaly checks without a metrics
+    * repository — must fail when ADDED to the flow, not midway through a run. */
+  def validateCheck: scala.util.Try[Unit] = scala.util.Success(())
   def getAlerts(label: String, ds: DataFrame): Seq[DataQualityAlert]
   def ++(other: DataQualityCheck): DataQualityCheck = {
     val self = this
@@ -174,7 +178,8 @@ object DataQualityActions {
       * handlers. Implemented as an in-place interceptor so downstream
       * consumers only see a checked dataset. */
     def addDataQualityCheck(label: String, check: DataQualityCheck,
-        handlers: DataQualityAlertHandler*): SparkDataFlow =
+        handlers: DataQualityAlertHandler*): SparkDataFlow = {
+      check.validateCheck.get // invalid composition fails at registration
       flow.interceptPostOutput(label) { original =>
         new SparkAction(original.inputLabels, original.outputLabels,
           s"dataQuality:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
@@ -196,5 +201,6 @@ object DataQualityActions {
           checkedResults
         })
       }
+    }
   }
 }

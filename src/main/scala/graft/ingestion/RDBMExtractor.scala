@@ -16,9 +16,11 @@ final case class ExtractionTableConfig(
     lastUpdatedColumn: Option[String] = None,
     maxRowsPerPartition: Option[Int] = None,
     forceFullLoad: Boolean = false,
-    /** Override the retain-history default (retain iff no lastUpdated column
-      * — a column-less table re-extracts in full each run and would grow
-      * storage unboundedly; see reference RDBMIngestionUtils.scala:96-115). */
+    /** Override the retain-history default (retain iff a lastUpdated column
+      * exists — incremental deltas carry real version history worth keeping;
+      * a column-less table re-extracts in full each run, and retaining every
+      * identical snapshot would grow storage unboundedly; see reference
+      * RDBMExtractor.scala:97). */
     forceRetainStorageHistory: Option[Boolean] = None)
 
 /** Incremental JDBC extraction into the storage layer.
@@ -158,7 +160,7 @@ class PostgresExtractor(val spark: SparkSession, val connectionDetails: JDBCConn
         s"No primary keys found for $dbSchema.$tableName; provide them explicitly")
     AuditTableInfo(tableName, pks,
       Map("schema" -> dbSchema) ++ lastUpdatedColumn.map("lastUpdated" -> _),
-      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isEmpty))
+      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isDefined))
   }
 }
 
@@ -195,7 +197,7 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
         s"No primary keys found for $dbSchema.$tableName; provide them explicitly")
     AuditTableInfo(tableName, pks,
       Map("schema" -> dbSchema) ++ lastUpdatedColumn.map("lastUpdated" -> _),
-      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isEmpty))
+      forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isDefined))
   }
 }
 

@@ -178,9 +178,10 @@ trait ImpalaParquetDDL extends HadoopDBConnector {
       schema: StructType, partitionColumns: Seq[String],
       ifNotExists: Boolean): Seq[String] = {
     val qualified = fileSystem.makeQualified(new Path(pathUri))
-    // glob through the partition folders for the first part file
-    val glob = ("part-*.parquet" +: partitionColumns.map(_ + "=*"))
-      .foldRight(qualified)((c, p) => new Path(p, c))
+    // glob through the partition folders (in declaration order:
+    // base/p1=*/p2=*/part-*.parquet) for the first part file
+    val glob = (partitionColumns.map(_ + "=*") :+ "part-*.parquet")
+      .foldLeft(qualified)((p, c) => new Path(p, c))
     val footer = fileSystem.globStatus(glob).sortBy(_.getPath.toUri.getPath)
       .headOption.map(_.getPath).getOrElse(throw new MetastoreException(
         s"Could not find a parquet file under '$qualified' to infer schema " +

@@ -57,6 +57,10 @@ object Export {
       .repartition(col("shard"))
       .write.mode("overwrite").format(format)
       .partitionBy("shard").save(path)
-    shardManifest(assigned, key)
+    // Manifest from the WRITTEN shards, not the source lineage: re-evaluating
+    // `assigned` would scan the input a second time, and a non-deterministic
+    // source (or one overlapping the just-overwritten output path) would
+    // yield a manifest describing shards that were never written.
+    shardManifest(df.sparkSession.read.format(format).load(path), key)
   }
 }

@@ -186,14 +186,21 @@ object Graphs {
     val base = if (aug eq base0) base0 else {
       val m = Materialize(aug); Materialize.release(base0); m
     }
-    // |V| is known exactly (base is materialized — one cheap job): when the
-    // score relation fits a broadcast, ship IT to the edges instead of
-    // shuffling the edge relation through a sort-merge join every round —
-    // per-iteration work becomes map-side join + map-combined agg over
-    // |V|-sized groups. Past the threshold (a real web graph) the shuffled
-    // join is the correct plan and nothing changes.
-    val broadcastScores = base.count() <= 5000000L
+    // Broadcast gate sized in estimated BYTES, not rows: a 5M-vertex relation
+    // with wide string keys is hundreds of MB and would OOM the driver if
+    // force-broadcast by row count alone. One tiny agg over the materialized
+    // base estimates the payload (key bytes + ~32B/row of numerics and
+    // overhead); under the cap we ship the score relation to the edges
+    // instead of shuffling the edge relation through a sort-merge join every
+    // round — per-iteration work becomes map-side join + map-combined agg.
+    // Past the cap (a real web graph) the shuffled join is the correct plan
+    // and nothing changes.
+    val sizing = base.agg(count(lit(1)).as("n"), coalesce(
+      sum(octet_length(col("vertex").cast("string")).cast("long")), lit(0L)).as("kb")).head
+    val estBytes = sizing.getLong(1) + sizing.getLong(0) * 32L
+    val broadcastScores = estBytes <= 256L * 1024 * 1024
     var scores = base.withColumn("pr", initExpr)
+    var prevMat: DataFrame = null
     var it = 0
     while (it < iterations) {
       val active = scores.where(col("deg").isNotNull)
@@ -207,11 +214,22 @@ object Graphs {
           teleport + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
           iterScale))
         .drop("in_mass")
+      if (broadcastScores && it < iterations - 1) {
+        // Each round's broadcast exchange executes its whole input subtree to
+        // collect the relation — left un-materialized, round k would re-run
+        // rounds 1..k-1, making total broadcast work quadratic in iterations.
+        // Cutting the lineage per round keeps each collection O(|V|).
+        val m = Materialize(scores)
+        if (prevMat != null) Materialize.release(prevMat)
+        prevMat = m
+        scores = m
+      }
       it += 1
     }
     val out = scores.select(col("vertex"), round(col("pr"), scale).as("pagerank"))
       .transform(Materialize.apply)
     Materialize.release(e); Materialize.release(base)
+    if (prevMat != null) Materialize.release(prevMat)
     out
   }
 

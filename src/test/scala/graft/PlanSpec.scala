@@ -161,6 +161,9 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "BroadcastNestedLoopJoin"
     // the blocked join keys on the token
     p should include("tok")
+    // the maxTokenFreq cap prunes hot tokens via a broadcast anti-join, so
+    // candidate-bucket occupancy stays bounded under Zipfian distributions
+    p should include("LeftAnti")
   }
 
   it("random projection is pure map-side — no shuffle, no driver state") {
@@ -193,6 +196,15 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("partial_min")
     p should not include "CartesianProduct"
     p should not include "SortMergeJoin" // pairwise compare is a broadcast of ~|groups| rows
+    // both sides of the pairwise compare read the SAME per-group signature
+    // aggregation: the one-pass-over-corpus property is pinned by the plan
+    // reusing that subtree instead of recomputing the doc-side reduction.
+    // AQE materializes reuse only in the FINAL plan, so execute first.
+    val q = SparkEntry.queries("q92_corpus_overlap")(spark, sf("sf0.001"))
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    (finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage") ||
+      finalPlan.contains("reused")) shouldBe true
   }
 
   it("embedding decontamination broadcasts the eval side, never the corpus") {

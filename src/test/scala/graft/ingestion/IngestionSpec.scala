@@ -222,6 +222,24 @@ class IngestionSpec extends SparkTestBase with Matchers {
       out.collect().head.toSeq shouldBe Seq("mixed", "upper")
     }
 
+    it("defaults retain-history to lastUpdated presence (reference RDBMExtractor.scala:97)") {
+      // incremental tables (delta-extracted) keep version history; column-less
+      // tables re-extract in full each run and must NOT retain every snapshot
+      val e = new PostgresExtractor(spark, JDBCConnection("jdbc:postgresql://x")) {
+        override protected def loadQuery(q: String, p: Seq[String]): DataFrame =
+          Seq("id").toDF("pk_column")
+      }
+      e.getTableMetadata("public", "t", Some(Seq("id")), Some("updated"), None)
+        .retainHistory shouldBe true
+      e.getTableMetadata("public", "t", Some(Seq("id")), None, None)
+        .retainHistory shouldBe false
+      // explicit override beats the default in both directions
+      e.getTableMetadata("public", "t", Some(Seq("id")), None, Some(true))
+        .retainHistory shouldBe true
+      e.getTableMetadata("public", "t", Some(Seq("id")), Some("updated"), Some(false))
+        .retainHistory shouldBe false
+    }
+
     it("temporal extractor marks its table metadata for the snapshot action") {
       val e = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x")) {
         override protected def loadQuery(q: String, p: Seq[String]): DataFrame =

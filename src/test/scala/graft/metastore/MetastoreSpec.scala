@@ -121,6 +121,18 @@ class MetastoreSpec extends SparkTestBase with Matchers {
       ddls.last shouldBe "alter table testdb.t2 recover partitions"
     }
 
+    it("finds the footer under two partition levels in declaration order") {
+      // regression: a foldRight built base/p2=*/p1=*/part-* (reversed), so any
+      // table with 2+ partition columns always threw MetastoreException
+      val path = s"$tmpDir/impala_part2"
+      Seq((1L, "a", "x", "m"), (2L, "b", "y", "n")).toDF("id", "v", "p1", "p2")
+        .write.mode("overwrite").partitionBy("p1", "p2").parquet(path)
+      val c = ImpalaJdbcConnector("jdbc:impala://h:21050", "testdb", fs)
+      val ddls = c.updateTableParquetLocationDDLs(spark, "t4", path, Seq("p1", "p2"))
+      ddls(1) should include regex "/p1=[^/]+/p2=[^/]+/part-"
+      ddls(1) should include("partitioned by (p1 string, p2 string)")
+    }
+
     it("fails with a clear error when no parquet file exists yet") {
       val c = ImpalaJdbcConnector("jdbc:impala://h:21050", "testdb", fs)
       intercept[MetastoreException] {
