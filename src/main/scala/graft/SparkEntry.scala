@@ -1105,6 +1105,54 @@ object SparkEntry {
         .orderBy(col("group_a"), col("group_b"))
     }),
 
+    // cross-document duplicate-paragraph profile (the corpus-wide twin of
+    // q90's within-doc dedup): same deterministic synthesis — NAV blocks
+    // shared by every doc of a source, mostly-unique leads/bodies; dup =
+    // paragraph text present in >1 distinct doc. Hash-keyed shuffles only
+    // (operators.Dedup.paragraphDupStats)
+    "q94_paragraph_dup_ratio" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val lead = substring(col("text"), 1, 60)
+      val nav = concat(lit("NAV "), col("source"))
+      val body = substring(col("text"), 61, 80)
+      val doc = concat_ws("\n\n", lead, nav, lead, body, nav)
+      val synth = t(s, dir, "documents").select(col("doc_id"), doc.as("text"))
+      Dedup.paragraphDupStats(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // bigram-LM surprisal (CCNet-style perplexity filtering, one step past
+    // q73's unigram): add-1-smoothed P(b|a) fitted on the corpus itself;
+    // token-less/1-token docs carry the -1 sentinel
+    // (operators.Ranking.bigramSurprisal)
+    "q95_bigram_surprisal" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("avg_surprisal", coalesce(col("avg_surprisal"), lit(-1.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // code-vs-prose signals (mix curation: route source code and prose to
+    // different pipelines): punct density / semicolons per line / indent
+    // fraction + threshold gate, all map-side codegen; every 7th doc is
+    // synthesized code-like so both branches are exercised
+    // (functions.TextFunctions.codePunctDensity/semicolonPerLine/
+    // indentLineFrac/isCodeLike)
+    "q96_code_signals" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val code = concat(lit("def f_"), col("doc_id").cast("string"),
+        lit("(x) {\n    return x + "), col("doc_id").cast("string"),
+        lit(";\n    }\n"), substring(col("text"), 1, 40))
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, code).otherwise(col("text")).as("text"))
+      synth.select(col("doc_id"),
+        TextFunctions.codePunctDensity(col("text")).as("punct_density"),
+        TextFunctions.semicolonPerLine(col("text")).as("semis_per_line"),
+        TextFunctions.indentLineFrac(col("text")).as("indent_frac"),
+        TextFunctions.isCodeLike(col("text")).as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-based decontamination: every 200th vector plays the eval
     // set (disjoint from the scored corpus), the rest get their max cosine
     // to it — the semantic twin of q52's n-gram decontamination; eval side
@@ -2846,7 +2894,80 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         |  coalesce(s.avg_surprisal, -1.0) AS avg_surprisal
         |FROM documents d LEFT JOIN s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q94_paragraph_dup_ratio" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || chr(10) || 'NAV ' || source
+        |      || chr(10) || chr(10) || substr(text, 1, 60) || chr(10) || chr(10)
+        |      || substr(text, 61, 80) || chr(10) || chr(10) || 'NAV ' || source AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS para
+        |  FROM synth
+        |), occ AS (
+        |  SELECT para, count(*) AS nd FROM paras GROUP BY para
+        |)
+        |SELECT p.doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        |  round(CAST(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS dup_ratio
+        |FROM paras p JOIN occ o USING (para)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    "q95_bigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        |), big AS (
+        |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        |  FROM tok WHERE len(t) >= 2
+        |), b2 AS (
+        |  SELECT doc_id, z[1] AS a, z[2] AS b FROM big
+        |), lm AS (
+        |  SELECT a, b, count(*) AS c_ab FROM b2 GROUP BY a, b
+        |), ctx AS (
+        |  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM lm GROUP BY a
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT tk) AS DOUBLE) AS vs
+        |  FROM (SELECT unnest(t) AS tk FROM tok)
+        |), s AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(-ln((c_ab + 1.0) / (c_a + 1.0 * vs))), 4) AS avg_surprisal
+        |  FROM b2 JOIN lm USING (a, b) JOIN ctx USING (a), v GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.avg_surprisal, -1.0) AS avg_surprisal
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q96_code_signals" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      'def f_' || doc_id::VARCHAR || '(x) {' || chr(10)
+        |        || '    return x + ' || doc_id::VARCHAR || ';' || chr(10)
+        |        || '    }' || chr(10) || substr(text, 1, 40)
+        |    ELSE text END AS text
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    round(len(regexp_extract_all(text, '[{}\[\]()<>;=]'))
+        |      / greatest(len(text), 1)::DOUBLE, 4) AS punct_density,
+        |    round(len(regexp_extract_all(text, ';'))
+        |      / greatest(len(list_filter(string_split(text, chr(10)),
+        |          l -> len(l) > 0)), 1)::DOUBLE, 4) AS semis_per_line,
+        |    round(len(list_filter(list_filter(string_split(text, chr(10)),
+        |          l -> len(l) > 0), l -> regexp_matches(l, '^(    |\t)')))
+        |      / greatest(len(list_filter(string_split(text, chr(10)),
+        |          l -> len(l) > 0)), 1)::DOUBLE, 4) AS indent_frac
+        |  FROM synth
+        |)
+        |SELECT doc_id, punct_density, semis_per_line, indent_frac,
+        |  (punct_density > 0.01 OR semis_per_line > 0.5 OR indent_frac > 0.2)
+        |    AS is_code
+        |FROM sig ORDER BY doc_id""".stripMargin
   )
 
   private val storageOracleSql: String =

@@ -248,6 +248,40 @@ object TextFunctions {
     round(alpha.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
   }
 
+  /** Density of code punctuation ({}[]()<>;=) per character — near zero in
+    * prose, high in most programming languages. */
+  def codePunctDensity(text: Column, scale: Int = 4): Column = {
+    val punct = size(regexp_extract_all(text, lit("[{}\\[\\]()<>;=]"), lit(0)))
+    round(punct.cast("double") / greatest(length(text), lit(1)).cast("double"), scale)
+  }
+
+  /** Semicolons per non-empty line — statement-terminated languages. */
+  def semicolonPerLine(text: Column, scale: Int = 4): Column = {
+    val semis = size(regexp_extract_all(text, lit(";"), lit(0)))
+    val lines = size(filter(split(text, "\n"), l => length(l) > 0))
+    round(semis.cast("double") / greatest(lines, lit(1)).cast("double"), scale)
+  }
+
+  /** Fraction of non-empty lines starting with an indent (4 spaces / tab) —
+    * block-structured source and indented code fences. */
+  def indentLineFrac(text: Column, scale: Int = 4): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val indented = size(filter(lines, l => l.rlike("^(    |\\t)")))
+    round(indented.cast("double") / greatest(size(lines), lit(1)).cast("double"), scale)
+  }
+
+  /** Code-vs-prose gate over the three signals — the mix-curation split
+    * ("route code to the code pipeline, prose to the text one"). Thresholds
+    * are parameters; defaults separate typical source from typical prose by
+    * a wide margin on all three axes. */
+  def isCodeLike(text: Column,
+      minPunctDensity: Double = 0.01,
+      minSemisPerLine: Double = 0.5,
+      minIndentFrac: Double = 0.2): Column =
+    codePunctDensity(text) > minPunctDensity ||
+      semicolonPerLine(text) > minSemisPerLine ||
+      indentLineFrac(text) > minIndentFrac
+
   /** Gopher's stop-word presence list (distinct-word hits, not counts). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -598,6 +598,39 @@ object Dedup {
       .select(col("__id").as(idCol), col("__text").as(textCol))
   }
 
+  /** Corpus-wide duplicate-paragraph profile: how much of each document is
+    * boilerplate repeated in OTHER documents — the cross-document twin of
+    * [[dedupParagraphs]] (which is within-doc). A paragraph counts as `dup`
+    * when its exact text occurs in more than one distinct document; the
+    * per-doc dup fraction is the C4/RefinedWeb-style "template-heavy page"
+    * curation signal.
+    *
+    * Scale shape: paragraphs shuffle by a 64-bit hash, never by text (the
+    * occurrence count joins back on the same hash key, so the exchange is
+    * reused), and the doc-level rollup is a map-combined aggregation on the
+    * doc key. Hash collisions conflate unrelated paragraphs at ~2⁻⁶⁴ per
+    * pair — noise-level on a ratio, never corpus-poisoning.
+    * Output: (doc_id, n_paras, n_dup_paras, dup_ratio). */
+  def paragraphDupStats(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", scale: Int = 4): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    // distinct (doc, para): repetition WITHIN a doc is dedupParagraphs'
+    // concern — here each document votes once per paragraph text
+    val dp = docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), quoted)).as("__para"))
+      .select(col("__id"), xxhash64(col("__para")).as("__ph"))
+      .distinct()
+    val occ = dp.groupBy(col("__ph")).agg(count(lit(1)).as("__nd"))
+    dp.join(occ, Seq("__ph"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_paras").cast("double") / col("n_paras"), scale))
+      .select(col("__id").as("doc_id"), col("n_paras"), col("n_dup_paras"),
+        col("dup_ratio"))
+  }
+
   def simHashPairs(
       docs: DataFrame,
       idCol: String,

@@ -214,11 +214,14 @@ object Graphs {
           teleport + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
           iterScale))
         .drop("in_mass")
-      if (broadcastScores && it < iterations - 1) {
-        // Each round's broadcast exchange executes its whole input subtree to
-        // collect the relation — left un-materialized, round k would re-run
-        // rounds 1..k-1, making total broadcast work quadratic in iterations.
-        // Cutting the lineage per round keeps each collection O(|V|).
+      if (broadcastScores && iterations > 3 && it < iterations - 1) {
+        // Deep chains only: each round nests the previous round's broadcast
+        // exchange inside its own subtree, so plan analysis and the driver's
+        // in-flight broadcast set grow with the chain. At <=3 rounds the DAG
+        // is shallow and a single job executes it linearly (each exchange
+        // once) — materializing would only add localCheckpoint jobs (~0.3s
+        // measured at sf0.1). Past that, cut the lineage per round so each
+        // broadcast collection stays O(|V|) and plans stay constant-size.
         val m = Materialize(scores)
         if (prevMat != null) Materialize.release(prevMat)
         prevMat = m

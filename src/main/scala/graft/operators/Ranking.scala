@@ -161,6 +161,42 @@ object Ranking {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Bigram-LM surprisal: mean -ln P(w_i | w_{i-1}) per document under an
+    * add-k-smoothed bigram model fitted on the corpus itself — the
+    * perplexity-quality signal (CCNet-style LM filtering) one step past
+    * [[unigramSurprisal]]. P(b|a) = (c(a,b) + k) / (c_ctx(a) + k·V) where V
+    * is the distinct-token count and c_ctx(a) counts bigram occurrences
+    * STARTING at `a` (so the smoothed distribution sums to 1 over the
+    * vocabulary). Docs with < 2 tokens get n_bigrams=0 and a null score.
+    *
+    * Scale shape: bigram and context counts reduce map-combined; scoring
+    * joins key on the bigram (LM-sized relations, not corpus-sized); V
+    * attaches as a broadcast 1-row scalar. Nothing corpus-sized reaches the
+    * driver. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0, scale: Int = 4): DataFrame = {
+    val arr = TextFunctions.tokens(lower(col(textCol)))
+    val bigs = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
+    val lm = bigs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ctx = lm.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.select(explode(arr).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("_graft_v"))
+    val scored = bigs
+      .join(lm, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c_ab") + lit(k)) /
+          (col("c_a") + lit(k) * col("_graft_v")))), scale).as("avg_surprisal"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Collocations: the top-`topK` adjacent token pairs by pointwise mutual
     * information — the merge-candidate scoring step of BPE-style tokenizer
     * training, and the classic collocation extractor ("new york", "machine

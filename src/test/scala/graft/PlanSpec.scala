@@ -230,6 +230,28 @@ class PlanSpec extends SparkTestBase with Matchers {
     ("Exchange hashpartitioning".r.findAllIn(p).size <= 2) shouldBe true
   }
 
+  it("corpus paragraph-dup profile shuffles by 64-bit hash, never by paragraph text") {
+    val p = plan("q94_paragraph_dup_ratio")
+    p should include("xxhash64") // join/occurrence key is the hash
+    p should not include "CartesianProduct"
+    p should not include "NestedLoop"
+  }
+
+  it("bigram surprisal map-combines its LM counts; only the 1-row V scalar broadcasts") {
+    val p = plan("q95_bigram_surprisal")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  it("code signals are pure map-side codegen — no shuffle, no join, no UDF") {
+    val p = plan("q96_code_signals")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "Join"
+    p should not include "UDF"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
 /** Round-3 curation additions: JSON extraction, chunking, normalization,
   * PII redaction, exact-substring duplication profile. */
-class CurationOpsSpec extends SparkTestBase {
+class CurationOpsSpec extends SparkTestBase
+  with org.scalatest.matchers.should.Matchers {
 
   import spark.implicits._
 
@@ -419,6 +420,48 @@ class CurationOpsSpec extends SparkTestBase {
         .orderBy("doc_id").collect().toSeq
       assert(a === b)
       assert(a.head.getString(1) === "P0\n\nNAV")
+    }
+  }
+
+  describe("Dedup.paragraphDupStats") {
+    it("counts cross-document duplicates, once per doc, within-doc repeats ignored") {
+      val docs = Seq(
+        (1L, "P1\n\nSHARED"),
+        (2L, "P2\n\nSHARED\n\nSHARED"), // in-doc repeat still counts once
+        (3L, "P3")
+      ).toDF("doc_id", "text")
+      val out = Dedup.paragraphDupStats(docs, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+      out shouldBe Seq(
+        (1L, 2L, 1L, 0.5),
+        (2L, 2L, 1L, 0.5), // distinct paras P2 + SHARED
+        (3L, 1L, 0L, 0.0))
+    }
+
+    it("a paragraph shared only within ONE doc is not a corpus duplicate") {
+      val docs = Seq((1L, "A\n\nA\n\nB"), (2L, "C")).toDF("doc_id", "text")
+      val out = Dedup.paragraphDupStats(docs, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+      out shouldBe Seq((1L, 2L, 0L, 0.0), (2L, 1L, 0L, 0.0))
+    }
+  }
+
+  describe("TextFunctions code signals") {
+    import graft.functions.TextFunctions
+    it("flags code-like text on any of the three signals; prose passes") {
+      val rows = Seq(
+        (1L, "def f(x) {\n    return x + 1;\n}"), // punct + semis + indent
+        (2L, "line one\n    indented two\n    indented three"), // indent only
+        (3L, "plain prose here\nand some more of it"),
+        (4L, "")
+      ).toDF("doc_id", "text")
+      val out = rows.select(col("doc_id"),
+        TextFunctions.isCodeLike(col("text")).as("c"),
+        TextFunctions.indentLineFrac(col("text")).as("ind"))
+        .orderBy("doc_id").as[(Long, Boolean, Double)].collect().toSeq
+      out.map(r => r._1 -> r._2).toMap shouldBe
+        Map(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+      out(1)._3 shouldBe (2.0 / 3 +- 1e-3) // 2 of 3 non-empty lines indented
     }
   }
 }

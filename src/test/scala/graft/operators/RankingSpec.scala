@@ -118,6 +118,32 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("bigramSurprisal") {
+    it("matches the hand-computed add-1 model and sentinels short docs") {
+      // corpus bigrams: (a,b)x3, (b,a)x1; V=3 (a, b and doc 3's lone x)
+      // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(1+3) = 1/2
+      val d = Seq(
+        (1L, "a b a b"),
+        (2L, "a b"),
+        (3L, "x"),
+        (4L, "")).toDF("doc_id", "text")
+      val out = Ranking.bigramSurprisal(d, "doc_id", "text")
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+      out.map(_._2) shouldBe Array(3L, 1L, 0L, 0L)
+      val score = out.map(r => r._1 -> r._3).toMap
+      score(3L) shouldBe None // 1 token: no bigrams
+      score(4L) shouldBe None
+      val pBA = -math.log(2.0 / 3.0); val pAB = -math.log(0.5)
+      score(1L).get shouldBe
+        BigDecimal((pBA + pAB + pBA) / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      score(2L).get shouldBe
+        BigDecimal(pBA).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      // glued pairs score lower than unseen-context pairs would: doc 1's
+      // repeated (a,b) is the corpus's dominant transition
+      score(1L).get should be > score(2L).get // (b,a) is rarer than (a,b)
+    }
+  }
+
   describe("collocations") {
     it("surfaces glued pairs above independent ones; minCount prunes noise") {
       // "new york" always adjacent and exclusive; "and" is frequent
