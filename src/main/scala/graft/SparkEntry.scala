@@ -1132,6 +1132,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // canonical-doc selection: q32's near-dup clusters, but the keep policy
+    // is highest-quality-member (n_chars here; ties -> lowest id) instead
+    // of smallest-id — one window shuffle on the cluster key
+    // (operators.Dedup.selectCanonical)
+    "q97_canonical_docs" -> ((s, dir) => {
+      import graft.operators.{Dedup, Graphs}
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")),
+        n = 3, threshold = 0.7)
+      val clustered = Graphs.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .drop("keep")
+        .join(docs.select(col("doc_id"), col("n_chars").as("quality")), Seq("doc_id"))
+      Dedup.selectCanonical(clustered, "doc_id", "cluster_id", col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source score calibration: percent-rank of n_chars WITHIN each
+    // source, so one global threshold cuts every source at the same
+    // quantile — one keyed window shuffle, no global sort
+    // (operators.Ranking.calibrateWithinGroup)
+    "q98_calibrated_quality" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.calibrateWithinGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        groupCols = Seq("source"), score = col("n_chars"), tieBreak = col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -2941,6 +2970,42 @@ object SparkEntry {
         |  coalesce(s.avg_surprisal, -1.0) AS avg_surprisal
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q97_canonical_docs" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        | FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM p a JOIN p b
+        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        |), edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs
+        |), walk(v, c) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
+        |), clustered AS (
+        | SELECT d.doc_id, coalesce(min(w.c), d.doc_id) AS cluster_id,
+        |   d.n_chars AS quality
+        | FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
+        | GROUP BY d.doc_id, d.n_chars
+        |)
+        |SELECT doc_id, cluster_id, quality,
+        |  (row_number() OVER (PARTITION BY cluster_id
+        |     ORDER BY quality DESC, doc_id ASC)) = 1 AS is_canonical
+        |FROM clustered ORDER BY doc_id""".stripMargin,
+
+    "q98_calibrated_quality" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars ASC, doc_id ASC), 6) AS calibrated
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q96_code_signals" ->
       """WITH synth AS (

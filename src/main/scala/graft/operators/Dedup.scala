@@ -631,6 +631,22 @@ object Dedup {
         col("dup_ratio"))
   }
 
+  /** Canonical-document selection: within each duplicate cluster keep the
+    * HIGHEST-quality member rather than the smallest id — the policy step
+    * after clustering ("of these near-identical pages, train on the
+    * cleanest one"). Deterministic: quality desc, then id asc on ties.
+    *
+    * Scale shape: one keyed window shuffle on the cluster id; clusters are
+    * small by construction (near-dup groups), so no partition skew beyond
+    * the largest cluster. */
+  def selectCanonical(clustered: DataFrame, idCol: String, clusterCol: String,
+      quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(quality.desc, col(idCol).asc)
+    clustered.withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
   def simHashPairs(
       docs: DataFrame,
       idCol: String,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,24 @@ object Ranking {
           (col("c_a") + lit(k) * col("_graft_v")))), scale).as("avg_surprisal"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** Per-group score calibration: map a raw quality score to its
+    * percent-rank WITHIN a group (e.g. source / language), so one global
+    * threshold is comparable across groups whose raw score distributions
+    * differ — "keep the top 30% of every source" instead of letting one
+    * verbose source dominate a global cut. Deterministic: ties broken by
+    * `tieBreak` (pass the row id).
+    *
+    * Scale shape: one keyed window shuffle on the group columns; no global
+    * sort, no driver state. */
+  def calibrateWithinGroup(df: DataFrame, groupCols: Seq[String],
+      score: Column, tieBreak: Column, outCol: String = "calibrated",
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(score.asc, tieBreak.asc)
+    df.withColumn(outCol, round(percent_rank().over(w), scale))
   }
 
   /** Collocations: the top-`topK` adjacent token pairs by pointwise mutual

@@ -252,6 +252,13 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "UDF"
   }
 
+  it("score calibration is one keyed window shuffle — no global sort before the window") {
+    val p = plan("q98_calibrated_quality")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("Window")
+    p should not include "Join"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

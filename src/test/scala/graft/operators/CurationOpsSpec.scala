@@ -446,6 +446,19 @@ class CurationOpsSpec extends SparkTestBase
     }
   }
 
+  describe("Dedup.selectCanonical") {
+    it("keeps the highest-quality member per cluster, ties to the lowest id") {
+      val clustered = Seq(
+        (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie 2 vs 3 -> 2
+        (4L, 4L, 1L) // singleton cluster
+      ).toDF("doc_id", "cluster_id", "quality")
+      val out = Dedup.selectCanonical(clustered, "doc_id", "cluster_id", col("quality"))
+        .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+      out.map(r => r._1 -> r._4) shouldBe
+        Seq(1L -> false, 2L -> true, 3L -> false, 4L -> true)
+    }
+  }
+
   describe("TextFunctions code signals") {
     import graft.functions.TextFunctions
     it("flags code-like text on any of the three signals; prose passes") {

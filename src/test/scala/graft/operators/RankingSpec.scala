@@ -144,6 +144,25 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("calibrateWithinGroup") {
+    it("maps scores to per-group percent ranks; singleton groups pin to 0") {
+      val d = Seq(
+        (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),
+        (4L, "b", 999L)).toDF("id", "grp", "score")
+      val out = Ranking.calibrateWithinGroup(d, Seq("grp"), col("score"), col("id"))
+        .orderBy("id").as[(Long, String, Long, Double)].collect().toSeq
+      out.map(_._4) shouldBe Seq(0.0, 1.0, 0.5, 0.0)
+    }
+
+    it("breaks score ties deterministically by the tie-break column") {
+      val d = Seq((1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L))
+        .toDF("id", "grp", "score")
+      val out = Ranking.calibrateWithinGroup(d, Seq("grp"), col("score"), col("id"))
+        .orderBy("id").as[(Long, String, Long, Double)].collect().toSeq
+      out.map(_._4) shouldBe Seq(0.0, 0.5, 1.0)
+    }
+  }
+
   describe("collocations") {
     it("surfaces glued pairs above independent ones; minCount prunes noise") {
       // "new york" always adjacent and exclusive; "and" is frequent
