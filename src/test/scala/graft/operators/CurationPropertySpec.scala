@@ -96,4 +96,38 @@ class CurationPropertySpec extends SparkTestBase with Matchers {
       }.sortBy(r => (r._1, r._2))
     est2.toSeq shouldBe est.sortBy(r => (r._1, r._2)).toSeq
   }
+
+  it("paragraphDupStats is partition-independent and ratio-bounded") {
+    val paras = Vector("alpha beta", "NAV shared", "gamma", "delta eps", "NAV other")
+    def doc() = (1 to (1 + rnd.nextInt(4)))
+      .map(_ => paras(rnd.nextInt(paras.size))).mkString("\n\n")
+    val docs = (1L to 80L).map(i => (i, doc())).toDF("doc_id", "text")
+    val a = Dedup.paragraphDupStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.paragraphDupStats(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    a shouldBe b
+    a.foreach { r =>
+      r.getDouble(3) should be >= 0.0
+      r.getDouble(3) should be <= 1.0
+      r.getLong(2) should be <= r.getLong(1) // dups <= paras
+    }
+  }
+
+  it("calibrateWithinGroup is partition-independent and spans [0,1] per group") {
+    val docs = (1L to 100L).map(i => (i, s"g${i % 3}", rnd.nextInt(20).toLong))
+      .toDF("id", "grp", "score")
+    val a = Ranking.calibrateWithinGroup(docs, Seq("grp"), col("score"), col("id"))
+      .orderBy("id").collect().toSeq
+    val b = Ranking.calibrateWithinGroup(docs.repartition(5), Seq("grp"),
+      col("score"), col("id")).orderBy("id").collect().toSeq
+    a shouldBe b
+    // each group's calibrated scores cover exactly [0, 1]
+    val byGroup = a.groupBy(_.getString(1))
+    byGroup.values.foreach { rows =>
+      val c = rows.map(_.getDouble(3))
+      c.min shouldBe 0.0
+      c.max shouldBe 1.0
+    }
+  }
 }
