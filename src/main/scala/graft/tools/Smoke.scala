@@ -1,0 +1,20 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Mirrors the driver's smoke check: SparkEntry.entry must return rows > 0
+  * on sf0.001. Usage: runMain graft.tools.Smoke */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"ENTRY_ROWS=$n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}

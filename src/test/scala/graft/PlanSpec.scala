@@ -266,4 +266,15 @@ class PlanSpec extends SparkTestBase with Matchers {
     codegen("q01_pricing_summary") should include("WholeStageCodegen")
     codegen("q03_top_orders") should include("WholeStageCodegen")
   }
+
+  it("whole-stage codegen covers the map-side text operators") {
+    import org.apache.spark.sql.execution.CodegenMode
+    def codegen(q: String): String =
+      SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.explainString(CodegenMode)
+    // the hot path of every per-doc signal must stay inside codegen — a
+    // non-codegen expression here would break the fused projection at 100 TB
+    codegen("q96_code_signals") should include("WholeStageCodegen")
+    codegen("q60_normalize") should include("WholeStageCodegen")
+    codegen("q89_url_canonicalize") should include("WholeStageCodegen")
+  }
 }
