@@ -1161,6 +1161,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // content-defined chunking: boundaries where an 8-char rolling hash
+    // ≡ 0 mod 64 — chunk hashes survive insertions/deletions upstream in
+    // the doc (fixed-offset chunks shift), enabling sub-document dedup
+    // across corpus versions; pure narrow map
+    // (operators.Chunking.contentDefinedChunks)
+    "q99_cdc_chunks" -> ((s, dir) => {
+      import graft.operators.Chunking
+      Chunking.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -3000,6 +3011,30 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY cluster_id
         |     ORDER BY quality DESC, doc_id ASC)) = 1 AS is_canonical
         |FROM clustered ORDER BY doc_id""".stripMargin,
+
+    "q99_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([1::BIGINT],
+        |      list_filter(range(2, greatest(len(text) - 8 + 1, 1) + 1), p ->
+        |        list_reduce(
+        |          list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+        |            ascii(substr(text, CAST(p + j AS INT), 1))::BIGINT)),
+        |          (h, c) -> (h * 257 + c) % 2147483647) % 64 = 0)),
+        |      [len(text) + 1::BIGINT]) AS bounds
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, text,
+        |    unnest(list_zip(bounds[1:len(bounds)-1], bounds[2:len(bounds)])) AS p,
+        |    CAST(unnest(range(1, len(bounds))) AS BIGINT) AS ci
+        |  FROM b
+        |)
+        |SELECT doc_id, ci - 1 AS chunk_idx,
+        |  CAST(p[1] AS BIGINT) AS chunk_start, CAST(p[2] AS BIGINT) AS chunk_end,
+        |  ('0x' || substr(md5(substr(text, CAST(p[1] AS INT),
+        |    CAST(p[2] - p[1] AS INT))), 1, 15))::BIGINT AS chunk_hash
+        |FROM ch WHERE p[2] > p[1]
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q98_calibrated_quality" ->
       """SELECT doc_id, source, n_chars,

@@ -39,6 +39,58 @@ object Chunking {
         col("chunk_text")): _*)
   }
 
+  /** Content-defined chunks (CDC): boundaries where a `window`-char
+    * polynomial rolling hash ≡ 0 (mod `divisor`), so expected chunk length
+    * ≈ `divisor` chars but boundaries depend on CONTENT, not offsets —
+    * inserting or deleting text early in a document leaves every
+    * downstream chunk (and its hash) unchanged once the window
+    * resynchronizes. Fixed-offset chunking shifts every later chunk, so
+    * chunk-level dedup/provenance across document versions only works with
+    * content-defined boundaries.
+    *
+    * Hash: h = fold(chars of the w-gram at p)((h,c) => (h·257 + code(c))
+    * mod (2³¹−1)) — from scratch per position (O(w) per char, w small),
+    * keeping the whole computation a pure `transform`/`aggregate`
+    * expression: narrow map, no shuffle, no UDF, deterministic on any
+    * engine with the same codepoints. Production CDC adds min/max clamps
+    * to bound worst-case chunk sizes; this keeps the pure functional form.
+    *
+    * Output: id + `chunk_idx`, `chunk_start`, `chunk_end` (1-based,
+    * exclusive end), `chunk_hash` (60-bit md5 of the chunk text, the
+    * dedup join key). Empty texts produce zero chunks. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(divisor >= 1, "divisor must be >= 1")
+    val M = 2147483647L // 2^31-1: h*257+code stays far below int64 overflow
+    val txt = col(textCol)
+    def hashAt(p: Column): Column =
+      aggregate(sequence(p, p + window - 1), lit(0L),
+        (h, q) => (h * 257L + ascii(txt.substr(q, lit(1)))) % M)
+    val nPos = (length(txt) - window + 1).cast("long")
+    // interior boundary candidates start at 2: position 1 is always a
+    // boundary, and sequence(2, n) with n < 2 would generate DESCENDING
+    // positions — guard to empty instead
+    val interior = when(nPos >= 2L,
+      filter(sequence(lit(2L), nPos), p => hashAt(p) % divisor === 0))
+      .otherwise(array().cast("array<long>"))
+    val bounds = concat(array(lit(1L)), interior,
+      array((length(txt) + 1).cast("long")))
+    // consecutive boundary pairs -> chunk ranges; bounds are strictly
+    // increasing by construction except the empty-text [1,1] case
+    val pairs = arrays_zip(
+      slice(bounds, lit(1), greatest(size(bounds) - 1, lit(0))),
+      slice(bounds, lit(2), greatest(size(bounds) - 1, lit(0))))
+    df.select(col(idCol), txt.as("__t"),
+        posexplode(pairs).as(Seq("__i", "__p")))
+      .select(col(idCol), col("__i").cast("long").as("chunk_idx"),
+        col("__p.0").as("chunk_start"), col("__p.1").as("chunk_end"),
+        Sampling.hashRank(
+          col("__t").substr(col("__p.0"), col("__p.1") - col("__p.0")))
+          .as("chunk_hash"))
+      .where(col("chunk_end") > col("chunk_start"))
+  }
+
   /** Token-window chunks: `windowTokens` whitespace tokens every
     * `strideTokens`, re-joined with single spaces (the LLM-pipeline shape:
     * context windows over token streams, overlap preserving boundary

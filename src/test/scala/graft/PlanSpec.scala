@@ -259,6 +259,13 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("content-defined chunking is a pure narrow map — no shuffle, no join, no UDF") {
+    val p = plan("q99_cdc_chunks")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "Join"
+    p should not include "UDF"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

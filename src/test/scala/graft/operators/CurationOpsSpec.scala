@@ -459,6 +459,50 @@ class CurationOpsSpec extends SparkTestBase
     }
   }
 
+  describe("Chunking.contentDefinedChunks") {
+    it("chunks tile the text exactly and hashes are reproducible") {
+      val rnd = new scala.util.Random(7)
+      val body = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val docs = Seq((1L, body)).toDF("doc_id", "text")
+      val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .orderBy("chunk_idx")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      out.head._3 shouldBe 1L // first chunk starts at 1
+      out.last._4 shouldBe (body.length + 1L) // last ends at n+1
+      // consecutive: each chunk starts where the previous ended
+      out.sliding(2).foreach { case Seq(a, b) => b._3 shouldBe a._4; case _ => }
+      // re-running yields identical boundaries and hashes
+      val again = Chunking.contentDefinedChunks(docs.repartition(3), "doc_id", "text")
+        .orderBy("chunk_idx").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      again shouldBe out
+    }
+
+    it("boundaries resynchronize after an insertion (the CDC property)") {
+      val rnd = new scala.util.Random(11)
+      val body = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val shifted = "INSERTED PREFIX " + body
+      val docs = Seq((1L, body), (2L, shifted)).toDF("doc_id", "text")
+      val byDoc = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long)].collect().groupBy(_._1)
+      val h1 = byDoc(1L).map(_._5).toSet
+      val h2 = byDoc(2L).map(_._5).toSet
+      // all but the first chunk (which absorbed the insertion) survive:
+      // fixed-offset chunking would shift EVERY chunk and share nothing
+      val shared = h1.intersect(h2).size
+      shared should be >= (h1.size - 2)
+      shared should be >= 1
+    }
+
+    it("empty and sub-window texts behave: zero chunks / one whole-text chunk") {
+      val docs = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
+      val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      out.map(_._1) shouldBe Seq(2L) // empty text yields nothing
+      out.head._3 shouldBe 1L
+      out.head._4 shouldBe 6L // "short".length + 1
+    }
+  }
+
   describe("TextFunctions code signals") {
     import graft.functions.TextFunctions
     it("flags code-like text on any of the three signals; prose passes") {
