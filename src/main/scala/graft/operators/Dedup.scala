@@ -636,15 +636,23 @@ object Dedup {
     * after clustering ("of these near-identical pages, train on the
     * cleanest one"). Deterministic: quality desc, then id asc on ties.
     *
-    * Scale shape: one keyed window shuffle on the cluster id; clusters are
-    * small by construction (near-dup groups), so no partition skew beyond
-    * the largest cluster. */
+    * Scale shape: deliberately NOT a row_number window — a window on the
+    * cluster key drags every member of the largest cluster through one
+    * task, and a megacluster (10⁸ copies of the same boilerplate) stalls
+    * the stage at corpus scale. The argmax is a map-combined
+    * min(struct(-quality, id)) aggregation (hot clusters combine map-side,
+    * no skew), and the flag joins back against the 1-row-per-cluster
+    * winners relation on the same key. */
   def selectCanonical(clustered: DataFrame, idCol: String, clusterCol: String,
       quality: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(clusterCol))
-      .orderBy(quality.desc, col(idCol).asc)
-    clustered.withColumn("is_canonical", row_number().over(w) === 1)
+    val best = clustered.groupBy(col(clusterCol))
+      .agg(min(struct((-quality).as("nq"), col(idCol).cast("long").as("bid")))
+        .as("__b"))
+      .select(col(clusterCol), col("__b.bid").as("__best_id"))
+    val outCols = clustered.columns.map(col) :+ col("is_canonical")
+    clustered.join(best, Seq(clusterCol))
+      .withColumn("is_canonical", col(idCol).cast("long") === col("__best_id"))
+      .select(outCols: _*)
   }
 
   def simHashPairs(

@@ -164,6 +164,83 @@ case class SortedArrayJaccardGE(first: Expression, second: Expression, third: Ex
     })
 }
 
+/** Native Catalyst expression: content-defined-chunking boundary positions
+  * of a string — interior start positions (1-based, codepoint-indexed,
+  * ≥ 2) where the `window`-codepoint polynomial rolling hash
+  * (h·257 + cp mod 2³¹−1) ≡ 0 (mod `divisor`).
+  *
+  * Exists because the pure-HOF formulation is quadratic-or-interpreted:
+  * per-position `substr(text, p, 1)` re-scans the UTF8 string (position
+  * lookup is O(p)), and the linear `aggregate` fold pays interpreted
+  * struct/array churn per character (~27s for the sf0.1 corpus). This is
+  * one tight JVM loop per row (~100×), inside whole-stage codegen via a
+  * static call. Semantics identical to the DuckDB oracle's
+  * list_reduce-over-codepoints formulation.
+  */
+case class CdcBounds(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_cdc_bounds window and divisor must be literals")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_bounds expects (string, int, int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CdcBounds =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(s: Any, w: Any, d: Any): Any =
+    CdcBounds.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, d) => {
+      s"${ev.value} = graft.sql.CdcBounds.compute($s, $w, $d);"
+    })
+}
+
+object CdcBounds {
+  /** One pass over the string's codepoints with a ring-buffered window.
+    * Called from both interpreted eval and generated code. */
+  def compute(str: org.apache.spark.unsafe.types.UTF8String,
+      window: Int, divisor: Int): ArrayData = {
+    val s = str.toString
+    val M = 2147483647L
+    var pow = 1L
+    var k = 0
+    while (k < window) { pow = pow * 257L % M; k += 1 }
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    val win = new Array[Long](window)
+    var h = 0L
+    var pos = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      pos += 1
+      val slot = ((pos - 1) % window).toInt // char leaving = same ring slot
+      h = if (pos > window)
+        ((h * 257L + cp - win(slot) * pow) % M + M) % M
+      else (h * 257L + cp) % M
+      win(slot) = cp
+      val startP = pos - window + 1
+      if (pos >= window && startP >= 2 && h % divisor == 0) buf += startP
+    }
+    ArrayData.toArrayData(buf.toArray)
+  }
+}
+
 /** Session wiring for the native expressions. Enable engine-wide with
   * `spark.sql.extensions=graft.sql.GraftExtensions`, or lazily per session
   * via [[functions.ensureRegistered]]. */
@@ -190,7 +267,15 @@ object functions {
       SortedArrayJaccardGE(children.head, children(1), children(2))
     })
 
-  private[sql] val descriptors = Seq(cosineDescriptor, jaccardDescriptor)
+  private[sql] val cdcDescriptor = (
+    new FunctionIdentifier("graft_cdc_bounds"),
+    new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_cdc_bounds expects exactly 3 arguments")
+      CdcBounds(children.head, children(1), children(2))
+    })
+
+  private[sql] val descriptors = Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -259,11 +259,23 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "Join"
   }
 
+  it("canonical selection argmaxes map-combined — no cluster-keyed row_number window") {
+    // a window would drag the largest cluster through one task; the argmax
+    // must partial-aggregate map-side and join the 1-row-per-cluster winners
+    val p = plan("q97_canonical_docs")
+    p should include("partial_min")
+    p should not include "row_number"
+  }
+
   it("content-defined chunking is a pure narrow map — no shuffle, no join, no UDF") {
     val p = plan("q99_cdc_chunks")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
     p should not include "Join"
     p should not include "UDF"
+    // the boundary scan must be the native expression (one JVM loop/row):
+    // the HOF formulations are quadratic or interpreted-fold slow (27s vs
+    // 0.9s at sf0.1)
+    p should include("graft_cdc_bounds")
   }
 
   it("whole-stage codegen covers the relational queries") {
