@@ -1172,6 +1172,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // chunk-level cross-version diff — the payoff of q99's content-defined
+    // boundaries: after an edit (every 3rd doc gets a prefix insertion),
+    // what fraction of a doc's chunks survive byte-identical? CDC keeps
+    // all but the insertion-absorbing chunk; fixed-offset chunking would
+    // shift every chunk and share nothing. Hash-keyed join + map-combined
+    // rollup (operators.Chunking.contentDefinedChunks composition)
+    "q100_chunk_version_diff" -> ((s, dir) => {
+      import graft.operators.Chunking
+      val docs = t(s, dir, "documents")
+      val v2 = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("EDIT v2 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val h1 = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .select(col("doc_id"), col("chunk_hash")).distinct()
+      val c2 = Chunking.contentDefinedChunks(v2, "doc_id", "text")
+        .select(col("doc_id"), col("chunk_hash"))
+      c2.join(h1.withColumn("__m", lit(1)), Seq("doc_id", "chunk_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks_v2"),
+          coalesce(sum(col("__m")), lit(0)).cast("long").as("n_shared"))
+        .withColumn("share_ratio",
+          round(col("n_shared").cast("double") / col("n_chunks_v2"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -3011,6 +3036,59 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY cluster_id
         |     ORDER BY quality DESC, doc_id ASC)) = 1 AS is_canonical
         |FROM clustered ORDER BY doc_id""".stripMargin,
+
+    "q100_chunk_version_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'EDIT v2 ' || text ELSE text END AS text
+        |  FROM documents
+        |), b1 AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([1::BIGINT],
+        |      list_filter(range(2, greatest(len(text) - 8 + 1, 1) + 1), p ->
+        |        list_reduce(
+        |          list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+        |            ascii(substr(text, CAST(p + j AS INT), 1))::BIGINT)),
+        |          (h, c) -> (h * 257 + c) % 2147483647) % 64 = 0)),
+        |      [len(text) + 1::BIGINT]) AS bounds
+        |  FROM documents
+        |), h1 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(substr(text, CAST(p[1] AS INT),
+        |      CAST(p[2] - p[1] AS INT))), 1, 15))::BIGINT AS chunk_hash
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(list_zip(bounds[1:len(bounds)-1], bounds[2:len(bounds)])) AS p
+        |    FROM b1
+        |  ) WHERE p[2] > p[1]
+        |), b2 AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([1::BIGINT],
+        |      list_filter(range(2, greatest(len(text) - 8 + 1, 1) + 1), p ->
+        |        list_reduce(
+        |          list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+        |            ascii(substr(text, CAST(p + j AS INT), 1))::BIGINT)),
+        |          (h, c) -> (h * 257 + c) % 2147483647) % 64 = 0)),
+        |      [len(text) + 1::BIGINT]) AS bounds
+        |  FROM v2
+        |), c2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(substr(text, CAST(p[1] AS INT),
+        |      CAST(p[2] - p[1] AS INT))), 1, 15))::BIGINT AS chunk_hash
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(list_zip(bounds[1:len(bounds)-1], bounds[2:len(bounds)])) AS p
+        |    FROM b2
+        |  ) WHERE p[2] > p[1]
+        |)
+        |SELECT c2.doc_id, count(*) AS n_chunks_v2,
+        |  CAST(sum(CASE WHEN h1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(CAST(sum(CASE WHEN h1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS share_ratio
+        |FROM c2 LEFT JOIN h1
+        |  ON c2.doc_id = h1.doc_id AND c2.chunk_hash = h1.chunk_hash
+        |GROUP BY c2.doc_id ORDER BY c2.doc_id""".stripMargin,
 
     "q99_cdc_chunks" ->
       """WITH b AS (

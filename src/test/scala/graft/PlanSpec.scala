@@ -278,6 +278,15 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("graft_cdc_bounds")
   }
 
+  it("chunk version diff joins on (doc, hash) keys — no cartesian, native scans both sides") {
+    val p = plan("q100_chunk_version_diff")
+    p should not include "CartesianProduct"
+    p should not include "NestedLoop"
+    p should include("graft_cdc_bounds")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
