@@ -493,6 +493,19 @@ class CurationOpsSpec extends SparkTestBase
       shared should be >= 1
     }
 
+    it("positions count CODEPOINTS, matching SQL substr semantics on multi-byte text") {
+      // é is 2 UTF-8 bytes / 1 codepoint; 🎉 is 4 bytes / 1 codepoint (2
+      // Java chars) — boundary positions and chunk tiling must be in
+      // codepoints or the oracle's substr-based reconstruction diverges
+      val uni = "héllo wörld 🎉 " * 40
+      val docs = Seq((1L, uni)).toDF("doc_id", "text")
+      val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .orderBy("chunk_idx").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      out.head._3 shouldBe 1L
+      out.last._4 shouldBe (uni.codePointCount(0, uni.length) + 1L)
+      out.sliding(2).foreach { case Seq(a, b) => b._3 shouldBe a._4; case _ => }
+    }
+
     it("empty and sub-window texts behave: zero chunks / one whole-text chunk") {
       val docs = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
       val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
