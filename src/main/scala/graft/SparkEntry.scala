@@ -1197,6 +1197,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // count-min sketch: md5-derived hash family, so the oracle recomputes
+    // the IDENTICAL depth×width sketch and the gate hash-compares the
+    // estimates themselves (not just bounds, unlike HLL q31); width 32 on
+    // a 31-token vocab forces real collisions, min-over-depth resolves
+    // them; one-sided estimate >= exact asserted per token
+    // (operators.Sketches)
+    "q101_count_min" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 32)
+      Sketches.countMinEstimate(exact, "token", sketch, depth = 4, width = 32)
+        .withColumn("one_sided_ok", col("cm_estimate") >= col("exact_count"))
+        .orderBy(col("token"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -3036,6 +3054,29 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY cluster_id
         |     ORDER BY quality DESC, doc_id ASC)) = 1 AS is_canonical
         |FROM clustered ORDER BY doc_id""".stripMargin,
+
+    "q101_count_min" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t FROM documents
+        |), exact AS (
+        |  SELECT t, count(*) AS exact_count FROM tok GROUP BY t
+        |), cells AS (
+        |  SELECT t, d.range AS d,
+        |    ('0x' || substr(md5('cm_' || d.range || '_' || t), 1, 8))::BIGINT % 32 AS b
+        |  FROM tok, range(0, 4) d
+        |), sk AS (
+        |  SELECT d, b, count(*) AS c FROM cells GROUP BY d, b
+        |), qb AS (
+        |  SELECT t, d.range AS d,
+        |    ('0x' || substr(md5('cm_' || d.range || '_' || t), 1, 8))::BIGINT % 32 AS b
+        |  FROM exact, range(0, 4) d
+        |), est AS (
+        |  SELECT t, CAST(min(coalesce(c, 0)) AS BIGINT) AS cm_estimate
+        |  FROM qb LEFT JOIN sk USING (d, b) GROUP BY t
+        |)
+        |SELECT e.t AS token, exact_count, cm_estimate,
+        |  cm_estimate >= exact_count AS one_sided_ok
+        |FROM exact e JOIN est USING (t) ORDER BY token""".stripMargin,
 
     "q100_chunk_version_diff" ->
       """WITH v2 AS (

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch with a DETERMINISTIC md5-derived hash family — the
+  * heavy-hitter / frequency-estimation sketch for streams and corpora too
+  * large for exact per-item state.
+  *
+  * The whole sketch is `depth × width` counters regardless of corpus size:
+  * at 100 TB that is the point — frequency queries over an unbounded item
+  * domain from a few KB of state, with the classic one-sided guarantee
+  * (estimate ≥ true count; error ≤ N/width with probability 1−(1/2)^depth
+  * for independent rows). Unlike HLL (whose sketch internals differ across
+  * engines), the md5-affine construction is reproducible bit-for-bit in any
+  * engine with md5 — so the DuckDB oracle recomputes the identical sketch
+  * and the gate hash-compares estimates, not just bounds.
+  *
+  * Scale shape: cell assignment is map-side codegen arithmetic; the only
+  * shuffle is the map-combined (depth, bucket) count — at most
+  * `depth × width` groups survive the combine. Estimation joins the
+  * (small) sketch relation, broadcast by AQE.
+  */
+object Sketches {
+
+  /** The row-`d` bucket of `item`: md5 of a row-tagged item string,
+    * first 32 bits, mod `width` — same value as DuckDB's
+    * `('0x' || substr(md5('cm_' || d || '_' || item), 1, 8))::BIGINT % width`. */
+  private def bucket(item: Column, d: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cm_${d}_"), item)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** All `depth` bucket assignments of an item, as an array column. */
+  private[graft] def buckets(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(d => bucket(item, d, width)): _*)
+
+  /** Build the sketch: one row per non-empty (cm_depth, cm_bucket) cell
+    * with its count. At most depth×width rows. */
+  def countMinSketch(items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    items
+      .select(posexplode(buckets(col(itemCol), depth, width))
+        .as(Seq("cm_depth", "cm_bucket")))
+      .groupBy(col("cm_depth"), col("cm_bucket"))
+      .agg(count(lit(1)).as("cm_count"))
+  }
+
+  /** Estimate counts for each distinct item in `queries(itemCol)`:
+    * min over the sketch rows of the item's cell counts (absent cell = 0).
+    * Returns the query frame's columns plus `cm_estimate`. */
+  def countMinEstimate(queries: DataFrame, itemCol: String, sketch: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val qCols = queries.columns.map(col)
+    queries
+      .select(qCols :+ posexplode(buckets(col(itemCol), depth, width))
+        .as(Seq("cm_depth", "cm_bucket")): _*)
+      .join(sketch, Seq("cm_depth", "cm_bucket"), "left")
+      .groupBy(qCols: _*)
+      .agg(min(coalesce(col("cm_count"), lit(0L))).as("cm_estimate"))
+  }
+}

@@ -287,6 +287,13 @@ class PlanSpec extends SparkTestBase with Matchers {
       p.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  it("count-min sketch map-combines its cells and broadcasts the sketch to the probe") {
+    val p = plan("q101_count_min")
+    p should include("partial_count") // cell counts combine before the shuffle
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // depth×width sketch is the build side
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class SketchesSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private val items = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("item")
+
+  it("sketch cells sum to the item total in every row; estimates are one-sided") {
+    val sketch = Sketches.countMinSketch(items, "item", depth = 3, width = 4)
+    // every depth row partitions the 9 items across its buckets
+    sketch.groupBy("cm_depth").agg(sum("cm_count").as("s"))
+      .select("s").as[Long].collect().toSeq shouldBe Seq(9L, 9L, 9L)
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(exact, "item", sketch, depth = 3, width = 4)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    est.foreach { case (_, ex, e) =>
+      e should be >= ex // the count-min guarantee
+      e should be <= 9L // never above the stream total
+    }
+  }
+
+  it("a wide sketch resolves to exact counts; estimation order is stable") {
+    val sketch = Sketches.countMinSketch(items, "item", depth = 4, width = 512)
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(exact, "item", sketch, depth = 4, width = 512)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 3 items in 4x512 cells: no full-depth collision — estimates exact
+    est shouldBe Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 1L, 1L))
+  }
+
+  it("querying an item never inserted estimates from collision mass only") {
+    val sketch = Sketches.countMinSketch(items, "item", depth = 4, width = 512)
+    val unseen = Seq("zzz").toDF("item")
+    val est = Sketches.countMinEstimate(unseen, "item", sketch, depth = 4, width = 512)
+      .select("cm_estimate").as[Long].head()
+    est shouldBe 0L // wide sketch: all 4 of zzz's cells empty
+  }
+}
