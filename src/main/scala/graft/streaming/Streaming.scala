@@ -306,6 +306,22 @@ object Streaming {
       .start()
   }
 
+  /** Streaming count-min sketch: the running depth×width frequency sketch
+    * of an unbounded item stream — the streaming twin of
+    * [[graft.operators.Sketches.countMinSketch]]. The aggregation STATE is
+    * the sketch itself (at most depth×width cells), never per-item, so a
+    * heavy-hitter monitor runs forever on bounded memory over an unbounded
+    * item domain. Run with Complete/Update output; estimate against any
+    * snapshot with [[graft.operators.Sketches.countMinEstimate]]. */
+  def countMinStream(items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    items
+      .select(posexplode(graft.operators.Sketches.buckets(
+        org.apache.spark.sql.functions.col(itemCol), depth, width))
+        .as(Seq("cm_depth", "cm_bucket")))
+      .groupBy("cm_depth", "cm_bucket")
+      .agg(count(lit(1)).as("cm_count"))
+
   /** Stream into an audit table: each micro-batch appends one region via
     * [[graft.storage.AuditTable.append]], wiring Structured Streaming into
     * the storage layer's snapshot/compact lifecycle (the reference reaches

@@ -148,6 +148,37 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming count-min sketch equals the batch sketch over the same items") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Streaming.countMinStream(input.toDF().toDF("item"), "item",
+        depth = 3, width = 8)
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData("a", "b", "a")
+      query.processAllAvailable()
+      input.addData("c", "a", "b") // second micro-batch folds into the state
+      query.processAllAvailable()
+      val streamed = spark.table("cm_out")
+        .as[(Int, Long, Long)].collect().toSeq.sorted
+      val batch = graft.operators.Sketches.countMinSketch(
+        Seq("a", "b", "a", "c", "a", "b").toDF("item"), "item",
+        depth = 3, width = 8)
+        .as[(Int, Long, Long)].collect().toSeq.sorted
+      streamed shouldBe batch
+      // and estimates from the streamed sketch honour the one-sided bound
+      val est = graft.operators.Sketches.countMinEstimate(
+        Seq("a", "b", "c").toDF("item"), "item", spark.table("cm_out"),
+        depth = 3, width = 8)
+        .as[(String, Long)].collect().toMap
+      est("a") should be >= 3L
+      est("b") should be >= 2L
+      est("c") should be >= 1L
+    } finally query.stop()
+  }
+
   it("streams micro-batches into an audit table; snapshot resolves latest per key") {
     implicit val sqlCtx = spark.sqlContext
     import graft.storage._
