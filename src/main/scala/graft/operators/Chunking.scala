@@ -48,20 +48,28 @@ object Chunking {
     * chunk-level dedup/provenance across document versions only works with
     * content-defined boundaries.
     *
-    * Hash: h = fold(chars of the w-gram at p)((h,c) => (h·257 + code(c))
-    * mod (2³¹−1)) — from scratch per position (O(w) per char, w small),
-    * keeping the whole computation a pure `transform`/`aggregate`
-    * expression: narrow map, no shuffle, no UDF, deterministic on any
-    * engine with the same codepoints. Production CDC adds min/max clamps
-    * to bound worst-case chunk sizes; this keeps the pure functional form.
+    * Hash: rolling h = (h·257 + code) mod (2³¹−1) over a `window`-codepoint
+    * ring, deterministic on any engine with the same codepoints.
+    *
+    * Clamps (FastCDC-style production guards, both off by default so the
+    * pure content-defined form stays oracle-simple): `minLen` skips hash
+    * boundaries closer than minLen to the previous cut; `maxLen` (0 = off)
+    * FORCES a cut every maxLen codepoints inside longer gaps — a
+    * pathological low-entropy document (megabytes of one repeated char
+    * hits zero hash boundaries) can no longer become one giant chunk that
+    * skews every downstream task.
     *
     * Output: id + `chunk_idx`, `chunk_start`, `chunk_end` (1-based,
     * exclusive end), `chunk_hash` (60-bit md5 of the chunk text, the
     * dedup join key). Empty texts produce zero chunks. */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, divisor: Int = 64): DataFrame = {
+      window: Int = 8, divisor: Int = 64,
+      minLen: Int = 1, maxLen: Int = 0): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(divisor >= 1, "divisor must be >= 1")
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLen == 0 || maxLen >= minLen,
+      "maxLen must be 0 (unlimited) or >= minLen")
     graft.sql.functions.ensureRegistered(df.sparkSession)
     val txt = col(textCol)
     // boundary scan is the native codegen'd expression — one tight JVM loop
@@ -70,7 +78,7 @@ object Chunking {
     // UTF8 string) or interpreted-fold slow (~100× — measured 27s vs 0.3s
     // on the sf0.1 corpus); see graft.sql.CdcBounds
     val interior = call_function("graft_cdc_bounds", txt,
-      lit(window), lit(divisor))
+      lit(window), lit(divisor), lit(minLen), lit(maxLen))
     val bounds = concat(array(lit(1L)), interior,
       array((length(txt) + 1).cast("long")))
     // consecutive boundary pairs -> chunk ranges; bounds are strictly

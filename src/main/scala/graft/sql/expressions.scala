@@ -177,19 +177,22 @@ case class SortedArrayJaccardGE(first: Expression, second: Expression, third: Ex
   * static call. Semantics identical to the DuckDB oracle's
   * list_reduce-over-codepoints formulation.
   */
-case class CdcBounds(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression {
+case class CdcBounds(first: Expression, second: Expression, third: Expression,
+    fourth: Expression, fifth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
 
   import org.apache.spark.sql.types.{IntegerType, StringType}
 
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, IntegerType, IntegerType) =>
-        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+    children.map(_.dataType) match {
+      case Seq(StringType, IntegerType, IntegerType, IntegerType, IntegerType) =>
+        if (children.tail.forall(_.foldable)) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          "graft_cdc_bounds window and divisor must be literals")
-      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"graft_cdc_bounds expects (string, int, int), got ($a, $b, $c)")
+          "graft_cdc_bounds window/divisor/minLen/maxLen must be literals")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_bounds expects (string, int, int, int, int), got $other")
     }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -197,24 +200,34 @@ case class CdcBounds(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "graft_cdc_bounds"
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): CdcBounds =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newChildren: IndexedSeq[Expression]): CdcBounds =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3), newChildren(4))
 
-  override def nullSafeEval(s: Any, w: Any, d: Any): Any =
+  override def nullSafeEval(s: Any, w: Any, d: Any, mn: Any, mx: Any): Any =
     CdcBounds.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      w.asInstanceOf[Int], d.asInstanceOf[Int])
+      w.asInstanceOf[Int], d.asInstanceOf[Int], mn.asInstanceOf[Int], mx.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (s, w, d) => {
-      s"${ev.value} = graft.sql.CdcBounds.compute($s, $w, $d);"
+    nullSafeCodeGen(ctx, ev, (s, w, d, mn, mx) => {
+      s"${ev.value} = graft.sql.CdcBounds.compute($s, $w, $d, $mn, $mx);"
     })
 }
 
 object CdcBounds {
   /** One pass over the string's codepoints with a ring-buffered window.
-    * Called from both interpreted eval and generated code. */
+    * Called from both interpreted eval and generated code.
+    *
+    * Clamps (the FastCDC-style production guards; hash is content-only so
+    * non-forced boundaries keep their shift-resistance):
+    *  - `minLen` (≥1): a hash boundary closer than minLen codepoints to the
+    *    previous boundary is skipped — bounds tiny-chunk churn.
+    *  - `maxLen` (0 = unlimited): a cut is FORCED every maxLen codepoints
+    *    inside any longer gap (including after the last hash hit) — a
+    *    pathological low-entropy document (megabytes of one repeated char
+    *    hits zero hash boundaries) can no longer become a single giant
+    *    chunk and skew every downstream task. */
   def compute(str: org.apache.spark.unsafe.types.UTF8String,
-      window: Int, divisor: Int): ArrayData = {
+      window: Int, divisor: Int, minLen: Int, maxLen: Int): ArrayData = {
     val s = str.toString
     val M = 2147483647L
     var pow = 1L
@@ -224,19 +237,28 @@ object CdcBounds {
     val win = new Array[Long](window)
     var h = 0L
     var pos = 0L
+    var last = 1L // previous boundary (position 1 is always one)
+    def forceUpTo(p: Long): Unit =
+      if (maxLen > 0) while (p - last > maxLen) { last += maxLen; buf += last }
     var i = 0
+    var n = 0L
     while (i < s.length) {
       val cp = s.codePointAt(i)
       i += Character.charCount(cp)
       pos += 1
+      n = pos
       val slot = ((pos - 1) % window).toInt // char leaving = same ring slot
       h = if (pos > window)
         ((h * 257L + cp - win(slot) * pow) % M + M) % M
       else (h * 257L + cp) % M
       win(slot) = cp
       val startP = pos - window + 1
-      if (pos >= window && startP >= 2 && h % divisor == 0) buf += startP
+      if (pos >= window && startP >= 2 && h % divisor == 0) {
+        forceUpTo(startP) // forced cuts inside the gap come first
+        if (startP - last >= math.max(minLen, 1)) { last = startP; buf += startP }
+      }
     }
+    forceUpTo(n + 1) // bound the tail gap too
     ArrayData.toArrayData(buf.toArray)
   }
 }
@@ -271,8 +293,8 @@ object functions {
     new FunctionIdentifier("graft_cdc_bounds"),
     new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
     (children: Seq[Expression]) => {
-      require(children.size == 3, "graft_cdc_bounds expects exactly 3 arguments")
-      CdcBounds(children.head, children(1), children(2))
+      require(children.size == 5, "graft_cdc_bounds expects exactly 5 arguments")
+      CdcBounds(children.head, children(1), children(2), children(3), children(4))
     })
 
   private[sql] val descriptors = Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor)

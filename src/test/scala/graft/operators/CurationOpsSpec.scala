@@ -506,6 +506,30 @@ class CurationOpsSpec extends SparkTestBase
       out.sliding(2).foreach { case Seq(a, b) => b._3 shouldBe a._4; case _ => }
     }
 
+    it("maxLen forces cuts on pathological low-entropy text; minLen suppresses tiny chunks") {
+      // 1000 identical chars: the rolling hash is constant, so either EVERY
+      // window position is a boundary (hash%64==0) or NONE is — both
+      // pathologies need clamps. maxLen bounds the none-case; minLen bounds
+      // the every-position case.
+      val docs = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+      val clamped = Chunking.contentDefinedChunks(docs, "doc_id", "text",
+        minLen = 50, maxLen = 100)
+        .orderBy("chunk_idx").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      clamped.head._3 shouldBe 1L
+      clamped.last._4 shouldBe 1001L
+      clamped.sliding(2).foreach { case Seq(a, b) => b._3 shouldBe a._4; case _ => }
+      clamped.foreach { c =>
+        (c._4 - c._3) should be <= 100L // no chunk beyond maxLen
+      }
+      clamped.init.foreach { c => (c._4 - c._3) should be >= 50L } // minLen (tail may be short)
+      // default (clamps off) on the same text: whatever the hash decides,
+      // the tiling invariants still hold and results are reproducible
+      val open = Chunking.contentDefinedChunks(docs, "doc_id", "text")
+        .orderBy("chunk_idx").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      open.head._3 shouldBe 1L
+      open.last._4 shouldBe 1001L
+    }
+
     it("empty and sub-window texts behave: zero chunks / one whole-text chunk") {
       val docs = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
       val out = Chunking.contentDefinedChunks(docs, "doc_id", "text")
