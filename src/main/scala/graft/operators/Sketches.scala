@@ -46,6 +46,18 @@ object Sketches {
       .agg(count(lit(1)).as("cm_count"))
   }
 
+  /** Merge sketches built with the SAME (depth, width, hash family):
+    * cell-wise sum. Count-min is a linear sketch, so
+    * merge(sketch(A), sketch(B)) == sketch(A ++ B) exactly — per-partition
+    * or per-day sketches combine without ever re-scanning the corpora,
+    * which is what makes the monitor distributable and incremental. */
+  def mergeSketches(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "mergeSketches needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("cm_depth"), col("cm_bucket"))
+      .agg(sum(col("cm_count")).as("cm_count"))
+  }
+
   /** Estimate counts for each distinct item in `queries(itemCol)`:
     * min over the sketch rows of the item's cell counts (absent cell = 0).
     * Returns the query frame's columns plus `cm_estimate`. */

@@ -34,6 +34,18 @@ class SketchesSpec extends SparkTestBase with Matchers {
     est shouldBe Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 1L, 1L))
   }
 
+  it("merging per-partition sketches equals the whole-corpus sketch (linearity)") {
+    val left = items.limit(4)
+    val right = items.exceptAll(left)
+    val merged = Sketches.mergeSketches(
+      Sketches.countMinSketch(left, "item", depth = 3, width = 4),
+      Sketches.countMinSketch(right, "item", depth = 3, width = 4))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val whole = Sketches.countMinSketch(items, "item", depth = 3, width = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    merged shouldBe whole
+  }
+
   it("querying an item never inserted estimates from collision mass only") {
     val sketch = Sketches.countMinSketch(items, "item", depth = 4, width = 512)
     val unseen = Seq("zzz").toDF("item")
