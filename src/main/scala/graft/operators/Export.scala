@@ -60,7 +60,10 @@ object Export {
     // Manifest from the WRITTEN shards, not the source lineage: re-evaluating
     // `assigned` would scan the input a second time, and a non-deterministic
     // source (or one overlapping the just-overwritten output path) would
-    // yield a manifest describing shards that were never written.
-    shardManifest(df.sparkSession.read.format(format).load(path), key)
+    // yield a manifest describing shards that were never written. Partition
+    // inference types `shard` int32 — cast back to long so the manifest
+    // schema matches shardAssignment's output either way.
+    shardManifest(df.sparkSession.read.format(format).load(path)
+      .withColumn("shard", col("shard").cast("long")), key)
   }
 }
