@@ -449,15 +449,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // BPE-style pretokenizer counts + fertility vs whitespace tokens
+    // tokenization with a LEARNED subword table: train 8 BPE merges on the
+    // corpus (operators.Bpe.learnBpe — vocab-sized iteration frame, 1-row
+    // driver argmax per merge), then tokenize every document via the final
+    // symbolized vocab (one equi-join + map-combined rollup; the merge fold
+    // never re-runs over the corpus). Oracle unrolls the identical 8
+    // training iterations in DuckDB list SQL and joins the same way.
     "q39_bpe_tokens" -> ((s, dir) => {
-      val txt = col("text")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.bpeTokenCount(txt).as("n_bpe"),
-        TextFunctions.tokenCount(txt).as("n_ws"),
-        round(TextFunctions.bpeTokenCount(txt).cast("double") /
-          greatest(TextFunctions.tokenCount(txt), lit(1L)).cast("double"), 4).as("fertility"))
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 8)
+      Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab)
         .orderBy(col("doc_id"))
     }),
 
@@ -1215,6 +1217,19 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // BPE merge LEARNING (the training half of a subword tokenizer): 8
+    // iterations of map-combined adjacent-pair counting over the vocab-sized
+    // word frame + a 1-row driver argmax each — driver state is the 8-entry
+    // merge list. Deterministic tie-break (count DESC, lhs ASC, rhs ASC);
+    // the oracle replays the same iterations with relational run-parity
+    // greedy merge application (operators.Bpe.learnBpe)
+    "q102_bpe_learn" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val (merges, vocab) = Bpe.learnBpe(t(s, dir, "documents"), col("text"), numMerges = 8)
+      vocab.unpersist()
+      Bpe.mergesDf(s, merges).orderBy(col("rank"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1314,7 +1329,93 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** One unrolled BPE training iteration for the q39/q102 oracles. Mirrors
+    * [[graft.operators.Bpe]] exactly: pc = map-combined adjacent-pair
+    * counts, b = 1-row argmax (count DESC, pair ASC), s = greedy
+    * left-to-right non-overlapping merge application. The greedy pass is
+    * relational here (run-parity: within a run of consecutive matching
+    * positions only even offsets merge — provably identical to the Scala
+    * side's fold, since a freshly merged symbol can never re-match as the
+    * pair's left element). */
+  private def bpeIterBlock(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""
+       |pc$i AS (
+       |  SELECT pr.s1 AS s1, pr.s2 AS s2, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+       |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms)-1),
+       |      i -> {'s1': syms[i], 's2': syms[i+1]})) AS pr
+       |    FROM $prev WHERE len(syms) > 1
+       |  ) GROUP BY 1, 2
+       |),
+       |b$i AS (SELECT s1 AS l, s2 AS r, pcnt FROM pc$i ORDER BY pcnt DESC, s1, s2 LIMIT 1),
+       |s$i AS (
+       |  SELECT word, cnt,
+       |    list_filter(
+       |      list_transform(generate_series(1, len(syms)), i ->
+       |        CASE WHEN act[i] THEN syms[i] || syms[i+1]
+       |             WHEN i > 1 AND act[i-1] THEN NULL
+       |             ELSE syms[i] END),
+       |      x -> x IS NOT NULL) AS syms
+       |  FROM (
+       |    SELECT word, cnt, syms,
+       |      list_transform(generate_series(1, len(syms)), i ->
+       |        m[i] AND ((i - coalesce(list_max(list_filter(generate_series(1, i-1),
+       |          p -> NOT m[p])), 0) - 1) % 2 = 0)) AS act
+       |    FROM (
+       |      SELECT word, cnt, syms,
+       |        list_transform(generate_series(1, len(syms)), i ->
+       |          i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r) AS m
+       |      FROM $prev, b$i b
+       |    )
+       |  )
+       |)""".stripMargin
+  }
+
+  private val bpeNumMerges = 8
+
+  /** Shared CTE prefix: word counts, char symbolisation, 8 unrolled
+    * iterations. `s8` = every distinct word fully tokenised with the
+    * learned table; `b1..b8` = the merge sequence. */
+  private val bpeTrainingCtes: String =
+    """WITH w0 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+      |  ) GROUP BY word
+      |),
+      |s0 AS (
+      |  SELECT word, cnt,
+      |    list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      |  FROM w0
+      |),""".stripMargin +
+      (1 to bpeNumMerges).map(bpeIterBlock).mkString(",")
+
+  private val bpeLearnOracle: String =
+    bpeTrainingCtes + "\n" +
+      (1 to bpeNumMerges)
+        .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, l || r AS merged, pcnt AS pair_count FROM b$i")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY rank"
+
+  private val bpeTokenizeOracle: String =
+    bpeTrainingCtes + s""",
+      |dw AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |  FROM documents
+      |),
+      |bpeagg AS (
+      |  SELECT dw.doc_id AS doc_id, CAST(sum(len(s.syms)) AS BIGINT) AS n_tok,
+      |         CAST(count(*) AS BIGINT) AS n_words
+      |  FROM dw JOIN s$bpeNumMerges s ON dw.word = s.word GROUP BY 1
+      |)
+      |SELECT d.doc_id AS doc_id, coalesce(a.n_tok, 0) AS n_tok,
+      |  coalesce(a.n_words, 0) AS n_words,
+      |  round(CAST(coalesce(a.n_tok, 0) AS DOUBLE)
+      |    / greatest(coalesce(a.n_words, 0), 1), 4) AS fertility
+      |FROM documents d LEFT JOIN bpeagg a ON d.doc_id = a.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q102_bpe_learn" -> bpeLearnOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_qty,
@@ -1689,16 +1790,7 @@ object SparkEntry {
         |  < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
 
-    "q39_bpe_tokens" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe,
-        |    len(regexp_extract_all(text, '\S+')) AS n_ws
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_bpe, n_ws,
-        |  round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 4) AS fertility
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "q39_bpe_tokens" -> bpeTokenizeOracle,
 
     "q40_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

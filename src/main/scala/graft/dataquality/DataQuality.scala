@@ -83,6 +83,12 @@ trait DataQualityCheck {
   def ++(other: DataQualityCheck): DataQualityCheck = {
     val self = this
     new DataQualityCheck {
+      // a merged check is only as valid as its parts: without this, merging a
+      // structurally invalid check (e.g. anomaly checks without a repository)
+      // would inherit the default Success and bypass registration-time
+      // validation, resurfacing as the mid-run failure it exists to prevent
+      override def validateCheck: scala.util.Try[Unit] =
+        self.validateCheck.flatMap(_ => other.validateCheck)
       def getAlerts(label: String, ds: DataFrame): Seq[DataQualityAlert] =
         self.getAlerts(label, ds) ++ other.getAlerts(label, ds)
     }

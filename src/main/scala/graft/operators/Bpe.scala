@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge LEARNING (the training half of a
+  * subword tokenizer; [[graft.functions.TextFunctions.bpeTokens]] is the
+  * pretokenizer half, and [[applyMerges]] below the applier).
+  *
+  * Classic word-level BPE (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units") re-expressed Spark-first:
+  *
+  *  - the training state is the WORD-COUNT frame (distinct word, count,
+  *    current symbol list) — vocabulary-sized, orders of magnitude smaller
+  *    than the corpus, and the only thing iterated over. A 100 TB corpus
+  *    with ~10^8 distinct words trains on a ~GB frame after one initial
+  *    map-combined count over the raw text;
+  *  - each iteration is (1) adjacent-pair counts via a map-side
+  *    `zip_with`+`explode` feeding a map-combined sum — the shuffle carries
+  *    (pair, partial count) rows, never words — and (2) a 1-row
+  *    `TakeOrderedAndProject` argmax to the driver. Driver state is the
+  *    merge list itself (numMerges entries), nothing corpus-sized;
+  *  - merge application is a narrow per-row fold (`aggregate` HOF) over the
+  *    vocab frame — no shuffle. The frame is persisted per iteration and the
+  *    previous one released, so lineage stays one-deep across iterations.
+  *
+  * Greedy application semantics (both here and in the DuckDB oracle): the
+  * winning pair merges left-to-right, non-overlapping — a symbol consumed by
+  * a merge cannot start another in the same pass. The fold realises this
+  * naturally: after a merge the accumulator's last element is `left+right`,
+  * which (right being non-empty) never equals `left`, so runs of equal
+  * symbols merge at even offsets exactly like the reference algorithm.
+  *
+  * Tie-break for the argmax is (count DESC, left ASC, right ASC) — total and
+  * engine-independent, so the learned table is deterministic and
+  * reproducible in the SQL oracle.
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` -> `left+right`, with the pair count
+    * that won its iteration. */
+  final case class Merge(left: String, right: String, count: Long)
+
+  /** Words = lowercase letter runs — deliberately RE2-safe and trivially
+    * reproducible in any engine ('[a-z]+' over lower(text)). */
+  private val WordPattern = "[a-z]+"
+
+  /** (word, cnt) over the corpus — the only full-corpus pass in training. */
+  def wordCounts(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(text), lit(WordPattern), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Split a word into single-character symbols (codepoint-agnostic is fine
+    * here: the word pattern is ASCII-only by construction). */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** One greedy left-to-right merge pass of the pair (l, r) over a symbol
+    * array. `get` (0-based, null out-of-bounds) keeps the empty-accumulator
+    * probe ANSI-safe. */
+  private def applyOne(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent-pair counts of the current symbolisation, weighted by word
+    * count. Map-side pair expansion, map-combined sum — the shuffle is
+    * pair-sized, not corpus-sized. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val n = size(col("syms"))
+    vocab
+      .where(n > 1)
+      .select(col("cnt"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("s1"), b.as("s2")))).as("pr"))
+      .groupBy(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+      .agg(sum(col("cnt")).cast("long").as("pcnt"))
+  }
+
+  /** Learn `numMerges` merges. Returns the merge list (driver-side, bounded
+    * at numMerges entries) and the final vocab frame (word, cnt, syms) —
+    * i.e. every distinct corpus word already tokenised with the full merge
+    * table, which makes corpus application a plain equi-join (see
+    * [[tokenizeWithVocab]]). The returned frame is left persisted because
+    * callers immediately consume it; release with `.unpersist()` when done.
+    */
+  def learnBpe(docs: DataFrame, text: Column, numMerges: Int): (Seq[Merge], DataFrame) = {
+    var vocab = wordCounts(docs, text)
+      .withColumn("syms", charSyms(col("word")))
+      .persist()
+    vocab.count()
+    val merges = Seq.newBuilder[Merge]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("pcnt"), asc("s1"), asc("s2"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(l, r, c)
+        val next = vocab.withColumn("syms", applyOne(col("syms"), l, r)).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      it += 1
+    }
+    (merges.result(), vocab)
+  }
+
+  /** Learned merge table as a frame: (rank, lhs, rhs, merged, pair_count). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i + 1, m.left, m.right, m.left + m.right, m.count) }
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Tokenise the corpus with a learned vocab frame (word -> syms): per-doc
+    * token count, word count and fertility (tokens per word). The vocab
+    * carries the complete merge table pre-applied, so this is one equi-join
+    * (AQE broadcasts it when it fits) + a map-combined rollup — the 100 TB
+    * path never re-runs the merge fold over the corpus. Docs with no words
+    * survive via the left join with zero counts. */
+  def tokenizeWithVocab(docs: DataFrame, id: Column, text: Column, vocab: DataFrame): DataFrame = {
+    val words = docs.select(
+      id.as("doc_id"),
+      explode(regexp_extract_all(lower(text), lit(WordPattern), lit(0))).as("word"))
+    val agg = words
+      .join(vocab.select(col("word"), col("syms")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("n_words"))
+    docs.select(id.as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        round(coalesce(col("n_tok"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("fertility"))
+  }
+
+  /** Apply a learned merge list to a single word column — the streaming /
+    * unseen-word path (words not in the training vocab). Pure narrow
+    * expression: numMerges chained folds, no shuffle, no driver round trip.
+    */
+  def applyMerges(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charSyms(word))((syms, m) => applyOne(syms, m.left, m.right))
+}

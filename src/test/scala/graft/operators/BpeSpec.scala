@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class BpeSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  it("learns merges with greedy run-parity application and deterministic tie-break") {
+    // corpus: words aaa (x2), ab (x1)
+    //   iter 1: pairs (a,a)=4 [two per 'aaa' x2], (a,b)=1 -> merge (a,a)
+    //           greedy: [a,a,a] -> [aa,a] (run of 2 matches, only offset 0 fires)
+    //   iter 2: pairs (aa,a)=2, (a,b)=1              -> merge (aa,a)
+    //   iter 3: pairs (a,b)=1                        -> merge (a,b)
+    val docs = Seq("aaa aaa ab").toDF("text")
+    val (merges, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 3)
+    merges.map(m => (m.left, m.right, m.count)) shouldBe
+      Seq(("a", "a", 4L), ("aa", "a", 2L), ("a", "b", 1L))
+    vocab.select($"word", $"syms").as[(String, Seq[String])].collect().toMap shouldBe
+      Map("aaa" -> Seq("aaa"), "ab" -> Seq("ab"))
+    vocab.unpersist()
+  }
+
+  it("stops early when no pairs remain") {
+    val docs = Seq("a b c").toDF("text")
+    val (merges, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 5)
+    merges shouldBe empty // all words are single symbols from the start
+    vocab.unpersist()
+  }
+
+  it("applyMerges tokenises unseen words identically to the trained vocab path") {
+    val docs = Seq("lower lower lowest").toDF("text")
+    val (merges, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 4)
+    val viaExpr = Seq("lower", "lowest")
+      .toDF("word")
+      .select($"word", Bpe.applyMerges(col("word"), merges).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val viaVocab = vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    viaExpr("lower") shouldBe viaVocab("lower")
+    viaExpr("lowest") shouldBe viaVocab("lowest")
+    vocab.unpersist()
+  }
+
+  it("applyMerges handles runs (non-overlapping) and chained merges") {
+    val merges = Seq(Bpe.Merge("a", "a", 0L), Bpe.Merge("aa", "a", 0L))
+    val out = Seq("aaaa", "aaaaa", "ba")
+      .toDF("w")
+      .select($"w", Bpe.applyMerges(col("w"), merges).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    out("aaaa") shouldBe Seq("aa", "aa") // (a,a) twice; (aa,a) then no match
+    out("aaaaa") shouldBe Seq("aa", "aaa") // [aa,aa,a] -> (aa,a) merges the tail
+    out("ba") shouldBe Seq("b", "a")
+  }
+
+  it("tokenizeWithVocab counts per doc and keeps wordless docs with zeros") {
+    val docs = Seq((1L, "aaa ab aaa"), (2L, "12345 --")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 3)
+    val out = Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, nt, nw, f) => id -> ((nt, nw, f)) }.toMap
+    // aaa -> [aaa] (1 tok), ab -> [ab] (1 tok): 3 words, 3 tokens
+    out(1L) shouldBe ((3L, 3L, 1.0))
+    out(2L) shouldBe ((0L, 0L, 0.0))
+    vocab.unpersist()
+  }
+}

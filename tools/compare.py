@@ -8,6 +8,9 @@ import pyarrow as pa, pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if len(sys.argv) > 3:  # local iteration: only compare these name prefixes
+    pres = sys.argv[3].split(",")
+    oracle = {k: v for k, v in oracle.items() if any(k.startswith(p) for p in pres)}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
@@ -43,13 +46,19 @@ for name in sorted(oracle):
     # schema_match. The discriminator is the tz annotation on the dump's
     # parquet footer — assert on it directly.
     sch_ok = True
-    for field in pq.read_schema(files[0]):
-        t = field.type
-        if pa.types.is_timestamp(t) and t.tz is not None:
-            print(f"SCHEMA-UNIT {name} col={field.name}: spark dump is "
-                  f"timestamp[{t.unit}, tz={t.tz}] — driver-red (r4 artifact); "
-                  f"Spark's default INT96 (ns, no tz) and NTZ (us, no tz) both pass")
-            sch_ok = False
+    # every part file: a multi-part dump whose first part lacks the timestamp
+    # column (or with heterogeneous footers) must not slip past the gate
+    for f in files:
+        for field in pq.read_schema(f):
+            t = field.type
+            if pa.types.is_timestamp(t) and t.tz is not None:
+                print(f"SCHEMA-UNIT {name} col={field.name} part={f.rsplit('/',1)[-1]}: "
+                      f"spark dump is timestamp[{t.unit}, tz={t.tz}] — driver-red (r4 "
+                      f"artifact); Spark's default INT96 (ns, no tz) and NTZ (us, no tz) both pass")
+                sch_ok = False
+                break
+        if not sch_ok:
+            break
     # informational: the driver's tolerance for non-datetime logical type
     # diffs is unproven either way — surface, don't fail
     for c in mine.columns:
