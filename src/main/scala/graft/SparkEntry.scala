@@ -1230,6 +1230,29 @@ object SparkEntry {
       Bpe.mergesDf(s, merges).orderBy(col("rank"))
     }),
 
+    // persisted dedup index — the daily-crawl loop: MinHash signatures of
+    // docs 0-399 stored in an audit table over TWO append cycles (PK =
+    // doc_id), then docs 400+ deduped against snapshot(ts) WITHOUT
+    // re-shingling the indexed corpus: banded batch x index equi-join, only
+    // (id, band, bucket) rows through the shuffle. Oracle recomputes the
+    // same md5-affine signatures and restricts the q18 pair SQL to
+    // batch-vs-index pairs (operators.DedupIndex over storage.AuditTable)
+    "q103_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.DedupIndex
+      val base = java.nio.file.Files.createTempDirectory("graft-q103").toString
+      val docs = t(s, dir, "documents")
+      val ts = java.sql.Timestamp.valueOf(_: String)
+      val t0 = DedupIndex.openOrCreate(s, base)
+      val t1 = DedupIndex.indexBatch(t0, docs.where(col("doc_id") < 200),
+        "doc_id", "text", ts("2024-01-01 00:00:00"))
+      val t2 = DedupIndex.indexBatch(t1,
+        docs.where(col("doc_id") >= 200 && col("doc_id") < 400),
+        "doc_id", "text", ts("2024-01-02 00:00:00"))
+      DedupIndex.dedupAgainst(t2, ts("2024-06-01 00:00:00"),
+        docs.where(col("doc_id") >= 400), "doc_id", "text")
+        .orderBy(col("id_new"), col("id_idx"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1416,6 +1439,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q102_bpe_learn" -> bpeLearnOracle,
+
+    "q103_incremental_dedup" ->
+      """WITH params AS (
+        |  SELECT
+        |    list_transform(range(0, 64), i ->
+        |      (('0x' || substr(md5('minhash_a_' || i), 1, 8))::BIGINT % 536870912) * 2 + 1) AS pa,
+        |    list_transform(range(0, 64), i ->
+        |      ('0x' || substr(md5('minhash_b_' || i), 1, 8))::BIGINT) AS pb
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |  WHERE len(toks) > 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      list_min(list_transform(xs, x -> (pa[i+1] * x + pb[i+1]) % 2305843009213693951))) AS sig
+        |  FROM (SELECT doc_id,
+        |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+        |        FROM sh), params
+        |)
+        |SELECT a.doc_id AS id_new, b.doc_id AS id_idx,
+        |  round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |FROM p a JOIN p b ON a.doc_id >= 400 AND b.doc_id < 400
+        |WHERE len(list_filter(range(0, 8), bb -> a.sig[bb*8+1:bb*8+8] = b.sig[bb*8+1:bb*8+8])) > 0
+        |  AND round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) >= 0.5
+        |ORDER BY id_new, id_idx""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_qty,

@@ -184,25 +184,12 @@ object Dedup {
       rowsPerBand: Int = 8,
       shingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigUdf = fusedMinHashUdf(shingleWords, k)
     // materialise the signature stage once for its three consumers (see
     // Materialize for the localCheckpoint-vs-replicated-persist trade)
-    val signed = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
-      .where(col("sig").isNotNull)
+    val signed = minHashSignatures(docs, idCol, textCol, bands, rowsPerBand, shingleWords)
       .transform(Materialize.apply)
 
-    val banded = signed
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(
-              b.as("band"),
-              xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-                .cast("string")).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandBuckets(signed, bands, rowsPerBand)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -216,6 +203,62 @@ object Dedup {
       .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** The signature stage of [[minHashLshPairs]] on its own: (doc_id, sig).
+    * This is the frame worth PERSISTING — store it keyed by doc_id (e.g. via
+    * [[DedupIndex]] in an audit table) and incremental dedup never
+    * re-shingles the indexed corpus. */
+  def minHashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      shingleWords: Int = 3): DataFrame = {
+    val sigUdf = fusedMinHashUdf(shingleWords, bands * rowsPerBand)
+    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+  }
+
+  /** (doc_id, band, bucket) LSH buckets of a signed frame — the id-only rows
+    * that actually travel through the candidate-join shuffle. */
+  private def bandBuckets(signed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signed
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+                .cast("string")).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** Cross-frame banded LSH: near-dup pairs between a NEW batch and an
+    * already-signed index (both frames (doc_id, sig), e.g. the index read
+    * back from storage). Identical banding/threshold semantics to
+    * [[minHashLshPairs]], but the join is batch x index instead of a
+    * self-join — the daily-crawl shape, where candidate work scales with the
+    * BATCH size while the corpus contributes only bucket-matched rows. */
+  def minHashLshPairsAgainst(
+      newSigned: DataFrame,
+      indexSigned: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val candidates = bandBuckets(newSigned, bands, rowsPerBand).as("a")
+      .join(bandBuckets(indexSigned, bands, rowsPerBand).as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_idx"))
+      .where(col("id_new") =!= col("id_idx"))
+      .dropDuplicates("id_new", "id_idx")
+    candidates
+      .join(newSigned.select(col("doc_id").as("id_new"), col("sig").as("sig_a")), Seq("id_new"))
+      .join(indexSigned.select(col("doc_id").as("id_idx"), col("sig").as("sig_b")), Seq("id_idx"))
+      .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b")))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_new", "id_idx", "est_jaccard")
   }
 
   // ------------------------------------------------------- n-gram jaccard ---
