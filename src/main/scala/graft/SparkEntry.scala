@@ -1253,6 +1253,28 @@ object SparkEntry {
         .orderBy(col("id_new"), col("id_idx"))
     }),
 
+    // media perceptual near-dup — the media twin of simhash: blockhash-style
+    // 60-bit pHash (stub kernel over the decoded codepoint stream; integer
+    // seg*60>total bit rule so DuckDB replays it bit-exactly) computed via
+    // the per-partition MediaKernel path, then quadrant-blocked pairing
+    // (Dedup.fingerprintPairs — lossless at hamming<=3, never all-pairs).
+    // Twins = each doc re-encoded with a 4-char in-place edit; most land
+    // within hamming 3 of their original, some drift past it (realistic)
+    "q104_media_phash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = t(s, dir, "documents")
+      val twins = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("zzzz"),
+          expr("substring(text, 9)")).as("text"))
+      val media = docs.select(col("doc_id"), col("text")).unionByName(twins)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("content"))
+      val hashed = Multimodal.perceptualHashes(media, "doc_id", "content")
+      Dedup.fingerprintPairs(hashed.select(col("doc_id"), col("phash").as("sh")),
+        maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1467,6 +1489,35 @@ object SparkEntry {
         |WHERE len(list_filter(range(0, 8), bb -> a.sig[bb*8+1:bb*8+8] = b.sig[bb*8+1:bb*8+8])) > 0
         |  AND round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) >= 0.5
         |ORDER BY id_new, id_idx""".stripMargin,
+
+    "q104_media_phash" ->
+      """WITH allm AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    substr(text, 1, 4) || 'zzzz' || substr(text, 9) AS text FROM documents
+        |), chars AS (
+        |  SELECT doc_id, ((p - 1) * 60) // m AS s, unicode(text[CAST(p AS INT)]) AS v
+        |  FROM (SELECT doc_id, text, len(text) AS m,
+        |        CAST(unnest(generate_series(1, len(text))) AS BIGINT) AS p
+        |        FROM allm WHERE len(text) > 0)
+        |), segsum AS (
+        |  SELECT doc_id, s, CAST(sum(v) AS BIGINT) AS sv FROM chars GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM chars GROUP BY 1
+        |), ph AS (
+        |  SELECT b.doc_id AS doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS phash
+        |  FROM allm b LEFT JOIN (
+        |    SELECT segsum.doc_id AS doc_id,
+        |      CAST(sum(CASE WHEN sv * 60 > tv THEN (1::BIGINT << CAST(s AS INT))
+        |        ELSE 0 END) AS BIGINT) AS h
+        |    FROM segsum JOIN tot USING (doc_id) GROUP BY 1) h ON b.doc_id = h.doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash::BITSTRING, b.phash::BITSTRING)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash::BITSTRING, b.phash::BITSTRING)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_qty,

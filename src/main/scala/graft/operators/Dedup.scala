@@ -702,8 +702,17 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"), simHash(textCol).as("sh"))
+      maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(
+      docs.select(col(idCol).as("doc_id"), simHash(textCol).as("sh")), maxHamming)
+
+  /** Quadrant-blocked pairing of ANY 64-bit fingerprint frame (doc_id, sh)
+    * — simhash, perceptual media hash, or any other locality-sensitive
+    * bit signature. Four 15-bit blocks; a pair within `maxHamming` <= 3
+    * must agree on at least one block (pigeonhole), so the blocked
+    * equi-join is LOSSLESS at the default threshold and never all-pairs —
+    * candidate work scales with bucket sizes, not corpus². */
+  def fingerprintPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     val withQuads = hashed
       .withColumn("q0", col("sh").bitwiseAND(lit(0x7FFFL)))
       .withColumn("q1", shiftrightunsigned(col("sh"), 15).bitwiseAND(lit(0x7FFFL)))

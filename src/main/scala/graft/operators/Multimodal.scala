@@ -113,6 +113,54 @@ object Multimodal {
 
   final case class DecodedImage(id: Long, width: Long, height: Long, channels: Int)
 
+  final case class MediaHash(id: Long, phash: Long)
+
+  /** STUB perceptual hash (blockhash/pHash-style) — the media twin of
+    * simhash: similar payloads get NEARBY hashes (few flipped bits), unlike
+    * the exact content hash in `meta.sha256`. The stub "decode" interprets
+    * the payload's UTF-8 codepoints as the pixel stream; the hash is the
+    * classic blockhash shape over it: 60 equal segments, bit i set iff the
+    * segment's sum exceeds the overall mean. The comparison is kept in
+    * integers (`seg*60 > total`) so any SQL engine replays it bit-exactly.
+    * A real implementation swaps the codepoint stream for decoded pixels
+    * (DCT low-band for true pHash) behind the same MediaKernel contract.
+    * 60 bits, not 64: the positive BIGINT range keeps SQL oracles free of
+    * sign/overflow casework, and 60 = 4 x 15-bit quadrant blocks exactly
+    * (see [[Dedup.fingerprintPairs]]). */
+  def pHashKernelStub: MediaKernel[MediaHash] = () => {
+    (id: Long, bytesOrNull: Array[Byte]) => {
+      val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val m = s.codePointCount(0, s.length)
+      val segs = new Array[Long](60)
+      var total = 0L
+      var p = 0
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        segs(((p.toLong * 60L) / m).toInt) += cp
+        total += cp
+        p += 1
+        ci += Character.charCount(cp)
+      }
+      var h = 0L
+      var i = 0
+      while (i < 60) {
+        if (segs(i) * 60L > total) h |= (1L << i)
+        i += 1
+      }
+      MediaHash(id, h)
+    }
+  }
+
+  /** (doc_id, phash) for a media frame via the per-partition kernel path —
+    * feed the result to [[Dedup.fingerprintPairs]] for quadrant-blocked
+    * near-dup pairs (never all-pairs). */
+  def perceptualHashes(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    decodePartitioned(df, idCol, contentCol, pHashKernelStub)(
+      org.apache.spark.sql.Encoders.product[MediaHash])
+      .toDF("doc_id", "phash")
+
   /** STUB kernel: same md5-derived dimensions as [[decodeImageStub]], so the
     * batched path and the column path are mutually verifying. */
   def imageKernelStub: MediaKernel[DecodedImage] = () => {
