@@ -156,15 +156,16 @@ object Graphs {
     * Output: (vertex, pagerank) over ALL vertices, including dangling ones.
     */
   /** Shared power-iteration core: materialized edges + (vertex, deg) base.
-    * `setup` sees the MATERIALIZED base (so counting it is one cheap job)
-    * and returns (possibly-augmented base, initial-score expression,
-    * per-round teleport expression). An augmented base (extra per-vertex
-    * columns, e.g. a precomputed seed teleport weight) is re-materialized
-    * ONCE so its expressions are physically stored instead of re-evaluated
-    * inside every iteration's projection and re-analyzed in every round's
-    * growing plan. */
+    * `setup` sees the MATERIALIZED base plus its already-computed vertex
+    * count (the sizing aggregation below produces it anyway — a separate
+    * `base.count()` job would re-scan for a number we have) and returns
+    * (possibly-augmented base, initial-score expression, per-round teleport
+    * expression). An augmented base (extra per-vertex columns, e.g. a
+    * precomputed seed teleport weight) is re-materialized ONCE so its
+    * expressions are physically stored instead of re-evaluated inside every
+    * iteration's projection and re-analyzed in every round's growing plan. */
   private def powerIterate(edges: DataFrame, srcCol: String, dstCol: String,
-      setup: DataFrame => (DataFrame, Column, Column), iterations: Int,
+      setup: (DataFrame, Long) => (DataFrame, Column, Column), iterations: Int,
       damping: Double, iterScale: Int, scale: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -182,10 +183,6 @@ object Graphs {
       .drop("_deg0")
       .transform(Materialize.apply)
 
-    val (aug, initExpr, teleport) = setup(base0)
-    val base = if (aug eq base0) base0 else {
-      val m = Materialize(aug); Materialize.release(base0); m
-    }
     // Broadcast gate sized in estimated BYTES, not rows: a 5M-vertex relation
     // with wide string keys is hundreds of MB and would OOM the driver if
     // force-broadcast by row count alone. One tiny agg over the materialized
@@ -194,16 +191,32 @@ object Graphs {
     // instead of shuffling the edge relation through a sort-merge join every
     // round — per-iteration work becomes map-side join + map-combined agg.
     // Past the cap (a real web graph) the shuffled join is the correct plan
-    // and nothing changes.
-    val sizing = base.agg(count(lit(1)).as("n"), coalesce(
+    // and nothing changes. The same aggregation carries the vertex count to
+    // `setup` (pageRank's 1/n init) — one sizing job, not two.
+    val sizing = base0.agg(count(lit(1)).as("n"), coalesce(
       sum(octet_length(col("vertex").cast("string")).cast("long")), lit(0L)).as("kb")).head
     val estBytes = sizing.getLong(1) + sizing.getLong(0) * 32L
     val broadcastScores = estBytes <= 256L * 1024 * 1024
+
+    val (aug, initExpr, teleport) = setup(base0, sizing.getLong(0))
+    val base = if (aug eq base0) base0 else {
+      val m = Materialize(aug); Materialize.release(base0); m
+    }
     var scores = base.withColumn("pr", initExpr)
     var prevMat: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val active = scores.where(col("deg").isNotNull)
+      // Contribution frontier: dangling vertices have nothing to send, and
+      // a vertex whose score is EXACTLY 0.0 sends exactly 0.0 to every
+      // out-neighbour — dropping it leaves every dst's sum bit-identical
+      // (IEEE x + 0.0 == x; an all-zero in-mass arrives as the same
+      // coalesce(null, 0.0) either way), so the oracle's full-join unroll
+      // still matches. For personalized PageRank this is delta-style
+      // propagation for free: scores start 0 everywhere but the seeds, so
+      // round r joins only the <= r-hop neighbourhood of the seed set
+      // instead of |V| rows — on a 100-TB graph with a handful of trust
+      // seeds, early rounds touch a vanishing fraction of the corpus.
+      val active = scores.where(col("deg").isNotNull && col("pr") =!= 0.0)
       val contrib = (if (broadcastScores) broadcast(active) else active)
         .join(e, col("vertex") === col("src"))
         .groupBy(col("dst"))
@@ -240,8 +253,8 @@ object Graphs {
       iterations: Int = 3, damping: Double = 0.85,
       iterScale: Int = 9, scale: Int = 6): DataFrame =
     powerIterate(edges, srcCol, dstCol,
-      setup = { base =>
-        val n = base.count().toDouble // base is materialized: one cheap job
+      setup = { (base, nVerts) =>
+        val n = nVerts.toDouble // from the core's sizing aggregation
         require(n > 0, "pageRank over an empty edge list (no non-null vertices)")
         val initVal = BigDecimal(1.0 / n)
           .setScale(iterScale, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -265,7 +278,7 @@ object Graphs {
       // the seed test is evaluated ONCE into a stored per-vertex teleport
       // column (powerIterate re-materializes the augmented base), not
       // re-evaluated in every iteration's projection
-      setup = base => {
+      setup = (base, _) => {
         val aug = base.withColumn("_tp",
           when(isSeed, lit((1 - damping) / seeds.size)).otherwise(lit(0.0)))
         (aug,
