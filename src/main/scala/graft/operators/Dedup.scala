@@ -648,11 +648,14 @@ object Dedup {
     * per-doc dup fraction is the C4/RefinedWeb-style "template-heavy page"
     * curation signal.
     *
-    * Scale shape: paragraphs shuffle by a 64-bit hash, never by text (the
-    * occurrence count joins back on the same hash key, so the exchange is
-    * reused), and the doc-level rollup is a map-combined aggregation on the
-    * doc key. Hash collisions conflate unrelated paragraphs at ~2⁻⁶⁴ per
-    * pair — noise-level on a ratio, never corpus-poisoning.
+    * Scale shape: paragraphs shuffle as (64-bit hash, length) — never as
+    * text (the occurrence count joins back on the same compound key, so the
+    * exchange is reused), and the doc-level rollup is a map-combined
+    * aggregation on the doc key. The length component costs 8 bytes per row
+    * and multiplies collision resistance: conflating two paragraphs now
+    * needs an xxhash64 collision AT equal length (the oracle gate compares
+    * exact text, so a single collision would be a hard query failure, not
+    * tolerated noise).
     * Output: (doc_id, n_paras, n_dup_paras, dup_ratio). */
   def paragraphDupStats(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n", scale: Int = 4): DataFrame = {
@@ -661,10 +664,11 @@ object Dedup {
     // concern — here each document votes once per paragraph text
     val dp = docs.select(col(idCol).as("__id"),
         explode(split(col(textCol), quoted)).as("__para"))
-      .select(col("__id"), xxhash64(col("__para")).as("__ph"))
+      .select(col("__id"), xxhash64(col("__para")).as("__ph"),
+        length(col("__para")).as("__pl"))
       .distinct()
-    val occ = dp.groupBy(col("__ph")).agg(count(lit(1)).as("__nd"))
-    dp.join(occ, Seq("__ph"))
+    val occ = dp.groupBy(col("__ph"), col("__pl")).agg(count(lit(1)).as("__nd"))
+    dp.join(occ, Seq("__ph", "__pl"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
