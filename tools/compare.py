@@ -2,7 +2,7 @@
 """Local correctness gate: run each oracle_sql.json query in DuckDB over the
 sf tables and compare with the Spark parquet dumps (column-name sorted,
 row sorted) — mirrors the driver's check."""
-import sys, json, glob
+import sys, json, glob, time
 import duckdb, pandas as pd
 import pyarrow as pa, pyarrow.parquet as pq
 
@@ -31,10 +31,12 @@ for name in sorted(oracle):
     if not files:
         print(f"MISSING {name}"); fails.append(name); continue
     mine = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    t0 = time.time()
     try:
         ref = canon(con.execute(oracle[name]).fetchdf())
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fails.append(name); continue
+    oracle_sec = time.time() - t0
     if list(mine.columns) != list(ref.columns):
         print(f"SCHEMA {name}: mine={list(mine.columns)} ref={list(ref.columns)}"); fails.append(name); continue
     # Physical schema check — mirrors the driver's schema_match, which round 4
@@ -89,6 +91,6 @@ for name in sorted(oracle):
             print(f"VALUES {name} col={c} ndiff={bad.sum()} e.g. mine={a[bad][:3].tolist()} ref={b[bad][:3].tolist()}")
             eq = False
     if not eq: fails.append(name)
-    else: print(f"OK {name} rows={len(mine)}")
+    else: print(f"OK {name} rows={len(mine)} oracle_sec={oracle_sec:.1f}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-checked queries OK; failures: {fails}")
 sys.exit(1 if fails else 0)
