@@ -38,7 +38,13 @@ object Bench {
         .where(col("rn") === 1).count()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (the driver sets no SPARK_GRAFT_ONLY): time a
+    // comma-separated subset of query-name prefixes, same contract as
+    // Verify's optional 3rd arg
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -54,7 +60,7 @@ object Bench {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val t0 = System.nanoTime()
-      val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val futures = selected.map { case (name, fn) =>
         scala.concurrent.Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
