@@ -70,8 +70,14 @@ object ScaleProbe {
       Dedup.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 500), "text", n = 3)
     }
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = eventsRaw.schema("ts").dataType match { // ns-long vs µs layouts
+      case org.apache.spark.sql.types.LongType =>
+        eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        eventsRaw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     time("scd2 history (1M events)") {
       Scd.scd2FromChanges(
         events.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),

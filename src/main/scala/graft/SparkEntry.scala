@@ -19,15 +19,53 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries nanosecond timestamps (unsupported by Spark's
-    * µs-based TimestampType). Read them as raw longs and truncate to µs —
-    * exactly what DuckDB 1.x does on read, so oracles stay comparable.
+  /** events.parquet has shipped with two physical layouts for `ts`:
+    * nanosecond int64 (rounds 1–5) and native timestamp[us] without a tz
+    * annotation, which Spark reads as TIMESTAMP_NTZ (round 6+). Adapt on the
+    * observed schema so both layouts yield the same canonical frame:
+    * columns (event_id, ts_ns, user_id, event_type, value, props, ts) with
+    * `ts_ns` = epoch-nanos long and `ts` = µs TimestampType (session is UTC,
+    * so the NTZ→instant cast preserves the wall-clock the oracle sees).
     * Integer `div` avoids the double-precision loss of `/` on epoch-ns. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumnRenamed("ts", "ts_ns") // raw column: filters on it push down
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    canonicalEvents(t(s, dir, "events"))
+  }
+
+  private def canonicalEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy ns-long layout
+        raw.withColumnRenamed("ts", "ts_ns") // raw column: filters push down
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // native µs layout (NTZ or instant)
+        val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.select(col("event_id"), (unix_micros(ts) * lit(1000L)).as("ts_ns"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          ts.as("ts"))
+    }
+
+  /** Time-windowed events read. The range predicate is applied to the RAW
+    * `ts` column in its physical type — epoch-ns long or µs timestamp —
+    * so it reaches the parquet scan as a PushedFilter (row-group pruning)
+    * in every layout; at cluster scale this is what makes a narrow time
+    * window on a years-long event log cheap. Bounds are epoch-ns UTC and
+    * must be whole µs so the truncated-µs and raw-ns windows agree. */
+  private def eventsBetween(s: SparkSession, dir: String,
+                            fromNs: Long, untilNs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= lit(fromNs) && col("ts") < lit(untilNs))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def ldt(ns: Long) = java.time.LocalDateTime.ofEpochSecond(
+          ns / 1000000000L, (ns % 1000000000L).toInt, java.time.ZoneOffset.UTC)
+        raw.filter(col("ts") >= lit(ldt(fromNs)) && col("ts") < lit(ldt(untilNs)))
+      case _ => // instant µs
+        raw.filter(col("ts") >= timestamp_micros(lit(fromNs / 1000L)) &&
+          col("ts") < timestamp_micros(lit(untilNs / 1000L)))
+    }
+    canonicalEvents(filtered)
   }
 
   /** Flagship: revenue-by-nation executed through the dataflow framework —
@@ -124,12 +162,12 @@ object SparkEntry {
 
     // time-range read — audit-table allBetween semantics (SURVEY §2.7)
     "q05_events_between" -> ((s, dir) => {
-      // bounds on the raw ns column reach the parquet scan as PushedFilters;
-      // whole-second boundaries make ns-range and µs-truncated-range identical
-      events(s, dir)
-        .filter(col("ts_ns") >= lit(1704844800000000000L) && // 2024-01-10 UTC
-          col("ts_ns") < lit(1705708800000000000L) &&        // 2024-01-20 UTC
-          col("event_type").isin("click", "purchase"))
+      // range bounds reach the parquet scan as PushedFilters (eventsBetween
+      // filters the raw column in its physical type before canonicalizing)
+      eventsBetween(s, dir,
+          1704844800000000000L, // 2024-01-10 UTC
+          1705708800000000000L) // 2024-01-20 UTC
+        .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     }),
