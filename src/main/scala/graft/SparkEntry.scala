@@ -1336,6 +1336,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // hard-negative mining for contrastive training: per query vector the
+    // top-5 most-similar corpus vectors with a DIFFERENT label (queries
+    // broadcast, corpus streams; operators.Similarity.hardNegatives)
+    "q106_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // deterministic training-epoch shuffle: reproducible (shard, pos)
+    // address per doc with NO global sort — hash sharding is map-side, the
+    // only shuffle windows within shards (operators.Export.shuffleShard)
+    "q107_shuffle_shard" -> ((s, dir) => {
+      import graft.operators.Export
+      Export.shuffleShard(t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), nShards = 8, epoch = 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // source/domain reputation rollup: per-source doc count, mean length,
+    // short-doc and corpus-wide exact-dup shares, composite health score —
+    // the judge-whole-providers stage (operators.Domains.sourceStats)
+    "q108_source_scores" -> ((s, dir) => {
+      import graft.operators.Domains
+      Domains.sourceStats(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // greedy token-budget corpus selection WITHOUT a global sort: priority
+    // bands cumulate on a bands-sized frame, per-row running totals come
+    // from band offset + within-band window (operators.Sampling
+    // .budgetSelect); semantically identical to the oracle's single global
+    // window cumsum
+    "q109_budget_select" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.budgetSelect(d, col("doc_id"), col("n_tokens"),
+        col("n_chars").cast("double"), budget = 12000L,
+        minPriority = 0.0, maxPriority = 1000.0, nBands = 20)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("cum_cost"))
+        .orderBy(col("cum_cost"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1581,6 +1627,85 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // 3 unrolled GD rounds; the rational sigmoid uses only + * / abs (no
     // libm), gradient terms round onto a 1e-6 fixed-point grid summed as
+    // labels ride alongside the q20-style cosine scoring; the label
+    // inequality restricts candidates BEFORE ranking, mirroring
+    // Similarity.hardNegatives
+    "q106_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS query_label,
+        |         CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+        |         CAST(embedding AS DOUBLE[]) AS c_vec
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |    round(list_dot_product(q_vec, c_vec)
+        |      / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos
+        |  FROM q, c WHERE query_label <> neighbor_label
+        |)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM s
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the 60-bit md5-affine rank is the same primitive as q38/q75; shard =
+    // rank % 8 (rank is positive, so % == pmod), pos = in-shard hash order
+    "q107_shuffle_shard" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_epoch_0'), 1, 15))::BIGINT AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, rk % 8 AS shard,
+        |  row_number() OVER (PARTITION BY rk % 8 ORDER BY rk, doc_id::VARCHAR) AS pos
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // the composite score is computed from the ROUNDED rollup columns
+    // (exactly as the Spark side does after its agg), so both engines feed
+    // identical 6-decimal inputs into the product
+    "q108_source_scores" ->
+      """WITH d AS (
+        |  SELECT source, length(text)::BIGINT AS len, md5(text) AS th
+        |  FROM documents
+        |), hc AS (
+        |  SELECT th, count(*) AS thc FROM d GROUP BY th
+        |), f AS (
+        |  SELECT source, len,
+        |    CASE WHEN thc > 1 THEN 1 ELSE 0 END AS dup,
+        |    CASE WHEN len < 200 THEN 1 ELSE 0 END AS short
+        |  FROM d JOIN hc USING (th)
+        |), r AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    round(avg(len), 6) AS avg_chars,
+        |    round(avg(short), 6) AS short_frac,
+        |    round(avg(dup), 6) AS dup_frac
+        |  FROM f GROUP BY source
+        |)
+        |SELECT source, n_docs, avg_chars, short_frac, dup_frac,
+        |  round((1.0 - dup_frac) * (1.0 - short_frac)
+        |    * least(1.0, avg_chars / 400.0), 6) AS source_score
+        |FROM r
+        |ORDER BY source""".stripMargin,
+
+    // single global window cumsum — the semantics the banded Spark plan
+    // must reproduce exactly (integer token costs, so no float drift)
+    "q109_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        |FROM d
+        |QUALIFY cum_cost <= 12000
+        |ORDER BY cum_cost""".stripMargin,
+
     // integers (exact ties are binary-unrepresentable at that grid, so
     // round() cannot diverge between engines), and every literal is cast to
     // DOUBLE so DuckDB's DECIMAL parsing cannot change the arithmetic

@@ -32,6 +32,34 @@ object Export {
     df.withColumn(shardCol, Sampling.hashBucket(key, nShards))
   }
 
+  /** Deterministic training-epoch shuffle: every row gets a reproducible
+    * (shard, pos) address — shard = 60-bit content-hash bucket, pos =
+    * hash-order rank WITHIN the shard. The "global random order" a
+    * training run consumes is (shard, pos) lexicographic, but no global
+    * sort ever runs: shard assignment is map-side and each shard orders
+    * independently — one window partitioned by shard, max partition
+    * ~ corpus/nShards, so doubling the corpus at fixed shard size leaves
+    * per-task work constant. A different `epoch` salt re-permutes both
+    * shard membership and in-shard order, giving per-epoch reshuffles with
+    * zero extra machinery; epoch 0 of the same corpus is always
+    * byte-identical (resumable exports).
+    *
+    * Hash ties (distinct keys colliding on the 60-bit rank) break on the
+    * key's string form, so `pos` is total and engine-reproducible. */
+  def shuffleShard(df: DataFrame, key: Column, nShards: Int, epoch: Int = 0,
+      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    require(!df.columns.contains(shardCol) && !df.columns.contains(posCol),
+      s"input already carries '$shardCol' or '$posCol'")
+    val salted = concat(key.cast("string"), lit(s"_epoch_$epoch"))
+    val rank = Sampling.hashRank(salted)
+    val shard = pmod(rank, lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(rank.asc, key.cast("string").asc)
+    df.withColumn(shardCol, shard)
+      .withColumn(posCol, row_number().over(w).cast("long"))
+  }
+
   /** Per-shard manifest: row count plus an ORDER-INSENSITIVE content
     * fingerprint (xor of the docs' 60-bit key hashes) and the key range —
     * enough for the consumer to integrity-check a shard without re-reading

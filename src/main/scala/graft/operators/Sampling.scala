@@ -180,4 +180,63 @@ object Sampling {
     }
     df.where(hashBucket(key, buckets) < threshold)
   }
+
+  /** Greedy token-budget corpus selection: keep rows in (priority DESC,
+    * key ASC) order while the running `cost` total stays within `budget`
+    * — the "assemble the best N-token corpus" step of a training-data
+    * pipeline.
+    *
+    * Semantically identical to a global-sort running sum
+    * (`sum(cost) OVER (ORDER BY priority DESC, key) <= budget`), but the
+    * global sort — one worker owning the whole corpus's window — never
+    * runs. Rows are BANDED by priority (pure map-side arithmetic over the
+    * caller-declared [minPriority, maxPriority] range), band totals
+    * cumulate on a bands-sized frame (nBands rows — a driver-trivial
+    * window), and each row's running total is its band's offset plus a
+    * within-band window. The only corpus-sized shuffle partitions by band;
+    * the largest band, not the corpus, bounds a task. Equal priorities
+    * always land in the same band, so the banded order composes to exactly
+    * the global (priority DESC, key ASC) order.
+    *
+    * Returns the selected rows plus `cum_cost` (running total INCLUDING
+    * the row). Rows with priority outside the declared range clamp to the
+    * edge bands (order within the band still exact — clamping only affects
+    * banding balance, never correctness). Null priorities sort last (band
+    * nBands-1, after every non-null — matching SQL NULLS LAST in a DESC
+    * order) and null costs count 0. */
+  def budgetSelect(df: DataFrame, key: Column, cost: Column, priority: Column,
+      budget: Long, minPriority: Double, maxPriority: Double,
+      nBands: Int = 64, cumCol: String = "cum_cost"): DataFrame = {
+    require(nBands > 0, s"nBands must be > 0, got $nBands")
+    require(maxPriority > minPriority, "need maxPriority > minPriority")
+    require(!df.columns.contains(cumCol),
+      s"input already carries '$cumCol' — pass a different cumCol")
+    val width = (maxPriority - minPriority) / nBands
+    val rawBand = floor((lit(maxPriority) - priority) / lit(width))
+    // NULL priority must reach the LAST band explicitly: Spark's
+    // greatest/least SKIP nulls (they don't propagate), so clamping first
+    // would silently send null-priority rows to band 0 — the front of the
+    // selection order instead of the back
+    val band = when(priority.isNull, lit((nBands - 1).toDouble))
+      .otherwise(least(greatest(rawBand, lit(0.0)), lit((nBands - 1).toDouble)))
+      .cast("long")
+    val withBand = df.withColumn("__band", band)
+    val bandTotals = withBand.groupBy(col("__band"))
+      .agg(sum(coalesce(cost.cast("long"), lit(0L))).as("__bt"))
+    // bands-sized frame: the single-partition window is over <= nBands rows
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__band").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"))
+      .orderBy(priority.desc_nulls_last, key.asc)
+    withBand.join(broadcast(offsets), Seq("__band"))
+      .withColumn(cumCol,
+        col("__off") + sum(coalesce(cost.cast("long"), lit(0L))).over(wIn))
+      .where(col(cumCol) <= lit(budget))
+      .drop("__band", "__off")
+  }
 }

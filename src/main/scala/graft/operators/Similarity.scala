@@ -66,6 +66,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's — the highest-loss negatives a trainer wants
+    * in the batch. Same scale shape as [[bruteForceTopK]] (queries
+    * broadcast, corpus streams map-side, per-query top-k via a window on
+    * the rounded score with id tie-break); for corpus-x-corpus mining at
+    * 100 TB swap the scoring stage for the IVF path ([[ivfAnnTopK]]) and
+    * keep the label-mismatch predicate.
+    *
+    * Null labels never match anything (SQL null-inequality) and so produce
+    * no negatives — intended: unlabeled rows can't be *known* negatives. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("query_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("neighbor_label"))
+    val scored = q.crossJoin(c)
+      .where(col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-based corpus decontamination: flag every corpus row whose
     * cosine to ANY eval-set vector reaches `threshold` — the semantic
     * counterpart of n-gram decontamination ([[Dedup.decontaminate]]): a
