@@ -1248,8 +1248,13 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
           .as("token"))
+      // one corpus pass: the exact frequency frame feeds the weighted sketch
+      // construction (linear sketch — bit-identical to hashing every token
+      // instance, but md5 runs over the 31-token vocab, not ~1M instances)
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-      val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 32)
+        .persist()
+      val sketch = Sketches.countMinSketchWeighted(exact, "token", "exact_count",
+        depth = 4, width = 32)
       Sketches.countMinEstimate(exact, "token", sketch, depth = 4, width = 32)
         .withColumn("one_sided_ok", col("cm_estimate") >= col("exact_count"))
         .orderBy(col("token"))

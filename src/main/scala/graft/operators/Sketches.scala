@@ -46,6 +46,24 @@ object Sketches {
       .agg(count(lit(1)).as("cm_count"))
   }
 
+  /** Build the sketch from PRE-AGGREGATED (item, weight) rows: each cell
+    * accumulates the weight instead of a row count. Count-min is linear, so
+    * this equals [[countMinSketch]] over the raw instance stream bit-for-bit
+    * — but hashes each DISTINCT item once instead of once per occurrence.
+    * At 100 TB this is the construction to use whenever a frequency frame
+    * already exists (or is cheap to map-combine): the md5 family runs over
+    * the vocabulary, not the corpus. */
+  def countMinSketchWeighted(items: DataFrame, itemCol: String, weightCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    items
+      .select(col(weightCol).cast("long").as("cm_w"),
+        posexplode(buckets(col(itemCol), depth, width))
+          .as(Seq("cm_depth", "cm_bucket")))
+      .groupBy(col("cm_depth"), col("cm_bucket"))
+      .agg(sum(col("cm_w")).as("cm_count"))
+  }
+
   /** Merge sketches built with the SAME (depth, width, hash family):
     * cell-wise sum. Count-min is a linear sketch, so
     * merge(sketch(A), sketch(B)) == sketch(A ++ B) exactly — per-partition

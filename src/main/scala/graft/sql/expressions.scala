@@ -263,6 +263,76 @@ object CdcBounds {
   }
 }
 
+/** One greedy left-to-right BPE merge pass over a symbol array: every
+  * non-overlapping adjacent (l, r) pair becomes the single symbol l+r.
+  *
+  * Native twin of the `aggregate` HOF fold [[graft.operators.Bpe]] used to
+  * build per-iteration: semantically identical (a merged symbol cannot
+  * immediately start another merge — its value l+r never equals l), but a
+  * single JVM loop per row instead of a lambda-resolved fold, and — the
+  * real win for iterative training — a three-node expression tree whose
+  * per-iteration Catalyst analysis/optimisation cost is negligible, where
+  * the HOF fold re-planned a deep lambda tree on every merge iteration.
+  * Exposed as SQL function `graft_bpe_merge`.
+  */
+case class BpeMergePass(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_merge expects (array<string>, string, string), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_merge"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMergePass =
+    copy(newFirst, newSecond, newThird)
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    BpeMergePass.compute(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) => {
+      s"${ev.value} = graft.sql.BpeMergePass.compute($a, $l, $r);"
+    })
+}
+
+object BpeMergePass {
+  /** Single left-to-right pass; called from interpreted eval and codegen. */
+  def compute(arr: ArrayData,
+      l: org.apache.spark.unsafe.types.UTF8String,
+      r: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var outLen = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && s.equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+        out(outLen) = org.apache.spark.unsafe.types.UTF8String.concat(l, r)
+        i += 2
+      } else {
+        out(outLen) = s
+        i += 1
+      }
+      outLen += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], outLen))
+  }
+}
+
 /** Session wiring for the native expressions. Enable engine-wide with
   * `spark.sql.extensions=graft.sql.GraftExtensions`, or lazily per session
   * via [[functions.ensureRegistered]]. */
@@ -297,7 +367,16 @@ object functions {
       CdcBounds(children.head, children(1), children(2), children(3), children(4))
     })
 
-  private[sql] val descriptors = Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor)
+  private[sql] val bpeMergeDescriptor = (
+    new FunctionIdentifier("graft_bpe_merge"),
+    new ExpressionInfo(classOf[BpeMergePass].getName, "graft_bpe_merge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_bpe_merge expects exactly 3 arguments")
+      BpeMergePass(children.head, children(1), children(2))
+    })
+
+  private[sql] val descriptors =
+    Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

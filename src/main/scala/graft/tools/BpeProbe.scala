@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Local-iteration probe: where does a warm learnBpe spend its time?
+  * Runs the learn twice (cold, warm) and prints per-phase seconds. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    for (round <- Seq("cold", "warm")) {
+      timed(s"$round total") {
+        val (m, v) = graft.operators.Bpe.learnBpe(docs, col("text"), 8)
+        timed(s"$round tokenize") {
+          graft.operators.Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), v).count()
+        }
+        v.unpersist()
+        println(s"PROBE $round merges=${m.size}")
+      }
+    }
+    // inline replication of the learn loop with per-phase timing
+    graft.sql.functions.ensureRegistered(spark)
+    var vocab = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("syms", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .persist()
+    println(s"PROBE vocab rows=${timed("vocab count")(vocab.count())}")
+    var prev: org.apache.spark.sql.DataFrame = null
+    for (it <- 1 to 8) {
+      val pc = {
+        val n = size(col("syms"))
+        vocab.where(n > 1)
+          .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
+            (a, b) => struct(a.as("s1"), b.as("s2")))).as("pr"))
+          .groupBy(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+          .agg(sum(col("cnt")).cast("long").as("pcnt"))
+      }
+      val best = timed(s"it$it argmax")(
+        pc.orderBy(desc("pcnt"), asc("s1"), asc("s2")).limit(1).collect())
+      if (prev != null) { prev.unpersist(); prev = null }
+      val (l, r) = (best(0).getString(0), best(0).getString(1))
+      val next = timed(s"it$it plan")(vocab.withColumn("syms",
+        call_function("graft_bpe_merge", col("syms"), lit(l), lit(r))).persist())
+      prev = vocab; vocab = next
+    }
+    timed("final count")(vocab.count())
+    spark.stop()
+  }
+}
