@@ -1387,6 +1387,77 @@ object SparkEntry {
         .orderBy(col("cum_cost"))
     }),
 
+    // two-pass heavy hitters: count-min sketch (pass 1, bounded driver
+    // state) filters the instance stream MAP-SIDE — only candidate-token
+    // instances reach the exact-count shuffle (pass 2). One-sidedness makes
+    // candidates a superset of the true heavy set; width 32 on a 31-token
+    // vocab forces collisions, so some candidates arrive un`confirmed` —
+    // the false-positive mechanics the oracle replays exactly
+    // (operators.Sketches.heavyHitters)
+    "q110_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      Sketches.heavyHitters(toks, "token", threshold = 900L, depth = 4, width = 32)
+        .orderBy(col("token"))
+    }),
+
+    // winnowing fingerprints (MOSS): rolling 16-gram hashes, rightmost-min
+    // per 16-hash window via the native graft_winnow expression — pure
+    // narrow map + explode, no shuffle; any ≥31-codepoint shared substring
+    // between two docs shares a fingerprint. The oracle replays the hash
+    // family and the rightmost-min selection in DuckDB list SQL
+    // (operators.Dedup.winnowFingerprints)
+    "q111_winnow_fingerprints" -> ((s, dir) => {
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 16)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // temperature (α=0.5) token-budget mixing across sources: weights are
+    // floor(sqrt(mass·10⁶)) — integers — and shares are largest-remainder
+    // apportionment, so allocations sum to exactly the budget and every
+    // step after the map-combined per-source mass rollup is bit-exact in
+    // any engine (operators.Sampling.temperatureAllocate)
+    "q112_mixture_allocate" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.temperatureAllocate(d, "source", col("n_tokens"), budget = 20000L)
+        .orderBy(col("source"))
+    }),
+
+    // per-dimension scalar int8 quantization of the embedding corpus +
+    // per-vector reconstruction MSE: dimension ranges are one map-combined
+    // 64-group aggregation packed into a 1-row broadcast; coding is a
+    // narrow map. float→double promotion before every subtraction and an
+    // element-order fold keep codes AND mse engine-exact
+    // (operators.Quantization.int8Quantize)
+    "q113_int8_quant" -> ((s, dir) => {
+      import graft.operators.Quantization
+      Quantization.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("id"))
+    }),
+
+    // shingle novelty vs the earlier corpus: fraction of a doc's distinct
+    // 5-gram shingles first seen in THIS doc — the crawl-batch prioritizer.
+    // Shingles shuffle as 60-bit hashes, first-seen is map-combined
+    // min(doc_id), nothing quadratic (operators.Dedup.shingleNovelty)
+    "q114_shingle_novelty" -> ((s, dir) => {
+      Dedup.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // join-key skew profile of events.user_id: top-20 heaviest keys with
+    // share and skew-vs-mean-occupancy — the pre-join diagnosis for a
+    // 100 TB shuffle. Map-combined counts, 1-row totals broadcast,
+    // TakeOrdered top-K (operators.Profile.keySkewProfile)
+    "q115_key_skew" -> ((s, dir) => {
+      import graft.operators.Profile
+      Profile.keySkewProfile(events(s, dir).select(col("user_id")), "user_id",
+        topK = 20)
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1710,6 +1781,148 @@ object SparkEntry {
         |FROM d
         |QUALIFY cum_cost <= 12000
         |ORDER BY cum_cost""".stripMargin,
+
+    "q110_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents
+        |), cells AS (
+        |  SELECT token, d.range AS d,
+        |    ('0x' || substr(md5('cm_' || d.range || '_' || token), 1, 8))::BIGINT % 32 AS b
+        |  FROM tok, range(0, 4) d
+        |), sk AS (
+        |  SELECT d, b, count(*) AS c FROM cells GROUP BY d, b
+        |), est AS (
+        |  SELECT token, CAST(min(coalesce(c, 0)) AS BIGINT) AS cm_estimate
+        |  FROM (SELECT DISTINCT token, d, b FROM cells) q
+        |  LEFT JOIN sk USING (d, b) GROUP BY token
+        |), exact AS (
+        |  SELECT token, count(*) AS exact_count FROM tok GROUP BY token
+        |)
+        |SELECT e.token, est.cm_estimate, e.exact_count::BIGINT AS exact_count,
+        |  e.exact_count >= 900 AS confirmed
+        |FROM exact e JOIN est USING (token)
+        |WHERE est.cm_estimate >= 900 ORDER BY token""".stripMargin,
+
+    "q111_winnow_fingerprints" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 15, 0) + 1), p ->
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), j ->
+        |        ascii(substr(text, CAST(p + j AS INT), 1))::BIGINT)),
+        |        (hh, c) -> (hh * 257 + c) % 2147483647)) AS hs
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, hs, len(hs) AS mm FROM h WHERE len(hs) >= 1
+        |), wins AS (
+        |  SELECT doc_id, hs, mm,
+        |    list_transform(range(1, greatest(mm - 15, 1) + 1), i ->
+        |      list_min(list_slice(hs, CAST(i AS INT), CAST(least(i + 15, mm) AS INT)))) AS wmin
+        |  FROM m
+        |), posl AS (
+        |  SELECT doc_id, wmin,
+        |    list_transform(range(1, len(wmin) + 1), i ->
+        |      list_max(list_filter(range(i, least(i + 16, mm + 1)), j ->
+        |        hs[CAST(j AS INT)] = wmin[CAST(i AS INT)]))) AS wpos
+        |  FROM wins
+        |)
+        |SELECT DISTINCT doc_id, pos, fp_hash FROM (
+        |  SELECT doc_id, unnest(wpos)::BIGINT AS pos, unnest(wmin)::BIGINT AS fp_hash
+        |  FROM posl)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q112_mixture_allocate" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+        |), ws AS (
+        |  SELECT source, sum(n_tokens)::BIGINT AS total_cost,
+        |    CAST(floor(sqrt(CAST(sum(n_tokens)::BIGINT * 1000000 AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM d GROUP BY source
+        |), tot AS (
+        |  SELECT sum(weight)::BIGINT AS w_all FROM ws
+        |), base AS (
+        |  SELECT source, total_cost, weight,
+        |    (20000 * weight) // w_all AS alloc_base,
+        |    (20000 * weight) % w_all AS rem
+        |  FROM ws, tot
+        |), lo AS (
+        |  SELECT 20000 - sum(alloc_base)::BIGINT AS leftover FROM base
+        |), fin AS (
+        |  SELECT source, total_cost, weight,
+        |    (alloc_base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+        |       <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |  FROM base, lo
+        |)
+        |SELECT source, total_cost, weight, alloc,
+        |  round(CAST(alloc AS DOUBLE) / total_cost, 6) AS rate
+        |FROM fin ORDER BY source""".stripMargin,
+
+    "q113_int8_quant" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim
+        |), arrs AS (
+        |  SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS mins,
+        |    list(CAST(mx AS DOUBLE) ORDER BY dim) AS maxs
+        |  FROM st
+        |)
+        |SELECT vec_id AS id,
+        |  list_transform(range(1, len(embedding) + 1), i ->
+        |    CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
+        |      CAST(least(greatest(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |          - mins[CAST(i AS INT)])
+        |        / (maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]) * 255.0), 0.0), 255.0)
+        |        AS INT) - 128
+        |    ELSE 0 END) AS codes,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
+        |        CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |          - (mins[CAST(i AS INT)]
+        |             + (CAST(CAST(least(greatest(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |                  - mins[CAST(i AS INT)])
+        |                / (maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]) * 255.0), 0.0), 255.0)
+        |                AS INT) - 128 AS DOUBLE) + 128.5)
+        |               * (maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]) / 255.0)
+        |      ELSE 0.0 END)),
+        |    (a, d) -> a + d * d) / len(embedding), 9) AS mse
+        |FROM embeddings, arrs
+        |ORDER BY id""".stripMargin,
+
+    "q114_shingle_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 4, 1) + 1),
+        |    s -> array_to_string(tk[s:s+4], ' ')))) AS s
+        |  FROM toks
+        |), hp AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+        |), fs AS (
+        |  SELECT h, min(doc_id) AS first_doc FROM hp GROUP BY h
+        |), agg AS (
+        |  SELECT hp.doc_id, count(*)::BIGINT AS n_shingles,
+        |    sum(CASE WHEN fs.first_doc = hp.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        |  FROM hp JOIN fs USING (h) GROUP BY hp.doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q115_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key_value, count(*)::BIGINT AS n_rows
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS nd FROM c
+        |)
+        |SELECT key_value, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n_rows * nd AS DOUBLE) / total, 6) AS skew_ratio
+        |FROM c, t ORDER BY n_rows DESC, key_value ASC LIMIT 20""".stripMargin,
 
     // integers (exact ties are binary-unrepresentable at that grid, so
     // round() cannot diverge between engines), and every literal is cast to

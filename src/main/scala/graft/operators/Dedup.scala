@@ -740,4 +740,53 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Winnowing fingerprints per document (MOSS — Schleimer et al. 2003),
+    * via the native [[graft.sql.WinnowFingerprints]] expression: rolling
+    * k-codepoint-gram hashes, rightmost-min selection per w-hash window.
+    * Any substring shared between two documents of length ≥ k+w−1 yields at
+    * least one common (hash) fingerprint — the POSITION-ROBUST overlap
+    * primitive (copied paragraphs, quoted passages, template fragments)
+    * that whole-document schemes (simhash/minhash) structurally miss.
+    *
+    * Scale shape: pure narrow map + explode — no shuffle at all; downstream
+    * overlap detection joins on `fp_hash` (a long), never text. Fingerprint
+    * density is ~2/(w+1) per position, so w is the size/recall dial.
+    * Output: (doc_id, pos, fp_hash), pos = 1-based codepoint position of
+    * the selected k-gram. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16): DataFrame = {
+    graft.sql.functions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("graft_winnow", col(textCol), lit(k), lit(w))).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.hash").as("fp_hash"))
+  }
+
+  /** Per-document shingle NOVELTY against everything earlier in the corpus
+    * order: the fraction of a doc's distinct word n-gram shingles whose
+    * FIRST occurrence (minimum id) is this doc. The streaming-curation
+    * prioritizer — crawl batches full of already-seen boilerplate score
+    * near 0 and can be dropped before any expensive pairwise dedup runs.
+    *
+    * Scale shape: shingles shuffle as 60-bit md5-derived hashes (never
+    * text); first-seen is a map-combined `min(id)` per hash; the join back
+    * is hash-keyed equi-join. Nothing is quadratic, no windows.
+    * Output: (doc_id, n_shingles, n_novel, novelty). */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, scale: Int = 4): DataFrame = {
+    val dp = docs.select(col(idCol).cast("long").as("__id"),
+        explode(wordShingles(col(textCol), n)).as("__sh"))
+      .select(col("__id"),
+        conv(substring(md5(col("__sh")), 1, 15), 16, 10).cast("long").as("__h"))
+    val firstSeen = dp.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+    dp.join(firstSeen, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), scale))
+      .select(col("__id").as("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty"))
+  }
 }

@@ -313,4 +313,54 @@ object Quantization {
     Materialize.release(c)
     out
   }
+
+  /** Per-dimension scalar int8 quantization of an embedding column — the
+    * 4× storage/bandwidth compressor every vector store applies before
+    * anything fancier (PQ is per-SUBSPACE; this is the per-DIMENSION affine
+    * baseline): code_i = clamp(floor((v_i − min_i)/(max_i − min_i)·255)) −
+    * 128, plus the per-vector reconstruction MSE at the dequantized
+    * midpoint — the measurement that says whether int8 is safe for a given
+    * corpus or the range needs outlier-clipping first.
+    *
+    * Scale shape: dimension ranges are ONE map-combined (dim, min, max)
+    * aggregation (≤ dim groups survive the combine) packed into a 1-row
+    * broadcast; coding is then a pure narrow map over the corpus. All
+    * arithmetic is float→double promoted before subtraction and folded in
+    * element order, so codes and MSE are bit-reproducible in any IEEE
+    * engine. Output: (id, codes array<int>, mse). */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String,
+      scale: Int = 9): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy(col("__dim"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val packed = stats.agg(
+      array_sort(collect_list(struct(col("__dim"), col("__mn"), col("__mx"))))
+        .as("__ds"))
+      .select(
+        transform(col("__ds"), s => s.getField("__mn").cast("double")).as("__mins"),
+        transform(col("__ds"), s => s.getField("__mx").cast("double")).as("__maxs"))
+    val v = (i: Column) => element_at(col(vecCol), i + 1).cast("double")
+    val mn = (i: Column) => element_at(col("__mins"), i + 1)
+    val mx = (i: Column) => element_at(col("__maxs"), i + 1)
+    val codeAt = (i: Column) =>
+      when(mx(i) > mn(i),
+        least(greatest(floor((v(i) - mn(i)) / (mx(i) - mn(i)) * lit(255.0)),
+          lit(0.0)), lit(255.0)).cast("int") - 128)
+        .otherwise(0)
+    val reconAt = (i: Column) =>
+      mn(i) + (codeAt(i).cast("double") + lit(128.5)) * (mx(i) - mn(i)) / lit(255.0)
+    // squared error via d*d, not pow(d, 2): Math.pow is not guaranteed
+    // correctly rounded, multiplication is — keeps MSE engine-exact
+    val diffAt = (i: Column) =>
+      when(mx(i) > mn(i), v(i) - reconAt(i)).otherwise(lit(0.0))
+    emb.crossJoin(broadcast(packed))
+      .select(col(idCol).as("id"),
+        transform(sequence(lit(0), size(col(vecCol)) - 1), codeAt).as("codes"),
+        round(
+          aggregate(
+            transform(sequence(lit(0), size(col(vecCol)) - 1), diffAt),
+            lit(0.0), (acc, d) => acc + d * d) / size(col(vecCol)),
+          scale).as("mse"))
+  }
 }

@@ -239,4 +239,51 @@ object Sampling {
       .where(col(cumCol) <= lit(budget))
       .drop("__band", "__off")
   }
+
+  /** Temperature-weighted token-budget allocation across sources — the data
+    * MIXING step of a pretraining pipeline (α=0.5 UniMax/temperature-style
+    * re-weighting): each source's share of the token budget is proportional
+    * to sqrt(its token mass), which up-weights small/rare sources relative
+    * to raw proportional sampling without letting any single giant crawl
+    * dominate the mix.
+    *
+    * Every arithmetic step after the one corpus aggregation is INTEGER so
+    * the allocation is bit-reproducible in any engine: weights are
+    * floor(sqrt(mass · weightScale)) (exact — the argument stays far below
+    * 2^52, and IEEE sqrt is correctly rounded everywhere), shares are
+    * integer-division largest-remainder apportionment (remainder DESC,
+    * source ASC), so allocations sum to EXACTLY the budget. The whole
+    * computation past the map-combined per-source mass rollup runs on a
+    * sources-sized frame — trivially driver-safe at any corpus scale.
+    * Output: (source, total_cost, weight, alloc, rate). */
+  def temperatureAllocate(df: DataFrame, sourceCol: String, cost: Column,
+      budget: Long, weightScale: Long = 1000000L, scale: Int = 6): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val masses = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(cost.cast("long")).as("total_cost"))
+      .withColumn("weight",
+        floor(sqrt((col("total_cost") * lit(weightScale)).cast("double"))).cast("long"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .orderBy(col("source")) // total: frame below spans all rows regardless
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withBase = masses
+      .withColumn("__W", sum(col("weight")).over(wTot))
+      .withColumn("__bw", lit(budget) * col("weight"))
+      .withColumn("alloc_base", expr("__bw div __W")) // integer division
+      .withColumn("__rem", col("__bw") % col("__W"))
+      .withColumn("__leftover", lit(budget) - sum(col("alloc_base")).over(wTot))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .orderBy(col("__rem").desc, col("source").asc)
+    withBase
+      .withColumn("alloc",
+        col("alloc_base") + when(row_number().over(wRank) <= col("__leftover"), 1L)
+          .otherwise(0L))
+      .withColumn("rate",
+        round(col("alloc").cast("double") / col("total_cost"), scale))
+      .select(col("source"), col("total_cost"), col("weight"), col("alloc"),
+        col("rate"))
+  }
 }

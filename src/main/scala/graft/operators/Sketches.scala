@@ -76,6 +76,43 @@ object Sketches {
       .agg(sum(col("cm_count")).as("cm_count"))
   }
 
+  /** Two-pass heavy-hitter detection — the at-scale replacement for a full
+    * `groupBy(item).count().where(count >= T)` when the item domain is huge
+    * and the heavy set is small (hot tokens, hot URLs, hot join keys):
+    *
+    *  1. pass 1 builds the count-min sketch (map-combined; at most
+    *     depth×width cells survive the shuffle) and pulls it to the driver —
+    *     legitimately, because bounded driver state is the sketch's whole
+    *     contract (same footing as k-means centroids / PQ codebooks);
+    *  2. pass 2 filters the instance stream MAP-SIDE against the in-plan
+    *     sketch (estimate = min over depth of the literal cell array — pure
+    *     codegen arithmetic, no join) and exact-counts only the survivors:
+    *     the shuffle carries instances of candidate items alone, a vanishing
+    *     fraction of a 100 TB stream for any meaningful threshold.
+    *
+    * One-sidedness (estimate ≥ truth) makes the candidate set a SUPERSET of
+    * the true heavy set, so the exact pass cannot miss a heavy item; the
+    * `confirmed` flag marks which candidates survived exact counting.
+    * Output: item, cm_estimate, exact_count, confirmed. */
+  def heavyHitters(items: DataFrame, itemCol: String, threshold: Long,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(threshold >= 1, "threshold must be >= 1")
+    // flat depth×width cell array on the driver (absent cell = 0)
+    val flat = new Array[Long](depth * width)
+    countMinSketch(items, itemCol, depth, width).collect().foreach { r =>
+      flat(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    val cells = typedLit(flat.toSeq)
+    val est = array_min(transform(buckets(col(itemCol), depth, width),
+      (b, d) => element_at(cells, (d * width + b + 1).cast("int"))))
+    items
+      .withColumn("cm_estimate", est)
+      .where(col("cm_estimate") >= threshold)
+      .groupBy(col(itemCol), col("cm_estimate"))
+      .agg(count(lit(1)).as("exact_count"))
+      .withColumn("confirmed", col("exact_count") >= threshold)
+  }
+
   /** Estimate counts for each distinct item in `queries(itemCol)`:
     * min over the sketch rows of the item's cell counts (absent cell = 0).
     * Returns the query frame's columns plus `cm_estimate`. */

@@ -333,6 +333,101 @@ object BpeMergePass {
   }
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+  * local document fingerprinting scheme): hash every k-codepoint gram with
+  * the house rolling hash (base 257 mod 2^31−1, same family as
+  * [[CdcBounds]]), slide a w-hash window, and select the RIGHTMOST minimal
+  * hash per window. Guarantees every shared substring of length ≥ k+w−1
+  * contributes at least one common fingerprint — position-robust partial-
+  * overlap detection, where simhash/minhash only see whole-document
+  * similarity.
+  *
+  * Returns array<struct<pos, hash>> of the distinct selections in position
+  * order (selection position is non-decreasing as the window slides, so
+  * consecutive-dedup IS global dedup). Texts shorter than k yield an empty
+  * array; k ≤ length < k+w−1 yields the single whole-range window. One
+  * fused JVM loop per row inside whole-stage codegen — the natural
+  * formulation (per-position HOF hash + per-window HOF min) re-walks each
+  * codepoint k× and each hash w×, interpreted. Exposed as SQL function
+  * `graft_winnow`.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(StringType, IntegerType, IntegerType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_winnow k/w must be literals")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects (string, int, int), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_winnow"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowFingerprints =
+    copy(newFirst, newSecond, newThird)
+
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    WinnowFingerprints.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) => {
+      s"${ev.value} = graft.sql.WinnowFingerprints.compute($s, $k, $w);"
+    })
+}
+
+object WinnowFingerprints {
+  /** Rolling k-gram hashes + rightmost-min winnowing in one pass over the
+    * codepoint stream. Called from interpreted eval and generated code. */
+  def compute(str: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, "graft_winnow k and w must be >= 1")
+    val s = str.toString
+    val M = 2147483647L
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val m = n - k + 1
+    if (m < 1) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    var pow = 1L
+    var t = 0
+    while (t < k) { pow = pow * 257L % M; t += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val c = cps(i).toLong
+      h = if (i >= k) ((h * 257L + c - cps(i - k).toLong * pow) % M + M) % M
+      else (h * 257L + c) % M
+      if (i >= k - 1) hs(i - k + 1) = h
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1
+    var wi = 0
+    while (wi < nw) {
+      val end = math.min(wi + w, m) // exclusive
+      var best = wi
+      var j = wi
+      while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 } // rightmost min
+      if (best != lastPos) {
+        out += org.apache.spark.sql.catalyst.InternalRow((best + 1).toLong, hs(best))
+        lastPos = best
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Session wiring for the native expressions. Enable engine-wide with
   * `spark.sql.extensions=graft.sql.GraftExtensions`, or lazily per session
   * via [[functions.ensureRegistered]]. */
@@ -375,8 +470,17 @@ object functions {
       BpeMergePass(children.head, children(1), children(2))
     })
 
+  private[sql] val winnowDescriptor = (
+    new FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_winnow expects exactly 3 arguments")
+      WinnowFingerprints(children.head, children(1), children(2))
+    })
+
   private[sql] val descriptors =
-    Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor)
+    Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
+      winnowDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -297,6 +297,44 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("BroadcastHashJoin") // depth×width sketch is the build side
   }
 
+  it("heavy hitters filters map-side against the in-plan sketch — no join anywhere") {
+    val p = plan("q110_heavy_hitters")
+    p should not include "Join" // candidate filter is literal-array arithmetic
+    p should not include "CartesianProduct"
+    p should include("partial_count") // exact pass still map-combines
+  }
+
+  it("winnowing is a pure narrow map + explode — no shuffle, no join, no UDF") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val p = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should not include "Join"
+    p should not include "BatchEvalPython"
+    (p should not).include("SQLUDF")
+  }
+
+  it("int8 quantization: map-combined dim stats, 1-row broadcast, narrow coding pass") {
+    val p = plan("q113_int8_quant")
+    p should include("partial_min") // dim ranges combine before the shuffle
+    p should include("partial_max")
+    p should include("Broadcast") // packed stats ship to the corpus, not vice versa
+    p should not include "CartesianProduct"
+  }
+
+  it("shingle novelty shuffles hashes with a map-combined first-seen, never text") {
+    val p = plan("q114_shingle_novelty")
+    p should include("partial_min") // min(doc_id) per hash combines map-side
+    p should not include "CartesianProduct"
+  }
+
+  it("key-skew profile is one map-combined count + a TakeOrdered top-K") {
+    val p = plan("q115_key_skew")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -53,4 +53,42 @@ class SketchesSpec extends SparkTestBase with Matchers {
       .select("cm_estimate").as[Long].head()
     est shouldBe 0L // wide sketch: all 4 of zzz's cells empty
   }
+
+  it("weighted construction over the frequency frame equals the instance-stream sketch") {
+    val freq = items.groupBy($"item").agg(count(lit(1)).cast("long").as("w"))
+    val weighted = Sketches.countMinSketchWeighted(freq, "item", "w", depth = 3, width = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val stream = Sketches.countMinSketch(items, "item", depth = 3, width = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    weighted shouldBe stream // linearity: same cells, bit-for-bit
+  }
+
+  describe("heavyHitters (two-pass sketch + exact verify)") {
+    // 50 distinct light items + 2 heavy ones, narrow sketch => collisions
+    val stream = (
+      (1 to 50).flatMap(i => Seq.fill(2)(s"light_$i")) ++
+        Seq.fill(40)("hot_a") ++ Seq.fill(25)("hot_b")).toDF("item")
+
+    it("finds every truly heavy item, confirmed, with exact counts") {
+      val hh = Sketches.heavyHitters(stream, "item", threshold = 20, depth = 4, width = 8)
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+      val confirmed = hh.filter(_._4).map(r => r._1 -> r._3).toMap
+      confirmed should contain allOf ("hot_a" -> 40L, "hot_b" -> 25L)
+      // one-sidedness: no truly-heavy item can be missing from the candidates
+      hh.map(_._1) should contain allOf ("hot_a", "hot_b")
+    }
+
+    it("estimates dominate exact counts; false candidates carry confirmed=false") {
+      // width 2: every cell holds ~half the stream mass, so every light item
+      // becomes a candidate — and the exact pass must reject them all
+      val hh = Sketches.heavyHitters(stream, "item", threshold = 20, depth = 4, width = 2)
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+      hh.foreach { case (_, est, exact, conf) =>
+        est should be >= exact // count-min guarantee per candidate
+        conf shouldBe (exact >= 20)
+      }
+      hh.exists(!_._4) shouldBe true // false positives exist...
+      hh.filter(_._4).map(_._1).toSet shouldBe Set("hot_a", "hot_b") // ...and are rejected
+    }
+  }
 }
