@@ -1458,6 +1458,30 @@ object SparkEntry {
         topK = 20)
     }),
 
+    // mergeable histogram quantiles over events.value: two map-combined
+    // passes (range + 256 bin counts, a linear sketch), interpolation on a
+    // bins-sized frame — constant state where exact percentile_cont sorts
+    // the full multiset; per-day histograms would merge cell-wise
+    // (operators.Binning.approxQuantiles)
+    "q116_approx_quantiles" -> ((s, dir) => {
+      import graft.operators.Binning
+      Binning.approxQuantiles(events(s, dir).select(col("value")), "value",
+        qs = Seq(0.5, 0.9, 0.95, 0.99), nBins = 256)
+        .orderBy(col("q"))
+    }),
+
+    // per-query ANN quality vs exact ground truth: where does each query's
+    // true nearest neighbour land in the SRP top-10? found + reciprocal
+    // rank (MRR when averaged) — the oracle-checked slice of the
+    // RecallProbe sweep (operators.Similarity.annRecallMrr)
+    "q117_ann_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallMrr(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nPlanes = 8, dim = 64,
+        seed = 42L, probeRadius = 1)
+        .orderBy(col("query_id"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -1911,6 +1935,82 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_novel,
         |  round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q116_approx_quantiles" ->
+      """WITH st AS (
+        |  SELECT min(value) AS lo, max(value) AS hi, count(value)::BIGINT AS n
+        |  FROM events
+        |), counts AS (
+        |  SELECT CASE WHEN hi > lo THEN
+        |      least(CAST(floor((value - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
+        |    ELSE 1 END AS bin, count(*)::BIGINT AS cnt
+        |  FROM events, st WHERE value IS NOT NULL GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        |  FROM counts
+        |), qs AS (
+        |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                 CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+        |), tgt AS (
+        |  SELECT q, greatest(CAST(ceil(q * n) AS BIGINT), 1) AS target, lo, hi
+        |  FROM qs, st
+        |), picked AS (
+        |  SELECT q, target, lo, hi, min(bin) AS bin
+        |  FROM tgt JOIN cum ON cum >= target GROUP BY q, target, lo, hi
+        |), fin AS (
+        |  SELECT p.q, p.target, p.lo, p.hi, p.bin, c.cnt, c.cum
+        |  FROM picked p JOIN cum c ON p.bin = c.bin
+        |)
+        |SELECT q,
+        |  CASE WHEN hi > lo THEN
+        |    round(lo + (bin - 1) * ((hi - lo) / 256)
+        |      + (CAST(target - (cum - cnt) AS DOUBLE) / cnt) * ((hi - lo) / 256), 6)
+        |  ELSE lo END AS estimate,
+        |  target AS rank, bin
+        |FROM fin ORDER BY q""".stripMargin,
+
+    "q117_ann_mrr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), truth AS (
+        |  SELECT query_id, neighbor_id AS true_nn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+        |        c.vec_id ASC) AS rnk
+        |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 20)
+        |  WHERE rnk = 1
+        |), b AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        |          ((('0x' || substr(md5('srp_42_' || p || '_' || d), 1, 15))::BIGINT % 2048 - 1024)
+        |            / 1024.0) * v[CAST(d AS INT) + 1])) >= 0
+        |      THEN 1::BIGINT << (7 - CAST(p AS INT)) ELSE 0 END))::BIGINT AS bucket
+        |  FROM e
+        |), approx AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+        |        c.vec_id ASC) AS BIGINT) AS rank
+        |    FROM b q JOIN b c
+        |      ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 20)
+        |  WHERE rank <= 10
+        |)
+        |SELECT t.query_id, t.true_nn, a.rank IS NOT NULL AS found,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / a.rank, CAST(0.0 AS DOUBLE)), 6) AS rr
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn
+        |ORDER BY t.query_id""".stripMargin,
 
     "q115_key_skew" ->
       """WITH c AS (

@@ -83,6 +83,55 @@ object Binning {
         col("bin_min"), col("bin_max"))
   }
 
+  /** Mergeable histogram quantiles — the constant-state alternative to an
+    * exact sort-based percentile at 100 TB: two map-combined passes (min/max
+    * + per-bin counts), a bins-sized cumulative frame, and linear
+    * interpolation inside the selected bin. The per-bin counts are a LINEAR
+    * sketch (cell-wise sums), so per-partition / per-day histograms merge
+    * into the corpus histogram without re-scanning — what a streaming
+    * quantile monitor keeps as state, where exact percentile_cont would
+    * need the full value multiset.
+    *
+    * Estimate convention (mirrored exactly by the SQL oracle): target rank
+    * = max(ceil(q·N), 1); B = first bin whose cumulative count reaches the
+    * target; estimate = lo + (B−1)·w + ((target − cumBefore)/cnt_B)·w with
+    * w = (hi−lo)/nBins. Every step is plain IEEE double arithmetic in a
+    * fixed order — engine-exact. A constant column (hi == lo) estimates lo
+    * at every quantile. Output: (q, estimate, rank, bin). */
+  def approxQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      nBins: Int = 256, scale: Int = 6): DataFrame = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    require(qs.nonEmpty, "need at least one quantile")
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
+      count(v).cast("long").as("__n"))
+    val wid = (col("__hi") - col("__lo")) / nBins
+    val counts = df.where(v.isNotNull).crossJoin(broadcast(stats))
+      .select(when(col("__hi") > col("__lo"),
+        least(floor((v - col("__lo")) / wid).cast("long") + 1L, lit(nBins.toLong)))
+        .otherwise(1L).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // bins-sized frame: the single-partition running sum is over <= nBins rows
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(wcum))
+    import df.sparkSession.implicits._
+    val tgt = qs.toDF("q").crossJoin(broadcast(stats))
+      .withColumn("target", greatest(ceil(col("q") * col("__n")), lit(1L)))
+    val picked = tgt
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("q"), col("target"), col("__lo"), col("__hi"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("__b"))
+    picked.select(col("q"),
+      when(col("__hi") > col("__lo"),
+        round(col("__lo") + (col("__b.bin") - 1) * ((col("__hi") - col("__lo")) / nBins)
+          + ((col("target") - (col("__b.cum") - col("__b.cnt"))) / col("__b.cnt"))
+            * ((col("__hi") - col("__lo")) / nBins), scale))
+        .otherwise(col("__lo")).as("estimate"),
+      col("target").as("rank"), col("__b.bin").as("bin"))
+  }
+
   /** Per-group equi-width histogram: [[histogram]] semantics computed for
     * every value of `groupCol` in one aggregation; the zero-fill spine is
     * |groups| × (nBins+2), built from the distinct groups (a GROUP-sized

@@ -412,4 +412,33 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("component").cast("double")), scale).as("centroid"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+
+  /** Per-query retrieval quality of the SRP index against exact ground
+    * truth — the ORACLE-CHECKED slice of what `tools.RecallProbe` sweeps:
+    * for each query, where does its true nearest neighbour (exact cosine,
+    * [[bruteForceTopK]] k=1) land in the approximate top-`k`? `found` =
+    * present at all, `rr` = reciprocal rank (0 when missed) — averaging rr
+    * over queries gives MRR, the number a deployment watches when tuning
+    * nPlanes/probeRadius in production rather than in a one-off sweep.
+    *
+    * Scale shape: both sides broadcast the QUERY set and stream the corpus
+    * map-side; the final join is per-query × k rows. Determinism: ranks
+    * order by (rounded cosine DESC, id ASC) on both paths, so the oracle
+    * replays them exactly. Output: (query_id, true_nn, found, rr). */
+  def annRecallMrr(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx = srpAnnTopK(corpus, queries, idCol, vecCol, k = k,
+      nPlanes = nPlanes, dim = dim, seed = seed, probeRadius = probeRadius)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    truth
+      .join(approx,
+        truth("query_id") === approx("query_id") &&
+          col("true_nn") === col("neighbor_id"), "left")
+      .select(truth("query_id"), col("true_nn"),
+        col("rank").isNotNull.as("found"),
+        round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 6).as("rr"))
+  }
 }

@@ -83,4 +83,43 @@ class BinningSpec extends SparkTestBase with Matchers {
         Binning.equiDepth(df, "v", 1)
     }
   }
+
+  describe("approxQuantiles") {
+
+    it("interpolates within one bin width of the exact quantile on a ramp") {
+      val df = (0 until 1000).map(_.toDouble).toDF("v")
+      val est = Binning.approxQuantiles(df, "v", Seq(0.5, 0.9, 0.99), nBins = 100)
+        .select($"q", $"estimate").as[(Double, Double)].collect().toMap
+      val binWidth = 999.0 / 100
+      math.abs(est(0.5) - 499.5) should be <= binWidth
+      math.abs(est(0.9) - 899.1) should be <= binWidth
+      math.abs(est(0.99) - 989.01) should be <= binWidth
+    }
+
+    it("estimates stay inside [lo, hi] and are monotone in q") {
+      val df = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0).toDF("v")
+      val est = Binning.approxQuantiles(df, "v", Seq(0.1, 0.5, 0.9), nBins = 4)
+        .orderBy($"q").select($"estimate").as[Double].collect().toSeq
+      all(est) should (be >= 1.0 and be <= 9.0)
+      est shouldBe est.sorted
+    }
+
+    it("a constant column estimates the constant at every quantile") {
+      val df = Seq.fill(10)(7.5).toDF("v")
+      val est = Binning.approxQuantiles(df, "v", Seq(0.5, 0.99), nBins = 8)
+        .select($"estimate").as[Double].collect().toSeq
+      est shouldBe Seq(7.5, 7.5)
+    }
+
+    it("is invariant to partitioning (the bin counts are a linear sketch)") {
+      val vals = (0 until 500).map(i => (i * 37 % 101).toDouble)
+      val one = Binning.approxQuantiles(vals.toDF("v").coalesce(1), "v",
+        Seq(0.5, 0.95), nBins = 32).select($"q", $"estimate")
+        .as[(Double, Double)].collect().toSeq.sorted
+      val many = Binning.approxQuantiles(vals.toDF("v").repartition(7), "v",
+        Seq(0.5, 0.95), nBins = 32).select($"q", $"estimate")
+        .as[(Double, Double)].collect().toSeq.sorted
+      one shouldBe many
+    }
+  }
 }

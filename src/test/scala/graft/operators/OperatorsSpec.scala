@@ -282,6 +282,26 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       // result sizes never exceed k per query
       approx.groupBy(_._1).values.foreach(_.size should be <= 5)
     }
+
+    it("annRecallMrr degrades to perfect MRR at full probe radius") {
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 10)
+      // probeRadius == nPlanes probes every bucket -> approx == exact, so
+      // every true NN is found at rank 1 (one row per query, rr = 1.0)
+      val full = Similarity.annRecallMrr(emb, queries, "vec_id", "embedding",
+        k = 3, nPlanes = 4, dim = 64, probeRadius = 4)
+        .select(col("query_id"), col("found"), col("rr"))
+        .as[(Long, Boolean, Double)].collect().toSeq
+      full should have size 10
+      all(full.map(_._2)) shouldBe true
+      all(full.map(_._3)) shouldBe 1.0
+      // a constrained index scores somewhere in [0, 1], one row per query
+      val tight = Similarity.annRecallMrr(emb, queries, "vec_id", "embedding",
+        k = 3, nPlanes = 8, dim = 64, probeRadius = 0)
+        .select(col("rr")).as[Double].collect().toSeq
+      tight should have size 10
+      all(tight) should (be >= 0.0 and be <= 1.0)
+    }
   }
 
   describe("simhash") {
