@@ -132,6 +132,41 @@ object Binning {
       col("target").as("rank"), col("__b.bin").as("bin"))
   }
 
+  /** Quantile estimates from an ALREADY-BUILT (bin, cnt) histogram over the
+    * fixed range [lo, hi] — the read side of a persisted or streaming
+    * histogram state ([[graft.streaming.Streaming.quantileSketchStream]]):
+    * the monitor keeps ≤ nBins counters as its aggregation state, and any
+    * snapshot of that state answers every quantile without touching the
+    * stream again. Same target-rank + in-bin interpolation convention as
+    * [[approxQuantiles]] (which builds the histogram and estimates in one
+    * call, with lo/hi taken from the data). */
+  def quantilesFromHistogram(counts: DataFrame, lo: Double, hi: Double,
+      nBins: Int, qs: Seq[Double], scale: Int = 6): DataFrame = {
+    require(nBins > 0 && qs.nonEmpty, "need nBins > 0 and at least one quantile")
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .select(col("bin").cast("long").as("bin"), col("cnt").cast("long").as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+    val n = counts.agg(sum(col("cnt")).cast("long").as("__n"))
+    import counts.sparkSession.implicits._
+    val tgt = qs.toDF("q").crossJoin(broadcast(n))
+      .withColumn("target", greatest(ceil(col("q") * col("__n")), lit(1L)))
+    val wid = (hi - lo) / nBins
+    tgt
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("q"), col("target"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("__b"))
+      .select(col("q"),
+        (if (hi > lo)
+          round(lit(lo) + (col("__b.bin") - 1) * lit(wid)
+            + ((col("target") - (col("__b.cum") - col("__b.cnt"))) / col("__b.cnt"))
+              * lit(wid), scale)
+        else lit(lo)).as("estimate"),
+        col("target").as("rank"), col("__b.bin").as("bin"))
+  }
+
   /** Per-group equi-width histogram: [[histogram]] semantics computed for
     * every value of `groupCol` in one aggregation; the zero-fill spine is
     * |groups| × (nBins+2), built from the distinct groups (a GROUP-sized

@@ -545,23 +545,32 @@ object Dedup {
     * a counter vector (one pass via zip_with); sign-bits pack into one
     * BIGINT with overflow-safe shifts (ANSI-mode friendly). Map-side only. */
   def simHash(textColName: String): Column = {
-    // backtick-quote: the name is interpolated into SQL text
+    // backtick-quote: the name is interpolated into SQL text / a field path
     val q = "`" + textColName.replace("`", "``") + "`"
-    expr(
-    s"""aggregate(
-       |  transform(
-       |    aggregate(
-       |      transform(regexp_extract_all($q, '\\\\S+', 0),
-       |                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
-       |      array_repeat(CAST(0 AS BIGINT), 60),
-       |      (acc, h) -> zip_with(acc, sequence(0, 59),
-       |                           (cnt, b) -> cnt + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)
-       |    ),
-       |    v -> CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-       |  ),
-       |  CAST(0 AS BIGINT),
-       |  (acc, bit) -> (acc << 1) | bit
-       |)""".stripMargin)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // native single-loop expression (graft.sql.SimHash60) — bit-for-bit
+        // the fold below, but without 60 interpreted lambda frames per
+        // token (the HOF form measured ~2ms/doc: 94s for a 50k-doc pass)
+        graft.sql.functions.ensureRegistered(s)
+        call_function("graft_simhash60", col(q))
+      case None => // no active session to register with: HOF fallback
+        expr(
+        s"""aggregate(
+           |  transform(
+           |    aggregate(
+           |      transform(regexp_extract_all($q, '\\\\S+', 0),
+           |                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+           |      array_repeat(CAST(0 AS BIGINT), 60),
+           |      (acc, h) -> zip_with(acc, sequence(0, 59),
+           |                           (cnt, b) -> cnt + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)
+           |    ),
+           |    v -> CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           |  ),
+           |  CAST(0 AS BIGINT),
+           |  (acc, bit) -> (acc << 1) | bit
+           |)""".stripMargin)
+    }
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

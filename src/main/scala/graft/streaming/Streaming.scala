@@ -322,6 +322,30 @@ object Streaming {
       .groupBy("cm_depth", "cm_bucket")
       .agg(count(lit(1)).as("cm_count"))
 
+  /** Streaming histogram sketch over a FIXED reference range: the running
+    * (bin, cnt) state of an unbounded value stream — the streaming twin of
+    * [[graft.operators.Binning.approxQuantiles]]'s histogram pass.
+    * Aggregation state is ≤ nBins counters regardless of stream length;
+    * answer quantiles from any snapshot with
+    * [[graft.operators.Binning.quantilesFromHistogram]]. The range comes
+    * from a batch profile of historical data (a stream can't two-pass for
+    * min/max); out-of-range values clamp into the edge bins, which keeps
+    * the monitor total-mass-correct and surfaces range drift as edge-bin
+    * swell. Run with Complete/Update output. */
+  def quantileSketchStream(points: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int = 256): DataFrame = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    val v = org.apache.spark.sql.functions.col(valueCol).cast("double")
+    val bin =
+      if (lo < hi)
+        greatest(least(floor((v - lit(lo)) / lit((hi - lo) / nBins)).cast("long") + 1L,
+          lit(nBins.toLong)), lit(1L))
+      else lit(1L)
+    points.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Stream into an audit table: each micro-batch appends one region via
     * [[graft.storage.AuditTable.append]], wiring Structured Streaming into
     * the storage layer's snapshot/compact lifecycle (the reference reaches

@@ -305,6 +305,33 @@ class OperatorsSpec extends SparkTestBase with Matchers {
   }
 
   describe("simhash") {
+    it("native graft_simhash60 equals the HOF md5-fold bit-for-bit") {
+      // the reference formulation the oracle replays; the operator now
+      // routes through the native expression — they must never diverge
+      val hof = expr(
+        """aggregate(
+          |  transform(
+          |    aggregate(
+          |      transform(regexp_extract_all(text, '\\S+', 0),
+          |                t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+          |      array_repeat(CAST(0 AS BIGINT), 60),
+          |      (acc, h) -> zip_with(acc, sequence(0, 59),
+          |                           (cnt, b) -> cnt + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)
+          |    ),
+          |    v -> CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          |  ),
+          |  CAST(0 AS BIGINT),
+          |  (acc, bit) -> (acc << 1) | bit
+          |)""".stripMargin)
+      val docs = Seq(
+        "the quick brown fox", "", "   ", "one", "tab\tand\nnewline  runs",
+        "unicode café naïve 中文 token",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z").toDF("text")
+      val rows = docs.select(Dedup.simHash("text").as("native"), hof.as("ref"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (n, r) => n shouldBe r }
+    }
+
     it("identical docs collide, different docs usually do not") {
       val docs = Seq(
         (1L, "the quick brown fox jumps over the lazy dog"),

@@ -179,6 +179,36 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming quantile sketch state matches the batch histogram and answers quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    val vals = (0 until 200).map(i => (i * 37 % 101).toDouble)
+    val (lo, hi) = (vals.min, vals.max)
+    val input = MemoryStream[Double]
+    val query = Streaming.quantileSketchStream(input.toDF().toDF("value"),
+        "value", lo, hi, nBins = 32)
+      .writeStream.format("memory").queryName("qsketch_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(vals.take(120): _*)
+      query.processAllAvailable()
+      input.addData(vals.drop(120): _*) // folds into the bounded bin state
+      query.processAllAvailable()
+      // streamed state == the batch estimator's quantiles on the same data:
+      // quantilesFromHistogram over the state replays approxQuantiles
+      // exactly when the reference range equals the data range
+      val streamed = graft.operators.Binning.quantilesFromHistogram(
+        spark.table("qsketch_out"), lo, hi, nBins = 32, qs = Seq(0.5, 0.95))
+        .select($"q", $"estimate", $"rank", $"bin")
+        .as[(Double, Double, Long, Long)].collect().toSeq.sorted
+      val batch = graft.operators.Binning.approxQuantiles(
+        vals.toDF("value"), "value", Seq(0.5, 0.95), nBins = 32)
+        .select($"q", $"estimate", $"rank", $"bin")
+        .as[(Double, Double, Long, Long)].collect().toSeq.sorted
+      streamed shouldBe batch
+    } finally query.stop()
+  }
+
   it("streams micro-batches into an audit table; snapshot resolves latest per key") {
     implicit val sqlCtx = spark.sqlContext
     import graft.storage._
