@@ -44,9 +44,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // Execute the FULL physical plan, not `count()`: Catalyst prunes unused
+    // projections (and drops sorts) under a count, so a map-only query like
+    // a fingerprint pass would be timed as a bare scan — q19's actual
+    // simhash cost was invisible to every earlier round's numbers. `toRdd`
+    // runs the plan exactly as a sink would consume it. (Methodology change
+    // in round 7: map-heavy query times RISE vs earlier artifacts because
+    // they now measure the work.)
+    def runFully(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runFully(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -63,7 +72,7 @@ object Bench {
       val futures = selected.map { case (name, fn) =>
         scala.concurrent.Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try runFully(fn(spark, sfDir)) catch { case _: Throwable => -1L }
         }
       }
       scala.concurrent.Await.result(
