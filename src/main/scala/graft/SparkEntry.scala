@@ -1482,6 +1482,18 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // top-3 events by value per type via the custom bounded graft_topk
+    // AGGREGATE (sql.TopKPairs): <= k pairs of buffer per group, merged
+    // map-side — the hottest key combines before the shuffle where the
+    // row_number window (the oracle's formulation) drags every row of it
+    // through one task (operators.Ranking.topKPerKey)
+    "q118_topk_per_key" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.topKPerKey(events(s, dir), Seq(col("event_type")),
+        col("value"), col("event_id"), k = 3)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -2011,6 +2023,16 @@ object SparkEntry {
         |FROM truth t LEFT JOIN approx a
         |  ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn
         |ORDER BY t.query_id""".stripMargin,
+
+    "q118_topk_per_key" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, value AS score,
+        |  event_id AS id
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "q115_key_skew" ->
       """WITH c AS (

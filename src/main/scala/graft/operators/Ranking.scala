@@ -286,4 +286,27 @@ object Ranking {
           .cast("double") / col("_graft_total"), scale))
       .select(col("term"), col("n"), col("rank"), col("cum_frac"))
   }
+
+  /** Top-k rows per key WITHOUT a window: the custom bounded
+    * [[graft.sql.TopKPairs]] aggregate (`graft_topk`) keeps ≤ k
+    * (score, id) pairs per group and MERGES map-side, so the hottest key's
+    * 10⁸ rows combine before the shuffle where a
+    * `row_number().over(partitionBy(key))` window would drag them all
+    * through one task. Deterministic total order: score DESC, id ASC.
+    * Output: key columns + (rank, score, id), rank 1-based. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], score: Column, id: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.sql.functions.ensureRegistered(df.sparkSession)
+    val agged = df
+      .groupBy(keys: _*)
+      .agg(call_function("graft_topk", score.cast("double"), id.cast("long"),
+        lit(k)).as("__top"))
+    val keyCols = agged.columns.filter(_ != "__top").map(col)
+    agged
+      .select(keyCols :+ posexplode(col("__top")).as(Seq("__pos", "__row")): _*)
+      .select(keyCols :+
+        (col("__pos") + 1L).cast("long").as("rank") :+
+        col("__row.score").as("score") :+ col("__row.id").as("id"): _*)
+  }
 }

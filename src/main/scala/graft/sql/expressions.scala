@@ -569,9 +569,17 @@ object functions {
       SimHash60(children.head)
     })
 
+  private[sql] val topKDescriptor = (
+    new FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_topk expects exactly 3 arguments")
+      TopKPairs(children.head, children(1), children(2))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
-      winnowDescriptor, simHashDescriptor)
+      winnowDescriptor, simHashDescriptor, topKDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
