@@ -346,6 +346,24 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming per-key top-k leaderboard: the bounded
+    * [[graft.sql.TopKPairs]] aggregate as streaming state — each key's
+    * state is AT MOST k (score, id) pairs no matter how many events ever
+    * arrive for it, so a "best items per category" monitor runs forever on
+    * bounded memory (the row_number-window formulation isn't even
+    * expressible over an unbounded stream). Run with Complete/Update
+    * output; explode `top` for (rank, score, id) rows. */
+  def topKStream(stream: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    graft.sql.functions.ensureRegistered(stream.sparkSession)
+    stream
+      .groupBy(org.apache.spark.sql.functions.col(keyCol))
+      .agg(org.apache.spark.sql.functions.call_function("graft_topk",
+        org.apache.spark.sql.functions.col(scoreCol).cast("double"),
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        lit(k)).as("top"))
+  }
+
   /** Stream into an audit table: each micro-batch appends one region via
     * [[graft.storage.AuditTable.append]], wiring Structured Streaming into
     * the storage layer's snapshot/compact lifecycle (the reference reaches

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.matchers.should.Matchers
 
@@ -205,6 +205,33 @@ class StreamingSpec extends SparkTestBase with Matchers {
         vals.toDF("value"), "value", Seq(0.5, 0.95), nBins = 32)
         .select($"q", $"estimate", $"rank", $"bin")
         .as[(Double, Double, Long, Long)].collect().toSeq.sorted
+      streamed shouldBe batch
+    } finally query.stop()
+  }
+
+  it("streaming top-k leaderboard state equals the batch aggregate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    val events = (0 until 300).map(i =>
+      (s"cat${i % 3}", (i * 53 % 211).toDouble, i.toLong))
+    val input = MemoryStream[(String, Double, Long)]
+    val query = Streaming.topKStream(
+        input.toDF().toDF("key", "score", "id"), "key", "score", "id", k = 4)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(events.take(100): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(100): _*) // state stays <= k pairs per key
+      query.processAllAvailable()
+      val streamed = spark.table("topk_out")
+        .select($"key", explode($"top").as("r"))
+        .select($"key", $"r.score", $"r.id")
+        .as[(String, Double, Long)].collect().toSeq.sorted
+      val batch = graft.operators.Ranking.topKPerKey(
+        events.toDF("key", "score", "id"), Seq($"key"), $"score", $"id", 4)
+        .select($"key", $"score", $"id")
+        .as[(String, Double, Long)].collect().toSeq.sorted
       streamed shouldBe batch
     } finally query.stop()
   }
