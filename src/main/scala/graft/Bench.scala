@@ -28,7 +28,9 @@ object Bench {
     scala.util.Try {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { tn =>
-        scala.util.Try(spark.read.parquet(s"$sfDir/$tn.parquet").limit(100).collect())
+        // full-scan count, not limit(100): the first query otherwise absorbs
+        // the cold columnar-read + codegen cost of the big tables
+        scala.util.Try(spark.read.parquet(s"$sfDir/$tn.parquet").count())
       }
       spark.range(100000).select((col("id") % 97).as("k"), col("id").as("v"))
         .groupBy(col("k")).count().count()
@@ -53,10 +55,23 @@ object Bench {
     // they now measure the work.)
     def runFully(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // Between serial queries, drop persistent blocks the finished query left
+    // behind (localCheckpoint materializations persist their RDD and only
+    // free on GC — across ~120 queries they accumulate into executor-memory
+    // pressure that inflated late queries ~2x before this existed). Each
+    // query starts from the same clean block manager, like a fresh job
+    // submission on a shared cluster would.
+    def dropStrayBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        scala.util.Try(r.unpersist(blocking = false)))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runFully(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropStrayBlocks()
+      name -> sec
     }
 
     // The engine's parallel-scheduling story, measured: the same suite run
