@@ -1494,6 +1494,72 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // per-segment OLS drift trend: six map-combined sufficient statistics
+    // per group, closed-form slope/intercept/R² — the shuffle carries
+    // |groups|×6 doubles whatever the corpus size; x centered at the
+    // corpus epoch (days since 2024-01-01) so n·Σx²−(Σx)² keeps precision
+    // (operators.Trend.groupTrend)
+    "q119_value_trend" -> ((s, dir) => {
+      import graft.operators.Trend
+      val x = (expr("ts_ns div 1000") - lit(1704067200000000L)).cast("double") /
+        lit(86400000000.0)
+      Trend.groupTrend(events(s, dir).withColumn("x", x),
+        Seq(col("event_type")), col("x"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // distributed top principal component: one FLOPs-bound pass builds the
+    // d×d Gramian via map-combined sums (shuffle ≤ d(d+1)/2 rows per
+    // partition), power iteration runs on the driver over O(d²) state —
+    // corpus-size-independent; fixed 4 iterations + per-step rounding make
+    // the eigenvector SQL-reproducible (operators.Pca.principalComponent)
+    "q120_pca_top_component" -> ((s, dir) => {
+      import graft.operators.Pca
+      Pca.principalComponent(t(s, dir, "embeddings"), "embedding",
+        iterations = 4)
+        .orderBy(col("pos"))
+    }),
+
+    // end-to-end entity resolution over dirty string keys: token-blocked
+    // fuzzy pairs at DISTINCT-name level -> connected components -> each row
+    // mapped to (entity_id, canonical_name, n_members); rows only ever
+    // equi-join the entity map (operators.Fuzzy.resolveEntities)
+    "q121_entity_resolution" -> ((s, dir) => {
+      import graft.operators.Fuzzy
+      Fuzzy.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 2, maxTokenFreq = Some(1000L))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // temperature (count^0.5) source rebalancing: smallest source keeps
+    // all rows, a k×-larger source keeps sqrt(1/k) of its rows by content
+    // hash — map-side filter against two broadcast relations; the uniform
+    // synthetic sources are re-bucketed 60/30/10 so the rule actually binds
+    // (operators.Sampling.temperatureSample)
+    "q122_temperature_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val bucketed = t(s, dir, "documents").withColumn("src_class",
+        when(pmod(col("doc_id"), lit(10L)) < 6, lit("web"))
+          .when(pmod(col("doc_id"), lit(10L)) < 9, lit("books"))
+          .otherwise(lit("code")))
+      Sampling.temperatureSample(bucketed, "src_class", col("doc_id"))
+        .select(col("doc_id"), col("src_class"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // directional near-containment (boilerplate-wrapped / quoted-in-full
+    // docs): PPJoin-style rarest-first prefix filtering over character
+    // 7-grams — only ⌊0.2·|X|⌋+1 prefix grams join the inverted index,
+    // hot grams (>50 docs) capped out of candidate generation
+    // (operators.Dedup.containmentPairs)
+    "q123_containment_pairs" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.containmentPairs(
+        t(s, dir, "documents").where(col("lang") === "en"),
+        "doc_id", "text", n = 7, threshold = 0.8, maxGramFreq = 50L)
+        .orderBy(col("id_contained"), col("id_container"))
+    }),
+
     // code-vs-prose signals (mix curation: route source code and prose to
     // different pipelines): punct density / semicolons per line / indent
     // fraction + threshold gate, all map-side codegen; every 7th doc is
@@ -2033,6 +2099,194 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // same closed forms over the same six sufficient statistics; x is
+    // centered days-since-2024-01-01 computed from exact integer µs on
+    // both sides, so the only cross-engine difference is float-sum order
+    // (absorbed by round 6)
+    "q119_value_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+        |      / 86400000000.0 AS x,
+        |    value AS y
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n*sxx - sx*sx > 0
+        |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+        |  round(CASE WHEN n*sxx - sx*sx > 0
+        |    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |    THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Pca.principalComponent's no-cross-row-float-sum
+    // contract: every aggregated term is quantized to an integer (×1e9
+    // moments, ×1e15 iteration terms) and summed exactly, so engine/order
+    // differences cannot move anything even an ulp. Per-step rounding
+    // alone was measured insufficient — a sum near a round-9 boundary
+    // flipped between DuckDB plans and the flip amplified through the
+    // iterations. MATERIALIZED: the matrix CTE is referenced 6× and DuckDB
+    // would otherwise re-run the d²-explode join for each.
+    "q120_pca_top_component" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |m AS MATERIALIZED (
+        |  SELECT i, CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000.0 / (SELECT n FROM nn) AS mx
+        |  FROM ex GROUP BY i
+        |),
+        |cm AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    round(CAST(sum(CAST(round(a.x * b.x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 / (SELECT n FROM nn) - ma.mx * mb.mx, 9) AS c
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+        |  JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+        |  GROUP BY a.i, b.i, ma.mx, mb.mx
+        |),
+        |v0 AS (SELECT i, 1.0 / 64 AS v FROM m),
+        |w1 AS (SELECT cm.i AS i, round(CAST(sum(CAST(round(cm.c * v0.v
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0, 9) AS w
+        |  FROM cm JOIN v0 ON v0.i = cm.j GROUP BY cm.i),
+        |v1 AS (SELECT i, round(w / (SELECT sqrt(CAST(sum(CAST(round(w * w
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0)
+        |  FROM w1), 9) AS v FROM w1),
+        |w2 AS (SELECT cm.i AS i, round(CAST(sum(CAST(round(cm.c * v1.v
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0, 9) AS w
+        |  FROM cm JOIN v1 ON v1.i = cm.j GROUP BY cm.i),
+        |v2 AS (SELECT i, round(w / (SELECT sqrt(CAST(sum(CAST(round(w * w
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0)
+        |  FROM w2), 9) AS v FROM w2),
+        |w3 AS (SELECT cm.i AS i, round(CAST(sum(CAST(round(cm.c * v2.v
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0, 9) AS w
+        |  FROM cm JOIN v2 ON v2.i = cm.j GROUP BY cm.i),
+        |v3 AS (SELECT i, round(w / (SELECT sqrt(CAST(sum(CAST(round(w * w
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0)
+        |  FROM w3), 9) AS v FROM w3),
+        |w4 AS (SELECT cm.i AS i, round(CAST(sum(CAST(round(cm.c * v3.v
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0, 9) AS w
+        |  FROM cm JOIN v3 ON v3.i = cm.j GROUP BY cm.i),
+        |v4 AS MATERIALIZED (SELECT i, round(w / (SELECT sqrt(CAST(sum(CAST(round(w * w
+        |    * 1000000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000000.0)
+        |  FROM w4), 9) AS v FROM w4),
+        |sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+        |  FROM v4 ORDER BY abs(v) DESC, i ASC LIMIT 1),
+        |ray AS (SELECT sum(CAST(round(va.v * cm.c * vb.v
+        |    * 1000000000000000.0) AS BIGINT)) AS num
+        |  FROM cm JOIN v4 va ON va.i = cm.i JOIN v4 vb ON vb.i = cm.j),
+        |dn AS (SELECT sum(CAST(round(v * v * 1000000000000000.0) AS BIGINT)) AS d
+        |  FROM v4),
+        |tr AS (SELECT sum(CAST(round(c * 1000000000.0) AS BIGINT)) AS t
+        |  FROM cm WHERE i = j)
+        |SELECT CAST(i AS BIGINT) AS pos,
+        |  round((SELECT s FROM sgn) * v, 6) AS loading,
+        |  round(CAST((SELECT num FROM ray) AS DOUBLE)
+        |    / CAST((SELECT d FROM dn) AS DOUBLE)
+        |    / (CAST((SELECT t FROM tr) AS DOUBLE) / 1000000000.0), 6) AS var_share
+        |FROM v4 ORDER BY pos""".stripMargin,
+
+    // name-level fuzzy pairs (q70's blocking + thresholded levenshtein),
+    // recursive min-label walk for components, then every part row mapped
+    // through the entity map
+    "q121_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT DISTINCT p_name AS name FROM part
+        |), tok AS (
+        |  SELECT name, unnest(list_distinct(string_split_regex(lower(name), '\s+'))) AS t
+        |  FROM names
+        |), tok2 AS (SELECT * FROM tok WHERE len(t) > 0),
+        |hot AS (SELECT t FROM tok2 GROUP BY t HAVING count(*) > 1000),
+        |tokc AS (SELECT * FROM tok2 ANTI JOIN hot USING (t)),
+        |pairs AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM tokc a JOIN tokc b ON a.t = b.t AND a.name < b.name
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT name_a AS src, name_b AS dst FROM pairs
+        |  UNION SELECT name_b, name_a FROM pairs
+        |), walk(v, c) AS (
+        |  SELECT src, src FROM edges
+        |  UNION SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
+        |), comp AS (SELECT v AS name, min(c) AS canon FROM walk GROUP BY v),
+        |mapped AS (
+        |  SELECT p.p_partkey, p.p_name,
+        |    coalesce(comp.canon, p.p_name) AS canonical_name
+        |  FROM part p LEFT JOIN comp ON comp.name = p.p_name
+        |), stats AS (
+        |  SELECT canonical_name, min(p_partkey) AS entity_id,
+        |    count(*) AS n_members
+        |  FROM mapped GROUP BY canonical_name
+        |)
+        |SELECT m.p_partkey, m.p_name, s.entity_id, m.canonical_name,
+        |  s.n_members
+        |FROM mapped m JOIN stats s USING (canonical_name)
+        |ORDER BY m.p_partkey""".stripMargin,
+
+    // keep-rate sqrt(n_min/n) is a correctly-rounded IEEE sqrt of an exact
+    // integer ratio — bit-identical in any engine; membership is the q38
+    // md5 hash-bucket rule
+    "q122_temperature_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+        |         WHEN doc_id % 10 < 9 THEN 'books'
+        |         ELSE 'code' END AS src_class
+        |  FROM documents
+        |), c AS (SELECT src_class, count(*) AS n FROM d GROUP BY src_class),
+        |mn AS (SELECT min(n) AS nmin FROM c)
+        |SELECT d.doc_id, d.src_class
+        |FROM d JOIN c USING (src_class), mn
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        |  < round(sqrt(CAST(mn.nmin AS DOUBLE) / n) * 10000)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // identical prefix selection (rarest-first (df, gram) rank over the
+    // same sorted distinct 7-grams) and identical verify arithmetic; the
+    // (1 - 0.8) literal subtraction yields the same IEEE double in both
+    // engines, so the prefix lengths agree exactly
+    "q123_containment_pairs" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |p AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 6, 1) + 1),
+        |    i -> substr(text, CAST(i AS INT), 7)))) AS g
+        |  FROM d0
+        |), sz AS (SELECT doc_id, g, len(g) AS n FROM p),
+        |idx AS (SELECT doc_id, unnest(g) AS gram FROM p),
+        |df AS (SELECT gram, count(*) AS df FROM idx GROUP BY gram),
+        |idx2 AS (
+        |  SELECT doc_id, gram FROM idx JOIN df USING (gram) WHERE df <= 50
+        |), pre AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT i.doc_id, i.gram, d.df, s.n,
+        |      row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.gram) AS rn
+        |    FROM idx i JOIN df d USING (gram) JOIN sz s ON s.doc_id = i.doc_id)
+        |  WHERE rn <= CAST(floor((1 - 0.8) * n) AS INT) + 1 AND df <= 50
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_contained, b.doc_id AS id_container
+        |  FROM pre a JOIN idx2 b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |)
+        |SELECT c.id_contained, c.id_container,
+        |  round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / x.n, 4)
+        |    AS containment
+        |FROM cand c JOIN sz x ON c.id_contained = x.doc_id
+        |  JOIN sz y ON c.id_container = y.doc_id
+        |WHERE round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / x.n, 4)
+        |  >= 0.8
+        |ORDER BY id_contained, id_container""".stripMargin,
 
     "q115_key_skew" ->
       """WITH c AS (

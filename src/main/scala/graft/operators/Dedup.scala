@@ -349,6 +349,72 @@ object Dedup {
     verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
   }
 
+  /** Directional near-CONTAINMENT pairs: (contained, container) where at
+    * least `threshold` of the contained doc's distinct character n-grams
+    * appear in the container — the asymmetric twin of Jaccard dedup that
+    * symmetric measures miss by construction (a page wrapped in boilerplate
+    * scores low Jaccard against its payload but ~1.0 containment; ditto
+    * quoted-in-full posts and template-expanded docs).
+    *
+    * Candidate generation is PPJoin-style PREFIX FILTERING: order each
+    * doc's grams rarest-global-frequency-first; if X is ≥ t contained in Y
+    * then, by pigeonhole, one of X's first ⌊(1−t)·|X|⌋+1 grams must occur
+    * in Y — so only that prefix joins the full inverted index, never
+    * gram-set × gram-set. Work scales with prefix size × gram-bucket
+    * occupancy. Grams carried by more than `maxGramFreq` docs are dropped
+    * from candidate generation entirely (index AND prefix) — the standard
+    * hot-token cap, part of the operator's stated semantics: a pair whose
+    * shared grams are all hot is not found. Verification joins the two
+    * sorted gram arrays back by id (the shuffle between candidate stages
+    * carries only id pairs) and computes exact overlap.
+    *
+    * One frequency aggregation, one per-doc window for the prefix rank,
+    * one inverted-index equi-join, one id-pair distinct, two signature
+    * joins: all keyed shuffles, no driver state, no all-pairs stage.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 7, threshold: Double = 0.8, maxGramFreq: Long = 50): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+      i => col(textCol).substr(i, lit(n))))
+    val p = Materialize(docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), sort_array(grams).as("g")))
+    val sz = p.select(col("doc_id"), col("g"), size(col("g")).as("n"))
+    val idx = p.select(col("doc_id"), explode(col("g")).as("gram"))
+    val dfreq = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val idx2 = idx.join(dfreq, Seq("gram"))
+      .where(col("df") <= maxGramFreq).select("doc_id", "gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    // prefix length via the same double arithmetic the SQL oracle runs
+    // ((1 - t) parsed/compiled to the identical IEEE double on any engine)
+    val pre = idx.join(dfreq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .join(sz.select(col("doc_id"), col("n")), Seq("doc_id"))
+      .where(col("rn") <=
+        floor((lit(1.0) - lit(threshold)) * col("n")).cast("int") + 1)
+      .where(col("df") <= maxGramFreq)
+      .select("doc_id", "gram")
+    val cand = pre.as("a")
+      .join(idx2.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_contained"), col("b.doc_id").as("id_container"))
+      .distinct()
+    val out = cand
+      .join(sz.select(col("doc_id").as("id_contained"),
+        col("g").as("g_x"), col("n").as("n_x")), Seq("id_contained"))
+      .join(sz.select(col("doc_id").as("id_container"),
+        col("g").as("g_y")), Seq("id_container"))
+      .withColumn("containment", round(
+        size(array_intersect(col("g_x"), col("g_y"))).cast("double") / col("n_x"), 4))
+      .where(col("containment") >= threshold)
+      .select(col("id_contained"), col("id_container"), col("containment"))
+    out
+  }
+
   /** Incremental near-dup detection: pairs TOUCHING the delta only — each
     * new doc against the existing corpus signatures plus the delta itself.
     * The corpus is never re-shingled (feed `corpusPrepped` from persisted

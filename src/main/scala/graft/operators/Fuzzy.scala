@@ -100,6 +100,45 @@ object Fuzzy {
     cross.unionByName(same)
   }
 
+  /** End-to-end entity resolution: fuzzy pairs → connected components →
+    * canonical entity per cluster — the one-call record-linkage loop
+    * ("these 37 spellings are all the same vendor").
+    *
+    * Everything expensive happens at DISTINCT-STRING level: the blocked
+    * fuzzy join and the component propagation run over distinct values
+    * (near-always orders of magnitude smaller than the row count on dirty-
+    * key corpora), and rows only ever pass through equi-joins on the
+    * string — AQE broadcasts the entity map when it fits. Canonical name =
+    * lexicographic min of the cluster (the component label itself, free);
+    * entity id = min row id over members (one map-combined agg).
+    *
+    * Output: one row per input row —
+    * (idCol, strCol, entity_id, canonical_name, n_members). Rows with a
+    * null string are dropped (they cannot join any entity).
+    */
+  def resolveEntities(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxTokenFreq: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val ids = df.select(col(idCol).as("__fid"), col(strCol).as("name"))
+      .where(col("name").isNotNull)
+    val names = Materialize(ids.select("name").distinct())
+    val pairs = namePairs(names, maxDist, maxTokenFreq)
+      .select(col("name_a"), col("name_b"))
+    val comps = Graphs.connectedComponentsAuto(pairs, "name_a", "name_b")
+      .select(col("vertex").as("name"), col("component").as("canonical_name"))
+    val mapped = ids.join(comps, Seq("name"), "left")
+      .withColumn("canonical_name", coalesce(col("canonical_name"), col("name")))
+    // entity-level stats: one map-combined agg, entity-count-sized relation
+    val stats = mapped.groupBy(col("canonical_name"))
+      .agg(min(col("__fid")).as("entity_id"),
+        count(lit(1)).cast("long").as("n_members"))
+    val out = mapped.join(stats, Seq("canonical_name"))
+      .select(col("__fid").as(idCol), col("name").as(strCol),
+        col("entity_id"), col("canonical_name"), col("n_members"))
+    Materialize.release(names)
+    out
+  }
+
   /** Fuzzy left-right join: every (left, right) pair sharing a blocking
     * token with Levenshtein distance ≤ `maxDist`, plus the distance. Token
     * frequencies for the `maxTokenFreq` cap are counted over the combined

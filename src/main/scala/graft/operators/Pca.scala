@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed top-principal-component extraction over an embedding column
+  * — the whitening / dimensionality-analysis step of an embedding pipeline
+  * ("how anisotropic is this embedding space, and along which direction?").
+  *
+  * Scale shape: the ONLY corpus-sized work is one pass accumulating the
+  * d×d second-moment (Gramian) matrix and the d-vector of first moments,
+  * both as map-combined `groupBy().sum()` aggregations — after partial
+  * aggregation each partition contributes at most d(d+1)/2 + d rows to the
+  * shuffle, so the cost is FLOPs-bound (d² multiplies per row, the FLOPs
+  * any covariance computation pays), not shuffle-bound. Driver state is
+  * the d×d covariance matrix plus the iteration vector: O(d²), independent
+  * of corpus size — at d=1024 that is 8 MB on the driver; the corpus never
+  * moves.
+  *
+  * Determinism contract (the property that makes the result verifiable by
+  * an independent SQL engine, and bit-stable across partitionings): there
+  * are NO cross-row floating-point sums anywhere. Every aggregated term is
+  * quantized to an integer (product × 10⁹ for the moment sums, term × 10¹⁵
+  * for the driver-side matrix-vector/Rayleigh sums) and summed exactly in
+  * 64-bit integers — integer addition commutes, so partition order, AQE
+  * re-plans, and engine differences cannot move the result even by an ulp.
+  * Per-step rounding alone is NOT enough: a float sum landing within
+  * sum-order noise of a rounding boundary flips between engines and the
+  * flip amplifies through power iterations (observed in testing); exact
+  * integer accumulation removes the boundary entirely. The quantization is
+  * part of the operator's semantics (a covariance resolved to 1e-9 — far
+  * below embedding noise). Term magnitudes bound the row count: |x·y|·10⁹
+  * summed in a long supports ~10⁷ rows per unit of product magnitude;
+  * raise the headroom by lowering `momentScale` for larger corpora.
+  *
+  * The power iteration runs on the driver over the collected d×d matrix (a
+  * 100 TB corpus with d=64 still collects exactly 64×64 entries): a FIXED
+  * number of iterations from the uniform start vector 1/d, every iterate
+  * component rounded to 9 decimals. The final sign is fixed by making the
+  * largest-|loading| component positive (smallest index on ties) —
+  * eigenvectors are sign-ambiguous otherwise.
+  */
+object Pca {
+
+  /** HALF_UP (away from zero) rounding to a long — the same rule Spark's
+    * `round` and DuckDB's `round` apply, so driver-side quantization
+    * matches in-engine quantization exactly. */
+  private def qRound(t: Double): Long =
+    BigDecimal(t).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def round9(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Top principal component of `vecCol` (array of float/double, equal
+    * lengths). Output: one row per dimension — (pos, loading, var_share)
+    * where `loading` is the unit eigenvector component (rounded to
+    * `scale`) and `var_share` the Rayleigh-quotient share of total
+    * variance captured (same value on every row). */
+  def principalComponent(df: DataFrame, vecCol: String, iterations: Int = 4,
+      matScale: Int = 9, scale: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = df.sparkSession
+    val Q9 = 1000000000.0 // moment quantum: product resolved to 1e-9
+    val Q15 = 1.0e15 // driver-sum quantum: iteration terms resolved to 1e-15
+
+    // first moments: one exploded pass, terms quantized, exact long sums;
+    // partial agg bounds the shuffle at d rows per partition
+    val ex = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+    val meansRows = ex.groupBy(col("i"))
+      .agg(sum(round(col("x") * Q9).cast("long")).as("s9"),
+        count(lit(1)).as("c"))
+      .collect()
+    require(meansRows.nonEmpty, s"principalComponent over an empty '$vecCol'")
+    val d = meansRows.length
+    val n = meansRows.head.getLong(2).toDouble
+    require(meansRows.forall(_.getLong(2) == n.toLong),
+      s"'$vecCol' arrays must all have length $d (ragged lengths found)")
+    val mean = new Array[Double](d)
+    meansRows.foreach(r => mean(r.getInt(0)) = r.getLong(1).toDouble / Q9 / n)
+
+    // upper-triangle second moments, same exact-integer contract; the
+    // d²/2 per-row expansion map-combines to ≤ d(d+1)/2 rows per partition
+    val prods = df.select(col(vecCol).as("_v"), posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("_v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("xi") * col("xj").cast("double") * Q9).cast("long")).as("sp9"))
+      .collect()
+
+    val cov = Array.ofDim[Double](d, d)
+    prods.foreach { r: Row =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = round9(r.getLong(2).toDouble / Q9 / n - mean(i) * mean(j), matScale)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+
+    // fixed-round power iteration; every sum accumulates quantized terms
+    // in a long so j-order is irrelevant
+    var v = Array.fill(d)(1.0 / d)
+    var it = 0
+    while (it < iterations) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += qRound(cov(i)(j) * v(j) * Q15); j += 1 }
+        w(i) = round9(acc.toDouble / Q15, matScale)
+        i += 1
+      }
+      var nrm2 = 0L
+      var k = 0
+      while (k < d) { nrm2 += qRound(w(k) * w(k) * Q15); k += 1 }
+      val nrm = math.sqrt(nrm2.toDouble / Q15)
+      require(nrm > 0, "power iteration collapsed to the zero vector " +
+        "(covariance is exactly zero — constant input vectors?)")
+      v = w.map(x => round9(x / nrm, matScale))
+      it += 1
+    }
+
+    // sign convention: largest-|component| entry positive, ties to the
+    // smallest index
+    val kMax = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(kMax) < 0) v = v.map(-_)
+
+    // Rayleigh share of total variance (v is unit only up to rounding —
+    // normalize by v'v); same exact-term-sum contract
+    var num = 0L
+    var den = 0L
+    var tr9 = 0L
+    for (i <- 0 until d) {
+      den += qRound(v(i) * v(i) * Q15)
+      tr9 += qRound(cov(i)(i) * Q9)
+      for (j <- 0 until d) num += qRound(v(i) * cov(i)(j) * v(j) * Q15)
+    }
+    val trace = tr9.toDouble / Q9
+    val share =
+      if (trace > 0) round9(num.toDouble / den.toDouble / trace, scale)
+      else Double.NaN
+
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, round9(x, scale), share) }
+      .toSeq.toDF("pos", "loading", "var_share")
+  }
+}

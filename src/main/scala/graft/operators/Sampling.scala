@@ -107,6 +107,33 @@ object Sampling {
       .drop("_graft_rn")
   }
 
+  /** Temperature-scaled source rebalancing — the "count^alpha" rule of
+    * multilingual / multi-source corpus assembly: flatten the source
+    * distribution toward uniform without upsampling anything. With
+    * temperature alpha = 0.5 (the common choice, and the one this
+    * implementation fixes so the per-source keep-rate is a correctly-
+    * rounded `sqrt` — bit-reproducible in any IEEE engine), source s keeps
+    * a hash-stable fraction sqrt(n_min / n_s) of its rows: the smallest
+    * source keeps everything, a 100×-larger source keeps 10×-many rows
+    * (not 100×), so post-sample shares follow n^0.5.
+    *
+    * Fully declarative and driver-free: one map-combined count per source
+    * (a |sources|-row relation), a 1-row global min, and a map-side
+    * hash-bucket filter; the count and min relations broadcast. Membership
+    * is content-hash-decided (same contract as [[hashSample]]): stable
+    * under re-runs, repartitioning, and incremental reprocessing. */
+  def temperatureSample(df: DataFrame, sourceCol: String, key: Column,
+      buckets: Int = 10000): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_graft_n"))
+    val minN = counts.agg(min(col("_graft_n")).as("_graft_nmin"))
+    df.join(broadcast(counts), Seq(sourceCol))
+      .crossJoin(broadcast(minN))
+      .where(hashBucket(key, buckets) < round(
+        sqrt(col("_graft_nmin").cast("double") / col("_graft_n").cast("double"))
+          * buckets))
+      .drop("_graft_n", "_graft_nmin")
+  }
+
   /** Per-row weighted deterministic sampling: keep each row with its OWN
     * probability (`weight` in [0,1], e.g. a quality score) — the
     * quality-weighted downsampling step of a curation pipeline. Membership
