@@ -931,13 +931,25 @@ object SparkEntry {
     // the oracle unrolls the same 3 rounds in SQL
     "q74_pagerank" -> ((s, dir) => {
       import graft.operators.Graphs
-      // key spaces overlap numerically; prefix so customer 5 and supplier 5
-      // stay distinct vertices
+      // key spaces overlap numerically; parity-encode so customer 5 and
+      // supplier 5 stay distinct vertices. LONG vertices, not the oracle's
+      // "c5"/"s5" strings: every iteration joins and aggregates on the
+      // vertex, and 8-byte keys beat strings in the shuffle, the broadcast
+      // map, and the checkpoint blocks at any scale — the string form is
+      // reconstructed only in the final projection (grouping is identical,
+      // so every per-vertex double matches the string-keyed unroll bit for
+      // bit)
       val edges = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .select(
+          when(pmod(col("vertex"), lit(2)) === 0,
+            concat(lit("c"), expr("vertex div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(vertex - 1) div 2").cast("string")))
+            .as("vertex"),
+          col("pagerank"))
         .orderBy(col("vertex"))
     }),
 
@@ -1066,12 +1078,20 @@ object SparkEntry {
     // scores, same deterministic unroll contract as q74
     "q86_personalized_pagerank" -> ((s, dir) => {
       import graft.operators.Graphs
+      // same parity-encoded long vertices as q74 (see there); seeds c1/c2/c3
+      // become 2/4/6 in the encoded space
       val edges = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       Graphs.personalizedPageRank(edges, "src", "dst",
-        seeds = Seq("c1", "c2", "c3"), iterations = 3)
+        seeds = Seq("2", "4", "6"), iterations = 3)
+        .select(
+          when(pmod(col("vertex"), lit(2)) === 0,
+            concat(lit("c"), expr("vertex div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(vertex - 1) div 2").cast("string")))
+            .as("vertex"),
+          col("pagerank"))
         .orderBy(col("vertex"))
     }),
 

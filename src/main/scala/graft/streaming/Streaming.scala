@@ -346,6 +346,47 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming windowed trend monitor: per (event-time window, key) OLS
+    * slope/intercept/R² of `y` against event-time — the streaming twin of
+    * [[graft.operators.Trend.groupTrend]] ("is this metric drifting,
+    * per segment, right now?"). The aggregation state per group is the
+    * SAME six sufficient statistics the batch operator map-combines
+    * (n, Σx, Σy, Σx², Σy², Σxy) — O(1) per window×key however many events
+    * arrive — and the watermark expires windows, so the monitor runs
+    * forever on bounded memory. x is seconds since the window start:
+    * centered per-window, which both keeps the closed form numerically
+    * sound and makes slopes comparable across windows (units: y per
+    * second). */
+  def trendMonitorStream(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, watermark: String = "10 minutes",
+      windowDuration: String = "1 hour", scale: Int = 6): DataFrame = {
+    val y = col(valueCol).cast("double")
+    // window + x materialized BEFORE the aggregation (an agg function may
+    // not reference the window alias it groups by), so the six sums see x
+    // as a plain input column
+    val pre = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("win", window(col(tsCol), windowDuration))
+      .withColumn("_x", (unix_micros(col(tsCol)) - unix_micros(col("win.start")))
+        .cast("double") / lit(1000000.0))
+    val x = col("_x")
+    val agg = pre.groupBy(col("win"), col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val det = n * col("sxx") - col("sx") * col("sx")
+    val dety = n * col("syy") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val slope = cov / det
+    agg.select(
+      col("win.start").as("window_start"), col("win.end").as("window_end"),
+      col(keyCol), col("n"),
+      round(when(det > 0, slope), scale).as("slope"),
+      round(when(det > 0, (col("sy") - slope * col("sx")) / n), scale).as("intercept"),
+      round(when(det > 0 && dety > 0, (cov * cov) / (det * dety)), scale).as("r2"))
+  }
+
   /** Streaming per-key top-k leaderboard: the bounded
     * [[graft.sql.TopKPairs]] aggregate as streaming state — each key's
     * state is AT MOST k (score, id) pairs no matter how many events ever

@@ -430,4 +430,43 @@ class StreamingSpec extends SparkTestBase with Matchers {
       late shouldBe Array((0L, false))
     } finally query.stop()
   }
+
+  it("streaming trend monitor state matches the batch OLS twin per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // key "up": y rises 2.0/minute inside the 10:00 window; key "flat": constant
+    val pts = (0 until 10).map(i =>
+      (ts(f"2024-01-01 10:${i * 5}%02d:00"), "up", 2.0 * (i * 5 * 60) / 60.0 + 1.0)) ++
+      (0 until 5).map(i => (ts(f"2024-01-01 10:${i * 7}%02d:00"), "flat", 4.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = Streaming.trendMonitorStream(
+        input.toDF().toDF("ts", "key", "value"), "key", "ts", "value",
+        watermark = "1 minute", windowDuration = "1 hour")
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(pts.take(7): _*)
+      query.processAllAvailable()
+      input.addData(pts.drop(7): _*) // state stays six statistics per group
+      query.processAllAvailable()
+      val rows = spark.table("trend_out")
+        .select($"key", $"n", $"slope", $"r2")
+        .as[(String, Long, Option[Double], Option[Double])].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) } // last update per key
+      // 2.0 per minute = 1/30 per second
+      rows("up")._3.get shouldBe (2.0 / 60.0) +- 1e-6
+      rows("up")._4.get shouldBe 1.0 +- 1e-6
+      rows("flat")._3.get shouldBe 0.0 +- 1e-9
+      rows("flat")._4 shouldBe None
+      // and the streamed result equals the batch twin on the same window
+      val batchDf = pts.toDF("ts", "key", "value")
+        .withColumn("x", (org.apache.spark.sql.functions.unix_micros($"ts") -
+          org.apache.spark.sql.functions.lit(
+            ts("2024-01-01 10:00:00").getTime * 1000L)).cast("double") / 1000000.0)
+      val batch = graft.operators.Trend.groupTrend(
+          batchDf, Seq($"key"), $"x", $"value")
+        .select($"key", $"slope").as[(String, Option[Double])].collect().toMap
+      batch("up") shouldBe rows("up")._3
+      batch("flat") shouldBe rows("flat")._3
+    } finally query.stop()
+  }
 }
