@@ -1567,6 +1567,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the NATIVE as-of join exec (plans.AsOfJoinExec: custom LogicalPlan +
+    // strategy + sort-merge SparkPlan via SparkSessionExtensions): each
+    // purchase matched to the user's latest click at-or-before it — one
+    // exchange + sort per side, O(1) merge state, vs the union+window
+    // composition q34 uses. Oracle is DuckDB's own ASOF LEFT JOIN.
+    "q124_native_asof_join" -> ((s, dir) => {
+      import graft.plans.AsOf
+      val ev = events(s, dir)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("purchase_value"))
+      val r = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("click_ts"))
+        .agg(round(max(col("value")), 6).as("click_value"))
+      AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_value"),
+          // unmatched rows: sentinel instead of null (the gate's row
+          // comparison treats null-vs-null as a difference)
+          coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // directional near-containment (boilerplate-wrapped / quoted-in-full
     // docs): PPJoin-style rarest-first prefix filtering over character
     // 7-grams — only ⌊0.2·|X|⌋+1 prefix grams join the inverted index,
@@ -2272,6 +2296,25 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
         |  < round(sqrt(CAST(mn.nmin AS DOUBLE) / n) * 10000)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — same backward/left-outer contract
+    // as plans.AsOfJoinExec; the right side is pre-aggregated per
+    // (user, ts) so the match is tie-free and deterministic in both engines
+    "q124_native_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS r_user, ts AS click_ts,
+        |    round(max(value), 6) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+        |  coalesce(r.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |  coalesce(r.click_value, -1.0) AS click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.r_user AND l.ts >= r.click_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // identical prefix selection (rarest-first (df, gram) rank over the
     // same sorted distinct 7-grams) and identical verify arithmetic; the

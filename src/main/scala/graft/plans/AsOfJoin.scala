@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the time-series lookup ("latest right row at or
+  * before each left row's time, per key") as a first-class physical
+  * operator: custom [[LogicalPlan]] node + planner [[SparkStrategy]] +
+  * sort-merge [[SparkPlan]], the tier-(c) extension path for semantics the
+  * built-in operators can't express as ONE operator.
+  *
+  * The compositional formulation ([[graft.operators.Temporal.asOfJoin]]:
+  * union both sides, window carry-forward, filter) is semantically fine
+  * but pays a union shuffle over BOTH relations plus a window over the
+  * merged stream. This exec needs exactly what a sort-merge join needs —
+  * each side hash-clustered by key and sorted (key, time), declared via
+  * `requiredChildDistribution` / `requiredChildOrdering` so
+  * EnsureRequirements plans the minimal exchanges (and elides them when an
+  * upstream operation already partitioned the data — the reuse the
+  * composition can never get) — then a single forward-only streaming merge
+  * per partition: O(1) state (one buffered right row), no window, no
+  * union, no per-key buffering. At 100 TB that is two co-partitioned scans
+  * and nothing else.
+  *
+  * Semantics: backward as-of, left outer. For each left row, the matched
+  * right row is the LAST in (key, time) order with equal keys and
+  * rightTime <= leftTime; left rows with no such row (or a null key/time)
+  * emit nulls. Right rows with null key or time are skipped. If the right
+  * side carries duplicate (key, time) rows the winner among them follows
+  * the right side's sort, which is not total — deduplicate or pre-
+  * aggregate the right side for a deterministic result (same contract as
+  * DuckDB/pandas ASOF).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Inject engine-wide via
+  * `spark.sql.extensions=graft.sql.GraftExtensions` or per-session through
+  * [[AsOf.ensureStrategy]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // hash-cluster both sides on the key, sort (key, time): exactly a
+  // sort-merge join's requirements, so EnsureRequirements inserts (or
+  // reuses!) the same exchanges it would for an equi-join
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    require(keyTypes == rightKeys.map(_.dataType),
+      s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val timeType = leftTime.dataType
+    val nRight = rOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
+      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        .asInstanceOf[Ordering[Any]]
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single-row lookahead over the right side (skipping null key/time
+        // rows); rows are copied because Spark iterators reuse row objects
+        private var rNext: InternalRow = null
+        private var rNextKey: InternalRow = null
+        private var rNextTime: Any = null
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            val t = rTimeEval.eval(r)
+            if (t != null && !k.anyNull) {
+              rNext = r.copy()
+              rNextKey = k.copy()
+              rNextTime = t
+            }
+          }
+        }
+
+        // the latest right row consumed for its key so far — O(1) state
+        private var lastMatch: InternalRow = null
+        private var lastMatchKey: InternalRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeEval.eval(l)
+          if (lKey.anyNull || lTime == null) return joined(l, nullRight)
+          // consume right rows that are at-or-before this left row: their
+          // last one with an equal key is the as-of match (left times
+          // ascend within a key, so earlier matches stay valid until the
+          // key changes — detected by the key comparison below)
+          var advancing = true
+          while (advancing && rNext != null) {
+            val c = keyOrd.compare(rNextKey, lKey)
+            if (c < 0) advanceRight()
+            else if (c == 0 && timeOrd.lteq(rNextTime, lTime)) {
+              lastMatch = rNext
+              lastMatchKey = rNextKey
+              advanceRight()
+            } else advancing = false
+          }
+          val matched = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0
+          joined(l, if (matched) lastMatch else nullRight)
+        }
+      }
+    }
+  }
+}
+
+/** User-facing entry point. */
+object AsOf {
+
+  /** Idempotently make the session able to plan [[AsOfJoinPlan]]. */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of left join: every left row plus the right columns of the
+    * latest right row (per `leftKeys`/`rightKeys` equality) whose
+    * `rightTimeCol` is at or before the left row's `leftTimeCol`.
+    *
+    * Column names must be disjoint between the two sides (rename the right
+    * side's key/time columns first; they carry through to the output, so a
+    * collision would produce ambiguous names downstream). */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "as-of needs one or more key columns, the same count on both sides")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"as-of output would carry ambiguous column names: ${overlap.mkString(", ")}")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+  }
+}

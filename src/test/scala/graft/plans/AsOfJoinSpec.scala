@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The native as-of join exec: semantics (backward match, left outer,
+  * null handling, key-change reset) and plan shape (one exchange + sort
+  * per side, nothing else). */
+class AsOfJoinSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def quotes = Seq(
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 10.0),
+    ("C", 99L, 7.0)).toDF("r_sym", "r_t", "px")
+
+  private def trades = Seq(
+    ("A", 5L), ("A", 20L), ("A", 25L), ("A", 31L),
+    ("B", 14L), ("B", 16L),
+    ("D", 50L)).toDF("sym", "t")
+
+  it("matches each left row to the latest right row at or before it") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .select($"sym", $"t", $"r_t", $"px")
+      .as[(String, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("A", 5L, None, None), // before first quote
+      ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
+      ("A", 25L, Some(20L), Some(2.0)),
+      ("A", 31L, Some(30L), Some(3.0)),
+      ("B", 14L, None, None),
+      ("B", 16L, Some(15L), Some(10.0)),
+      ("D", 50L, None, None)) // key with no right rows
+  }
+
+  it("does not leak a match across a key change") {
+    // C's quote at t=99 must never match B or D rows even though 99 > their times
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .where($"sym" =!= "A").select($"sym", $"px")
+      .as[(String, Option[Double])].collect().toMap
+    out("D") shouldBe None
+  }
+
+  it("skips null-key and null-time rows instead of matching them") {
+    val l = Seq((Some("A"), Some(10L)), (None, Some(10L)), (Some("A"), None))
+      .toDF("sym", "t")
+    val r = Seq((Some("A"), Some(5L), 1.0), (None, Some(1L), 99.0),
+      (Some("A"), None, 98.0)).toDF("r_sym", "r_t", "px")
+    val out = AsOf.asOfJoin(l, r, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .select($"sym", $"t", $"px").collect()
+    out.length shouldBe 3 // left outer: every left row survives
+    out.count(_.isNullAt(2)) shouldBe 2 // the null-key and null-time rows
+    out.find(r => !r.isNullAt(0) && !r.isNullAt(1)).get.getDouble(2) shouldBe 1.0
+  }
+
+  it("agrees with the compositional union-window as-of on real data") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val base = events.select($"event_id", $"user_id",
+      col("ts").cast("timestamp").cast("long").as("t"), $"event_type", $"value")
+    val l = base.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"t")
+    val r = base.where($"event_type" === "click")
+      .groupBy($"user_id".as("r_user"), $"t".as("r_t"))
+      .agg(max($"value").as("click_value"))
+    val native = AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "t", "r_t")
+      .select($"event_id", $"r_t", $"click_value")
+    val composed = graft.operators.Temporal.asofJoin(
+      l, r.withColumnRenamed("r_user", "user_id"),
+      keyCols = Seq("user_id"), leftTs = "t", rightTs = "r_t",
+      payloadCols = Seq("r_t", "click_value"))
+      .select($"event_id", $"r_t", $"click_value")
+    native.exceptAll(composed).count() shouldBe 0
+    composed.exceptAll(native).count() shouldBe 0
+  }
+
+  it("plans one exchange and one sort per side, nothing else") {
+    val plan = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .queryExecution.executedPlan.toString
+    plan should include("AsOfJoin")
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+    "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 2
+  }
+
+  it("rejects ambiguous output column names") {
+    an[IllegalArgumentException] should be thrownBy
+      AsOf.asOfJoin(trades, trades, Seq("sym"), Seq("sym"), "t", "t")
+  }
+}
