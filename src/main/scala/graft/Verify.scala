@@ -5,11 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg (local iteration only; the driver passes two): a
-    // comma-separated list of query-name prefixes to dump
+    // optional 3rd/4th args (local iteration only; the driver passes two):
+    // a comma-separated list of query-name prefixes to dump, and a
+    // comma-separated list of prefixes to SKIP ("-" third arg = no filter).
+    // The skip list exists for large-scale replays: q70's raw id-level pair
+    // dump is quadratic in dup-group size (~1.3B rows at sf1), so sf1 runs
+    // exclude it and exact-check it at smaller sf instead — mirrors
+    // tools/compare.py's 4th arg.
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+      if (args.length > 2 && args(2) != "-") Some(args(2).split(",").toSeq)
+      else None
+    val skip: Seq[String] =
+      if (args.length > 3) args(3).split(",").toSeq else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,6 +35,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filterNot { case (name, _) => skip.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

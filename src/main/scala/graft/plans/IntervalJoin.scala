@@ -1,0 +1,230 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native keyed interval join — "every (point, interval) pair with equal
+  * keys and start <= t < end" as ONE physical operator, the twin of
+  * [[AsOfJoinExec]] for range containment.
+  *
+  * The compositional formulation ([[graft.operators.Temporal.intervalJoin]]:
+  * explode each interval into fixed-width time buckets, equi-join on the
+  * bucket, re-filter) is correct and AQE-friendly, but its cost carries two
+  * structural taxes: every interval is REPLICATED once per bucket it spans
+  * (a 30-day interval against 1-day buckets shuffles 30 copies), and the
+  * bucket width is a tuning knob that trades replication against
+  * false-candidate density. This exec needs neither: each side shuffles
+  * exactly once, hash-clustered by key (`requiredChildDistribution`) and
+  * sorted — points by (key, t), intervals by (key, start) — then a single
+  * forward sweep per partition joins them. State is the set of intervals
+  * for the CURRENT key whose start has been reached and whose end hasn't
+  * expired yet — bounded by the key's maximum concurrent-interval overlap
+  * (the quantity that also bounds the output), not by table size, bucket
+  * width, or interval length. At 100 TB: two co-partitioned scans, zero
+  * replication, no knob.
+  *
+  * Semantics: inner join; half-open containment start <= t < end (same
+  * contract as the bucketed operator). Points or intervals with null key /
+  * null bound rows are dropped, as are degenerate intervals (end <= start).
+  * Output order within a partition follows the left (point) sort; match
+  * order within one point follows the intervals' (key, start) sort.
+  */
+case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    pointTime: Expression, start: Expression, end: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinPlan]] into [[IntervalJoinExec]]. Injected by
+  * `graft.sql.GraftExtensions`, or per-session via
+  * [[IntervalJoin.ensureStrategy]]. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, lk, rk, t, s, e) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, t, s, e) :: Nil
+    case _ => Nil
+  }
+}
+
+case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    pointTime: Expression, start: Expression, end: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(pointTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(start, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val tB = pointTime
+    val sB = start
+    val eB = end
+    val keyTypes = leftKeys.map(_.dataType)
+    require(keyTypes == rightKeys.map(_.dataType),
+      s"interval-join key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
+    require(pointTime.dataType == start.dataType && start.dataType == end.dataType,
+      s"interval-join time types differ: ${pointTime.dataType} / " +
+        s"${start.dataType} / ${end.dataType}")
+    val timeType = pointTime.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val tEval = BindReferences.bindReference(tB, lOut)
+      val sEval = BindReferences.bindReference(sB, rOut)
+      val eEval = BindReferences.bindReference(eB, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        .asInstanceOf[Ordering[Any]]
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // lookahead over the interval side; rows copied (Spark reuses
+        // iterator row objects), null-key/bound and degenerate rows skipped
+        private var rNext: InternalRow = null
+        private var rNextKey: InternalRow = null
+        private var rNextStart: Any = null
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            val s = sEval.eval(r)
+            val e = eEval.eval(r)
+            if (s != null && e != null && !k.anyNull && timeOrd.lt(s, e)) {
+              rNext = r.copy()
+              rNextKey = k.copy()
+              rNextStart = s
+            }
+          }
+        }
+
+        // intervals of the CURRENT key whose start <= current point time;
+        // ends checked (and expired entries dropped) per point
+        private val active = new ArrayBuffer[(InternalRow, Any)]()
+        private var activeKey: InternalRow = null
+
+        // matches for the in-flight left row not yet emitted
+        private var pendingLeft: InternalRow = null
+        private var pendingMatches: Iterator[InternalRow] = Iterator.empty
+
+        private def fillPending(): Unit = {
+          while (!pendingMatches.hasNext && lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val t = tEval.eval(l)
+            if (!lKey.anyNull && t != null) {
+              if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
+                // new key: discard the old key's state, skip intervals of
+                // smaller keys entirely (no point can match them anymore)
+                active.clear()
+                activeKey = lKey.copy()
+                while (rNext != null && keyOrd.compare(rNextKey, activeKey) < 0)
+                  advanceRight()
+              }
+              // absorb intervals of this key that have started by t
+              while (rNext != null && keyOrd.compare(rNextKey, activeKey) == 0 &&
+                  timeOrd.lteq(rNextStart, t)) {
+                active += ((rNext, eEval.eval(rNext)))
+                advanceRight()
+              }
+              // expire end <= t lazily; left times ascend within the key, so
+              // an interval expired for this point is expired for all later
+              // ones and can be dropped for good
+              var i = 0
+              while (i < active.length) {
+                if (timeOrd.lteq(active(i)._2, t)) active.remove(i)
+                else i += 1
+              }
+              if (active.nonEmpty) {
+                pendingLeft = l.copy()
+                // snapshot: `active` mutates on the next fill, and a live
+                // view iterator would throw ConcurrentModificationException
+                pendingMatches = active.map(_._1).toArray.iterator
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!pendingMatches.hasNext) fillPending()
+          pendingMatches.hasNext
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          joined(pendingLeft, pendingMatches.next())
+        }
+      }
+    }
+  }
+}
+
+/** User-facing entry point, mirroring [[AsOf]]. */
+object IntervalJoin {
+
+  /** Idempotently make the session able to plan [[IntervalJoinPlan]]. */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+
+  /** Keyed interval inner join: each `points` row paired with every
+    * `intervals` row of the same key whose [start, end) contains its
+    * `pointTsCol`. Column names must be disjoint between the two sides
+    * (they all carry through to the output). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      pointKeys: Seq[String], intervalKeys: Seq[String],
+      pointTsCol: String, startCol: String, endCol: String): DataFrame = {
+    require(pointKeys.nonEmpty && pointKeys.size == intervalKeys.size,
+      "interval join needs one or more key columns, the same count on both sides")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"interval-join output would carry ambiguous column names: ${overlap.mkString(", ")}")
+    val spark = points.sparkSession
+    ensureStrategy(spark)
+    val lPlan = points.queryExecution.analyzed
+    val rPlan = intervals.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    GraftSqlBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan,
+      pointKeys.map(resolve(lPlan, _)), intervalKeys.map(resolve(rPlan, _)),
+      resolve(lPlan, pointTsCol), resolve(rPlan, startCol),
+      resolve(rPlan, endCol)))
+  }
+}

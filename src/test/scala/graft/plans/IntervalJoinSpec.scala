@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The native interval join exec: containment semantics (half-open,
+  * overlap fan-out, key isolation, null/degenerate handling), agreement
+  * with the bucketed composition on real data, and plan shape (one
+  * exchange + sort per side, no interval replication). */
+class IntervalJoinSpec extends SparkTestBase with Matchers {
+
+  import spark.implicits._
+
+  private def intervals = Seq(
+    ("A", 10L, 20L, "a1"), ("A", 15L, 30L, "a2"), ("A", 40L, 41L, "a3"),
+    ("B", 0L, 100L, "b1"),
+    ("C", 5L, 6L, "c1")).toDF("i_key", "i_start", "i_end", "i_tag")
+
+  private def points = Seq(
+    ("A", 9L), ("A", 10L), ("A", 17L), ("A", 20L), ("A", 40L),
+    ("B", 50L),
+    ("D", 1L)).toDF("k", "t")
+
+  private def joinAll =
+    IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+      .select($"k", $"t", $"i_tag").as[(String, Long, String)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+
+  it("pairs each point with every containing interval, half-open") {
+    joinAll shouldBe Array(
+      ("A", 10L, "a1"), // start inclusive
+      ("A", 17L, "a1"), ("A", 17L, "a2"), // overlap fan-out
+      ("A", 20L, "a2"), // end exclusive: a1 no longer matches at 20
+      ("A", 40L, "a3"),
+      ("B", 50L, "b1"))
+    // dropped: ("A",9) before any start, ("D",1) keyless, C's interval pointless
+  }
+
+  it("never matches across keys even when times overlap") {
+    // B's [0,100) spans every A point time; none may leak
+    joinAll.filter(_._1 == "A").map(_._3).toSet shouldBe Set("a1", "a2", "a3")
+  }
+
+  it("drops null and degenerate (end <= start) interval rows") {
+    val iv = Seq((Some("A"), Some(10L), Some(20L)), (None, Some(0L), Some(99L)),
+      (Some("A"), None, Some(99L)), (Some("A"), Some(30L), Some(30L)),
+      (Some("A"), Some(50L), Some(40L))).toDF("i_key", "i_start", "i_end")
+    val p = Seq(("A", 15L), ("A", 30L), ("A", 45L)).toDF("k", "t")
+    val out = IntervalJoin.intervalJoin(p, iv, Seq("k"), Seq("i_key"),
+      "t", "i_start", "i_end").select($"t").as[Long].collect()
+    out shouldBe Array(15L) // only the real [10,20) interval matches anything
+  }
+
+  it("agrees with the bucketed compositional interval join on real data") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val base = events.select($"event_id", $"user_id",
+      col("ts").cast("timestamp").as("ts"), $"event_type")
+    val p = base.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val iv = base.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_start")).distinct()
+      .withColumn("c_end", $"c_start" + expr("INTERVAL 30 MINUTES"))
+    val native = IntervalJoin.intervalJoin(p, iv, Seq("user_id"), Seq("c_user"),
+      "ts", "c_start", "c_end").select($"event_id", $"c_start")
+    // compose: the bucketed operator is unkeyed, so key-filter its output
+    val composed = graft.operators.Temporal.intervalJoin(
+      p, "ts", iv.withColumnRenamed("c_user", "user_id2"),
+      "c_start", "c_end", bucketWidthSec = 3600L)
+      .where($"user_id" === $"user_id2")
+      .select($"event_id", $"c_start")
+    native.exceptAll(composed).count() shouldBe 0
+    composed.exceptAll(native).count() shouldBe 0
+    native.count() should be > 0L
+  }
+
+  it("plans one exchange and one sort per side — no interval replication") {
+    val plan = IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+      .queryExecution.executedPlan.toString
+    plan should include("IntervalJoin")
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+    "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 2
+    plan should not include "Generate" // no explode/sequence bucketing
+  }
+
+  it("rejects ambiguous output column names") {
+    an[IllegalArgumentException] should be thrownBy
+      IntervalJoin.intervalJoin(points, points, Seq("k"), Seq("k"), "t", "t", "t")
+  }
+}
