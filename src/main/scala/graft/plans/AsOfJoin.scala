@@ -173,10 +173,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOf {
 
   /** Idempotently make the session able to plan [[AsOfJoinPlan]]. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    NativeJoinPushdown.ensureRule(spark)
+  }
 
   /** Backward as-of left join: every left row plus the right columns of the
     * latest right row (per `leftKeys`/`rightKeys` equality) whose

@@ -197,10 +197,12 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
 object IntervalJoin {
 
   /** Idempotently make the session able to plan [[IntervalJoinPlan]]. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    NativeJoinPushdown.ensureRule(spark)
+  }
 
   /** Keyed interval inner join: each `points` row paired with every
     * `intervals` row of the same key whose [start, end) contains its

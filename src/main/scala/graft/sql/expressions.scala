@@ -519,6 +519,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     functions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.NativeJoinPushdown)
   }
 }
 
