@@ -1613,6 +1613,18 @@ object SparkEntry {
         .orderBy(col("event_id"), col("click_ts"))
     }),
 
+    // DSIR importance log-weights: hashed-unigram likelihood ratio of the
+    // English (target) slice vs the raw corpus — resampling ∝ exp(weight)
+    // tilts a crawl toward the target domain with no classifier training.
+    // Bucket counts map-combine to ≤1024 rows, the score table broadcasts,
+    // the only real shuffle keys on doc_id (operators.Ranking.dsirLogWeights)
+    "q126_dsir_weights" -> ((s, dir) => {
+      import graft.operators.Ranking
+      Ranking.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // directional near-containment (boilerplate-wrapped / quoted-in-full
     // docs): PPJoin-style rarest-first prefix filtering over character
     // 7-grams — only ⌊0.2·|X|⌋+1 prefix grams join the inverted index,
@@ -2350,6 +2362,33 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.c_user
         |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    "q126_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |          unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |        FROM documents)
+        |), counts AS (
+        |  SELECT bucket, count(*) AS raw_n, sum(tgt) AS tgt_n
+        |  FROM toks GROUP BY bucket
+        |), totals AS (
+        |  SELECT CAST(sum(raw_n) AS DOUBLE) AS raw_t,
+        |    CAST(sum(tgt_n) AS DOUBLE) AS tgt_t FROM counts
+        |), scores AS (
+        |  SELECT bucket,
+        |    ln((tgt_n + 1.0) / (tgt_t + 1024.0))
+        |      - ln((raw_n + 1.0) / (raw_t + 1024.0)) AS sc
+        |  FROM counts, totals
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, round(sum(sc), 4) AS log_weight
+        |  FROM toks JOIN scores USING (bucket) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+        |  coalesce(p.log_weight, 0) AS log_weight
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical prefix selection (rarest-first (df, gram) rank over the
     // same sorted distinct 7-grams) and identical verify arithmetic; the

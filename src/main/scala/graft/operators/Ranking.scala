@@ -197,6 +197,47 @@ object Ranking {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-token profile is under a TARGET
+    * distribution (e.g. the high-quality / in-domain slice) than under the
+    * raw corpus — log w(d) = Σ_tokens [ln p_tgt(bucket) − ln p_raw(bucket)]
+    * with add-one smoothing over `buckets` hashed unigram buckets. Sampling
+    * ∝ exp(w) then tilts a 100 TB crawl toward the target domain without
+    * training a classifier.
+    *
+    * Hash = first 8 md5 hex chars mod `buckets` (the Dedup/minhash
+    * convention — replayable in any engine with md5). Scale shape: token
+    * explode is narrow; bucket counts reduce map-combined to ≤`buckets`
+    * rows; the score table broadcasts (buckets × 16 bytes); the only real
+    * shuffle is the per-doc sum, keyed by doc id and map-combined. Empty
+    * docs get weight 0.
+    *
+    * Output: (doc_id, n_tokens, log_weight rounded to `scale`). */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, scale: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        isTarget.cast("long").as("__tgt"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+    val counts = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_n"), sum(col("__tgt")).as("tgt_n"))
+    val totals = counts.agg(sum(col("raw_n")).cast("double").as("__raw_t"),
+      sum(col("tgt_n")).cast("double").as("__tgt_t"))
+    val scores = counts.crossJoin(broadcast(totals)).select(col("bucket"),
+      (log((col("tgt_n") + lit(1.0)) / (col("__tgt_t") + lit(buckets.toDouble))) -
+        log((col("raw_n") + lit(1.0)) / (col("__raw_t") + lit(buckets.toDouble))))
+        .as("__sc"))
+    val perDoc = toks.join(broadcast(scores), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__sc")), scale).as("log_weight"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
   /** Per-group score calibration: map a raw quality score to its
     * percent-rank WITHIN a group (e.g. source / language), so one global
     * threshold is comparable across groups whose raw score distributions

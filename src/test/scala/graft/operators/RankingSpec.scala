@@ -144,6 +144,34 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("dsirLogWeights") {
+    val docs = Seq(
+      (0L, true, "clean prose clean prose clean"),
+      (1L, true, "clean prose thoughtful writing"),
+      (2L, false, "spam junk spam junk spam junk"),
+      (3L, false, "clean junk"), // mixed
+      (4L, false, "")).toDF("doc_id", "tgt", "text")
+
+    it("orders docs by target-profile affinity, zero for empty") {
+      // absolute signs are smoothing-dependent (on a 9-token target slice
+      // the +1-per-bucket prior dominates), so assert the invariant that
+      // survives any smoothing strength: pure-target > mixed > off-target
+      val w = Ranking.dsirLogWeights(docs, "doc_id", "text", col("tgt"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      w(0L)._3 should be > w(3L)._3 // pure target above mixed
+      w(3L)._3 should be > w(2L)._3 // mixed above pure off-target
+      w(4L)._2 shouldBe 0L
+      w(4L)._3 shouldBe 0.0
+    }
+
+    it("counts tokens per doc") {
+      val w = Ranking.dsirLogWeights(docs, "doc_id", "text", col("tgt"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+      w(0L) shouldBe 5L
+      w(3L) shouldBe 2L
+    }
+  }
+
   describe("calibrateWithinGroup") {
     it("maps scores to per-group percent ranks; singleton groups pin to 0") {
       val d = Seq(
