@@ -1625,6 +1625,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-year distinct-partkey cardinality via the bounded graft_kmv
+    // aggregate (sql.KmvSketch): buffer = 128 longs per group regardless of
+    // input size, map-combined; estimate = (k-1)·2^60/kth, exact below k
+    "q127_kmv_distinct" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val sk = Sketches.kmvSketch(t(s, dir, "lineitem"),
+        Seq(year(col("l_shipdate")).cast("long").as("yr")), col("l_partkey"), 128)
+      sk.select(col("yr"), size(col("kmv")).cast("long").as("k_used"),
+          round(Sketches.kmvEstimate(col("kmv"), 128), 4).as("est_distinct"))
+        .orderBy(col("yr"))
+    }),
+
+    // corpus-overlap audit from MERGED sketches: distinct partkeys shipped
+    // in each date half, their union, and the intersection estimate —
+    // computed entirely from two 256-long arrays, the roll-up HLL can't do
+    "q128_kmv_overlap" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val k = 256
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_shipdate") < lit("1997-01-01").cast("timestamp")).as("early"))
+      val sides = Sketches.kmvSketch(li, Seq(col("early")), col("l_partkey"), k)
+      val a = sides.where(col("early")).select(col("kmv").as("kmv_a"))
+      val b = sides.where(!col("early")).select(col("kmv").as("kmv_b"))
+      a.crossJoin(b).select( // 1 row × 1 row
+          round(Sketches.kmvEstimate(col("kmv_a"), k), 4).as("est_early"),
+          round(Sketches.kmvEstimate(col("kmv_b"), k), 4).as("est_late"),
+          round(Sketches.kmvEstimate(
+            Sketches.kmvMerge(col("kmv_a"), col("kmv_b"), k), k), 4).as("est_union"),
+          round(Sketches.kmvIntersectEstimate(col("kmv_a"), col("kmv_b"), k), 4)
+            .as("est_overlap"))
+    }),
+
     // directional near-containment (boilerplate-wrapped / quoted-in-full
     // docs): PPJoin-style rarest-first prefix filtering over character
     // 7-grams — only ⌊0.2·|X|⌋+1 prefix grams join the inverted index,
@@ -2389,6 +2422,60 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q127_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT year(l_shipdate) AS yr,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT yr, hv, row_number() OVER (PARTITION BY yr ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY yr) AS nd
+        |  FROM h
+        |), s AS (
+        |  SELECT yr, count(*) FILTER (WHERE rn <= 128) AS k_used,
+        |    max(CASE WHEN rn = 128 THEN hv END) AS kth, max(nd) AS nd
+        |  FROM r GROUP BY yr
+        |)
+        |SELECT yr, k_used,
+        |  round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+        |    ELSE 127.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
+        |    AS est_distinct
+        |FROM s ORDER BY yr""".stripMargin,
+
+    "q128_kmv_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT (l_shipdate < TIMESTAMP '1997-01-01') AS early,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT early, hv,
+        |    row_number() OVER (PARTITION BY early ORDER BY hv) AS rn
+        |  FROM d
+        |), ka AS (
+        |  SELECT list_sort(list(hv)) AS kmv FROM r WHERE early AND rn <= 256
+        |), kb AS (
+        |  SELECT list_sort(list(hv)) AS kmv FROM r WHERE NOT early AND rn <= 256
+        |), u AS (
+        |  SELECT list_sort(list_distinct(ka.kmv || kb.kmv))[1:256] AS kmv,
+        |    ka.kmv AS a, kb.kmv AS b
+        |  FROM ka, kb
+        |), est AS (
+        |  SELECT
+        |    CASE WHEN len(a) < 256 THEN CAST(len(a) AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 / CAST(a[256] AS DOUBLE) END AS ea,
+        |    CASE WHEN len(b) < 256 THEN CAST(len(b) AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 / CAST(b[256] AS DOUBLE) END AS eb,
+        |    CASE WHEN len(kmv) < 256 THEN CAST(len(kmv) AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 / CAST(kmv[256] AS DOUBLE) END AS eu,
+        |    CAST(len(list_filter(kmv,
+        |        x -> list_contains(a, x) AND list_contains(b, x))) AS DOUBLE)
+        |      / CAST(len(kmv) AS DOUBLE) AS rho
+        |  FROM u
+        |)
+        |SELECT round(ea, 4) AS est_early, round(eb, 4) AS est_late,
+        |  round(eu, 4) AS est_union, round(rho * eu, 4) AS est_overlap
+        |FROM est""".stripMargin,
 
     // identical prefix selection (rarest-first (df, gram) rank over the
     // same sorted distinct 7-grams) and identical verify arithmetic; the

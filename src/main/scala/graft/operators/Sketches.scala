@@ -126,4 +126,46 @@ object Sketches {
       .groupBy(qCols: _*)
       .agg(min(coalesce(col("cm_count"), lit(0L))).as("cm_estimate"))
   }
+
+  // ---- KMV distinct sketches (graft.sql.KmvSketch) -----------------------
+
+  /** 2^60 as an exact double — the KMV hash domain size. */
+  private val KmvDomain = 1152921504606846976.0
+
+  /** The KMV item hash: first 15 md5 hex chars as a 60-bit non-negative
+    * long — `('0x' || substr(md5(x), 1, 15))::BIGINT` in DuckDB. */
+  def kmvHash(item: Column): Column =
+    conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group KMV sketch over `item`: `groupCols` plus a sorted-ascending
+    * `kmv` array of the k smallest distinct item hashes. Buffer state is k
+    * longs per group and combines map-side ([[graft.sql.KmvSketch]]). */
+  def kmvSketch(df: DataFrame, groupCols: Seq[Column], item: Column,
+      k: Int): DataFrame = {
+    graft.sql.functions.ensureRegistered(df.sparkSession)
+    df.groupBy(groupCols: _*)
+      .agg(call_function("graft_kmv", kmvHash(item), lit(k)).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a KMV array: exact size below k (the
+    * sketch then IS the distinct hash set), else (k-1) * 2^60 / kth. */
+  def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvDomain) /
+        element_at(kmv, k).cast("double"))
+
+  /** Merge two KMV arrays: the k smallest of their distinct union — the
+    * sketch of the union of the underlying sets. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Intersection-cardinality estimate of the sets behind two sketches:
+    * Jaccard over the union sketch (the fraction of its values present in
+    * BOTH inputs) times the union estimate. Degrades to the exact common
+    * count when the union carries fewer than k values. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = kmvMerge(a, b, k)
+    val common = size(filter(u, x => array_contains(a, x) && array_contains(b, x)))
+    common.cast("double") / size(u).cast("double") * kmvEstimate(u, k)
+  }
 }

@@ -581,9 +581,17 @@ object functions {
       TopKPairs(children.head, children(1), children(2))
     })
 
+  private[sql] val kmvDescriptor = (
+    new FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_kmv expects exactly 2 arguments")
+      KmvSketch(children.head, children(1))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
-      winnowDescriptor, simHashDescriptor, topKDescriptor)
+      winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -91,4 +91,50 @@ class SketchesSpec extends SparkTestBase with Matchers {
       hh.filter(_._4).map(_._1).toSet shouldBe Set("hot_a", "hot_b") // ...and are rejected
     }
   }
+
+  describe("kmvSketch (bounded distinct sketch with set ops)") {
+    it("is exact below k and deduplicates repeats") {
+      val df = (1 to 5).flatMap(v => Seq.fill(10)(v.toLong)).toDF("v")
+      val sk = Sketches.kmvSketch(df, Seq(lit(1).as("g")), $"v", k = 8)
+      val out = sk.select(org.apache.spark.sql.functions.size($"kmv").as("n"),
+        Sketches.kmvEstimate($"kmv", 8).as("est")).as[(Int, Double)].head()
+      out shouldBe ((5, 5.0))
+    }
+
+    it("estimates large cardinalities within sketch error") {
+      val df = (1L to 2000L).toDF("v")
+      val sk = Sketches.kmvSketch(df, Seq(lit(1).as("g")), $"v", k = 128)
+      val est = sk.select(Sketches.kmvEstimate($"kmv", 128)).as[Double].head()
+      est should be > 1500.0
+      est should be < 2500.0 // ~1/sqrt(k) ≈ 9% relative error at k=128
+    }
+
+    it("merges losslessly: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+      val a = (1L to 700L).toDF("v").withColumn("g", lit("a"))
+      val b = (500L to 1200L).toDF("v").withColumn("g", lit("b"))
+      val parts = Sketches.kmvSketch(a.union(b), Seq($"g"), $"v", k = 64)
+      val merged = parts.groupBy().agg(collect_list($"kmv").as("ks"))
+        .select(Sketches.kmvMerge(element_at($"ks", 1), element_at($"ks", 2), 64)
+          .as("kmv"))
+      val whole = Sketches.kmvSketch(
+        a.union(b).select($"v").distinct(), Seq(lit(1).as("g")), $"v", k = 64)
+      merged.select($"kmv").as[Seq[Long]].head() shouldBe
+        whole.select($"kmv").as[Seq[Long]].head()
+    }
+
+    it("estimates overlap of two half-overlapping sets") {
+      val df = ((1L to 1000L).map(v => (v, "a")) ++
+        (501L to 1500L).map(v => (v, "b"))).toDF("v", "g")
+      val sk = Sketches.kmvSketch(df, Seq($"g"), $"v", k = 256)
+      val wide = sk.groupBy().pivot("g").agg(first($"kmv"))
+      val est = wide.select(
+        Sketches.kmvIntersectEstimate($"a", $"b", 256).as("inter"),
+        Sketches.kmvEstimate(Sketches.kmvMerge($"a", $"b", 256), 256).as("uni"))
+        .as[(Double, Double)].head()
+      est._1 should be > 300.0 // truth 500
+      est._1 should be < 700.0
+      est._2 should be > 1200.0 // truth 1500
+      est._2 should be < 1800.0
+    }
+  }
 }
