@@ -322,6 +322,26 @@ object Streaming {
       .groupBy("cm_depth", "cm_bucket")
       .agg(count(lit(1)).as("cm_count"))
 
+  /** Streaming KMV distinct sketch: the running k-minimum-values state of
+    * an unbounded item stream, per group — the streaming twin of
+    * [[graft.operators.Sketches.kmvSketch]]. The aggregation STATE is the
+    * k smallest distinct hashes (k longs per group, merged incrementally
+    * by the graft_kmv buffer), so a "distinct users/docs so far" monitor
+    * runs forever on bounded memory — and its snapshots intersect/union
+    * with batch sketches of historical corpora via
+    * [[graft.operators.Sketches.kmvMerge]] /
+    * [[graft.operators.Sketches.kmvIntersectEstimate]]. Run with
+    * Complete/Update output; read the estimate off any snapshot with
+    * [[graft.operators.Sketches.kmvEstimate]]. */
+  def kmvDistinctStream(items: DataFrame, groupCols: Seq[String],
+      itemCol: String, k: Int = 256): DataFrame = {
+    graft.sql.functions.ensureRegistered(items.sparkSession)
+    items.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(call_function("graft_kmv",
+        graft.operators.Sketches.kmvHash(
+          org.apache.spark.sql.functions.col(itemCol)), lit(k)).as("kmv"))
+  }
+
   /** Streaming histogram sketch over a FIXED reference range: the running
     * (bin, cnt) state of an unbounded value stream — the streaming twin of
     * [[graft.operators.Binning.approxQuantiles]]'s histogram pass.

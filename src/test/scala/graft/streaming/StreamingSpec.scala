@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, explode, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.matchers.should.Matchers
 
@@ -176,6 +176,32 @@ class StreamingSpec extends SparkTestBase with Matchers {
       est("a") should be >= 3L
       est("b") should be >= 2L
       est("c") should be >= 1L
+    } finally query.stop()
+  }
+
+  it("streaming KMV sketch equals the batch sketch over the same items") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val query = Streaming.kmvDistinctStream(
+        input.toDF().toDF("g", "v"), Seq("g"), "v", k = 8)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L to 6L).map(("x", _)): _*)
+      query.processAllAvailable()
+      input.addData((4L to 12L).map(("x", _)): _*) // overlap folds into state
+      query.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .select($"kmv").as[Seq[Long]].head()
+      val batch = graft.operators.Sketches.kmvSketch(
+        (1L to 12L).toDF("v").withColumn("g", lit("x")), Seq($"g"), $"v", k = 8)
+        .select($"kmv").as[Seq[Long]].head()
+      streamed shouldBe batch
+      // 12 distinct > k=8: the estimate branch engages on streamed state
+      spark.table("kmv_out")
+        .select(graft.operators.Sketches.kmvEstimate($"kmv", 8))
+        .as[Double].head() should be > 8.0
     } finally query.stop()
   }
 
