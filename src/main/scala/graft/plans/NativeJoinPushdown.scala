@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Predicate pushdown through the native join nodes. Catalyst's own
@@ -56,10 +56,54 @@ object NativeJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** Idempotently add the rule to a session that isn't running with
-    * `spark.sql.extensions=graft.sql.GraftExtensions`. */
-  def ensureRule(spark: SparkSession): Unit =
+  /** Idempotently add both native-join rules to a session that isn't
+    * running with `spark.sql.extensions=graft.sql.GraftExtensions`. */
+  def ensureRule(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(NativeJoinPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NativeJoinPushdown
+    if (!spark.experimental.extraOptimizations.contains(NativeJoinColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeJoinColumnPruning
+  }
+}
+
+/** Column pruning through the native join nodes — the projection twin of
+  * [[NativeJoinPushdown]]. Stock ColumnPruning stops at unknown operators,
+  * so `asOfJoin(wideLeft, wideRight).select(threeCols)` would scan and
+  * SHUFFLE every column of both sides. This rule intersects a parent
+  * Project's references (plus the join's own keys/times) with each child's
+  * output and inserts a narrowing Project below the node; the stock rules
+  * then carry the pruning into the scan's ReadSchema. On a 100 TB columnar
+  * table this is the difference between shuffling 3 columns and 50.
+  *
+  * Fixpoint-stable: once children emit exactly the required attributes the
+  * inserted Project would be a no-op and the rule leaves the plan alone.
+  */
+object NativeJoinColumnPruning extends Rule[LogicalPlan] {
+
+  private def prune(child: LogicalPlan, required: AttributeSet): LogicalPlan = {
+    val keep = child.output.filter(required.contains)
+    if (keep.size == child.output.size || keep.isEmpty) child
+    else Project(keep, child)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, j: AsOfJoinPlan) =>
+      val required = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys.flatMap(_.references)) ++
+        AttributeSet(j.rightKeys.flatMap(_.references)) ++
+        j.leftTime.references ++ j.rightTime.references
+      val (nl, nr) = (prune(j.left, required), prune(j.right, required))
+      if (nl.eq(j.left) && nr.eq(j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+    case p @ Project(projectList, j: IntervalJoinPlan) =>
+      val required = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys.flatMap(_.references)) ++
+        AttributeSet(j.rightKeys.flatMap(_.references)) ++
+        j.pointTime.references ++ j.start.references ++ j.end.references
+      val (nl, nr) = (prune(j.left, required), prune(j.right, required))
+      if (nl.eq(j.left) && nr.eq(j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+  }
 }

@@ -520,6 +520,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.NativeJoinPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.NativeJoinColumnPruning)
   }
 }
 

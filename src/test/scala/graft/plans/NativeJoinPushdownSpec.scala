@@ -79,6 +79,35 @@ class NativeJoinPushdownSpec extends SparkTestBase with Matchers {
     df.select($"sym", $"t").as[(String, Long)].collect() shouldBe Array(("A", 5L))
   }
 
+  it("prunes unreferenced child columns below the native joins") {
+    val wideQuotes = quotes.withColumn("venue", lit("X")).withColumn("lot", lit(100))
+    val df = AsOf.asOfJoin(trades, wideQuotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .select($"sym", $"t", $"px") // venue/lot unused
+    val opt = df.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case j: AsOfJoinPlan => j }.get
+    j.right.output.map(_.name).toSet shouldBe Set("r_sym", "r_t", "px")
+    df.as[(String, Long, Option[Double])].collect()
+      .sortBy(r => (r._1, r._2)) shouldBe Array(
+      ("A", 5L, None), ("A", 25L, Some(2.0)), ("B", 16L, Some(3.0)))
+  }
+
+  it("narrows the parquet ReadSchema through the as-of join") {
+    val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+    val left = events.withColumn("t", col("ts").cast("timestamp").cast("long"))
+    val right = events
+      .select($"user_id".as("r_user"), col("ts").cast("timestamp").cast("long").as("r_t"),
+        $"value".as("r_value"), $"props".as("r_props"))
+    val planStr = AsOf.asOfJoin(
+        left.select($"event_id", $"user_id", $"t"), right,
+        Seq("user_id"), Seq("r_user"), "t", "r_t")
+      .select($"event_id", $"r_t") // r_value / r_props unused
+      .queryExecution.executedPlan.toString
+    // the right side's scan must not read the dropped payload columns
+    val rightScan = planStr.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("props")).toSeq
+    rightScan shouldBe empty
+  }
+
   it("carries a pushed filter all the way into the parquet scan") {
     val events = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
       .select($"event_id", $"user_id", col("ts").cast("timestamp").cast("long").as("t"),
