@@ -1625,6 +1625,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // forward as-of with tolerance on the native exec: each purchase's
+    // NEXT click within 2h (attribution lookahead) — pandas merge_asof's
+    // direction/tolerance contract at sort-merge cost (plans.AsOfJoinExec)
+    "q129_native_asof_forward" -> ((s, dir) => {
+      import graft.plans.AsOf
+      val ev = events(s, dir)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("purchase_value"))
+      val r = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("click_ts"))
+        .agg(round(max(col("value")), 6).as("click_value"))
+      AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "ts", "click_ts",
+          direction = "forward", tolerance = Some(2L * 3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_value"),
+          coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // per-year distinct-partkey cardinality via the bounded graft_kmv
     // aggregate (sql.KmvSketch): buffer = 128 longs per group regardless of
     // input size, map-combined; estimate = (k-1)·2^60/kth, exact below k
@@ -2422,6 +2443,26 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q129_native_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS r_user, ts AS click_ts,
+        |    round(max(value), 6) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), j AS (
+        |  SELECT l.event_id AS eid, r.click_ts, r.click_value,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY r.click_ts) AS rn
+        |  FROM l JOIN r ON l.user_id = r.r_user
+        |    AND r.click_ts >= l.ts AND r.click_ts <= l.ts + INTERVAL 2 HOUR
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+        |  coalesce(j.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |  coalesce(j.click_value, -1.0) AS click_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.eid
+        |ORDER BY l.event_id""".stripMargin,
 
     "q127_kmv_distinct" ->
       """WITH h AS (

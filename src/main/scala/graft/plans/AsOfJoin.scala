@@ -30,18 +30,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * union, no per-key buffering. At 100 TB that is two co-partitioned scans
   * and nothing else.
   *
-  * Semantics: backward as-of, left outer. For each left row, the matched
-  * right row is the LAST in (key, time) order with equal keys and
-  * rightTime <= leftTime; left rows with no such row (or a null key/time)
-  * emit nulls. Right rows with null key or time are skipped. If the right
-  * side carries duplicate (key, time) rows the winner among them follows
-  * the right side's sort, which is not total — deduplicate or pre-
-  * aggregate the right side for a deterministic result (same contract as
-  * DuckDB/pandas ASOF).
+  * Semantics: left outer. Backward (default): for each left row, the
+  * matched right row is the LAST in (key, time) order with equal keys and
+  * rightTime <= leftTime. Forward: the FIRST with rightTime >= leftTime.
+  * An optional `toleranceUs` bounds the match distance (|Δt| <= tolerance,
+  * in the time column's native units — µs for timestamps) — pandas
+  * merge_asof's direction/tolerance contract. Left rows with no match (or
+  * a null key/time) emit nulls. Right rows with null key or time are
+  * skipped. If the right side carries duplicate (key, time) rows the
+  * winner among them follows the right side's sort, which is not total —
+  * deduplicate or pre-aggregate the right side for a deterministic result
+  * (same contract as DuckDB/pandas ASOF).
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, toleranceUs: Option[Long] = None)
+  extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -56,15 +61,18 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * [[AsOf.ensureStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+        j.rightKeys, j.leftTime, j.rightTime, j.forward, j.toleranceUs) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, toleranceUs: Option[Long] = None)
+  extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -100,6 +108,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(leftTime.dataType == rightTime.dataType,
       s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
     val timeType = leftTime.dataType
+    if (toleranceUs.isDefined) {
+      import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+      require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+          .contains(timeType),
+        s"as-of tolerance needs an integral/timestamp/date time column, got $timeType")
+      require(toleranceUs.get >= 0, "as-of tolerance must be >= 0")
+    }
+    val fwd = forward
+    val tol = toleranceUs
     val nRight = rOut.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -135,9 +152,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
         }
 
-        // the latest right row consumed for its key so far — O(1) state
+        // backward state: the latest right row consumed for its key — O(1)
         private var lastMatch: InternalRow = null
         private var lastMatchKey: InternalRow = null
+        private var lastMatchTime: Any = null
+
+        // tolerance distances in the time type's native representation
+        // (timestamps eval to epoch-µs longs, dates to day ints)
+        private def asLong(v: Any): Long = v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalStateException(s"as-of time: $other")
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -146,23 +172,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val lKey = lKeyProj(l)
           val lTime = lTimeEval.eval(l)
           if (lKey.anyNull || lTime == null) return joined(l, nullRight)
-          // consume right rows that are at-or-before this left row: their
-          // last one with an equal key is the as-of match (left times
-          // ascend within a key, so earlier matches stay valid until the
-          // key changes — detected by the key comparison below)
-          var advancing = true
-          while (advancing && rNext != null) {
-            val c = keyOrd.compare(rNextKey, lKey)
-            if (c < 0) advanceRight()
-            else if (c == 0 && timeOrd.lteq(rNextTime, lTime)) {
-              lastMatch = rNext
-              lastMatchKey = rNextKey
-              advanceRight()
-            } else advancing = false
+          if (fwd) {
+            // drop right rows strictly before this left row (or of smaller
+            // keys) — left times ascend, so they can't match later lefts
+            var advancing = true
+            while (advancing && rNext != null) {
+              val c = keyOrd.compare(rNextKey, lKey)
+              if (c < 0) advanceRight()
+              else if (c == 0 && timeOrd.lt(rNextTime, lTime)) advanceRight()
+              else advancing = false
+            }
+            val matched = rNext != null &&
+              keyOrd.compare(rNextKey, lKey) == 0 &&
+              tol.forall(t => asLong(rNextTime) - asLong(lTime) <= t)
+            joined(l, if (matched) rNext else nullRight)
+          } else {
+            // consume right rows that are at-or-before this left row: their
+            // last one with an equal key is the as-of match (left times
+            // ascend within a key, so earlier matches stay valid until the
+            // key changes — detected by the key comparison below)
+            var advancing = true
+            while (advancing && rNext != null) {
+              val c = keyOrd.compare(rNextKey, lKey)
+              if (c < 0) advanceRight()
+              else if (c == 0 && timeOrd.lteq(rNextTime, lTime)) {
+                lastMatch = rNext
+                lastMatchKey = rNextKey
+                lastMatchTime = rNextTime
+                advanceRight()
+              } else advancing = false
+            }
+            val matched = lastMatch != null &&
+              keyOrd.compare(lastMatchKey, lKey) == 0 &&
+              tol.forall(t => asLong(lTime) - asLong(lastMatchTime) <= t)
+            joined(l, if (matched) lastMatch else nullRight)
           }
-          val matched = lastMatch != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
-          joined(l, if (matched) lastMatch else nullRight)
         }
       }
     }
@@ -180,18 +224,25 @@ object AsOf {
     NativeJoinPushdown.ensureRule(spark)
   }
 
-  /** Backward as-of left join: every left row plus the right columns of the
-    * latest right row (per `leftKeys`/`rightKeys` equality) whose
-    * `rightTimeCol` is at or before the left row's `leftTimeCol`.
+  /** As-of left join: every left row plus the right columns of the
+    * latest right row at-or-before it (`direction = "backward"`, default)
+    * or the earliest at-or-after it (`"forward"`), per
+    * `leftKeys`/`rightKeys` equality. `tolerance` (optional) bounds the
+    * match distance in the time column's NATIVE units — µs for timestamp
+    * columns, days for dates, the raw value for integral columns — like
+    * pandas merge_asof.
     *
     * Column names must be disjoint between the two sides (rename the right
     * side's key/time columns first; they carry through to the output, so a
     * collision would produce ambiguous names downstream). */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of needs one or more key columns, the same count on both sides")
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be 'backward' or 'forward', got '$direction'")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of output would carry ambiguous column names: ${overlap.mkString(", ")}")
@@ -205,6 +256,7 @@ object AsOf {
           s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
-      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol),
+      forward = direction == "forward", toleranceUs = tolerance))
   }
 }

@@ -37,6 +37,42 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
       ("D", 50L, None, None)) // key with no right rows
   }
 
+  it("matches forward: the earliest right row at or after each left row") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        direction = "forward")
+      .select($"sym", $"t", $"r_t", $"px")
+      .as[(String, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("A", 5L, Some(10L), Some(1.0)),
+      ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
+      ("A", 25L, Some(30L), Some(3.0)),
+      ("A", 31L, None, None), // after the last quote
+      ("B", 14L, Some(15L), Some(10.0)),
+      ("B", 16L, None, None),
+      ("D", 50L, None, None))
+  }
+
+  it("bounds the match distance with tolerance, both directions") {
+    val back = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        tolerance = Some(4L))
+      .select($"sym", $"t", $"r_t")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    back(("A", 20L)) shouldBe Some(20L) // Δ0
+    back(("A", 25L)) shouldBe None // Δ5 > 4 — backward match too stale
+    back(("A", 31L)) shouldBe Some(30L) // Δ1
+    back(("B", 16L)) shouldBe Some(15L) // Δ1
+    val fwd = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        direction = "forward", tolerance = Some(4L))
+      .select($"sym", $"t", $"r_t")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    fwd(("A", 5L)) shouldBe None // next quote at 10, Δ5 > 4
+    fwd(("A", 25L)) shouldBe None // next at 30, Δ5 > 4
+    fwd(("B", 14L)) shouldBe Some(15L) // Δ1
+  }
+
   it("does not leak a match across a key change") {
     // C's quote at t=99 must never match B or D rows even though 99 > their times
     val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
