@@ -335,6 +335,40 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  it("native as-of joins plan one exchange + one sort per side, filters pushed to scans") {
+    for (q <- Seq("q124_native_asof_join", "q129_native_asof_forward")) {
+      val p = plan(q)
+      p should include("AsOfJoin")
+      // event_type predicate reaches both parquet scans ahead of the shuffle
+      p should include("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)")
+      p should include("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)")
+      p should not include "WindowExec" // no carry-forward window composition
+      p should not include "CartesianProduct"
+    }
+  }
+
+  it("native interval join has no bucket replication — no Generate, two exchanges") {
+    val p = plan("q125_native_interval_join")
+    p should include("IntervalJoin")
+    p should not include "Generate" // the bucketed compose's explode(sequence)
+    p should not include "CartesianProduct"
+  }
+
+  it("kmv sketches combine map-side; the overlap audit never re-touches rows") {
+    val p = plan("q127_kmv_distinct")
+    p should include("partial_graft_kmv") // k longs per group before the shuffle
+    val p2 = plan("q128_kmv_overlap")
+    p2 should include("partial_graft_kmv")
+    p2 should not include "CartesianProduct" // the 1x1 scalar cross joins as BNLJ
+  }
+
+  it("dsir weights broadcast the bucket score table — no corpus-sized join side") {
+    val p = plan("q126_dsir_weights")
+    p should include("partial_count") // bucket counts map-combine
+    p should include("BroadcastHashJoin") // token -> score lookup
+    p should not include "CartesianProduct"
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
