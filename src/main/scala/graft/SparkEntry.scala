@@ -1625,6 +1625,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // length-bucketed batching: per-lang shards sort by token count and cut
+    // fixed-count batches — padded-batch waste minimisation (the dynamic-
+    // batching layout for encoder training / batched inference). One window
+    // shuffle per shard + map-combined batch stats (Packing
+    // .lengthBucketedBatches)
+    "q130_length_batches" -> ((s, dir) => {
+      import graft.operators.Packing
+      import graft.functions.TextFunctions
+      Packing.lengthBucketedBatches(t(s, dir, "documents"), Seq(col("lang")),
+          TextFunctions.tokenCount(col("text")), col("doc_id"), batchSize = 16)
+        .select(col("lang"), col("batch_idx"), col("n_docs"), col("max_tokens"),
+          col("sum_tokens"), col("padding_waste"))
+        .orderBy(col("lang"), col("batch_idx"))
+    }),
+
     // forward as-of with tolerance on the native exec: each purchase's
     // NEXT click within 2h (attribution lookahead) — pandas merge_asof's
     // direction/tolerance contract at sort-merge cost (plans.AsOfJoinExec)
@@ -2443,6 +2458,22 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q130_length_batches" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, len(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, tok,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id) - 1) // 16
+        |      AS batch_idx
+        |  FROM d
+        |)
+        |SELECT lang, batch_idx, count(*) AS n_docs, max(tok) AS max_tokens,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(tok) - sum(tok) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY lang, batch_idx
+        |ORDER BY lang, batch_idx""".stripMargin,
 
     "q129_native_asof_forward" ->
       """WITH l AS (

@@ -60,4 +60,46 @@ object Packing {
       .withColumn("spans_boundary",
         col("start_offset") % lit(windowTokens) + col("n_tokens") > lit(windowTokens))
   }
+
+  /** Length-bucketed batching — the PADDED-batch twin of [[packSequences]]:
+    * group documents into fixed-count batches of SIMILAR token length, so a
+    * batch padded to its longest member wastes as little compute as
+    * possible (the dynamic-batching layout encoder-style training and
+    * batched inference want, where packing into one stream isn't an
+    * option).
+    *
+    * Within each shard, docs sort by (token count, tieBreak) and every
+    * consecutive run of `batchSize` becomes one batch — the sorted-batching
+    * heuristic that minimises Σ(batch_max − len) without a global
+    * assignment problem. Scale shape: ONE window shuffle keyed by the shard
+    * columns (same contract as packSequences: shards sort independently, a
+    * global length sort would serialise the corpus), then a map-combined
+    * per-batch aggregation.
+    *
+    * Output: shardCols + batch_idx, n_docs, max_tokens, sum_tokens,
+    * padding_waste (= n_docs·max − sum, the padded-token overhead).
+    */
+  def lengthBucketedBatches(
+      docs: DataFrame,
+      shardCols: Seq[Column],
+      tokenCol: Column,
+      tieBreak: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shardCols.nonEmpty,
+      "lengthBucketedBatches needs at least one shard column (a global " +
+        "length sort cannot batch distributedly; shard by language/source/bucket)")
+    val tok = coalesce(tokenCol.cast("long"), lit(0L))
+    val w = Window.partitionBy(shardCols: _*).orderBy(tok.asc, tieBreak.asc)
+    val batch = ((row_number().over(w) - 1) / batchSize).cast("long")
+    docs
+      .withColumn("__tok", tok)
+      .withColumn("batch_idx", batch)
+      .groupBy(shardCols :+ col("batch_idx"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__tok")).as("max_tokens"),
+        sum(col("__tok")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
 }

@@ -78,4 +78,32 @@ class PackingSpec extends SparkTestBase with Matchers {
       a shouldBe Array((1L, 10L, 0L), (2L, 0L, 10L), (3L, 5L, 10L))
     }
   }
+
+  describe("lengthBucketedBatches") {
+    it("cuts sorted fixed-count batches per shard and accounts padding waste") {
+      // shard x: lengths 1..5 -> batches [1,2] [3,4] [5]; shard y: [7,9]
+      val docs = Seq((1L, "x", 3L), (2L, "x", 1L), (3L, "x", 5L),
+        (4L, "x", 2L), (5L, "x", 4L), (6L, "y", 9L), (7L, "y", 7L))
+        .toDF("id", "shard", "toks")
+      val out = Packing.lengthBucketedBatches(docs, Seq(col("shard")),
+          col("toks"), col("id"), batchSize = 2)
+        .select("shard", "batch_idx", "n_docs", "max_tokens", "padding_waste")
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      out shouldBe Array(
+        ("x", 0L, 2L, 2L, 1L), // [1,2]: padded to 2, waste 1
+        ("x", 1L, 2L, 4L, 1L), // [3,4]
+        ("x", 2L, 1L, 5L, 0L), // [5] alone
+        ("y", 0L, 2L, 9L, 2L)) // [7,9]
+    }
+
+    it("is partitioning-invariant given the tie-break") {
+      val docs = (1L to 40L).map(i => (i, "s", i % 7)).toDF("id", "shard", "toks")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Packing.lengthBucketedBatches(df, Seq(col("shard")), col("toks"),
+          col("id"), batchSize = 8)
+          .select("batch_idx", "n_docs", "max_tokens", "sum_tokens")
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      run(docs.repartition(7)) shouldBe run(docs)
+    }
+  }
 }
