@@ -473,6 +473,57 @@ object Streaming {
       .start()
   }
 
+  /** The daily-crawl loop as a stream: every micro-batch of documents is
+    * deduped against EVERYTHING INDEXED BEFORE IT (near-dup pairs handed to
+    * `onPairs`), then signed and appended to the persisted MinHash index —
+    * the streaming twin of the [[graft.operators.DedupIndex]] batch loop,
+    * composing banded LSH with the storage layer's audit-table snapshots.
+    * The indexed corpus is never re-scanned or re-shingled: each epoch pays
+    * signature cost for its own batch plus a banded equi-join against
+    * signature rows (~64 longs per indexed doc).
+    *
+    * Pairs are batch-vs-index only; dedup WITHIN a batch, if wanted, is
+    * [[graft.operators.Dedup.minHashLshPairs]] on the batch inside
+    * `onPairs`. Index writes are IDEMPOTENT under epoch replay (PK snapshot
+    * semantics: the latest signature per doc id wins), pair emission is
+    * at-least-once — same contract as [[writeToStorageStream]].
+    *
+    * @param batchTimestamp per-epoch append/as-of timestamp — MUST be
+    *                       strictly increasing in the epoch id (the as-of
+    *                       read at epoch N sees exactly the appends of
+    *                       epochs < N); inject a deterministic mapping in
+    *                       tests. */
+  def dedupIndexStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      basePath: String, checkpoint: String,
+      onPairs: (DataFrame, Long) => Unit,
+      tableName: String = graft.operators.DedupIndex.DefaultTableName,
+      bands: Int = 8, rowsPerBand: Int = 8, shingleWords: Int = 3,
+      threshold: Double = 0.5,
+      batchTimestamp: Long => java.sql.Timestamp =
+        _ => new java.sql.Timestamp(System.currentTimeMillis()))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupIndex
+    val dedupBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      batch.persist()
+      try {
+        if (!batch.isEmpty) {
+          val table = DedupIndex.openOrCreate(batch.sparkSession, basePath, tableName)
+          val ts = batchTimestamp(epochId)
+          onPairs(DedupIndex.dedupAgainst(table, ts, batch, idCol, textCol,
+            bands, rowsPerBand, shingleWords, threshold), epochId)
+          DedupIndex.indexBatch(table, batch, idCol, textCol, ts,
+            bands, rowsPerBand, shingleWords)
+          ()
+        }
+      } finally { batch.unpersist(); () }
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(dedupBatch)
+      .start()
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable sink shape for production (exactly-once via checkpoint + file
     * sink). Returns the running query. */

@@ -288,6 +288,36 @@ class StreamingSpec extends SparkTestBase with Matchers {
     table.regions.length shouldBe 2
   }
 
+  it("dedup-index stream flags each batch against everything indexed before it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = s"$tmpDir/stream_dedup_index"
+    val input = MemoryStream[(Long, String)]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val text0 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val query = Streaming.dedupIndexStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      base, s"$tmpDir/stream_dedup_ckpt",
+      onPairs = (df, epoch) => pairs ++= df
+        .select($"id_new", $"id_idx").as[(Long, Long)].collect()
+        .map(p => (epoch, p._1, p._2)),
+      threshold = 0.5,
+      batchTimestamp = bid => ts(s"2024-01-0${bid + 1} 00:00:00"))
+    try {
+      input.addData((1L, text0), (2L, "a completely different document about spark physical plans"))
+      query.processAllAvailable()
+      input.addData((3L, text0 + " tonight"), (4L, "novel content with no earlier twin anywhere"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // epoch 0 saw an empty index: no pairs; epoch 1 flags 3 ≈ 1 only
+    pairs.toSeq shouldBe Seq((1L, 3L, 1L))
+    // all four docs are signed in the persisted index afterwards
+    val table = graft.storage.Storage
+      .openTable(spark, base, graft.operators.DedupIndex.DefaultTableName).get
+    table.snapshot(ts("2024-06-01 00:00:00")).get
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
   it("sessionize keeps late events out of the live session beyond the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.SessionInput]
