@@ -177,6 +177,58 @@ object ScaleProbe {
         emb.where(pmod(col("vec_id"), lit(200L)) === 0), "vec_id", "embedding",
         threshold = 0.3)
     }
+
+    // ---- round-7 probes: native execs vs their compositional twins ------
+    val ev10 = rep(events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), col("value")), "event_id")
+      .localCheckpoint(true)
+    println(s"events10=${ev10.count()}")
+    val lAsof = ev10.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val rAsof = ev10.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("value")).as("r_value"))
+    time("as-of join NATIVE exec (10M events)") {
+      graft.plans.AsOf.asOfJoin(lAsof, rAsof,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+    }
+    time("as-of join COMPOSED union+window (10M events)") {
+      Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
+        keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
+        payloadCols = Seq("r_ts", "r_value"))
+    }
+    val ivals = ev10.where(col("event_type") === "click")
+      .select(col("user_id").as("i_user"), col("ts").as("i_start")).distinct()
+      .withColumn("i_end", col("i_start") + expr("INTERVAL 6 HOURS"))
+      .localCheckpoint(true)
+    time("interval join NATIVE keyed exec (10M points)") {
+      graft.plans.IntervalJoin.intervalJoin(lAsof, ivals,
+        Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end")
+    }
+    time("interval join BUCKETED + key filter (10M points)") {
+      Temporal.intervalJoin(lAsof, "ts",
+        ivals.withColumnRenamed("i_user", "u2"), "i_start", "i_end",
+        bucketWidthSec = 21600L)
+        .where(col("user_id") === col("u2"))
+    }
+    val li10 = rep(li.select(col("l_orderkey"), col("l_partkey"),
+      col("l_shipdate")), "l_orderkey").localCheckpoint(true)
+    time("kmv distinct per-year, k=256 (6M lineitem)") {
+      Sketches.kmvSketch(li10, Seq(year(col("l_shipdate")).as("yr")),
+        col("l_partkey"), 256)
+    }
+    time("exact count-distinct per-year (6M lineitem)") {
+      li10.groupBy(year(col("l_shipdate")).as("yr"))
+        .agg(countDistinct(col("l_partkey")).as("nd"))
+    }
+    time("dsir log-weights (500k docs)") {
+      Ranking.dsirLogWeights(docs, "doc_id", "text", col("lang") === "en")
+    }
+    time("length-bucketed batching (500k docs, per-lang)") {
+      Packing.lengthBucketedBatches(docs, Seq(col("lang")),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        col("doc_id"), batchSize = 32)
+    }
     spark.stop()
   }
 }

@@ -594,8 +594,13 @@ object SparkEntry {
         urgent, Seq("o_orderkey"), fpp = 0.01)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(28,8)")).cast("double"), 2).as("revenue"))
+          // round in the DECIMAL domain, cast to double LAST: rounding the
+          // double instead diverges cross-engine at exact .005 ties (Spark
+          // rounds the shortest decimal rendering, DuckDB the binary
+          // multiply — sf1 surfaced two such groups)
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("decimal(28,2)").cast("double")
+            .as("revenue"))
         .orderBy(col("month"))
     }),
 
@@ -3320,7 +3325,7 @@ object SparkEntry {
     "q47_bloom_join" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
         |  count(*) AS n_items,
-        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY month""".stripMargin,
@@ -3810,7 +3815,8 @@ object SparkEntry {
     "q72_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
-        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
         |  FROM events GROUP BY event_type
         |)
         |SELECT event_id, e.event_type,

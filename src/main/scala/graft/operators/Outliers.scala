@@ -72,9 +72,13 @@ object Outliers {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
     val gcols = groupCols.map(col)
     val v = col(valueCol)
+    // bounds are rounded to the OUTPUT scale: the clip predicate then agrees
+    // in precision with the emitted value, and the last-ulp float difference
+    // between engines' interpolation algebra ((1-f)a+fb vs a+f(b-a)) — which
+    // flipped boundary-tied rows at sf1 — is pinned away
     val bounds = df.groupBy(gcols: _*)
-      .agg(expr(s"percentile(${quote(valueCol)}, $pLo)").as("_graft_lo"),
-        expr(s"percentile(${quote(valueCol)}, $pHi)").as("_graft_hi"))
+      .agg(round(expr(s"percentile(${quote(valueCol)}, $pLo)"), scale).as("_graft_lo"),
+        round(expr(s"percentile(${quote(valueCol)}, $pHi)"), scale).as("_graft_hi"))
     val statsR = groupCols.foldLeft(bounds)((d, c) => d.withColumnRenamed(c, s"_g_$c"))
     val cond = groupCols.map(c => df(c) <=> statsR(s"_g_$c")).reduce(_ && _)
     df.join(broadcast(statsR), cond)
