@@ -2563,7 +2563,7 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id, list_sort(list_distinct(list_transform(
         |    range(1, greatest(length(text) - 6, 1) + 1),
-        |    i -> substr(text, CAST(i AS INT), 7)))) AS g
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 7)), 1, 15))::BIGINT))) AS g
         |  FROM d0
         |), sz AS (SELECT doc_id, g, len(g) AS n FROM p),
         |idx AS (SELECT doc_id, unnest(g) AS gram FROM p),

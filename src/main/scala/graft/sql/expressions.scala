@@ -164,6 +164,82 @@ case class SortedArrayJaccardGE(first: Expression, second: Expression, third: Ex
     })
 }
 
+/** Native Catalyst expression: thresholded CONTAINMENT |X∩Y| / |X| of two
+  * sorted-ascending distinct long arrays — the directional twin of
+  * [[SortedArrayJaccardGE]] for "is X (near-)wholly inside Y" verification
+  * (boilerplate-wrapped / quoted-in-full docs). Same single sorted-merge
+  * pass, same mid-merge abandonment once the remaining elements provably
+  * cannot reach `threshold·|X|`, same -1 sentinel for below-threshold
+  * pairs. Replaces an `array_intersect` (per-row hash-set build) verify
+  * stage measured at 8.7s over a 315k-candidate corpus.
+  */
+case class SortedArrayContainGE(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), DoubleType) =>
+        if (third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_contain_ge threshold must be a literal")
+      case (a, b, t) => TypeCheckResult.TypeCheckFailure(
+        s"graft_contain_ge expects (array<bigint>, array<bigint>, double), got ($a, $b, $t)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_contain_ge"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SortedArrayContainGE =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    val need = math.ceil((t.asInstanceOf[Double] - 0.00005) * na).toInt
+    var i = 0; var j = 0; var inter = 0
+    var viable = true
+    while (viable && i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+      viable = inter + math.min(na - i, nb - j) >= need
+    }
+    if (!viable) -1.0
+    else if (na == 0) 1.0
+    else math.round(inter.toDouble / na * 10000).toDouble / 10000.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, t) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val need = ctx.freshName("need")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val viable = ctx.freshName("viable")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $x.numElements(); int $nb = $y.numElements();
+         |int $need = (int) java.lang.Math.ceil(($t - 0.00005) * $na);
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |boolean $viable = true;
+         |while ($viable && $i < $na && $j < $nb) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  $viable = $inter + java.lang.Math.min($na - $i, $nb - $j) >= $need;
+         |}
+         |if (!$viable) {
+         |  ${ev.value} = -1.0;
+         |} else {
+         |  ${ev.value} = ($na == 0) ? 1.0
+         |    : java.lang.Math.round((double) $inter / $na * 10000.0) / 10000.0;
+         |}
+       """.stripMargin
+    })
+}
+
 /** Native Catalyst expression: content-defined-chunking boundary positions
   * of a string — interior start positions (1-based, codepoint-indexed,
   * ≥ 2) where the `window`-codepoint polynomial rolling hash
@@ -582,6 +658,14 @@ object functions {
       TopKPairs(children.head, children(1), children(2))
     })
 
+  private[sql] val containDescriptor = (
+    new FunctionIdentifier("graft_contain_ge"),
+    new ExpressionInfo(classOf[SortedArrayContainGE].getName, "graft_contain_ge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_contain_ge expects exactly 3 arguments")
+      SortedArrayContainGE(children.head, children(1), children(2))
+    })
+
   private[sql] val kmvDescriptor = (
     new FunctionIdentifier("graft_kmv"),
     new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
@@ -592,7 +676,8 @@ object functions {
 
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
-      winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor)
+      winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
+      containDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
