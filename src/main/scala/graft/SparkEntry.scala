@@ -1630,6 +1630,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // pre-flight join sizing WITHOUT running the join: count-min inner
+    // product (min over depths of Σ cmA·cmB — one-sided by construction)
+    // estimates |lineitem ⋈ urgent orders|; both sides reduce map-combined
+    // to depth×width cells first (Sketches.cmJoinSizeEstimate). The exact
+    // join runs alongside only to exhibit the bound
+    "q131_cm_join_size" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val ord = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+      val est = Sketches.cmJoinSizeEstimate(
+        Sketches.countMinSketch(li, "k", depth = 4, width = 2048),
+        Sketches.countMinSketch(ord, "k", depth = 4, width = 2048))
+      val exact = li.join(ord, Seq("k")).agg(count(lit(1)).as("exact_rows"))
+      est.crossJoin(exact) // 1 row × 1 row
+        .withColumn("one_sided_ok", col("cm_join_estimate") >= col("exact_rows"))
+    }),
+
     // length-bucketed batching: per-lang shards sort by token count and cut
     // fixed-count batches — padded-batch waste minimisation (the dynamic-
     // batching layout for encoder training / batched inference). One window
@@ -2463,6 +2481,29 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q131_cm_join_size" ->
+      """WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+        |b AS (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |ca AS (
+        |  SELECT d.range AS d,
+        |    ('0x' || substr(md5('cm_' || d.range || '_' || k), 1, 8))::BIGINT % 2048 AS bkt,
+        |    count(*) AS cm_a
+        |  FROM a, range(0, 4) d GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT d.range AS d,
+        |    ('0x' || substr(md5('cm_' || d.range || '_' || k), 1, 8))::BIGINT % 2048 AS bkt,
+        |    count(*) AS cm_b
+        |  FROM b, range(0, 4) d GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT d, sum(cm_a * cm_b) AS dot
+        |  FROM ca JOIN cb USING (d, bkt) GROUP BY d
+        |), est AS (SELECT CAST(min(dot) AS BIGINT) AS cm_join_estimate FROM dots),
+        |ex AS (SELECT count(*) AS exact_rows FROM a JOIN b USING (k))
+        |SELECT cm_join_estimate, exact_rows,
+        |  cm_join_estimate >= exact_rows AS one_sided_ok
+        |FROM est, ex""".stripMargin,
 
     "q130_length_batches" ->
       """WITH d AS (

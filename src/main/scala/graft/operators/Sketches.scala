@@ -127,6 +127,26 @@ object Sketches {
       .agg(min(coalesce(col("cm_count"), lit(0L))).as("cm_estimate"))
   }
 
+  /** Equi-join SIZE estimate from two count-min sketches — the classic
+    * sketch inner product (Cormode & Muthukrishnan 2005): for each depth
+    * row, Σ_buckets cmA·cmB over-counts the true Σ_keys fA(k)·fB(k) only
+    * by hash collisions, so the MIN over depths is a one-sided (never
+    * under) estimate of the join's output row count. The pre-flight
+    * shuffle-sizing check for a 100 TB join: both sides reduce to
+    * depth×width cells (map-combined), the estimate joins two tiny
+    * relations — no data is joined to learn how big the join would be.
+    * Output: 1 row (cm_join_estimate long). */
+  def cmJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val a = sketchA.select(col("cm_depth"), col("cm_bucket"),
+      col("cm_count").as("cm_a"))
+    val b = sketchB.select(col("cm_depth"), col("cm_bucket"),
+      col("cm_count").as("cm_b"))
+    a.join(b, Seq("cm_depth", "cm_bucket")) // absent cell = 0 contributes 0
+      .groupBy(col("cm_depth"))
+      .agg(sum(col("cm_a") * col("cm_b")).as("dot"))
+      .agg(min(col("dot")).cast("long").as("cm_join_estimate"))
+  }
+
   // ---- KMV distinct sketches (graft.sql.KmvSketch) -----------------------
 
   /** 2^60 as an exact double — the KMV hash domain size. */

@@ -92,6 +92,28 @@ class SketchesSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("cmJoinSizeEstimate (sketch inner product)") {
+    val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val b = (Seq.fill(2)("a") ++ Seq.fill(5)("c") ++ Seq("d")).toDF("k")
+    // exact |A ⋈ B| = 3·2 (a) + 1·5 (c) = 11
+
+    it("recovers the exact join size when buckets don't collide") {
+      val est = Sketches.cmJoinSizeEstimate(
+        Sketches.countMinSketch(a, "k", depth = 3, width = 64),
+        Sketches.countMinSketch(b, "k", depth = 3, width = 64))
+        .as[Long].head()
+      est shouldBe 11L
+    }
+
+    it("stays one-sided under forced collisions") {
+      val est = Sketches.cmJoinSizeEstimate(
+        Sketches.countMinSketch(a, "k", depth = 2, width = 2),
+        Sketches.countMinSketch(b, "k", depth = 2, width = 2))
+        .as[Long].head()
+      est should be >= 11L
+    }
+  }
+
   describe("kmvSketch (bounded distinct sketch with set ops)") {
     it("is exact below k and deduplicates repeats") {
       val df = (1 to 5).flatMap(v => Seq.fill(10)(v.toLong)).toDF("v")
