@@ -24,11 +24,14 @@ object ScaleProbe {
       (0 until replicas).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * n))).reduce(_ unionByName _)
     }
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    // optional 2nd+ args: only run probes whose name starts with one of them
+    val only = args.drop(1).toSeq
+    def time(name: String)(df: => DataFrame): Unit =
+      if (only.isEmpty || only.exists(name.startsWith)) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
 
     val docs = rep(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
       .localCheckpoint(true) // measure the operators, not the replication
@@ -179,35 +182,61 @@ object ScaleProbe {
     }
 
     // ---- round-7 probes: native execs vs their compositional twins ------
-    val ev10 = rep(events.select(col("event_id"), col("user_id"),
-      col("event_type"), col("ts"), col("value")), "event_id")
-      .localCheckpoint(true)
-    println(s"events10=${ev10.count()}")
-    val lAsof = ev10.where(col("event_type") === "purchase")
+    // 100x-replicated fact side (replicas share user/ts, so the grouped
+    // right sides collapse — the realistic big-fact x per-key-dim regime);
+    // each probe runs twice, the second number is the warm one
+    val evBase = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), col("value"))
+    val evN = {
+      val n = evBase.count()
+      (0 until 100).map(i =>
+        evBase.withColumn("event_id", col("event_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+    }.localCheckpoint(true)
+    println(s"eventsN=${evN.count()}")
+    val lAsof = evN.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val rAsof = ev10.where(col("event_type") === "click")
+    val rAsof = evN.where(col("event_type") === "click")
       .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
       .agg(max(col("value")).as("r_value"))
-    time("as-of join NATIVE exec (10M events)") {
+    for (i <- 1 to 2) time(s"as-of NATIVE exec (2M x 20k/key) r$i") {
       graft.plans.AsOf.asOfJoin(lAsof, rAsof,
         Seq("user_id"), Seq("r_user"), "ts", "r_ts")
     }
-    time("as-of join COMPOSED union+window (10M events)") {
+    for (i <- 1 to 2) time(s"as-of COMPOSED union+window r$i") {
       Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
         keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
         payloadCols = Seq("r_ts", "r_value"))
     }
-    val ivals = ev10.where(col("event_type") === "click")
+    val ivals = evN.where(col("event_type") === "click")
       .select(col("user_id").as("i_user"), col("ts").as("i_start")).distinct()
       .withColumn("i_end", col("i_start") + expr("INTERVAL 6 HOURS"))
       .localCheckpoint(true)
-    time("interval join NATIVE keyed exec (10M points)") {
+    for (i <- 1 to 2) time(s"interval NATIVE keyed exec (2M points) r$i") {
       graft.plans.IntervalJoin.intervalJoin(lAsof, ivals,
         Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end")
     }
-    time("interval join BUCKETED + key filter (10M points)") {
+    for (i <- 1 to 2) time(s"interval BUCKETED + key filter r$i") {
       Temporal.intervalJoin(lAsof, "ts",
         ivals.withColumnRenamed("i_user", "u2"), "i_start", "i_end",
+        bucketWidthSec = 21600L)
+        .where(col("user_id") === col("u2"))
+    }
+    // regime 2: the interval side too is fact-sized (per-replica jitter
+    // de-collapses it to 2M distinct intervals — no broadcast possible)
+    val bigIvals = evN.where(col("event_type") === "click")
+      .select(col("user_id").as("i_user"),
+        timestamp_micros(unix_micros(col("ts")) +
+          pmod(col("event_id"), lit(100L)) * 1000000L).as("i_start"))
+      .withColumn("i_end", col("i_start") + expr("INTERVAL 6 HOURS"))
+      .localCheckpoint(true)
+    for (i <- 1 to 2) time(s"interval NATIVE, 2M x 2M fact-sized r$i") {
+      graft.plans.IntervalJoin.intervalJoin(lAsof, bigIvals,
+        Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end")
+    }
+    for (i <- 1 to 2) time(s"interval BUCKETED, 2M x 2M fact-sized r$i") {
+      Temporal.intervalJoin(lAsof, "ts",
+        bigIvals.withColumnRenamed("i_user", "u2"), "i_start", "i_end",
         bucketWidthSec = 21600L)
         .where(col("user_id") === col("u2"))
     }

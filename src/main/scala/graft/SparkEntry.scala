@@ -2456,15 +2456,19 @@ object SparkEntry {
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
 
     "q126_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, tgt,
-        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
-        |  FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
-        |          unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-        |        FROM documents)
+      """WITH prof AS (
+        |  SELECT doc_id, tgt, bucket, count(*) AS cnt
+        |  FROM (SELECT doc_id, tgt,
+        |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+        |        FROM (SELECT doc_id,
+        |                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |                unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |              FROM documents))
+        |  GROUP BY doc_id, tgt, bucket
         |), counts AS (
-        |  SELECT bucket, count(*) AS raw_n, sum(tgt) AS tgt_n
-        |  FROM toks GROUP BY bucket
+        |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS raw_n,
+        |    CAST(sum(tgt * cnt) AS BIGINT) AS tgt_n
+        |  FROM prof GROUP BY bucket
         |), totals AS (
         |  SELECT CAST(sum(raw_n) AS DOUBLE) AS raw_t,
         |    CAST(sum(tgt_n) AS DOUBLE) AS tgt_t FROM counts
@@ -2474,8 +2478,9 @@ object SparkEntry {
         |      - ln((raw_n + 1.0) / (raw_t + 1024.0)) AS sc
         |  FROM counts, totals
         |), per_doc AS (
-        |  SELECT doc_id, count(*) AS n_tokens, round(sum(sc), 4) AS log_weight
-        |  FROM toks JOIN scores USING (bucket) GROUP BY doc_id
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    round(sum(cnt * sc), 4) AS log_weight
+        |  FROM prof JOIN scores USING (bucket) GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
         |  coalesce(p.log_weight, 0) AS log_weight

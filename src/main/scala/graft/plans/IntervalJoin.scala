@@ -105,8 +105,25 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val sEval = BindReferences.bindReference(sB, rOut)
       val eEval = BindReferences.bindReference(eB, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-        .asInstanceOf[Ordering[Any]]
+      // timestamps/longs eval to boxed longs: compare primitively instead of
+      // through the interpreted ordering (one virtual dispatch + two boxed
+      // compares per buffered interval per point, measured on the 1M-point
+      // probe)
+      val timeOrd: Ordering[Any] = timeType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          ((a: Any, b: Any) => java.lang.Long.compare(
+            a.asInstanceOf[java.lang.Long].longValue(),
+            b.asInstanceOf[java.lang.Long].longValue())): Ordering[Any]
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType =>
+          ((a: Any, b: Any) => java.lang.Integer.compare(
+            a.asInstanceOf[java.lang.Integer].intValue(),
+            b.asInstanceOf[java.lang.Integer].intValue())): Ordering[Any]
+        case _ => TypeUtils.getInterpretedOrdering(timeType)
+          .asInstanceOf[Ordering[Any]]
+      }
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
