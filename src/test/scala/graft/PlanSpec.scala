@@ -364,8 +364,8 @@ class PlanSpec extends SparkTestBase with Matchers {
 
   it("dsir weights broadcast the bucket score table — no corpus-sized join side") {
     val p = plan("q126_dsir_weights")
-    p should include("partial_count") // bucket counts map-combine
-    p should include("BroadcastHashJoin") // token -> score lookup
+    p should include("partial_sum") // bucket profile counts map-combine
+    p should include("BroadcastHashJoin") // bucket -> score lookup
     p should not include "CartesianProduct"
   }
 
