@@ -1630,6 +1630,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-filter ablation matrix: one combination-of-verdicts row per
+    // observed bitmask with its doc count — marginals, unique removals and
+    // survivor counts for every single-filter ablation from ONE corpus
+    // pass; shuffle is <= 2^4 rows (operators.Curation.filterAblation)
+    "q132_filter_ablation" -> ((s, dir) => {
+      import graft.operators.Curation
+      import graft.functions.TextFunctions
+      Curation.filterAblation(t(s, dir, "documents"), Seq(
+        "f_short" -> (col("n_chars") < 200),
+        "f_non_en" -> (col("lang") =!= "en"),
+        "f_few_tokens" -> (TextFunctions.tokenCount(col("text")) < 30),
+        "f_repetitive" -> (TextFunctions.distinctTokenRatio(col("text")) < 0.5)))
+        .orderBy(col("f_short"), col("f_non_en"), col("f_few_tokens"),
+          col("f_repetitive"))
+    }),
+
     // pre-flight join sizing WITHOUT running the join: count-min inner
     // product (min over depths of Σ cmA·cmB — one-sided by construction)
     // estimates |lineitem ⋈ urgent orders|; both sides reduce map-combined
@@ -2486,6 +2502,25 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q132_filter_ablation" ->
+      """WITH f AS (
+        |  SELECT
+        |    n_chars < 200 AS f_short,
+        |    lang <> 'en' AS f_non_en,
+        |    len(regexp_extract_all(text, '\S+')) < 30 AS f_few_tokens,
+        |    round(CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) < 0.5
+        |      AS f_repetitive
+        |  FROM documents
+        |)
+        |SELECT f_short, f_non_en, f_few_tokens, f_repetitive,
+        |  count(*) AS n_docs,
+        |  CAST(CAST(f_short AS INT) + CAST(f_non_en AS INT)
+        |    + CAST(f_few_tokens AS INT) + CAST(f_repetitive AS INT) AS BIGINT)
+        |    AS n_flagged
+        |FROM f GROUP BY 1, 2, 3, 4
+        |ORDER BY f_short, f_non_en, f_few_tokens, f_repetitive""".stripMargin,
 
     "q131_cm_join_size" ->
       """WITH a AS (SELECT l_orderkey AS k FROM lineitem),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -48,5 +48,29 @@ object Curation {
       round(avg(col("_dtr")), scale).as("mean_distinct_token_ratio"),
       round(lit(1.0) - countDistinct(col("_fp")).cast("double")
         / count(lit(1)).cast("double"), scale).as("exact_dup_rate"))
+  }
+
+  /** Quality-filter ablation matrix: one row per OBSERVED combination of
+    * filter verdicts with its document count — the tuning artifact behind
+    * "which filters overlap, which do unique work, what would relaxing one
+    * cost". Marginals (docs a filter removes), unique removals (docs ONLY
+    * it removes — the filter-combination row with exactly that flag set),
+    * and survivor count (the all-false row) all read directly off the
+    * matrix, so one corpus pass answers every single-filter ablation.
+    *
+    * Scale shape: the verdict bitmap is computed map-side; the aggregation
+    * groups on ≤ 2^|filters| combinations (filters are few by nature), so
+    * the shuffle is combination-sized regardless of corpus size. Null
+    * verdicts count as false (filter did not flag).
+    */
+  def filterAblation(docs: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size, "duplicate filter names")
+    docs
+      .select(filters.map { case (n, c) => coalesce(c, lit(false)).as(n) }: _*)
+      .groupBy(filters.map(f => col(f._1)): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_flagged",
+        filters.map(f => col(f._1).cast("int")).reduce(_ + _).cast("long"))
   }
 }

@@ -558,4 +558,32 @@ class CurationOpsSpec extends SparkTestBase
       out(1)._3 shouldBe (2.0 / 3 +- 1e-3) // 2 of 3 non-empty lines indented
     }
   }
+
+  describe("Curation.filterAblation") {
+    it("counts every observed verdict combination once, nulls as unflagged") {
+      val docs = Seq(
+        (1L, Some(50), "en"), // short only
+        (2L, Some(50), "de"), // short + non-en
+        (3L, Some(500), "en"), // survivor
+        (4L, Some(500), "en"), // survivor
+        (5L, None, "de")) // null short-verdict -> false; non-en only
+        .toDF("id", "n_chars", "lang")
+      val out = Curation.filterAblation(docs, Seq(
+        "f_short" -> (col("n_chars") < 200),
+        "f_non_en" -> (col("lang") =!= "en")))
+        .as[(Boolean, Boolean, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      out shouldBe Map(
+        (true, false) -> ((1L, 1L)),
+        (true, true) -> ((1L, 2L)),
+        (false, false) -> ((2L, 0L)), // survivors
+        (false, true) -> ((1L, 1L)))
+    }
+
+    it("rejects duplicate filter names") {
+      an[IllegalArgumentException] should be thrownBy
+        Curation.filterAblation(Seq((1L, 1)).toDF("id", "v"),
+          Seq("f" -> (col("v") > 0), "f" -> (col("v") < 0)))
+    }
+  }
 }
