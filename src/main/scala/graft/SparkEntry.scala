@@ -1630,6 +1630,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: near-dup clusters (q32's detector) hash to ONE
+    // split as a unit, so no near-copy pair straddles the train/test fence
+    // and held-out metrics can't silently measure memorisation
+    // (operators.Sampling.leakageSafeSplit)
+    "q133_leakage_safe_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")),
+        n = 3, threshold = 0.7)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-filter ablation matrix: one combination-of-verdicts row per
     // observed bitmask with its doc count — marginals, unique removals and
     // survivor counts for every single-filter ablation from ONE corpus
@@ -2502,6 +2517,36 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q133_leakage_safe_split" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        | FROM documents
+        |), pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM p a JOIN p b
+        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        |), edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs
+        |), walk(v, c) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
+        |), clustered AS (
+        | SELECT d.doc_id, coalesce(min(w.c), d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
+        | GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clustered ORDER BY doc_id""".stripMargin,
 
     "q132_filter_ablation" ->
       """WITH f AS (

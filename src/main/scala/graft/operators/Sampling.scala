@@ -195,6 +195,26 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe train/val/test split: assign splits at NEAR-DUP-CLUSTER
+    * level, not document level — a doc-keyed split puts two near-copies of
+    * the same page on opposite sides of the train/test fence, and the
+    * "held-out" metric silently measures memorisation. Clusters come from
+    * the near-dup `pairs` (any detector: n-gram Jaccard, MinHash-LSH,
+    * embedding) via connected components; every member of a cluster hashes
+    * to the SAME split by the cluster id.
+    *
+    * Scale shape: pointer-jumping components (O(log diameter) rounds) +
+    * one map-side hash assignment — the split itself adds no shuffle
+    * beyond [[splitByHash]] on the joined frame. Output: idCol,
+    * cluster_id, `splitCol`. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String, idBCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split", buckets: Int = 10000): DataFrame =
+    splitByHash(
+      graft.operators.Graphs.dedupClusters(docs, idCol, pairs, idACol, idBCol)
+        .select(col(idCol), col("cluster_id")),
+      col("cluster_id"), splits, splitCol, buckets)
+
   /** Stratified deterministic sampling: a rate per stratum value (e.g.
     * downsample dominant languages, keep the tail). Strata missing from
     * `rates` use `defaultRate`. */

@@ -68,6 +68,30 @@ class SamplingPropertySpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("leakageSafeSplit never puts a near-dup pair across the split fence") {
+    val rnd = new Random(11)
+    // 60 docs in 20 clusters of 3 (pairs chain them), plus 15 singletons
+    val docs = (1L to 75L).toDF("doc_id")
+    val pairs = (0 until 20).flatMap { c =>
+      val base = c * 3 + 1L
+      Seq((base, base + 1), (base + 1, base + 2))
+    }.toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      .as[(Long, Long, String)].collect()
+    out.length shouldBe 75
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // every connected pair shares a split
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      withClue(s"pair ($a,$b): ") { splitOf(a) shouldBe splitOf(b) }
+    }
+    // all three splits are populated and clusters stay whole
+    out.map(_._3).toSet shouldBe Set("train", "val", "test")
+    out.groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._3).toSet.size shouldBe 1
+    }
+  }
+
   it("hashSample of a union equals the union of hashSamples (content membership)") {
     val rnd = new Random(37)
     val a = (1 to 1000).map(_ => rnd.nextInt(100000).toLong).distinct
