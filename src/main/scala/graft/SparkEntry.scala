@@ -1630,6 +1630,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // persisted IVF ANN index: train-once / ingest-daily / query-any-
+    // snapshot over the storage layer — centroids trained on the FIRST
+    // batch only, the second batch ingests against them frozen, queries
+    // probe 2 of 8 cells of the merged snapshot (operators.AnnIndex)
+    "q134_persisted_ann" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val base = java.nio.file.Files.createTempDirectory("graft-q134").toString
+      val emb = t(s, dir, "embeddings")
+      val ts = java.sql.Timestamp.valueOf(_: String)
+      AnnIndex.buildIvf(s, base, emb.where(col("vec_id") < 1500),
+        "vec_id", "embedding", nLists = 8, lloydIters = 2,
+        ts("2024-01-01 00:00:00"))
+      AnnIndex.appendVectors(s, base, emb.where(col("vec_id") >= 1500),
+        "vec_id", "embedding", ts("2024-01-02 00:00:00"))
+      AnnIndex.queryIvf(s, base, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nProbe = 2, ts("2024-06-01 00:00:00"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // leakage-safe split: near-dup clusters (q32's detector) hash to ONE
     // split as a unit, so no near-copy pair straddles the train/test fence
     // and held-out metrics can't silently measure memorisation
@@ -2517,6 +2536,76 @@ object SparkEntry {
         |  coalesce(p.log_weight, 0) AS log_weight
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q134_persisted_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), eb AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id < 1500
+        |), c0 AS (
+        |  SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM eb, c0)
+        |), u1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c1 AS (
+        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
+        |  GROUP BY c0.cs
+        |), a2 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM eb, c1)
+        |), u2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c2 AS (
+        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
+        |  GROUP BY c1.cs
+        |), idx AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c2)
+        |), probe AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT q.vec_id, q.v, t.i AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(0, 64),
+        |          d -> (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1])
+        |             * (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1]))), t.i) AS rn
+        |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+        |    CROSS JOIN range(0, 8) t(i) CROSS JOIN c2)
+        |  WHERE rn <= 2
+        |), s AS (
+        |  SELECT p.vec_id AS query_id, i.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.v, i.v)
+        |      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(i.v, i.v))), 6) AS cos
+        |  FROM probe p JOIN idx i ON p.cell = i.cell AND p.vec_id <> i.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q133_leakage_safe_split" ->
       """WITH RECURSIVE p AS (
