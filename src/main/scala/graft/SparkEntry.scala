@@ -1457,10 +1457,18 @@ object SparkEntry {
     // 64-group aggregation packed into a 1-row broadcast; coding is a
     // narrow map. float→double promotion before every subtraction and an
     // element-order fold keep codes AND mse engine-exact
-    // (operators.Quantization.int8Quantize)
+    // (operators.Quantization.int8Quantize). Gate contract: NO raw array
+    // column may reach the driver's pandas comparator (round-7 red:
+    // array<int> is unhashable in sort_values) — the codes array is
+    // flattened to a csv string, full-value-checked against the oracle's
+    // identical flattening
     "q113_int8_quant" -> ((s, dir) => {
       import graft.operators.Quantization
       Quantization.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes_csv"),
+          col("mse"))
         .orderBy(col("id"))
     }),
 
@@ -2191,13 +2199,13 @@ object SparkEntry {
         |  FROM st
         |)
         |SELECT vec_id AS id,
-        |  list_transform(range(1, len(embedding) + 1), i ->
-        |    CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
+        |  array_to_string(list_transform(range(1, len(embedding) + 1), i ->
+        |    CAST(CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
         |      CAST(least(greatest(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE)
         |          - mins[CAST(i AS INT)])
         |        / (maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]) * 255.0), 0.0), 255.0)
         |        AS INT) - 128
-        |    ELSE 0 END) AS codes,
+        |    ELSE 0 END AS VARCHAR)), ',') AS codes_csv,
         |  round(list_reduce(list_prepend(0.0,
         |    list_transform(range(1, len(embedding) + 1), i ->
         |      CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
@@ -2670,10 +2678,16 @@ object SparkEntry {
         |    ('0x' || substr(md5('cm_' || d.range || '_' || k), 1, 8))::BIGINT % 2048 AS bkt,
         |    count(*) AS cm_b
         |  FROM b, range(0, 4) d GROUP BY 1, 2
-        |), dots AS (
+        |), dotsj AS (
         |  SELECT d, sum(cm_a * cm_b) AS dot
         |  FROM ca JOIN cb USING (d, bkt) GROUP BY d
-        |), est AS (SELECT CAST(min(dot) AS BIGINT) AS cm_join_estimate FROM dots),
+        |), dots AS (
+        |  -- full depth spine: a depth with NO overlapping cells is dot = 0,
+        |  -- the tightest one-sided bound — the inner join above would drop it
+        |  SELECT dd.range AS d, coalesce(dotsj.dot, 0) AS dot
+        |  FROM range(0, 4) dd LEFT JOIN dotsj ON dotsj.d = dd.range
+        |), est AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT)
+        |           AS cm_join_estimate FROM dots),
         |ex AS (SELECT count(*) AS exact_rows FROM a JOIN b USING (k))
         |SELECT cm_join_estimate, exact_rows,
         |  cm_join_estimate >= exact_rows AS one_sided_ok
@@ -2786,11 +2800,14 @@ object SparkEntry {
         |idx2 AS (
         |  SELECT doc_id, gram FROM idx JOIN df USING (gram) WHERE df <= 50
         |), pre AS (
+        |  -- prefix ranked over NON-HOT grams only (PPJoin-with-cap); the
+        |  -- prefix length keeps the FULL gram count n
         |  SELECT doc_id, gram FROM (
         |    SELECT i.doc_id, i.gram, d.df, s.n,
         |      row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.gram) AS rn
-        |    FROM idx i JOIN df d USING (gram) JOIN sz s ON s.doc_id = i.doc_id)
-        |  WHERE rn <= CAST(floor((1 - 0.8) * n) AS INT) + 1 AND df <= 50
+        |    FROM idx i JOIN df d USING (gram) JOIN sz s ON s.doc_id = i.doc_id
+        |    WHERE d.df <= 50)
+        |  WHERE rn <= CAST(floor((1 - 0.8) * n) AS INT) + 1
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id_contained, b.doc_id AS id_container
         |  FROM pre a JOIN idx2 b ON a.gram = b.gram AND a.doc_id <> b.doc_id

@@ -97,6 +97,12 @@ object AnnIndex {
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("vec").as("c_vec"))
     val probeUdf = udf { (v: Array[Double]) =>
+      // fail loudly on dimension drift: a longer query vector would throw
+      // ArrayIndexOutOfBounds mid-centroid, a shorter one would silently
+      // probe on a truncated distance — both are schema bugs at the caller
+      require(cents.isEmpty || v.length == cents(0).length,
+        s"query vector dim ${v.length} does not match trained centroid " +
+          s"dim ${cents(0).length} — re-encode queries or rebuild the index")
       cents.indices.map { ci =>
         val cent = cents(ci); var d = 0.0; var i = 0
         while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }

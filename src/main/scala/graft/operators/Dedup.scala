@@ -363,8 +363,13 @@ object Dedup {
     * gram-set × gram-set. Work scales with prefix size × gram-bucket
     * occupancy. Grams carried by more than `maxGramFreq` docs are dropped
     * from candidate generation entirely (index AND prefix) — the standard
-    * hot-token cap, part of the operator's stated semantics: a pair whose
-    * shared grams are all hot is not found. Verification joins the two
+    * hot-token cap. The prefix is ranked over the NON-HOT grams only while
+    * its length ⌊(1−t)·|X|⌋+1 still uses the full gram count |X| (the
+    * PPJoin-with-cap formulation): since at most (1−t)·|X| of X's grams
+    * are missing from a qualifying container, the first ⌊(1−t)·|X|⌋+1
+    * non-hot grams cannot all be missing — so the only pairs missed are
+    * those where the contained doc has fewer than that many non-hot grams
+    * at all (i.e. nearly every gram is hot). Verification joins the two
     * sorted gram arrays back by id (the shuffle between candidate stages
     * carries only id pairs) and computes exact overlap.
     *
@@ -388,18 +393,20 @@ object Dedup {
     val sz = p.select(col("doc_id"), col("g"), size(col("g")).as("n"))
     val idx = p.select(col("doc_id"), explode(col("g")).as("gram"))
     val dfreq = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val idx2 = idx.join(dfreq, Seq("gram"))
-      .where(col("df") <= maxGramFreq).select("doc_id", "gram")
+    // hot grams leave the candidate channel BEFORE prefix ranking — ranking
+    // the filtered list (while the prefix length below still uses the full
+    // |X|) is what preserves the pigeonhole recall guarantee under the cap
+    val idxF = idx.join(dfreq, Seq("gram")).where(col("df") <= maxGramFreq)
+    val idx2 = idxF.select("doc_id", "gram")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
     // prefix length via the same double arithmetic the SQL oracle runs
     // ((1 - t) parsed/compiled to the identical IEEE double on any engine)
-    val pre = idx.join(dfreq, Seq("gram"))
+    val pre = idxF
       .withColumn("rn", row_number().over(w))
       .join(sz.select(col("doc_id"), col("n")), Seq("doc_id"))
       .where(col("rn") <=
         floor((lit(1.0) - lit(threshold)) * col("n")).cast("int") + 1)
-      .where(col("df") <= maxGramFreq)
       .select("doc_id", "gram")
     val cand = pre.as("a")
       .join(idx2.as("b"),

@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   * flip amplifies through power iterations (observed in testing); exact
   * integer accumulation removes the boundary entirely. The quantization is
   * part of the operator's semantics (a covariance resolved to 1e-9 — far
-  * below embedding noise). Term magnitudes bound the row count: |x·y|·10⁹
-  * summed in a long supports ~10⁷ rows per unit of product magnitude;
-  * raise the headroom by lowering `momentScale` for larger corpora.
+  * below embedding noise). The moment quantum is FIXED at 10⁹ (it is baked
+  * into the matching oracle SQL contract, so it is not a parameter), which
+  * bounds the supported corpus: |x·y|·10⁹ summed in a long overflows past
+  * ~9.2·10⁹ units of accumulated product magnitude — ~10⁹ rows of
+  * unit-normalized embeddings, ~10⁷ rows at product magnitude ~100.
+  * Corpora beyond that bound should pre-aggregate per shard (sum of exact
+  * long partials across shards stays exact) rather than re-quantize.
   *
   * The power iteration runs on the driver over the collected d×d matrix (a
   * 100 TB corpus with d=64 still collects exactly 64×64 entries): a FIXED

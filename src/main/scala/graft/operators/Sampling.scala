@@ -60,7 +60,9 @@ object Sampling {
     * without upsampling: scale = min over weighted sources of n_s / w_s,
     * giving per-source caps floor(w_s * scale); each source keeps its
     * cap-many rows ranked by content hash (stable under re-runs and
-    * repartitioning). Sources absent from `weights` are dropped; a weighted
+    * repartitioning — PROVIDED `rankKey` is unique per row, or `tieBreak`
+    * columns complete the total order, same contract as [[cappedPerKey]]).
+    * Sources absent from `weights` are dropped; a weighted
     * source absent from the data pins the scale to zero only if its weight
     * is > 0 — it simply contributes nothing, callers wanting a hard failure
     * should validate upstream.
@@ -71,7 +73,8 @@ object Sampling {
     * capped rank filter. The caps travel as a broadcast literal relation.
     */
   def mixtureSample(df: DataFrame, sourceCol: String,
-      weights: Map[String, Double], rankKey: Column): DataFrame = {
+      weights: Map[String, Double], rankKey: Column,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(weights.nonEmpty, "at least one source weight")
     require(weights.values.forall(_ > 0.0), "weights must be positive")
     require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
@@ -87,9 +90,13 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val capsDf = caps.toSeq.toDF(sourceCol, "_graft_cap")
+    // same total-order contract as cappedPerKey: (hashRank, rankKey-string)
+    // must order rows totally within a source, or which duplicate survives
+    // the cap is partitioning-dependent — callers with non-unique rankKey
+    // values pass tieBreak columns to complete the order
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
-      .orderBy(hashRank(rankKey), rankKey.cast("string"))
+      .orderBy(hashRank(rankKey) +: rankKey.cast("string") +: tieBreak: _*)
     df.join(broadcast(capsDf), Seq(sourceCol))
       .withColumn("_graft_rn", row_number().over(w))
       .where(col("_graft_rn") <= col("_graft_cap"))

@@ -141,10 +141,20 @@ object Sketches {
       col("cm_count").as("cm_a"))
     val b = sketchB.select(col("cm_depth"), col("cm_bucket"),
       col("cm_count").as("cm_b"))
-    a.join(b, Seq("cm_depth", "cm_bucket")) // absent cell = 0 contributes 0
+    // per-cell products only exist where BOTH sides hit the cell (inner
+    // join), but the min must range over EVERY depth row — a depth with no
+    // overlapping cells has dot = 0 and is the TIGHTEST bound (true join
+    // size 0). Left-join the dots onto the depth spine present in either
+    // sketch and coalesce absent depths to 0; fully-empty sketches (no rows
+    // at all) collapse to a single 0 row, never NULL.
+    val depths = a.select(col("cm_depth"))
+      .union(b.select(col("cm_depth"))).distinct()
+    val dots = a.join(b, Seq("cm_depth", "cm_bucket"))
       .groupBy(col("cm_depth"))
       .agg(sum(col("cm_a") * col("cm_b")).as("dot"))
-      .agg(min(col("dot")).cast("long").as("cm_join_estimate"))
+    depths.join(dots, Seq("cm_depth"), "left")
+      .agg(coalesce(min(coalesce(col("dot"), lit(0L))), lit(0L))
+        .cast("long").as("cm_join_estimate"))
   }
 
   // ---- KMV distinct sketches (graft.sql.KmvSketch) -----------------------

@@ -10,6 +10,23 @@ class PlanSpec extends SparkTestBase with Matchers {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
 
+  it("no gate query emits a nested (array/map/struct) output column") {
+    // the driver's pandas comparator crashes on nested values (round-7
+    // q113: array<int> is unhashable in sort_values) — every gate output
+    // must be flat scalars. Schema-only check: resolves each query's plan
+    // at sf0.001 without executing it (model-training builders do run
+    // their driver-side fit, which is why this lives with the plan specs)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf("sf0.001")).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+    }
+    offenders shouldBe empty
+  }
+
   it("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
     val p = plan("q01_pricing_summary")
     p should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")

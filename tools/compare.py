@@ -20,14 +20,24 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
 
-def canon(df):
+class NestedColumnError(Exception):
+    """A nested (list/struct/map) column reached the comparator. The driver's
+    pandas compare crashes on these (round-7 q113: array<int> is unhashable in
+    sort_values) — so the local gate must REJECT them, never stringify around
+    them. Gate queries must flatten nested output (csv-join, unpack to
+    scalars) before dumping."""
+
+def canon(df, side):
     # fresh positional index FIRST: multi-file concat carries duplicate labels
     # and iloc would misinterpret them as positions
     df = df[sorted(df.columns)].reset_index(drop=True)
-    # array/list columns are unhashable for sort_values; sort on a stringified
-    # shadow so array-bearing queries still get a real rows/values check
-    key = df.apply(lambda c: c.map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else str(v)))
-    df = df.iloc[key.sort_values(by=list(key.columns)).index].reset_index(drop=True)
+    for c in df.columns:
+        bad = df[c].map(lambda v: hasattr(v, "tolist") and getattr(v, "ndim", 0) != 0
+                        or isinstance(v, (list, dict, tuple)))
+        if bad.any():
+            raise NestedColumnError(f"{side} col={c} carries nested values "
+                                    f"(e.g. {df[c][bad.idxmax()]!r}) — driver-red; flatten it")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 fails = []
@@ -35,10 +45,23 @@ for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"MISSING {name}"); fails.append(name); continue
-    mine = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    # footer-level nested-type rejection: list/struct/map columns crash the
+    # driver's pandas comparator — fail HERE, before any data is read
+    nested = [f"{field.name}:{field.type}" for f in files for field in pq.read_schema(f)
+              if pa.types.is_nested(field.type)]
+    if nested:
+        print(f"ARRAY-COL {name}: nested parquet columns {sorted(set(nested))} — "
+              f"driver-red (r7 q113); flatten before dumping")
+        fails.append(name); continue
+    try:
+        mine = canon(pd.concat([pd.read_parquet(f) for f in files]), "mine")
+    except NestedColumnError as e:
+        print(f"ARRAY-COL {name}: {e}"); fails.append(name); continue
     t0 = time.time()
     try:
-        ref = canon(con.execute(oracle[name]).fetchdf())
+        ref = canon(con.execute(oracle[name]).fetchdf(), "oracle")
+    except NestedColumnError as e:
+        print(f"ARRAY-COL {name}: {e}"); fails.append(name); continue
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fails.append(name); continue
     oracle_sec = time.time() - t0
