@@ -208,13 +208,37 @@ object ScaleProbe {
         keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
         payloadCols = Seq("r_ts", "r_value"))
     }
+    // exchange REUSE across stages: as-of -> per-key aggregate. The native
+    // exec declares outputPartitioning = left's hash clustering, so the agg
+    // plans NO third exchange; the composed union+window carries a merged
+    // two-relation partitioning the downstream agg cannot reuse as cheaply
+    for (i <- 1 to 2) time(s"as-of NATIVE + per-key agg (reuse) r$i") {
+      graft.plans.AsOf.asOfJoin(lAsof, rAsof,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("r_value")).as("last_v"))
+    }
+    for (i <- 1 to 2) time(s"as-of COMPOSED + per-key agg r$i") {
+      Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
+        keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
+        payloadCols = Seq("r_ts", "r_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("r_value")).as("last_v"))
+    }
     val ivals = evN.where(col("event_type") === "click")
       .select(col("user_id").as("i_user"), col("ts").as("i_start")).distinct()
       .withColumn("i_end", col("i_start") + expr("INTERVAL 6 HOURS"))
       .localCheckpoint(true)
-    for (i <- 1 to 2) time(s"interval NATIVE keyed exec (2M points) r$i") {
+    for (i <- 1 to 2) time(s"interval NATIVE SMJ exec (2M points) r$i") {
       graft.plans.IntervalJoin.intervalJoin(lAsof, ivals,
-        Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end")
+        Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end", Some(false))
+    }
+    // broadcast regime: checkpointed stats still carry the pre-distinct
+    // scan size, so the hint stands in for the runtime cardinality a real
+    // planner would have — the BHJ-vs-SMJ pick the strategy makes by size
+    for (i <- 1 to 2) time(s"interval NATIVE BROADCAST (2M points) r$i") {
+      graft.plans.IntervalJoin.intervalJoin(lAsof, ivals,
+        Seq("user_id"), Seq("i_user"), "ts", "i_start", "i_end", Some(true))
     }
     for (i <- 1 to 2) time(s"interval BUCKETED + key filter r$i") {
       Temporal.intervalJoin(lAsof, "ts",

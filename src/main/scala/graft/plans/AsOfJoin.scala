@@ -126,21 +126,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       // primitive comparisons for long-backed time types (see IntervalJoin)
-      val timeOrd: Ordering[Any] = timeType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          ((a: Any, b: Any) => java.lang.Long.compare(
-            a.asInstanceOf[java.lang.Long].longValue(),
-            b.asInstanceOf[java.lang.Long].longValue())): Ordering[Any]
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DateType =>
-          ((a: Any, b: Any) => java.lang.Integer.compare(
-            a.asInstanceOf[java.lang.Integer].intValue(),
-            b.asInstanceOf[java.lang.Integer].intValue())): Ordering[Any]
-        case _ => TypeUtils.getInterpretedOrdering(timeType)
-          .asInstanceOf[Ordering[Any]]
-      }
+      val timeOrd = NativeJoinTime.ordering(timeType)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 

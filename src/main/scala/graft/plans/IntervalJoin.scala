@@ -7,11 +7,38 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection}
+  SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.DataType
+
+/** Shared primitive-time comparison for the native temporal joins:
+  * timestamps/longs eval to boxed longs — comparing them primitively
+  * instead of through the interpreted ordering saves one virtual dispatch
+  * + two boxed compares per buffered row per probe (measured on the
+  * 1M-point probe). */
+private[plans] object NativeJoinTime {
+  def ordering(timeType: DataType): Ordering[Any] = timeType match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      ((a: Any, b: Any) => java.lang.Long.compare(
+        a.asInstanceOf[java.lang.Long].longValue(),
+        b.asInstanceOf[java.lang.Long].longValue())): Ordering[Any]
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType =>
+      ((a: Any, b: Any) => java.lang.Integer.compare(
+        a.asInstanceOf[java.lang.Integer].intValue(),
+        b.asInstanceOf[java.lang.Integer].intValue())): Ordering[Any]
+    case _ => TypeUtils.getInterpretedOrdering(timeType)
+      .asInstanceOf[Ordering[Any]]
+  }
+}
 
 /** Native keyed interval join — "every (point, interval) pair with equal
   * keys and start <= t < end" as ONE physical operator, the twin of
@@ -41,7 +68,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    pointTime: Expression, start: Expression, end: Expression)
+    pointTime: Expression, start: Expression, end: Expression,
+    broadcastHint: Option[Boolean] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -51,13 +79,28 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[IntervalJoinPlan]] into [[IntervalJoinExec]]. Injected by
+/** Plans [[IntervalJoinPlan]] into a physical operator, making the same
+  * BHJ-vs-SMJ regime choice every engine's join planner makes: when the
+  * interval side's estimated size fits `spark.sql.autoBroadcastJoinThreshold`
+  * it plans [[BroadcastIntervalJoinExec]] (points never shuffle — the
+  * measured 2× win when intervals are dimension-sized), otherwise the
+  * sorted-merge [[IntervalJoinExec]] (both sides shuffle once, state
+  * bounded by per-key overlap — the 100 TB fact-×-fact shape). Injected by
   * `graft.sql.GraftExtensions`, or per-session via
   * [[IntervalJoin.ensureStrategy]]. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, t, s, e) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, t, s, e) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, t, s, e, hint) =>
+      val thresh = SQLConf.get.autoBroadcastJoinThreshold
+      val sz = r.stats.sizeInBytes
+      // explicit hint wins (the user knows the post-aggregation cardinality
+      // the size-only estimator can't see); otherwise the size estimate
+      // decides, exactly like Spark's own BHJ-vs-SMJ selection
+      val broadcast = hint.getOrElse(thresh > 0 && sz >= 0 && sz <= thresh)
+      if (broadcast)
+        BroadcastIntervalJoinExec(planLater(l), planLater(r), lk, rk, t, s, e) :: Nil
+      else
+        IntervalJoinExec(planLater(l), planLater(r), lk, rk, t, s, e) :: Nil
     case _ => Nil
   }
 }
@@ -105,25 +148,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val sEval = BindReferences.bindReference(sB, rOut)
       val eEval = BindReferences.bindReference(eB, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      // timestamps/longs eval to boxed longs: compare primitively instead of
-      // through the interpreted ordering (one virtual dispatch + two boxed
-      // compares per buffered interval per point, measured on the 1M-point
-      // probe)
-      val timeOrd: Ordering[Any] = timeType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          ((a: Any, b: Any) => java.lang.Long.compare(
-            a.asInstanceOf[java.lang.Long].longValue(),
-            b.asInstanceOf[java.lang.Long].longValue())): Ordering[Any]
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DateType =>
-          ((a: Any, b: Any) => java.lang.Integer.compare(
-            a.asInstanceOf[java.lang.Integer].intValue(),
-            b.asInstanceOf[java.lang.Integer].intValue())): Ordering[Any]
-        case _ => TypeUtils.getInterpretedOrdering(timeType)
-          .asInstanceOf[Ordering[Any]]
-      }
+      val timeOrd = NativeJoinTime.ordering(timeType)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
@@ -210,6 +235,107 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
+/** Broadcast regime of the keyed interval join: the interval side is
+  * broadcast whole (EnsureRequirements inserts the BroadcastExchange from
+  * `requiredChildDistribution`), the point side keeps its incoming
+  * partitioning — NO shuffle, NO sort on either side. Each task builds a
+  * per-key interval table from the broadcast rows once (stable-sorted by
+  * start), then probes: binary-search the start-≤-t prefix, filter ends.
+  * Probe cost is O(log n + matches + expired-in-prefix) per point against
+  * a dimension-sized table; identical join semantics to
+  * [[IntervalJoinExec]] (inner, half-open start <= t < end, null/degenerate
+  * rows dropped, match order follows interval start order). */
+case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    pointTime: Expression, start: Expression, end: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val tB = pointTime
+    val sB = start
+    val eB = end
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+      s"interval-join key types differ: ${leftKeys.map(_.dataType)} vs " +
+        s"${rightKeys.map(_.dataType)}")
+    require(pointTime.dataType == start.dataType && start.dataType == end.dataType,
+      s"interval-join time types differ: ${pointTime.dataType} / " +
+        s"${start.dataType} / ${end.dataType}")
+    val timeType = pointTime.dataType
+    val relation = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val timeOrd = NativeJoinTime.ordering(timeType)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val sEval = BindReferences.bindReference(sB, rOut)
+      val eEval = BindReferences.bindReference(eB, rOut)
+      // per-key tables from the broadcast rows: parallel arrays sorted by
+      // start (stable, so equal starts keep broadcast row order). Built
+      // once per task — the build is |intervals| log |intervals|, amortized
+      // over the partition's points.
+      final class KeyTable(val starts: Array[Any], val ends: Array[Any],
+        val rows: Array[InternalRow])
+      val byKey = new java.util.HashMap[UnsafeRow, ArrayBuffer[(Any, Any, InternalRow)]]()
+      relation.value.foreach { r =>
+        val k = rKeyProj(r)
+        val s = sEval.eval(r)
+        val e = eEval.eval(r)
+        if (s != null && e != null && !k.anyNull && timeOrd.lt(s, e)) {
+          var buf = byKey.get(k)
+          if (buf == null) { buf = new ArrayBuffer; byKey.put(k.copy(), buf) }
+          buf += ((s, e, r)) // broadcast rows are materialized copies already
+        }
+      }
+      val tables = new java.util.HashMap[UnsafeRow, KeyTable](byKey.size())
+      byKey.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1)(timeOrd)
+        tables.put(k, new KeyTable(sorted.map(_._1).toArray,
+          sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      }
+
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val tEval = BindReferences.bindReference(tB, lOut)
+      val joined = new JoinedRow
+      lIter.flatMap { l =>
+        val k = lKeyProj(l)
+        val t = tEval.eval(l)
+        val tab = if (k.anyNull || t == null) null else tables.get(k)
+        if (tab == null) Iterator.empty
+        else {
+          // upper bound: first index with start > t (starts sorted asc)
+          var lo = 0
+          var hi = tab.starts.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.lteq(tab.starts(mid), t)) lo = mid + 1 else hi = mid
+          }
+          val bound = lo
+          // JoinedRow is reused per probe; safe because downstream Spark
+          // operators copy when they buffer (same contract as Spark's own
+          // BroadcastHashJoinExec output)
+          Iterator.range(0, bound)
+            .filter(i => timeOrd.gt(tab.ends(i), t))
+            .map(i => joined(l, tab.rows(i)))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** User-facing entry point, mirroring [[AsOf]]. */
 object IntervalJoin {
 
@@ -224,10 +350,18 @@ object IntervalJoin {
   /** Keyed interval inner join: each `points` row paired with every
     * `intervals` row of the same key whose [start, end) contains its
     * `pointTsCol`. Column names must be disjoint between the two sides
-    * (they all carry through to the output). */
+    * (they all carry through to the output).
+    *
+    * Physical regime is chosen by [[IntervalJoinStrategy]]: intervals under
+    * `spark.sql.autoBroadcastJoinThreshold` broadcast (points never
+    * shuffle); larger sides sort-merge (one shuffle per side). Pass
+    * `broadcastIntervals = Some(true/false)` to override the size estimate
+    * — e.g. a post-aggregation interval side whose size-only stats still
+    * carry the pre-aggregation scan size. */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
       pointKeys: Seq[String], intervalKeys: Seq[String],
-      pointTsCol: String, startCol: String, endCol: String): DataFrame = {
+      pointTsCol: String, startCol: String, endCol: String,
+      broadcastIntervals: Option[Boolean] = None): DataFrame = {
     require(pointKeys.nonEmpty && pointKeys.size == intervalKeys.size,
       "interval join needs one or more key columns, the same count on both sides")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
@@ -244,6 +378,6 @@ object IntervalJoin {
     GraftSqlBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan,
       pointKeys.map(resolve(lPlan, _)), intervalKeys.map(resolve(rPlan, _)),
       resolve(lPlan, pointTsCol), resolve(rPlan, startCol),
-      resolve(rPlan, endCol)))
+      resolve(rPlan, endCol), broadcastIntervals))
   }
 }

@@ -121,6 +121,29 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 2
   }
 
+  it("reuses a pre-partitioned left side: ZERO extra exchange on it") {
+    // the exec's design case (AsOfJoin.scala requiredChildDistribution):
+    // an upstream repartition/bucketed scan on the join key must satisfy
+    // ClusteredDistribution, so EnsureRequirements adds no second shuffle
+    // — the plan has exactly the user's exchange plus the right side's
+    val plan = AsOf.asOfJoin(trades.repartition(3, $"sym"), quotes,
+      Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .queryExecution.executedPlan.toString
+    plan should include("AsOfJoin")
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+  }
+
+  it("a downstream per-key aggregate reuses the join's output partitioning") {
+    // outputPartitioning = left.outputPartitioning: groupBy(sym) after the
+    // join needs NO new exchange (2 total: one per join side) — the
+    // cross-stage reuse the union+window composition cannot declare
+    val agg = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .groupBy($"sym").agg(count(lit(1)).as("n"), max($"r_t").as("last_quote"))
+    val plan = agg.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+    agg.collect().length should be > 0
+  }
+
   it("rejects ambiguous output column names") {
     an[IllegalArgumentException] should be thrownBy
       AsOf.asOfJoin(trades, trades, Seq("sym"), Seq("sym"), "t", "t")

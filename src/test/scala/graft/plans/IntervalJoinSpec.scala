@@ -5,10 +5,12 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
-/** The native interval join exec: containment semantics (half-open,
-  * overlap fan-out, key isolation, null/degenerate handling), agreement
-  * with the bucketed composition on real data, and plan shape (one
-  * exchange + sort per side, no interval replication). */
+/** The native interval join: containment semantics (half-open, overlap
+  * fan-out, key isolation, null/degenerate handling) in BOTH physical
+  * regimes (broadcast-intervals and sorted-merge), agreement with the
+  * bucketed composition on real data, and both plan shapes (broadcast:
+  * zero shuffles/sorts; SMJ: one exchange + sort per side, no interval
+  * replication). */
 class IntervalJoinSpec extends SparkTestBase with Matchers {
 
   import spark.implicits._
@@ -23,25 +25,34 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
     ("B", 50L),
     ("D", 1L)).toDF("k", "t")
 
-  private def joinAll =
+  // both physical regimes must agree on every semantic property: the hint
+  // forces the regime regardless of the tiny test sizes
+  private val regimes = Seq("broadcast" -> Some(true), "sort-merge" -> Some(false))
+
+  private def joinAll(hint: Option[Boolean]) =
     IntervalJoin.intervalJoin(points, intervals,
-      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end", hint)
       .select($"k", $"t", $"i_tag").as[(String, Long, String)]
       .collect().sortBy(r => (r._1, r._2, r._3))
 
   it("pairs each point with every containing interval, half-open") {
-    joinAll shouldBe Array(
-      ("A", 10L, "a1"), // start inclusive
-      ("A", 17L, "a1"), ("A", 17L, "a2"), // overlap fan-out
-      ("A", 20L, "a2"), // end exclusive: a1 no longer matches at 20
-      ("A", 40L, "a3"),
-      ("B", 50L, "b1"))
-    // dropped: ("A",9) before any start, ("D",1) keyless, C's interval pointless
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      joinAll(hint) shouldBe Array(
+        ("A", 10L, "a1"), // start inclusive
+        ("A", 17L, "a1"), ("A", 17L, "a2"), // overlap fan-out
+        ("A", 20L, "a2"), // end exclusive: a1 no longer matches at 20
+        ("A", 40L, "a3"),
+        ("B", 50L, "b1"))
+      // dropped: ("A",9) before any start, ("D",1) keyless, C pointless
+    }
   }
 
   it("never matches across keys even when times overlap") {
     // B's [0,100) spans every A point time; none may leak
-    joinAll.filter(_._1 == "A").map(_._3).toSet shouldBe Set("a1", "a2", "a3")
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      joinAll(hint).filter(_._1 == "A").map(_._3).toSet shouldBe
+        Set("a1", "a2", "a3")
+    }
   }
 
   it("drops null and degenerate (end <= start) interval rows") {
@@ -49,9 +60,11 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
       (Some("A"), None, Some(99L)), (Some("A"), Some(30L), Some(30L)),
       (Some("A"), Some(50L), Some(40L))).toDF("i_key", "i_start", "i_end")
     val p = Seq(("A", 15L), ("A", 30L), ("A", 45L)).toDF("k", "t")
-    val out = IntervalJoin.intervalJoin(p, iv, Seq("k"), Seq("i_key"),
-      "t", "i_start", "i_end").select($"t").as[Long].collect()
-    out shouldBe Array(15L) // only the real [10,20) interval matches anything
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = IntervalJoin.intervalJoin(p, iv, Seq("k"), Seq("i_key"),
+        "t", "i_start", "i_end", hint).select($"t").as[Long].collect()
+      out shouldBe Array(15L) // only the real [10,20) interval matches
+    }
   }
 
   it("agrees with the bucketed compositional interval join on real data") {
@@ -63,27 +76,60 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
     val iv = base.where($"event_type" === "click")
       .select($"user_id".as("c_user"), $"ts".as("c_start")).distinct()
       .withColumn("c_end", $"c_start" + expr("INTERVAL 30 MINUTES"))
-    val native = IntervalJoin.intervalJoin(p, iv, Seq("user_id"), Seq("c_user"),
-      "ts", "c_start", "c_end").select($"event_id", $"c_start")
     // compose: the bucketed operator is unkeyed, so key-filter its output
     val composed = graft.operators.Temporal.intervalJoin(
       p, "ts", iv.withColumnRenamed("c_user", "user_id2"),
       "c_start", "c_end", bucketWidthSec = 3600L)
       .where($"user_id" === $"user_id2")
       .select($"event_id", $"c_start")
-    native.exceptAll(composed).count() shouldBe 0
-    composed.exceptAll(native).count() shouldBe 0
-    native.count() should be > 0L
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val native = IntervalJoin.intervalJoin(p, iv, Seq("user_id"),
+        Seq("c_user"), "ts", "c_start", "c_end", hint)
+        .select($"event_id", $"c_start")
+      native.exceptAll(composed).count() shouldBe 0
+      composed.exceptAll(native).count() shouldBe 0
+      native.count() should be > 0L
+    }
   }
 
-  it("plans one exchange and one sort per side — no interval replication") {
+  it("SMJ regime plans one exchange and one sort per side — no interval replication") {
     val plan = IntervalJoin.intervalJoin(points, intervals,
-      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end", Some(false))
       .queryExecution.executedPlan.toString
     plan should include("IntervalJoin")
+    plan should not include "BroadcastIntervalJoin"
     "Exchange".r.findAllIn(plan).length shouldBe 2
     "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 2
     plan should not include "Generate" // no explode/sequence bucketing
+  }
+
+  it("broadcast regime never shuffles or sorts the point side") {
+    val plan = IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end", Some(true))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastIntervalJoin")
+    plan should include("BroadcastExchange")
+    // the ONLY exchange is the broadcast one; nothing shuffles, nothing sorts
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+    "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 0
+  }
+
+  it("the size estimate picks broadcast for a tiny interval side, SMJ past the threshold") {
+    // tiny local relations sit far under the default 10MB threshold
+    val auto = IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+      .queryExecution.executedPlan.toString
+    auto should include("BroadcastIntervalJoin")
+    // same plan with broadcasting disabled must fall back to sort-merge
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = IntervalJoin.intervalJoin(points, intervals,
+        Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+        .queryExecution.executedPlan.toString
+      smj should include("IntervalJoin")
+      smj should not include "BroadcastIntervalJoin"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   it("rejects ambiguous output column names") {

@@ -61,16 +61,19 @@ class JoinPropertySpec extends SparkTestBase with Matchers {
       }.distinct
       val p = pts.toDF("k", "t").repartition(1 + rnd.nextInt(4))
       val iv = ivs.toDF("ik", "s", "e", "tag").repartition(1 + rnd.nextInt(4))
-      val got = IntervalJoin.intervalJoin(p, iv, Seq("k"), Seq("ik"),
-          "t", "s", "e")
-        .select($"k", $"t", $"tag").as[(String, Long, Long)]
-        .collect().sorted
       val want = (for {
         (k, t) <- pts
         (ik, s, e, tag) <- ivs
         if ik == k && s < e && s <= t && t < e
       } yield (k, t, tag)).sorted
-      withClue(s"seed=$seed: ") { got shouldBe want }
+      // both physical regimes must equal brute force on every seed
+      for (hint <- Seq(Some(true), Some(false))) {
+        val got = IntervalJoin.intervalJoin(p, iv, Seq("k"), Seq("ik"),
+            "t", "s", "e", hint)
+          .select($"k", $"t", $"tag").as[(String, Long, Long)]
+          .collect().sorted
+        withClue(s"seed=$seed broadcast=$hint: ") { got shouldBe want }
+      }
     }
   }
 }
