@@ -123,4 +123,217 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  // ---- PQ-coded variant: codes-only storage --------------------------
+  // The raw-vector ivf_codes table stores dim doubles per row — at 100 TB
+  // the index is as large as the corpus. The PQ variant stores m bytes of
+  // residual codes per row (m longs here; 64× smaller at dim=64/m=4 even
+  // before byte packing) plus two tiny model tables, and answers queries
+  // by asymmetric distance (ADC) against only the probed cells. Same
+  // operational contract as the raw index: FROZEN coarse centroids AND
+  // frozen codebooks after build (re-ingest encodes against them; drift =
+  // a new buildIvfPq at a new timestamp), PK replacement on vec_id,
+  // snapshot/region pruning from the audit tables.
+
+  val PqCodesTable = "ivfpq_codes"
+  val PqCodebooksTable = "ivfpq_codebooks"
+
+  private def residualUdf(cents: Array[Array[Double]]) =
+    udf { (v: Array[Double]) =>
+      require(cents.isEmpty || v.length == cents(0).length,
+        s"vector dim ${v.length} does not match trained centroid " +
+          s"dim ${cents(0).length} — re-encode or rebuild the index")
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val cent = cents(ci); var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      val cent = cents(best)
+      val res = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+      (best.toLong, res)
+    }
+
+  /** Train coarse centroids + residual PQ codebooks on `vectors`, store
+    * both models, and index the vectors as codes only. One index per
+    * `basePath` (the raw and PQ variants share the centroids table). */
+  def buildIvfPq(spark: SparkSession, basePath: String, vectors: DataFrame,
+      idCol: String, vecCol: String, nLists: Int, lloydIters: Int,
+      m: Int = 4, codesPerSubspace: Int = 8, pqIters: Int = 1,
+      ts: Timestamp): Unit = {
+    import spark.implicits._
+    val c = Materialize(vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("vec")))
+    val cents = Similarity.kmeansCentroids(c, "vec_id", "vec", nLists, lloydIters)
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("cell", "vec")
+    Storage.getOrCreateTable(spark, basePath,
+      AuditTableInfo(CentroidsTable, Seq("cell"),
+        Map("content" -> "ivf-centroids"), retainHistory = false))
+      .append(centDf, None, ts)
+    val withRes = Materialize(c.withColumn("_cr", residualUdf(cents)(col("vec")))
+      .select(col("vec_id"), col("_cr._1").as("cell"), col("_cr._2").as("res")))
+    val model = Quantization.train(withRes, "vec_id", "res",
+      dim = cents(0).length, m = m, k = codesPerSubspace,
+      lloydIters = pqIters, preMaterialized = true)
+    val cbDf = model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, ci) => (j.toLong, ci.toLong, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+    Storage.getOrCreateTable(spark, basePath,
+      AuditTableInfo(PqCodebooksTable, Seq("subspace", "code"),
+        Map("content" -> "ivfpq-codebooks"), retainHistory = false))
+      .append(cbDf, None, ts)
+    appendCodes(spark, basePath, withRes, model, ts)
+    Materialize.release(withRes)
+    Materialize.release(c)
+  }
+
+  /** Assign + residual-encode a new batch against the models as of `ts`
+    * and append codes. Re-ingested vec_ids replace their row. */
+  def appendVectorsPq(spark: SparkSession, basePath: String,
+      vectors: DataFrame, idCol: String, vecCol: String, ts: Timestamp): Unit = {
+    val cents = loadCentroids(spark, basePath, ts)
+    val model = loadPqModel(spark, basePath, ts)
+    val withRes = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("_cr", residualUdf(cents)(col("vec")))
+      .select(col("vec_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
+    appendCodes(spark, basePath, withRes, model, ts)
+  }
+
+  private def appendCodes(spark: SparkSession, basePath: String,
+      withRes: DataFrame, model: Quantization.PqModel, ts: Timestamp): Unit = {
+    val coded = Quantization.encode(withRes, "vec_id", "res", model,
+      passthrough = Seq("cell"))
+    Storage.getOrCreateTable(spark, basePath,
+      AuditTableInfo(PqCodesTable, Seq("vec_id"),
+        Map("content" -> "ivfpq-codes"), retainHistory = false))
+      .append(coded, None, ts)
+  }
+
+  private def loadPqModel(spark: SparkSession, basePath: String,
+      asOf: Timestamp): Quantization.PqModel = {
+    val rows = Storage.openTable(spark, basePath, PqCodebooksTable)
+      .getOrElse(throw new IllegalStateException(
+        s"no $PqCodebooksTable under $basePath — run buildIvfPq first"))
+      .snapshot(asOf)
+      .getOrElse(throw new IllegalStateException(
+        s"$PqCodebooksTable has no data at $asOf"))
+      .select(col("subspace"), col("code"), col("vec")).collect()
+    require(rows.nonEmpty, s"$PqCodebooksTable empty at $asOf")
+    val m = rows.map(_.getLong(0)).max.toInt + 1
+    val k = rows.map(_.getLong(1)).max.toInt + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      codebooks(r.getLong(0).toInt)(r.getLong(1).toInt) =
+        r.getSeq[Double](2).toArray
+    }
+    require(codebooks.forall(_.forall(_ != null)),
+      s"$PqCodebooksTable incomplete at $asOf")
+    Quantization.PqModel(codebooks.head.head.length, codebooks)
+  }
+
+  /** ADC top-k from the codes-only index as of `asOf`: load the two model
+    * tables (nLists + m·k tiny rows — the ONLY driver state), probe the
+    * `nProbe` nearest cells per query with per-(query, cell) residual
+    * distance tables on the broadcast side, score each probed-cell member
+    * with m table lookups — the corpus-side scan reads m longs per row,
+    * never a vector. Output: (query_id, neighbor_id, adc_dist, rank),
+    * matching [[Quantization.ivfPqTopK]]. */
+  def queryIvfPq(spark: SparkSession, basePath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      asOf: Timestamp, scale: Int = 6): DataFrame =
+    queryIvfPqShortlist(spark, basePath, queries, idCol, vecCol, k, nProbe,
+      asOf, scale)
+
+  /** [[queryIvfPq]] + exact COSINE re-rank of an ADC shortlist: codes give
+    * `shortlist`-many candidates per query (cheap, m lookups each), then
+    * ONLY those rows fetch their raw vector from `corpus` by id and re-score
+    * exactly — queries × shortlist lookups against the source table, never a
+    * corpus scan. This is the IVFADC + re-rank split every production
+    * vector store runs: the index stays codes-only (storage ~dim/m of the
+    * corpus), full precision lives where it already exists (the source
+    * table), and ADC's within-shortlist ranking noise (it quantizes away
+    * exactly the small margins that decide ranks 1–10) never reaches the
+    * final order. Output: (query_id, neighbor_id, cos, rank) — the raw
+    * index's shape. */
+  def queryIvfPqRerank(spark: SparkSession, basePath: String,
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, asOf: Timestamp, shortlist: Int = 0,
+      scale: Int = 6): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else math.max(k * 5, 50)
+    val cand = queryIvfPqShortlist(spark, basePath, queries, idCol, vecCol,
+      sl, nProbe, asOf, scale).select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(cv, Seq("neighbor_id")) // shortlist-sized fetch by PK
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        Similarity.nativeCosine(spark, col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private def queryIvfPqShortlist(spark: SparkSession, basePath: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, nProbe: Int,
+      asOf: Timestamp, scale: Int): DataFrame = {
+    val cents = loadCentroids(spark, basePath, asOf)
+    val model = loadPqModel(spark, basePath, asOf)
+    val m = model.m
+    val coded = Storage.openTable(spark, basePath, PqCodesTable)
+      .getOrElse(throw new IllegalStateException(
+        s"no $PqCodesTable under $basePath — run buildIvfPq first"))
+      .snapshot(asOf)
+      .getOrElse(throw new IllegalStateException(
+        s"$PqCodesTable has no data at $asOf"))
+      .select(col("vec_id").as("neighbor_id") +: col("cell") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+    val probeUdf = udf { (v: Array[Double]) =>
+      require(cents.isEmpty || v.length == cents(0).length,
+        s"query vector dim ${v.length} does not match trained centroid " +
+          s"dim ${cents(0).length} — re-encode queries or rebuild the index")
+      cents.indices.map { ci =>
+        val cent = cents(ci); var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+        (d, ci)
+      }.sorted.take(nProbe).map { case (_, ci) =>
+        val cent = cents(ci)
+        val res = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+        (ci.toLong, res)
+      }.toArray
+    }
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("_probe", explode(probeUdf(col("q_vec"))))
+      .select(col("query_id"), col("_probe._1").as("cell"),
+        col("_probe._2").as("q_res"))
+    val tabled = broadcast(Quantization.withDistTables(q, "q_res", model))
+    val dist = (0 until m).map { j =>
+      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    tabled.join(coded, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(dist, scale))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
 }
