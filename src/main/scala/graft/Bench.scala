@@ -32,12 +32,38 @@ object Bench {
         // the cold columnar-read + codegen cost of the big tables
         scala.util.Try(spark.read.parquet(s"$sfDir/$tn.parquet").count())
       }
-      spark.range(100000).select((col("id") % 97).as("k"), col("id").as("v"))
-        .groupBy(col("k")).count().count()
+      // warm the FULL first-query code path, executed exactly as the timed
+      // queries are (toRdd, not count — count prunes the aggregate
+      // projections whose codegen is the expensive part): a Q1-shaped
+      // filter + group-by with decimal sum/avg over the real lineitem scan.
+      // r7 measured q01 at ~2.5x its steady-state time because the range-
+      // based warmup never compiled a decimal hash aggregate over parquet
+      scala.util.Try {
+        // same EXPRESSION SHAPES as q01 (decimal(28,8) sums with round,
+        // rounded avgs, timestamp-filtered scan) on a different slice so it
+        // compiles q01's codegen classes without pre-running q01 itself.
+        // Two passes: the first triggers C2 compilation of the generated
+        // hash-aggregate loop, the second runs after it has (mostly)
+        // finished — one pass still left ~1s of in-flight JIT on the first
+        // timed query
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def dsum(c: org.apache.spark.sql.Column) =
+          round(sum(c.cast("decimal(28,8)")).cast("double"), 2)
+        for (_ <- 1 to 2)
+          li.filter(col("l_shipdate") <= lit("1995-01-01").cast("timestamp"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(dsum(col("l_quantity")).as("a"),
+              dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("b"),
+              dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                * (lit(1.0) + col("l_tax"))).as("c"),
+              round(avg(col("l_quantity")), 4).as("d"), count(lit(1)).as("e"))
+            .orderBy(col("l_returnflag"))
+            .queryExecution.toRdd.count()
+      }
       spark.range(10000).select((col("id") % 7).as("k"), col("id").as("v"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("v"))))
-        .where(col("rn") === 1).count()
+        .where(col("rn") === 1).queryExecution.toRdd.count()
     }
 
     // local-iteration filter (the driver sets no SPARK_GRAFT_ONLY): time a

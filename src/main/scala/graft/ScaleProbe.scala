@@ -282,6 +282,51 @@ object ScaleProbe {
         graft.functions.TextFunctions.tokenCount(col("text")),
         col("doc_id"), batchSize = 32)
     }
+
+    // ---- compaction-aware index maintenance ----------------------------
+    // The operational claim behind the persisted indexes (AnnIndex scaladoc):
+    // a multi-day ingest history accumulates one hot region per append, and
+    // compaction folds them into cold regions WITHOUT changing any query
+    // result — as-of reads stay pruned to live regions either way, but the
+    // per-region open/filter overhead (and superseded PK rows) go away.
+    // Measured: same queryIvf before vs after compact() on a 30-day history.
+    if (only.isEmpty || only.exists(p =>
+        p.startsWith("compaction") || "compaction".startsWith(p))) {
+      import graft.operators.AnnIndex
+      import java.sql.Timestamp
+      val annBase = java.nio.file.Files.createTempDirectory("graft-compactprobe").toString
+      def day(d: Int) = Timestamp.valueOf(f"2024-02-${d}%02d 00:00:00")
+      AnnIndex.buildIvf(spark, annBase, emb.filter(col("vec_id") < 2000),
+        "vec_id", "embedding", nLists = 16, lloydIters = 2, day(1))
+      // 27 daily appends; every 3rd day RE-ingests the previous batch too,
+      // so compaction has superseded PK rows to drop, not just merges
+      for (d <- 2 to 28) {
+        val lo = (d - 1) * 650L
+        val firstIngest = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 650L)
+        val batch = if (d % 3 == 0)
+          firstIngest.unionByName(
+            emb.filter(col("vec_id") >= lo - 650L && col("vec_id") < lo))
+        else firstIngest
+        AnnIndex.appendVectors(spark, annBase, batch, "vec_id", "embedding", day(d))
+      }
+      def regionCount(): Int =
+        graft.storage.Storage.openTable(spark, annBase, AnnIndex.CodesTable)
+          .get.regions.length
+      println(s"compaction probe: regions pre=${regionCount()}")
+      for (i <- 1 to 2) time(s"compaction: ivf query over 28 hot regions r$i") {
+        AnnIndex.queryIvf(spark, annBase, emb.filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 5, nProbe = 3, day(28))
+      }
+      val t0 = System.nanoTime()
+      graft.storage.Storage.openTable(spark, annBase, AnnIndex.CodesTable)
+        .get.compact(Timestamp.valueOf("2024-03-01 00:00:00"))
+      println(f"compaction: compact() itself                ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"compaction probe: regions post=${regionCount()}")
+      for (i <- 1 to 2) time(s"compaction: same ivf query post-compaction r$i") {
+        AnnIndex.queryIvf(spark, annBase, emb.filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 5, nProbe = 3, day(28))
+      }
+    }
     spark.stop()
   }
 }

@@ -2019,11 +2019,21 @@ object SparkEntry {
         |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
         |        FROM sh), params
         |)
-        |SELECT a.doc_id AS id_new, b.doc_id AS id_idx,
-        |  round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) AS est_jaccard
-        |FROM p a JOIN p b ON a.doc_id >= 400 AND b.doc_id < 400
-        |WHERE len(list_filter(range(0, 8), bb -> a.sig[bb*8+1:bb*8+8] = b.sig[bb*8+1:bb*8+8])) > 0
-        |  AND round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) >= 0.5
+        |, bb AS (
+        |  SELECT doc_id, CAST(t.b AS INT) AS band,
+        |    array_to_string(sig[CAST(t.b*8+1 AS INT):CAST(t.b*8+8 AS INT)], ',') AS bkey
+        |  FROM p CROSS JOIN range(0, 8) t(b)
+        |), cand AS (
+        |  -- delta x index via the banded buckets, exactly the engine's join
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
+        |  FROM bb a JOIN bb b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.doc_id >= 400 AND b.doc_id < 400
+        |)
+        |SELECT c.id_new, c.id_idx,
+        |  round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |FROM cand c JOIN p pa ON pa.doc_id = c.id_new JOIN p pb ON pb.doc_id = c.id_idx
+        |WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
         |ORDER BY id_new, id_idx""".stripMargin,
 
     "q104_media_phash" ->
@@ -2773,12 +2783,17 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> substr(text, CAST(i AS INT), 3))) AS grams
         | FROM documents
-        |), pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |), cand AS (
+        | -- engine's lossless size prefilter runs before any intersection
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
         | FROM p a JOIN p b
         |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        | WHERE least(len(a.grams), len(b.grams))
+        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs
@@ -3210,20 +3225,31 @@ object SparkEntry {
         |      ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // replays the engine's candidate pipeline, not a naive all-pairs: the
+    // block equi-join AND the size prefilter (min/max gram counts with the
+    // same half-step relaxation) run BEFORE any intersection, and the
+    // jaccard is computed once — the prefilter is lossless (a dropped pair
+    // is provably below threshold), so results are identical while the sf1
+    // replay evaluates ~the same candidate set the engine does
     "q17_ngram_jaccard_pairs" ->
       """WITH p AS (
         | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> substr(text, CAST(i AS INT), 3))) AS grams
         | FROM documents
+        |), cand AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        | FROM p a JOIN p b
+        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        | WHERE least(len(a.grams), len(b.grams))
+        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), j AS (
+        | SELECT id_a, id_b,
+        |   round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(ga, gb))), 4) AS jaccard
+        | FROM cand
         |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-        |FROM p a JOIN p b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
     // MinHash+LSH: the md5-affine signature family (Dedup.minHashParams) is
@@ -3251,11 +3277,21 @@ object SparkEntry {
         |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
         |        FROM sh), params
         |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) AS est_jaccard
-        |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE len(list_filter(range(0, 8), bb -> a.sig[bb*8+1:bb*8+8] = b.sig[bb*8+1:bb*8+8])) > 0
-        |  AND round(len(list_filter(range(0, 64), i -> a.sig[i+1] = b.sig[i+1])) / 64.0, 4) >= 0.5
+        |, bb AS (
+        |  -- banded buckets exactly as the engine shuffles them: "some band
+        |  -- slice equal" becomes a band-bucket equi-join, never all-pairs
+        |  SELECT doc_id, CAST(t.b AS INT) AS band,
+        |    array_to_string(sig[CAST(t.b*8+1 AS INT):CAST(t.b*8+8 AS INT)], ',') AS bkey
+        |  FROM p CROSS JOIN range(0, 8) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bb a JOIN bb b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |FROM cand c JOIN p pa ON pa.doc_id = c.id_a JOIN p pb ON pb.doc_id = c.id_b
+        |WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q20_embed_topk" ->
@@ -3354,12 +3390,17 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> substr(text, CAST(i AS INT), 3))) AS grams
         | FROM documents
-        |), pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |), cand AS (
+        | -- engine's lossless size prefilter runs before any intersection
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
         | FROM p a JOIN p b
         |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        | WHERE least(len(a.grams), len(b.grams))
+        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs
@@ -3418,13 +3459,13 @@ object SparkEntry {
     "q36_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q37_skew_join" ->
@@ -4773,12 +4814,17 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> substr(text, CAST(i AS INT), 3))) AS grams
         | FROM documents
-        |), pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |), cand AS (
+        | -- engine's lossless size prefilter runs before any intersection
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
         | FROM p a JOIN p b
         |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.7
+        | WHERE least(len(a.grams), len(b.grams))
+        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs

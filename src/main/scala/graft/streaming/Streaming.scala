@@ -524,6 +524,56 @@ object Streaming {
       .start()
   }
 
+  /** Streamed as-of enrichment against a PERSISTED dimension — the
+    * operational twin of the native batch as-of join ([[graft.plans.AsOf]])
+    * and the lambda-loop closer for the temporal family: a stream of points
+    * (trades, requests, sensor reads) is enriched per micro-batch with the
+    * latest-at-or-before dimension row (quotes, configs, calibrations) from
+    * a storage-layer audit table.
+    *
+    * Snapshot ISOLATION per micro-batch: each batch resolves the audit
+    * table at `batchTimestamp(epochId)` — concurrent ingest into the
+    * dimension after that timestamp is invisible to the batch, so replaying
+    * an epoch (foreachBatch's at-least-once contract) joins against the
+    * SAME snapshot and yields the same rows; results are reproducible and
+    * region pruning keeps the snapshot read from scanning newer ingest.
+    * Each batch is one native as-of join: the (usually small) snapshot
+    * shuffles per batch, the stream side shuffles only within the batch.
+    * Dimension/stream column names must be disjoint (as-of contract). */
+  def asOfEnrichStream(
+      stream: DataFrame, basePath: String, tableName: String,
+      checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit,
+      pointKeys: Seq[String], dimKeys: Seq[String],
+      pointTsCol: String, dimTsCol: String,
+      direction: String = "backward", tolerance: Option[Long] = None,
+      batchTimestamp: Long => Timestamp =
+        _ => new Timestamp(System.currentTimeMillis()))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val enrichBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      batch.persist()
+      try {
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val asOfTs = batchTimestamp(epochId)
+          val snap = graft.storage.Storage.openTable(spark, basePath, tableName)
+            .getOrElse(throw new IllegalStateException(
+              s"no audit table '$tableName' under $basePath — ingest the " +
+                "dimension before starting the enrichment stream"))
+            .snapshot(asOfTs)
+            .getOrElse(throw new IllegalStateException(
+              s"audit table '$tableName' has no data at $asOfTs"))
+          onBatch(graft.plans.AsOf.asOfJoin(batch, snap, pointKeys, dimKeys,
+            pointTsCol, dimTsCol, direction, tolerance), epochId)
+        }
+      } finally { batch.unpersist(); () }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(enrichBatch)
+      .start()
+  }
+
   /** Start writing a streaming frame to parquet with checkpointing — the
     * durable sink shape for production (exactly-once via checkpoint + file
     * sink). Returns the running query. */

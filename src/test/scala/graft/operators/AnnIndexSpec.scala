@@ -174,6 +174,31 @@ class AnnIndexSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("compaction changes no query result, only the region count") {
+    val base = s"$tmpDir/ann_compact"
+    AnnIndex.buildIvf(spark, base, vectors(40), "vec_id", "embedding",
+      nLists = 2, lloydIters = 1, ts("2024-01-01 00:00:00"))
+    // three daily appends; day 3 re-ingests day 2's ids (superseded rows)
+    AnnIndex.appendVectors(spark, base,
+      vectors(80).where($"vec_id" >= 40), "vec_id", "embedding",
+      ts("2024-01-02 00:00:00"))
+    AnnIndex.appendVectors(spark, base,
+      vectors(80, shift = 1.0).where($"vec_id" >= 40), "vec_id", "embedding",
+      ts("2024-01-03 00:00:00"))
+    def query() = AnnIndex.queryIvf(spark, base, vectors(40).where($"vec_id" < 5),
+        "vec_id", "embedding", k = 10, nProbe = 2, ts("2024-06-01 00:00:00"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val pre = query()
+    val table = graft.storage.Storage.openTable(spark, base, AnnIndex.CodesTable).get
+    val preRegions = table.regions.length
+    table.compact(ts("2024-02-01 00:00:00"))
+    val post = query()
+    post shouldBe pre
+    val postRegions = graft.storage.Storage
+      .openTable(spark, base, AnnIndex.CodesTable).get.regions.length
+    postRegions should be < preRegions
+  }
+
   it("replaces a re-ingested vector id instead of duplicating it") {
     val base = s"$tmpDir/ann_replace"
     AnnIndex.buildIvf(spark, base, vectors(40), "vec_id", "embedding",

@@ -288,6 +288,65 @@ class StreamingSpec extends SparkTestBase with Matchers {
     table.regions.length shouldBe 2
   }
 
+  it("as-of enrichment stream equals the batch as-of against each epoch's snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.storage._
+    import spark.implicits._
+    val base = s"$tmpDir/asof_enrich"
+    // dimension history: day 1 ingests two quotes, day 2 a newer one
+    Storage.getOrCreateTable(spark, base,
+      AuditTableInfo("quotes", Seq("q_id"), Map.empty, retainHistory = true))
+      .append(Seq(
+        (1L, 7L, ts("2024-03-01 10:00:00"), 1.0),
+        (2L, 7L, ts("2024-03-01 11:00:00"), 2.0)).toDF("q_id", "q_user", "q_ts", "q_value"),
+        None, ts("2024-01-01 00:00:00"))
+    Storage.openTable(spark, base, "quotes").get // one-shot handles: reopen
+      .append(Seq(
+        (3L, 7L, ts("2024-03-01 11:45:00"), 3.0)).toDF("q_id", "q_user", "q_ts", "q_value"),
+        None, ts("2024-01-02 00:00:00"))
+    val quotes = Storage.openTable(spark, base, "quotes").get
+
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Timestamp, Double)]()
+    val input = MemoryStream[(Long, Timestamp)]
+    val query = Streaming.asOfEnrichStream(
+      input.toDF().toDF("user_id", "t"), base, "quotes",
+      s"$tmpDir/asof_enrich_ckpt",
+      onBatch = (df, epoch) => results ++= df
+        .select($"user_id", $"t", $"q_value").as[(Long, Timestamp, Double)]
+        .collect().map(r => (epoch, r._1, r._2, r._3)),
+      pointKeys = Seq("user_id"), dimKeys = Seq("q_user"),
+      pointTsCol = "t", dimTsCol = "q_ts",
+      // epoch N joins against the day-(N+1) snapshot
+      batchTimestamp = bid => ts(s"2024-01-0${bid + 1} 12:00:00"))
+    try {
+      input.addData((7L, ts("2024-03-01 11:30:00")))
+      query.processAllAvailable()
+      // the SAME point again: day-2 snapshot now carries the 11:45 quote,
+      // which is still > 11:30, so the match must stay the 11:00 quote —
+      // and a later point must pick 11:45 only in the day-2 epoch
+      input.addData((7L, ts("2024-03-01 11:30:00")), (7L, ts("2024-03-01 12:30:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    results.sortBy(r => (r._1, r._3.getTime)).toSeq shouldBe Seq(
+      (0L, 7L, ts("2024-03-01 11:30:00"), 2.0), // day-1 snapshot: 11:00 quote
+      (1L, 7L, ts("2024-03-01 11:30:00"), 2.0), // same point, same match
+      (1L, 7L, ts("2024-03-01 12:30:00"), 3.0)) // day-2 snapshot: 11:45 quote
+
+    // snapshot isolation, batch-twin equality: each epoch's rows equal the
+    // batch as-of against that epoch's snapshot of the dimension
+    for ((epoch, day) <- Seq(0 -> 1, 1 -> 2)) {
+      val snap = quotes.snapshot(ts(s"2024-01-0$day 12:00:00")).get
+      val pts = results.filter(_._1 == epoch)
+        .map(r => (r._2, r._3)).distinct.toSeq.toDF("user_id", "t")
+      val batchTwin = graft.plans.AsOf.asOfJoin(pts, snap,
+          Seq("user_id"), Seq("q_user"), "t", "q_ts")
+        .select($"user_id", $"t", $"q_value").as[(Long, Timestamp, Double)]
+        .collect().toSet
+      results.filter(_._1 == epoch).map(r => (r._2, r._3, r._4)).toSet shouldBe batchTwin
+    }
+  }
+
   it("dedup-index stream flags each batch against everything indexed before it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
