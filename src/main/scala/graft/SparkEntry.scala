@@ -2779,9 +2779,14 @@ object SparkEntry {
 
     "q133_leakage_safe_split" ->
       """WITH RECURSIVE p AS (
+        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
+        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
+        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
+        | -- computes jaccard over (FNV-64) gram hashes under the same
+        | -- negligible-collision contract
         | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
         |), cand AS (
         | -- engine's lossless size prefilter runs before any intersection
@@ -3233,9 +3238,14 @@ object SparkEntry {
     // replay evaluates ~the same candidate set the engine does
     "q17_ngram_jaccard_pairs" ->
       """WITH p AS (
+        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
+        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
+        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
+        | -- computes jaccard over (FNV-64) gram hashes under the same
+        | -- negligible-collision contract
         | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
         |), cand AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
@@ -3386,9 +3396,14 @@ object SparkEntry {
 
     "q32_dup_clusters" ->
       """WITH RECURSIVE p AS (
+        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
+        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
+        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
+        | -- computes jaccard over (FNV-64) gram hashes under the same
+        | -- negligible-collision contract
         | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
         |), cand AS (
         | -- engine's lossless size prefilter runs before any intersection
@@ -4810,9 +4825,14 @@ object SparkEntry {
 
     "q97_canonical_docs" ->
       """WITH RECURSIVE p AS (
+        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
+        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
+        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
+        | -- computes jaccard over (FNV-64) gram hashes under the same
+        | -- negligible-collision contract
         | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
         |), cand AS (
         | -- engine's lossless size prefilter runs before any intersection
