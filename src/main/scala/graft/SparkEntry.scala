@@ -1680,6 +1680,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ADC shortlist + exact-cosine re-rank from the codes-only index: top-50
+    // candidates per query by ADC (m table lookups each), then ONLY those
+    // 50 rows fetch their raw vector from the source table by id and
+    // re-score exactly — quantization noise never reaches the final order
+    // (operators.AnnIndex.queryIvfPqRerank)
+    "q136_ivfpq_rerank" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val base = java.nio.file.Files.createTempDirectory("graft-q136").toString
+      val emb = t(s, dir, "embeddings")
+      val ts = java.sql.Timestamp.valueOf(_: String)
+      AnnIndex.buildIvfPq(s, base, emb.where(col("vec_id") < 250),
+        "vec_id", "embedding", nLists = 8, lloydIters = 2,
+        m = 4, codesPerSubspace = 8, pqIters = 1, ts("2024-01-01 00:00:00"))
+      AnnIndex.appendVectorsPq(s, base, emb.where(col("vec_id") >= 250),
+        "vec_id", "embedding", ts("2024-01-02 00:00:00"))
+      AnnIndex.queryIvfPqRerank(s, base, emb.where(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5, nProbe = 2, ts("2024-06-01 00:00:00"),
+        shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // leakage-safe split: near-dup clusters (q32's detector) hash to ONE
     // split as a unit, so no near-copy pair straddles the train/test fence
     // and held-out metrics can't silently measure memorisation
@@ -1951,6 +1972,130 @@ object SparkEntry {
        |  )
        |)""".stripMargin
   }
+
+  /** Shared DuckDB replay of the PQ-coded persisted index up to the
+    * per-(query, neighbor) ADC distance relation `agg` — q135 ranks it
+    * directly, q136 re-ranks an ADC shortlist by exact cosine. */
+  private val ivfPqReplayPrefix: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), eb AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id < 250
+        |), c0 AS (
+        |  SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM eb, c0)
+        |), u1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c1 AS (
+        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
+        |  GROUP BY c0.cs
+        |), a2 AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM eb, c1)
+        |), u2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(x) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c2 AS (
+        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 8) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
+        |  GROUP BY c1.cs
+        |), asg AS (
+        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM e, c2)
+        |), r AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(0, 64), d ->
+        |      a.v[CAST(d AS INT)+1] - cs[CAST(a.cell AS INT)+1][CAST(d AS INT)+1]) AS res
+        |  FROM asg a, c2
+        |), rsub AS (
+        |  SELECT vec_id, cell, CAST(t.j AS INT) AS j,
+        |    res[CAST(t.j*16+1 AS INT):CAST(t.j*16+16 AS INT)] AS sv
+        |  FROM r CROSS JOIN range(0, 4) t(j)
+        |), p0 AS (
+        |  SELECT j, list(sv ORDER BY vec_id) AS cs
+        |  FROM (SELECT vec_id, j, sv FROM rsub WHERE vec_id < 250
+        |        QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= 8)
+        |  GROUP BY j
+        |), pa1 AS (
+        |  SELECT vec_id, j, sv, list_position(d, list_min(d)) - 1 AS cell
+        |  FROM (
+        |    SELECT rsub.vec_id, rsub.j AS j, sv,
+        |      list_transform(cs, c -> list_sum(list_transform(range(0, 16), i ->
+        |        (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1]) * (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1])))) AS d
+        |    FROM rsub JOIN p0 ON rsub.j = p0.j
+        |    WHERE rsub.vec_id < 250)
+        |), pu1 AS (
+        |  SELECT j, cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT j, cell, pos, avg(x) AS m
+        |    FROM (SELECT j, cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM pa1)
+        |    GROUP BY j, cell, pos)
+        |  GROUP BY j, cell
+        |), pc1 AS (
+        |  SELECT g.j, list(coalesce(pu1.cent, p0.cs[CAST(g.c AS INT)+1]) ORDER BY g.c) AS cs
+        |  FROM (SELECT CAST(t.j AS INT) AS j, CAST(t2.c AS INT) AS c
+        |        FROM range(0, 4) t(j) CROSS JOIN range(0, 8) t2(c)) g
+        |  JOIN p0 ON p0.j = g.j
+        |  LEFT JOIN pu1 ON pu1.j = g.j AND pu1.cell = g.c
+        |  GROUP BY g.j
+        |), codes AS (
+        |  SELECT vec_id, cell, j, list_position(d, list_min(d)) - 1 AS code
+        |  FROM (
+        |    SELECT rsub.vec_id, rsub.cell, rsub.j AS j,
+        |      list_transform(cs, c -> list_sum(list_transform(range(0, 16), i ->
+        |        (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1]) * (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1])))) AS d
+        |    FROM rsub JOIN pc1 ON rsub.j = pc1.j)
+        |), probe AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(range(0, 64), d ->
+        |      v[CAST(d AS INT)+1] - cs[CAST(cell AS INT)+1][CAST(d AS INT)+1]) AS qres
+        |  FROM (
+        |    SELECT q.vec_id, q.v, t.i AS cell, cs,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(0, 64),
+        |          d -> (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1])
+        |             * (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1]))), t.i) AS rn
+        |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+        |    CROSS JOIN range(0, 8) t(i) CROSS JOIN c2)
+        |  WHERE rn <= 2
+        |), sc AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.j,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (p.qres[CAST(c.j*16 + i AS INT)+1] - k.cs[CAST(c.code AS INT)+1][CAST(i AS INT)+1])
+        |      * (p.qres[CAST(c.j*16 + i AS INT)+1] - k.cs[CAST(c.code AS INT)+1][CAST(i AS INT)+1]))) AS dj
+        |  FROM probe p
+        |  JOIN codes c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+        |  JOIN pc1 k ON k.j = c.j
+        |), agg AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(sum(dj), 6) AS adc_dist
+        |  FROM sc GROUP BY query_id, neighbor_id
+        |)
+""".stripMargin
 
   private val bpeNumMerges = 8
 
@@ -2654,128 +2799,33 @@ object SparkEntry {
     // integer codes for ALL rows -> per-query 2-of-8 probe -> ADC = sum of
     // per-subspace code-to-residual distances, rounded then ranked
     "q135_persisted_ivfpq" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), eb AS (
-        |  SELECT vec_id, v FROM e WHERE vec_id < 250
-        |), c0 AS (
-        |  SELECT list(v ORDER BY vec_id) AS cs FROM (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 8)
-        |), a1 AS (
-        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
-        |  FROM (
-        |    SELECT vec_id, v,
-        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
-        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
-        |    FROM eb, c0)
-        |), u1 AS (
-        |  SELECT cell, list(m ORDER BY pos) AS cent
-        |  FROM (
-        |    SELECT cell, pos, avg(x) AS m
-        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
-        |    GROUP BY cell, pos)
-        |  GROUP BY cell
-        |), c1 AS (
-        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
-        |  FROM range(0, 8) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
-        |  GROUP BY c0.cs
-        |), a2 AS (
-        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
-        |  FROM (
-        |    SELECT vec_id, v,
-        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
-        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
-        |    FROM eb, c1)
-        |), u2 AS (
-        |  SELECT cell, list(m ORDER BY pos) AS cent
-        |  FROM (
-        |    SELECT cell, pos, avg(x) AS m
-        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2)
-        |    GROUP BY cell, pos)
-        |  GROUP BY cell
-        |), c2 AS (
-        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
-        |  FROM range(0, 8) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
-        |  GROUP BY c1.cs
-        |), asg AS (
-        |  SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
-        |  FROM (
-        |    SELECT vec_id, v,
-        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
-        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
-        |    FROM e, c2)
-        |), r AS (
-        |  SELECT a.vec_id, a.cell,
-        |    list_transform(range(0, 64), d ->
-        |      a.v[CAST(d AS INT)+1] - cs[CAST(a.cell AS INT)+1][CAST(d AS INT)+1]) AS res
-        |  FROM asg a, c2
-        |), rsub AS (
-        |  SELECT vec_id, cell, CAST(t.j AS INT) AS j,
-        |    res[CAST(t.j*16+1 AS INT):CAST(t.j*16+16 AS INT)] AS sv
-        |  FROM r CROSS JOIN range(0, 4) t(j)
-        |), p0 AS (
-        |  SELECT j, list(sv ORDER BY vec_id) AS cs
-        |  FROM (SELECT vec_id, j, sv FROM rsub WHERE vec_id < 250
-        |        QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= 8)
-        |  GROUP BY j
-        |), pa1 AS (
-        |  SELECT vec_id, j, sv, list_position(d, list_min(d)) - 1 AS cell
-        |  FROM (
-        |    SELECT rsub.vec_id, rsub.j AS j, sv,
-        |      list_transform(cs, c -> list_sum(list_transform(range(0, 16), i ->
-        |        (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1]) * (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1])))) AS d
-        |    FROM rsub JOIN p0 ON rsub.j = p0.j
-        |    WHERE rsub.vec_id < 250)
-        |), pu1 AS (
-        |  SELECT j, cell, list(m ORDER BY pos) AS cent
-        |  FROM (
-        |    SELECT j, cell, pos, avg(x) AS m
-        |    FROM (SELECT j, cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM pa1)
-        |    GROUP BY j, cell, pos)
-        |  GROUP BY j, cell
-        |), pc1 AS (
-        |  SELECT g.j, list(coalesce(pu1.cent, p0.cs[CAST(g.c AS INT)+1]) ORDER BY g.c) AS cs
-        |  FROM (SELECT CAST(t.j AS INT) AS j, CAST(t2.c AS INT) AS c
-        |        FROM range(0, 4) t(j) CROSS JOIN range(0, 8) t2(c)) g
-        |  JOIN p0 ON p0.j = g.j
-        |  LEFT JOIN pu1 ON pu1.j = g.j AND pu1.cell = g.c
-        |  GROUP BY g.j
-        |), codes AS (
-        |  SELECT vec_id, cell, j, list_position(d, list_min(d)) - 1 AS code
-        |  FROM (
-        |    SELECT rsub.vec_id, rsub.cell, rsub.j AS j,
-        |      list_transform(cs, c -> list_sum(list_transform(range(0, 16), i ->
-        |        (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1]) * (sv[CAST(i AS INT)+1] - c[CAST(i AS INT)+1])))) AS d
-        |    FROM rsub JOIN pc1 ON rsub.j = pc1.j)
-        |), probe AS (
-        |  SELECT vec_id, cell,
-        |    list_transform(range(0, 64), d ->
-        |      v[CAST(d AS INT)+1] - cs[CAST(cell AS INT)+1][CAST(d AS INT)+1]) AS qres
-        |  FROM (
-        |    SELECT q.vec_id, q.v, t.i AS cell, cs,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(range(0, 64),
-        |          d -> (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1])
-        |             * (q.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1]))), t.i) AS rn
-        |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
-        |    CROSS JOIN range(0, 8) t(i) CROSS JOIN c2)
-        |  WHERE rn <= 2
-        |), sc AS (
-        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.j,
-        |    list_sum(list_transform(range(0, 16), i ->
-        |      (p.qres[CAST(c.j*16 + i AS INT)+1] - k.cs[CAST(c.code AS INT)+1][CAST(i AS INT)+1])
-        |      * (p.qres[CAST(c.j*16 + i AS INT)+1] - k.cs[CAST(c.code AS INT)+1][CAST(i AS INT)+1]))) AS dj
-        |  FROM probe p
-        |  JOIN codes c ON p.cell = c.cell AND p.vec_id <> c.vec_id
-        |  JOIN pc1 k ON k.j = c.j
-        |), agg AS (
-        |  SELECT query_id, neighbor_id,
-        |    round(sum(dj), 6) AS adc_dist
-        |  FROM sc GROUP BY query_id, neighbor_id
-        |)
-        |SELECT query_id, neighbor_id, adc_dist,
+      (ivfPqReplayPrefix + "\n" +
+        """SELECT query_id, neighbor_id, adc_dist,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rank
-        |FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM agg QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // q135's ADC relation re-ranked by EXACT cosine: the top-50 ADC
+    // shortlist per query fetches raw vectors by id and re-scores — the
+    // production IVFADC + re-rank split, oracle-checked end to end
+    "q136_ivfpq_rerank" ->
+      (ivfPqReplayPrefix + "\n" +
+        """SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist ASC, neighbor_id ASC) AS srnk
+        |    FROM agg) s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e c ON c.vec_id = s.neighbor_id
+        |  WHERE s.srnk <= 50)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "q133_leakage_safe_split" ->
       """WITH RECURSIVE p AS (
