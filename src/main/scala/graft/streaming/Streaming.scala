@@ -524,6 +524,36 @@ object Streaming {
       .start()
   }
 
+  /** Streamed ANN-index maintenance — the ingest half of the persisted
+    * IVF-PQ loop ([[graft.operators.AnnIndex]]) as a stream: each
+    * micro-batch of (id, vector) rows is assigned to its coarse cell and
+    * residual-encoded against the FROZEN models as of that batch's
+    * timestamp, then appended codes-only. PK semantics make epoch replay
+    * idempotent (a re-delivered batch re-appends the same vec_ids, and the
+    * snapshot resolves one row per id); queries at any `asOf` see exactly
+    * the batches whose timestamps precede it. Requires `buildIvfPq` to
+    * have run once (models must exist before the stream starts). */
+  def annIndexStream(
+      vectors: DataFrame, basePath: String, checkpoint: String,
+      idCol: String, vecCol: String,
+      batchTimestamp: Long => Timestamp =
+        _ => new Timestamp(System.currentTimeMillis()))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ingestBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      batch.persist()
+      try {
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.appendVectorsPq(batch.sparkSession,
+            basePath, batch, idCol, vecCol, batchTimestamp(epochId))
+        }
+      } finally { batch.unpersist(); () }
+    }
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ingestBatch)
+      .start()
+  }
+
   /** Streamed as-of enrichment against a PERSISTED dimension — the
     * operational twin of the native batch as-of join ([[graft.plans.AsOf]])
     * and the lambda-loop closer for the temporal family: a stream of points

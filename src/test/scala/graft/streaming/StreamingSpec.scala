@@ -347,6 +347,59 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("ann-index stream ingests micro-batches; snapshots equal batch appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    import spark.implicits._
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 31 + d * 7)))
+    }
+    val base = s"$tmpDir/ann_stream"
+    AnnIndex.buildIvfPq(spark, base, vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nLists = 2, lloydIters = 1,
+      ts = ts("2024-01-01 00:00:00"))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = Streaming.annIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), base,
+      s"$tmpDir/ann_stream_ckpt", "vec_id", "embedding",
+      batchTimestamp = bid => ts(s"2024-01-0${bid + 2} 00:00:00"))
+    try {
+      input.addData(vecs(60 until 80): _*)
+      query.processAllAvailable()
+      input.addData(vecs(80 until 100): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // day-2 snapshot sees batch 0 only; final snapshot sees both
+    def ids(asOf: String) = AnnIndex.queryIvfPq(spark, base,
+        vecs(0 until 3).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 200, nProbe = 2, ts(asOf))
+      .select($"neighbor_id").as[Long].collect().toSet
+    val day2 = ids("2024-01-02 12:00:00")
+    day2.exists(_ >= 60) shouldBe true
+    day2.exists(_ >= 80) shouldBe false
+    ids("2024-06-01 00:00:00").exists(_ >= 80) shouldBe true
+    // streamed ingest == the same appends done in batch
+    val batchBase = s"$tmpDir/ann_stream_twin"
+    AnnIndex.buildIvfPq(spark, batchBase, vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nLists = 2, lloydIters = 1,
+      ts = ts("2024-01-01 00:00:00"))
+    AnnIndex.appendVectorsPq(spark, batchBase,
+      vecs(60 until 80).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ts("2024-01-02 00:00:00"))
+    AnnIndex.appendVectorsPq(spark, batchBase,
+      vecs(80 until 100).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ts("2024-01-03 00:00:00"))
+    val twin = AnnIndex.queryIvfPq(spark, batchBase,
+        vecs(0 until 3).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 200, nProbe = 2, ts("2024-06-01 00:00:00"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val streamed = AnnIndex.queryIvfPq(spark, base,
+        vecs(0 until 3).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 200, nProbe = 2, ts("2024-06-01 00:00:00"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    streamed shouldBe twin
+  }
+
   it("dedup-index stream flags each batch against everything indexed before it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
