@@ -2838,17 +2838,21 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
-        |), cand AS (
-        | -- engine's lossless size prefilter runs before any intersection
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-        | FROM p a JOIN p b
-        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE least(len(a.grams), len(b.grams))
-        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), idx AS (
+        | -- inverted-index intersection counts (see q17's oracle): gram
+        | -- equi-join + count, |union| = |A| + |B| - |∩|
+        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
+        |), ixc AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        | FROM idx a JOIN idx b
+        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
         |), pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
+        | SELECT id_a, id_b FROM ixc
+        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
+        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs
@@ -3297,19 +3301,23 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
-        |), cand AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-        | FROM p a JOIN p b
-        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE least(len(a.grams), len(b.grams))
-        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
-        |), j AS (
-        | SELECT id_a, id_b,
-        |   round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-        |     / len(list_distinct(list_concat(ga, gb))), 4) AS jaccard
-        | FROM cand
-        |)
-        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+        |), idx AS (
+        | -- inverted index: intersection sizes come from a gram equi-join +
+        | -- count, never a per-pair list intersection (the list formulation
+        | -- streams two ~200-element lists through a 31M-pair join at sf1);
+        | -- |union| = |A| + |B| - |∩| over the distinct gram sets
+        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
+        |), ixc AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        | FROM idx a JOIN idx b
+        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p)
+        |SELECT id_a, id_b,
+        |  round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) AS jaccard
+        |FROM ixc JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
+        |WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
     // MinHash+LSH: the md5-affine signature family (Dedup.minHashParams) is
@@ -3455,17 +3463,21 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
-        |), cand AS (
-        | -- engine's lossless size prefilter runs before any intersection
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-        | FROM p a JOIN p b
-        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE least(len(a.grams), len(b.grams))
-        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), idx AS (
+        | -- inverted-index intersection counts (see q17's oracle): gram
+        | -- equi-join + count, |union| = |A| + |B| - |∩|
+        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
+        |), ixc AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        | FROM idx a JOIN idx b
+        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
         |), pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
+        | SELECT id_a, id_b FROM ixc
+        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
+        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs
@@ -4884,17 +4896,21 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
         | FROM documents
-        |), cand AS (
-        | -- engine's lossless size prefilter runs before any intersection
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-        | FROM p a JOIN p b
-        |   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        | WHERE least(len(a.grams), len(b.grams))
-        |   >= (0.7 - 0.00005) * greatest(len(a.grams), len(b.grams))
+        |), idx AS (
+        | -- inverted-index intersection counts (see q17's oracle): gram
+        | -- equi-join + count, |union| = |A| + |B| - |∩|
+        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
+        |), ixc AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        | FROM idx a JOIN idx b
+        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
         |), pairs AS (
-        | SELECT id_a, id_b FROM cand
-        | WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(ga, gb))), 4) >= 0.7
+        | SELECT id_a, id_b FROM ixc
+        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
+        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
         |), edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION SELECT id_b, id_a FROM pairs
