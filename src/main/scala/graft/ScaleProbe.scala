@@ -201,7 +201,17 @@ object ScaleProbe {
       .agg(max(col("value")).as("r_value"))
     for (i <- 1 to 2) time(s"as-of NATIVE exec (2M x 20k/key) r$i") {
       graft.plans.AsOf.asOfJoin(lAsof, rAsof,
-        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(false))
+    }
+    // broadcast regime: the grouped click side collapses to dimension size
+    // (replicas share user/ts) — the fact side never shuffles or sorts.
+    // Hint for the same reason as the interval probe below: checkpointed
+    // stats still carry the pre-aggregation scan size.
+    for (i <- 1 to 2) time(s"as-of NATIVE BROADCAST (2M x dim right) r$i") {
+      graft.plans.AsOf.asOfJoin(lAsof, rAsof,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(true))
     }
     for (i <- 1 to 2) time(s"as-of COMPOSED union+window r$i") {
       Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
@@ -214,7 +224,8 @@ object ScaleProbe {
     // two-relation partitioning the downstream agg cannot reuse as cheaply
     for (i <- 1 to 2) time(s"as-of NATIVE + per-key agg (reuse) r$i") {
       graft.plans.AsOf.asOfJoin(lAsof, rAsof,
-        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(false))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), max(col("r_value")).as("last_v"))
     }

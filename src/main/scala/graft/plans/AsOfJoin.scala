@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -45,7 +47,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    forward: Boolean = false, toleranceUs: Option[Long] = None)
+    forward: Boolean = false, toleranceUs: Option[Long] = None,
+    broadcastHint: Option[Boolean] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -56,14 +59,27 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Inject engine-wide via
-  * `spark.sql.extensions=graft.sql.GraftExtensions` or per-session through
-  * [[AsOf.ensureStrategy]]. */
+/** Plans [[AsOfJoinPlan]] into a physical operator, making the same
+  * BHJ-vs-SMJ regime choice as [[IntervalJoinStrategy]]: a right side whose
+  * size estimate fits `spark.sql.autoBroadcastJoinThreshold` broadcasts
+  * ([[BroadcastAsOfJoinExec]] — the fact side never shuffles or sorts; the
+  * dominant shape at 100 TB is a huge event stream enriched against a
+  * dimension-sized quote/snapshot table), anything larger sort-merges
+  * ([[AsOfJoinExec]]). An explicit hint overrides the size estimate.
+  * Inject engine-wide via `spark.sql.extensions=graft.sql.GraftExtensions`
+  * or per-session through [[AsOf.ensureStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
-      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
-        j.rightKeys, j.leftTime, j.rightTime, j.forward, j.toleranceUs) :: Nil
+      val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val sz = j.right.stats.sizeInBytes
+      val broadcast = j.broadcastHint.getOrElse(thresh > 0 && sz >= 0 && sz <= thresh)
+      if (broadcast)
+        BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+          j.rightKeys, j.leftTime, j.rightTime, j.forward, j.toleranceUs) :: Nil
+      else
+        AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+          j.rightKeys, j.leftTime, j.rightTime, j.forward, j.toleranceUs) :: Nil
     case _ => Nil
   }
 }
@@ -213,6 +229,133 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
+/** Broadcast regime of the as-of join: the right side is broadcast whole
+  * (EnsureRequirements inserts the BroadcastExchange from
+  * `requiredChildDistribution`), the left (fact) side keeps its incoming
+  * partitioning — NO shuffle, NO sort on either side. Each task builds a
+  * per-key time-sorted table from the broadcast rows once, then probes:
+  * backward = last right row with time <= t (binary upper bound), forward =
+  * first with time >= t (binary lower bound), tolerance checked on the
+  * candidate. Identical join semantics to [[AsOfJoinExec]] (left outer,
+  * null-key/time lefts null-extend, null right rows skipped; among
+  * duplicate right (key, time) rows the winner is order-dependent — same
+  * non-total contract as the sort-merge regime). One output row per left
+  * row, in left order, so `outputOrdering` passes through. */
+case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, toleranceUs: Option[Long] = None)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+      s"as-of key types differ: ${leftKeys.map(_.dataType)} vs " +
+        s"${rightKeys.map(_.dataType)}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val timeType = leftTime.dataType
+    if (toleranceUs.isDefined) {
+      import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+      require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+          .contains(timeType),
+        s"as-of tolerance needs an integral/timestamp/date time column, got $timeType")
+      require(toleranceUs.get >= 0, "as-of tolerance must be >= 0")
+    }
+    val fwd = forward
+    val tol = toleranceUs
+    val nRight = rOut.size
+    val relation = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val timeOrd = NativeJoinTime.ordering(timeType)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+      // per-key tables from the broadcast rows: parallel arrays time-sorted
+      // (stable, so equal times keep broadcast row order — backward's
+      // upper-bound probe then picks the LAST duplicate, matching the
+      // sort-merge regime's consume-all-equal-times behavior). Built once
+      // per task, amortized over the partition's probes.
+      final class KeyTable(val times: Array[Any], val rows: Array[InternalRow])
+      val byKey = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+      relation.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeEval.eval(r)
+        if (t != null && !k.anyNull) {
+          var buf = byKey.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]
+            byKey.put(k.copy(), buf)
+          }
+          buf += ((t, r)) // broadcast rows are materialized copies already
+        }
+      }
+      val tables = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow, KeyTable](byKey.size())
+      byKey.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1)(timeOrd)
+        tables.put(k, new KeyTable(sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      def asLong(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalStateException(s"as-of time: $other")
+      }
+      lIter.map { l =>
+        val k = lKeyProj(l)
+        val t = lTimeEval.eval(l)
+        val tab = if (k.anyNull || t == null) null else tables.get(k)
+        if (tab == null) joined(l, nullRight)
+        else {
+          // binary bound over the key's sorted times:
+          // backward → first index with time > t (candidate = bound - 1)
+          // forward  → first index with time >= t (candidate = bound)
+          var lo = 0
+          var hi = tab.times.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            val le = if (fwd) timeOrd.lt(tab.times(mid), t)
+                     else timeOrd.lteq(tab.times(mid), t)
+            if (le) lo = mid + 1 else hi = mid
+          }
+          val idx = if (fwd) lo else lo - 1
+          val matched = idx >= 0 && idx < tab.times.length &&
+            tol.forall { tv =>
+              val d = if (fwd) asLong(tab.times(idx)) - asLong(t)
+                      else asLong(t) - asLong(tab.times(idx))
+              d <= tv
+            }
+          joined(l, if (matched) tab.rows(idx) else nullRight)
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** User-facing entry point. */
 object AsOf {
 
@@ -234,11 +377,20 @@ object AsOf {
     *
     * Column names must be disjoint between the two sides (rename the right
     * side's key/time columns first; they carry through to the output, so a
-    * collision would produce ambiguous names downstream). */
+    * collision would produce ambiguous names downstream).
+    *
+    * Physical regime is chosen by [[AsOfJoinStrategy]]: a right side under
+    * `spark.sql.autoBroadcastJoinThreshold` broadcasts (the left side never
+    * shuffles or sorts — the 100 TB fact-vs-dimension shape); larger sides
+    * sort-merge (one exchange + sort per side, reusable across stages).
+    * Pass `broadcastRight = Some(true/false)` to override the size
+    * estimate — e.g. a post-aggregation right side whose size-only stats
+    * still carry the pre-aggregation scan size. */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
+      direction: String = "backward", tolerance: Option[Long] = None,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of needs one or more key columns, the same count on both sides")
     require(direction == "backward" || direction == "forward",
@@ -257,6 +409,7 @@ object AsOf {
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol),
-      forward = direction == "forward", toleranceUs = tolerance))
+      forward = direction == "forward", toleranceUs = tolerance,
+      broadcastHint = broadcastRight))
   }
 }

@@ -5,9 +5,12 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
-/** The native as-of join exec: semantics (backward match, left outer,
-  * null handling, key-change reset) and plan shape (one exchange + sort
-  * per side, nothing else). */
+/** The native as-of join: semantics (backward/forward match, tolerance,
+  * left outer, null handling, key-change reset) in BOTH physical regimes
+  * (broadcast-right and sort-merge), agreement with the compositional
+  * union-window operator on real data, and both plan shapes (SMJ: one
+  * exchange + sort per side; broadcast: the fact side never shuffles or
+  * sorts). */
 class AsOfJoinSpec extends SparkTestBase with Matchers {
 
   import spark.implicits._
@@ -22,63 +25,77 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     ("B", 14L), ("B", 16L),
     ("D", 50L)).toDF("sym", "t")
 
+  // both physical regimes must agree on every semantic property: the hint
+  // forces the regime regardless of the tiny test sizes
+  private val regimes = Seq("broadcast" -> Some(true), "sort-merge" -> Some(false))
+
   it("matches each left row to the latest right row at or before it") {
-    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
-      .select($"sym", $"t", $"r_t", $"px")
-      .as[(String, Long, Option[Long], Option[Double])]
-      .collect().sortBy(r => (r._1, r._2))
-    out shouldBe Array(
-      ("A", 5L, None, None), // before first quote
-      ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
-      ("A", 25L, Some(20L), Some(2.0)),
-      ("A", 31L, Some(30L), Some(3.0)),
-      ("B", 14L, None, None),
-      ("B", 16L, Some(15L), Some(10.0)),
-      ("D", 50L, None, None)) // key with no right rows
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          broadcastRight = hint)
+        .select($"sym", $"t", $"r_t", $"px")
+        .as[(String, Long, Option[Long], Option[Double])]
+        .collect().sortBy(r => (r._1, r._2))
+      out shouldBe Array(
+        ("A", 5L, None, None), // before first quote
+        ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
+        ("A", 25L, Some(20L), Some(2.0)),
+        ("A", 31L, Some(30L), Some(3.0)),
+        ("B", 14L, None, None),
+        ("B", 16L, Some(15L), Some(10.0)),
+        ("D", 50L, None, None)) // key with no right rows
+    }
   }
 
   it("matches forward: the earliest right row at or after each left row") {
-    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
-        direction = "forward")
-      .select($"sym", $"t", $"r_t", $"px")
-      .as[(String, Long, Option[Long], Option[Double])]
-      .collect().sortBy(r => (r._1, r._2))
-    out shouldBe Array(
-      ("A", 5L, Some(10L), Some(1.0)),
-      ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
-      ("A", 25L, Some(30L), Some(3.0)),
-      ("A", 31L, None, None), // after the last quote
-      ("B", 14L, Some(15L), Some(10.0)),
-      ("B", 16L, None, None),
-      ("D", 50L, None, None))
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          direction = "forward", broadcastRight = hint)
+        .select($"sym", $"t", $"r_t", $"px")
+        .as[(String, Long, Option[Long], Option[Double])]
+        .collect().sortBy(r => (r._1, r._2))
+      out shouldBe Array(
+        ("A", 5L, Some(10L), Some(1.0)),
+        ("A", 20L, Some(20L), Some(2.0)), // exact-time match counts
+        ("A", 25L, Some(30L), Some(3.0)),
+        ("A", 31L, None, None), // after the last quote
+        ("B", 14L, Some(15L), Some(10.0)),
+        ("B", 16L, None, None),
+        ("D", 50L, None, None))
+    }
   }
 
   it("bounds the match distance with tolerance, both directions") {
-    val back = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
-        tolerance = Some(4L))
-      .select($"sym", $"t", $"r_t")
-      .as[(String, Long, Option[Long])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    back(("A", 20L)) shouldBe Some(20L) // Δ0
-    back(("A", 25L)) shouldBe None // Δ5 > 4 — backward match too stale
-    back(("A", 31L)) shouldBe Some(30L) // Δ1
-    back(("B", 16L)) shouldBe Some(15L) // Δ1
-    val fwd = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
-        direction = "forward", tolerance = Some(4L))
-      .select($"sym", $"t", $"r_t")
-      .as[(String, Long, Option[Long])].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    fwd(("A", 5L)) shouldBe None // next quote at 10, Δ5 > 4
-    fwd(("A", 25L)) shouldBe None // next at 30, Δ5 > 4
-    fwd(("B", 14L)) shouldBe Some(15L) // Δ1
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val back = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          tolerance = Some(4L), broadcastRight = hint)
+        .select($"sym", $"t", $"r_t")
+        .as[(String, Long, Option[Long])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      back(("A", 20L)) shouldBe Some(20L) // Δ0
+      back(("A", 25L)) shouldBe None // Δ5 > 4 — backward match too stale
+      back(("A", 31L)) shouldBe Some(30L) // Δ1
+      back(("B", 16L)) shouldBe Some(15L) // Δ1
+      val fwd = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          direction = "forward", tolerance = Some(4L), broadcastRight = hint)
+        .select($"sym", $"t", $"r_t")
+        .as[(String, Long, Option[Long])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      fwd(("A", 5L)) shouldBe None // next quote at 10, Δ5 > 4
+      fwd(("A", 25L)) shouldBe None // next at 30, Δ5 > 4
+      fwd(("B", 14L)) shouldBe Some(15L) // Δ1
+    }
   }
 
   it("does not leak a match across a key change") {
     // C's quote at t=99 must never match B or D rows even though 99 > their times
-    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
-      .where($"sym" =!= "A").select($"sym", $"px")
-      .as[(String, Option[Double])].collect().toMap
-    out("D") shouldBe None
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          broadcastRight = hint)
+        .where($"sym" =!= "A").select($"sym", $"px")
+        .as[(String, Option[Double])].collect().toMap
+      out("D") shouldBe None
+    }
   }
 
   it("skips null-key and null-time rows instead of matching them") {
@@ -86,11 +103,14 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
       .toDF("sym", "t")
     val r = Seq((Some("A"), Some(5L), 1.0), (None, Some(1L), 99.0),
       (Some("A"), None, 98.0)).toDF("r_sym", "r_t", "px")
-    val out = AsOf.asOfJoin(l, r, Seq("sym"), Seq("r_sym"), "t", "r_t")
-      .select($"sym", $"t", $"px").collect()
-    out.length shouldBe 3 // left outer: every left row survives
-    out.count(_.isNullAt(2)) shouldBe 2 // the null-key and null-time rows
-    out.find(r => !r.isNullAt(0) && !r.isNullAt(1)).get.getDouble(2) shouldBe 1.0
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(l, r, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          broadcastRight = hint)
+        .select($"sym", $"t", $"px").collect()
+      out.length shouldBe 3 // left outer: every left row survives
+      out.count(_.isNullAt(2)) shouldBe 2 // the null-key and null-time rows
+      out.find(r => !r.isNullAt(0) && !r.isNullAt(1)).get.getDouble(2) shouldBe 1.0
+    }
   }
 
   it("agrees with the compositional union-window as-of on real data") {
@@ -102,32 +122,64 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     val r = base.where($"event_type" === "click")
       .groupBy($"user_id".as("r_user"), $"t".as("r_t"))
       .agg(max($"value").as("click_value"))
-    val native = AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "t", "r_t")
-      .select($"event_id", $"r_t", $"click_value")
     val composed = graft.operators.Temporal.asofJoin(
       l, r.withColumnRenamed("r_user", "user_id"),
       keyCols = Seq("user_id"), leftTs = "t", rightTs = "r_t",
       payloadCols = Seq("r_t", "click_value"))
       .select($"event_id", $"r_t", $"click_value")
-    native.exceptAll(composed).count() shouldBe 0
-    composed.exceptAll(native).count() shouldBe 0
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val native = AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "t", "r_t",
+          broadcastRight = hint)
+        .select($"event_id", $"r_t", $"click_value")
+      native.exceptAll(composed).count() shouldBe 0
+      composed.exceptAll(native).count() shouldBe 0
+    }
   }
 
-  it("plans one exchange and one sort per side, nothing else") {
-    val plan = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+  it("SMJ regime plans one exchange and one sort per side, nothing else") {
+    val plan = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        broadcastRight = Some(false))
       .queryExecution.executedPlan.toString
     plan should include("AsOfJoin")
+    plan should not include "BroadcastAsOfJoin"
     "Exchange".r.findAllIn(plan).length shouldBe 2
     "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 2
   }
 
+  it("broadcast regime never shuffles or sorts the fact side") {
+    val plan = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        broadcastRight = Some(true))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastAsOfJoin")
+    plan should include("BroadcastExchange")
+    // the ONLY exchange is the broadcast one; nothing shuffles, nothing sorts
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+    "(?i)\\bsort\\b".r.findAllIn(plan).length shouldBe 0
+  }
+
+  it("the size estimate picks broadcast for a tiny right side, SMJ past the threshold") {
+    // tiny local relations sit far under the default 10MB threshold
+    val auto = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+      .queryExecution.executedPlan.toString
+    auto should include("BroadcastAsOfJoin")
+    // same plan with broadcasting disabled must fall back to sort-merge
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+        .queryExecution.executedPlan.toString
+      smj should include("AsOfJoin")
+      smj should not include "BroadcastAsOfJoin"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   it("reuses a pre-partitioned left side: ZERO extra exchange on it") {
-    // the exec's design case (AsOfJoin.scala requiredChildDistribution):
+    // the SMJ exec's design case (AsOfJoin.scala requiredChildDistribution):
     // an upstream repartition/bucketed scan on the join key must satisfy
     // ClusteredDistribution, so EnsureRequirements adds no second shuffle
     // — the plan has exactly the user's exchange plus the right side's
     val plan = AsOf.asOfJoin(trades.repartition(3, $"sym"), quotes,
-      Seq("sym"), Seq("r_sym"), "t", "r_t")
+      Seq("sym"), Seq("r_sym"), "t", "r_t", broadcastRight = Some(false))
       .queryExecution.executedPlan.toString
     plan should include("AsOfJoin")
     "Exchange".r.findAllIn(plan).length shouldBe 2
@@ -137,7 +189,8 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     // outputPartitioning = left.outputPartitioning: groupBy(sym) after the
     // join needs NO new exchange (2 total: one per join side) — the
     // cross-stage reuse the union+window composition cannot declare
-    val agg = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+    val agg = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        broadcastRight = Some(false))
       .groupBy($"sym").agg(count(lit(1)).as("n"), max($"r_t").as("last_quote"))
     val plan = agg.queryExecution.executedPlan.toString
     "Exchange".r.findAllIn(plan).length shouldBe 2

@@ -31,9 +31,12 @@ class JoinPropertySpec extends SparkTestBase with Matchers {
       val l = lRows.toDF("k", "t").repartition(1 + rnd.nextInt(4))
       val r = rRows.map { case (k, t) => (k, t, t * 10 + k.last.toLong) }
         .toDF("rk", "rt", "pay").repartition(1 + rnd.nextInt(4))
-      for (fwd <- Seq(false, true); tol <- Seq(None, Some(3L))) {
+      // both physical regimes must equal brute force on every seed
+      for (fwd <- Seq(false, true); tol <- Seq(None, Some(3L));
+           hint <- Seq(Some(true), Some(false))) {
         val got = AsOf.asOfJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
-            direction = if (fwd) "forward" else "backward", tolerance = tol)
+            direction = if (fwd) "forward" else "backward", tolerance = tol,
+            broadcastRight = hint)
           .select($"k", $"t", $"rt").as[(String, Long, Option[Long])]
           .collect().map(x => (x._1, x._2) -> x._3).toMap
         lRows.foreach { case (k, t) =>
@@ -42,7 +45,7 @@ class JoinPropertySpec extends SparkTestBase with Matchers {
             .filter(rt => tol.forall(tv => math.abs(rt - t) <= tv))
           val want = if (cands.isEmpty) None
             else Some(if (fwd) cands.min else cands.max)
-          withClue(s"seed=$seed fwd=$fwd tol=$tol left=($k,$t): ") {
+          withClue(s"seed=$seed fwd=$fwd tol=$tol broadcast=$hint left=($k,$t): ") {
             got((k, t)) shouldBe want
           }
         }
