@@ -1594,11 +1594,38 @@ object SparkEntry {
       val r = ev.where(col("event_type") === "click")
         .groupBy(col("user_id").as("r_user"), col("ts").as("click_ts"))
         .agg(round(max(col("value")), 6).as("click_value"))
-      AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "ts", "click_ts")
+      // SMJ regime forced: q137 covers the broadcast regime, so the gate
+      // deterministically exercises BOTH physical paths of the exec
+      AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "ts", "click_ts",
+          broadcastRight = Some(false))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("purchase_value"),
           // unmatched rows: sentinel instead of null (the gate's row
           // comparison treats null-vs-null as a difference)
+          coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // BROADCAST regime of the native as-of exec (plans.BroadcastAsOfJoinExec,
+    // forced via the hint so the gate covers it deterministically): each
+    // purchase takes the user's latest click within the PRECEDING HOUR —
+    // the grouped click side is dimension-sized, so it broadcasts whole and
+    // the purchase side never shuffles or sorts; per-key time-sorted tables
+    // are probed by binary upper bound, tolerance checked on the candidate
+    "q137_broadcast_asof" -> ((s, dir) => {
+      import graft.plans.AsOf
+      val ev = events(s, dir)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("purchase_value"))
+      val r = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("click_ts"))
+        .agg(round(max(col("value")), 6).as("click_value"))
+      AsOf.asOfJoin(l, r, Seq("user_id"), Seq("r_user"), "ts", "click_ts",
+          tolerance = Some(3600L * 1000000L), broadcastRight = Some(true))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_value"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"),
           coalesce(col("click_value"), lit(-1.0)).as("click_value"))
         .orderBy(col("event_id"))
@@ -2676,6 +2703,29 @@ object SparkEntry {
         |  coalesce(r.click_value, -1.0) AS click_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.r_user AND l.ts >= r.click_ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // backward as-of with tolerance: DuckDB's ASOF has no tolerance bound,
+    // so the oracle replays it as a windowed join — latest click at-or-
+    // before each purchase, no staler than one hour
+    "q137_broadcast_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS r_user, ts AS click_ts,
+        |    round(max(value), 6) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), j AS (
+        |  SELECT l.event_id AS eid, r.click_ts, r.click_value,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY r.click_ts DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.r_user
+        |    AND r.click_ts <= l.ts AND r.click_ts >= l.ts - INTERVAL 1 HOUR
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+        |  coalesce(j.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |  coalesce(j.click_value, -1.0) AS click_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.eid
         |ORDER BY l.event_id""".stripMargin,
 
     "q125_native_interval_join" ->

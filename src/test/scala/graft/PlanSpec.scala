@@ -364,6 +364,22 @@ class PlanSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("broadcast as-of never shuffles or sorts the purchase side") {
+    val p = plan("q137_broadcast_asof")
+    p should include("BroadcastAsOfJoin")
+    p should include("BroadcastExchange")
+    // pushdown still reaches both scans under the broadcast regime
+    p should include("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)")
+    p should include("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)")
+    // the only hash shuffle is the click side's groupBy feeding the
+    // broadcast; the only range shuffle + sort is the output ORDER BY —
+    // the purchase side reaches the join straight from its scan
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    "Exchange rangepartitioning".r.findAllIn(p).length shouldBe 1
+    "\\bSort\\b".r.findAllIn(p).length shouldBe 1
+    p should not include "WindowExec"
+  }
+
   it("native interval join has no bucket replication — no Generate, two exchanges") {
     val p = plan("q125_native_interval_join")
     p should include("IntervalJoin")
