@@ -2167,9 +2167,63 @@ object SparkEntry {
       |FROM documents d LEFT JOIN bpeagg a ON d.doc_id = a.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared rep-level core of the ngram-jaccard clustering oracles
+    * (q32/q97/q133): the distinct-text collapse (see q17's oracle comment —
+    * identical texts have jaccard exactly 1.0, so pairwise work runs over
+    * DISTINCT (lang, bucket, text) rows and expands back to ids; >1
+    * CPU-hour → ~1s at the sf1 replay's 10× byte-identical corpus,
+    * identical output) + connected components over rep-level near-dup
+    * pairs. The rep of a text group is its MIN doc_id, so the rep-level
+    * component minimum IS the id-level component minimum — `clustered`
+    * carries exactly the per-doc cluster labels the id-level walk yields. */
+  private val jaccardClusterCore: String =
+    """WITH RECURSIVE dt AS (
+      | SELECT lang, floor(n_chars / 50) AS len_bucket, text, min(doc_id) AS rep
+      | FROM documents GROUP BY lang, floor(n_chars / 50), text
+      |), ids AS (
+      | SELECT d.doc_id, t.rep
+      | FROM documents d JOIN dt t ON d.text = t.text AND d.lang = t.lang
+      |   AND floor(d.n_chars / 50) = t.len_bucket
+      |), p AS (
+      | SELECT rep, lang, len_bucket,
+      |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+      |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
+      | FROM dt
+      |), idx AS (
+      | SELECT rep, lang, len_bucket, unnest(grams) AS g FROM p
+      |), ixc AS (
+      | SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS ix
+      | FROM idx a JOIN idx b
+      |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |  AND a.rep < b.rep
+      | GROUP BY 1, 2
+      |), pl AS (SELECT rep, len(grams) AS ng FROM p
+      |), rpairs AS (
+      | SELECT rep_a, rep_b FROM ixc
+      | JOIN pl pa ON pa.rep = rep_a JOIN pl pb ON pb.rep = rep_b
+      | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
+      |), edges AS (
+      | SELECT rep_a AS src, rep_b AS dst FROM rpairs
+      | UNION SELECT rep_b, rep_a FROM rpairs
+      |), walk(v, c) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
+      |), rcl AS (
+      | SELECT t.rep, coalesce(min(w.c), t.rep) AS cluster_id
+      | FROM (SELECT DISTINCT rep FROM dt) t LEFT JOIN walk w ON w.v = t.rep
+      | GROUP BY t.rep
+      |), clustered AS (
+      | SELECT i.doc_id, r.cluster_id FROM ids i JOIN rcl r ON r.rep = i.rep
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q102_bpe_learn" -> bpeLearnOracle,
 
+    // distinct-text collapse (see q18's oracle comment), asymmetric delta x
+    // index expansion: rep-level band candidates + estimates, then id pairs
+    // oriented by the 400 split on BOTH rep-pair orientations (replicas of
+    // one text can straddle the split); identical texts est exactly 1.0
     "q103_incremental_dedup" ->
       """WITH params AS (
         |  SELECT
@@ -2177,36 +2231,51 @@ object SparkEntry {
         |      (('0x' || substr(md5('minhash_a_' || i), 1, 8))::BIGINT % 536870912) * 2 + 1) AS pa,
         |    list_transform(range(0, 64), i ->
         |      ('0x' || substr(md5('minhash_b_' || i), 1, 8))::BIGINT) AS pb
+        |), dt AS (
+        |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text
+        |), ids AS (
+        |  SELECT d.doc_id, t.rep FROM documents d JOIN dt t ON d.text = t.text
         |), sh AS (
-        |  SELECT doc_id,
+        |  SELECT rep,
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |  FROM (SELECT rep, regexp_extract_all(text, '\S+') AS toks FROM dt)
         |  WHERE len(toks) > 0
         |), p AS (
-        |  SELECT doc_id,
+        |  SELECT rep,
         |    list_transform(range(0, 64), i ->
         |      list_min(list_transform(xs, x -> (pa[i+1] * x + pb[i+1]) % 2305843009213693951))) AS sig
-        |  FROM (SELECT doc_id,
+        |  FROM (SELECT rep,
         |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
         |        FROM sh), params
         |)
         |, bb AS (
-        |  SELECT doc_id, CAST(t.b AS INT) AS band,
+        |  SELECT rep, CAST(t.b AS INT) AS band,
         |    array_to_string(sig[CAST(t.b*8+1 AS INT):CAST(t.b*8+8 AS INT)], ',') AS bkey
         |  FROM p CROSS JOIN range(0, 8) t(b)
         |), cand AS (
-        |  -- delta x index via the banded buckets, exactly the engine's join
-        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
+        |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
         |  FROM bb a JOIN bb b
-        |    ON a.band = b.band AND a.bkey = b.bkey
-        |   AND a.doc_id >= 400 AND b.doc_id < 400
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+        |), rp AS (
+        |  SELECT c.rep_a, c.rep_b,
+        |    round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |  FROM cand c JOIN p pa ON pa.rep = c.rep_a JOIN p pb ON pb.rep = c.rep_b
+        |  WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
         |)
-        |SELECT c.id_new, c.id_idx,
-        |  round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
-        |FROM cand c JOIN p pa ON pa.doc_id = c.id_new JOIN p pb ON pb.doc_id = c.id_idx
-        |WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
-        |ORDER BY id_new, id_idx""".stripMargin,
+        |SELECT id_new, id_idx, est_jaccard FROM (
+        |  SELECT n.doc_id AS id_new, i.doc_id AS id_idx, r.est_jaccard
+        |  FROM rp r JOIN ids n ON n.rep = r.rep_a JOIN ids i ON i.rep = r.rep_b
+        |  WHERE n.doc_id >= 400 AND i.doc_id < 400
+        |  UNION ALL
+        |  SELECT n.doc_id AS id_new, i.doc_id AS id_idx, r.est_jaccard
+        |  FROM rp r JOIN ids n ON n.rep = r.rep_b JOIN ids i ON i.rep = r.rep_a
+        |  WHERE n.doc_id >= 400 AND i.doc_id < 400
+        |  UNION ALL
+        |  SELECT a.doc_id AS id_new, b.doc_id AS id_idx, 1.0 AS est_jaccard
+        |  FROM ids a JOIN ids b ON a.rep = b.rep
+        |  WHERE a.doc_id >= 400 AND b.doc_id < 400 AND a.rep IN (SELECT rep FROM p)
+        |) ORDER BY id_new, id_idx""".stripMargin,
 
     "q104_media_phash" ->
       """WITH allm AS (
@@ -2877,49 +2946,13 @@ object SparkEntry {
         |  WHERE s.srnk <= 50)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
-    "q133_leakage_safe_split" ->
-      """WITH RECURSIVE p AS (
-        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
-        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
-        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
-        | -- computes jaccard over (FNV-64) gram hashes under the same
-        | -- negligible-collision contract
-        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
-        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
-        | FROM documents
-        |), idx AS (
-        | -- inverted-index intersection counts (see q17's oracle): gram
-        | -- equi-join + count, |union| = |A| + |B| - |∩|
-        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
-        |), ixc AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-        | FROM idx a JOIN idx b
-        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |  AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2
-        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
-        |), pairs AS (
-        | SELECT id_a, id_b FROM ixc
-        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
-        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
-        |), edges AS (
-        | SELECT id_a AS src, id_b AS dst FROM pairs
-        | UNION SELECT id_b, id_a FROM pairs
-        |), walk(v, c) AS (
-        | SELECT src, src FROM edges
-        | UNION
-        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
-        |), clustered AS (
-        | SELECT d.doc_id, coalesce(min(w.c), d.doc_id) AS cluster_id
-        | FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
-        | GROUP BY d.doc_id
-        |)
+    "q133_leakage_safe_split" -> (jaccardClusterCore +
+      """
         |SELECT doc_id, cluster_id,
         |  CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
         |       WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM clustered ORDER BY doc_id""".stripMargin,
+        |FROM clustered ORDER BY doc_id""".stripMargin),
 
     "q132_filter_ablation" ->
       """WITH f AS (
@@ -3340,40 +3373,60 @@ object SparkEntry {
     // jaccard is computed once — the prefilter is lossless (a dropped pair
     // is provably below threshold), so results are identical while the sf1
     // replay evaluates ~the same candidate set the engine does
+    // the pairwise work collapses to DISTINCT (lang, bucket, text) rows
+    // first (grams as 60-bit md5 BIGINTs, q123's oracle style; inverted-
+    // index intersection counts), then expands back to doc ids: identical
+    // texts have identical gram sets (jaccard exactly 1.0 >= any
+    // threshold), so a massively-replicated corpus — the sf1 replay is 10
+    // byte-identical copies — costs the distinct-text universe, not the
+    // id universe. Same distinct-first trick the engine's fuzzy matcher
+    // uses; without it the hot-gram equi-join is ~B^2 per block per gram
+    // (measured: >1 CPU-hour at sf1 vs ~1s collapsed, identical output)
     "q17_ngram_jaccard_pairs" ->
-      """WITH p AS (
-        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
-        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
-        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
-        | -- computes jaccard over (FNV-64) gram hashes under the same
-        | -- negligible-collision contract
-        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
+      """WITH dt AS (
+        | SELECT lang, floor(n_chars / 50) AS len_bucket, text, min(doc_id) AS rep
+        | FROM documents GROUP BY lang, floor(n_chars / 50), text
+        |), ids AS (
+        | SELECT d.doc_id, t.rep
+        | FROM documents d JOIN dt t ON d.text = t.text AND d.lang = t.lang
+        |   AND floor(d.n_chars / 50) = t.len_bucket
+        |), p AS (
+        | SELECT rep, lang, len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
-        | FROM documents
+        | FROM dt
         |), idx AS (
-        | -- inverted index: intersection sizes come from a gram equi-join +
-        | -- count, never a per-pair list intersection (the list formulation
-        | -- streams two ~200-element lists through a 31M-pair join at sf1);
-        | -- |union| = |A| + |B| - |∩| over the distinct gram sets
-        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
+        | SELECT rep, lang, len_bucket, unnest(grams) AS g FROM p
         |), ixc AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+        | SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS ix
         | FROM idx a JOIN idx b
         |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |  AND a.doc_id < b.doc_id
+        |  AND a.rep < b.rep
         | GROUP BY 1, 2
-        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p)
-        |SELECT id_a, id_b,
-        |  round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) AS jaccard
-        |FROM ixc JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
-        |WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
+        |), pl AS (SELECT rep, len(grams) AS ng FROM p
+        |), rp AS (
+        | SELECT rep_a, rep_b,
+        |   round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) AS jaccard
+        | FROM ixc JOIN pl pa ON pa.rep = rep_a JOIN pl pb ON pb.rep = rep_b
+        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        | SELECT least(ia.doc_id, ib.doc_id) AS id_a,
+        |   greatest(ia.doc_id, ib.doc_id) AS id_b, r.jaccard
+        | FROM rp r JOIN ids ia ON ia.rep = r.rep_a JOIN ids ib ON ib.rep = r.rep_b
+        | UNION ALL
+        | SELECT a.doc_id, b.doc_id, 1.0 AS jaccard
+        | FROM ids a JOIN ids b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |) ORDER BY id_a, id_b""".stripMargin,
 
     // MinHash+LSH: the md5-affine signature family (Dedup.minHashParams) is
     // recomputable in any SQL engine; the LSH bucket criterion "xxhash64 of
     // the band slice collides" is replaced by its semantic equivalent "the
     // band slices are equal" (a collision without slice equality is ~2^-64)
+    // distinct-text collapse (see q17's oracle comment): identical texts
+    // have identical signatures (est exactly 1.0, always banded together),
+    // so signatures and band pairs run over DISTINCT texts and expand back
+    // to ids; empty-token texts have no signature and thus no pairs
     "q18_minhash_lsh_pairs" ->
       """WITH params AS (
         |  SELECT
@@ -3381,36 +3434,49 @@ object SparkEntry {
         |      (('0x' || substr(md5('minhash_a_' || i), 1, 8))::BIGINT % 536870912) * 2 + 1) AS pa,
         |    list_transform(range(0, 64), i ->
         |      ('0x' || substr(md5('minhash_b_' || i), 1, 8))::BIGINT) AS pb
+        |), dt AS (
+        |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text
+        |), ids AS (
+        |  SELECT d.doc_id, t.rep FROM documents d JOIN dt t ON d.text = t.text
         |), sh AS (
-        |  SELECT doc_id,
+        |  SELECT rep,
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |      s -> array_to_string(toks[s:s+2], ' ')) AS shingles
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+        |  FROM (SELECT rep, regexp_extract_all(text, '\S+') AS toks FROM dt)
         |  WHERE len(toks) > 0
         |), p AS (
-        |  SELECT doc_id,
+        |  SELECT rep,
         |    list_transform(range(0, 64), i ->
         |      list_min(list_transform(xs, x -> (pa[i+1] * x + pb[i+1]) % 2305843009213693951))) AS sig
-        |  FROM (SELECT doc_id,
+        |  FROM (SELECT rep,
         |          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
         |        FROM sh), params
         |)
         |, bb AS (
         |  -- banded buckets exactly as the engine shuffles them: "some band
         |  -- slice equal" becomes a band-bucket equi-join, never all-pairs
-        |  SELECT doc_id, CAST(t.b AS INT) AS band,
+        |  SELECT rep, CAST(t.b AS INT) AS band,
         |    array_to_string(sig[CAST(t.b*8+1 AS INT):CAST(t.b*8+8 AS INT)], ',') AS bkey
         |  FROM p CROSS JOIN range(0, 8) t(b)
         |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
         |  FROM bb a JOIN bb b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+        |), rp AS (
+        |  SELECT c.rep_a, c.rep_b,
+        |    round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
+        |  FROM cand c JOIN p pa ON pa.rep = c.rep_a JOIN p pb ON pb.rep = c.rep_b
+        |  WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
         |)
-        |SELECT c.id_a, c.id_b,
-        |  round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) AS est_jaccard
-        |FROM cand c JOIN p pa ON pa.doc_id = c.id_a JOIN p pb ON pb.doc_id = c.id_b
-        |WHERE round(len(list_filter(range(0, 64), i -> pa.sig[i+1] = pb.sig[i+1])) / 64.0, 4) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+        |SELECT id_a, id_b, est_jaccard FROM (
+        |  SELECT least(ia.doc_id, ib.doc_id) AS id_a,
+        |    greatest(ia.doc_id, ib.doc_id) AS id_b, r.est_jaccard
+        |  FROM rp r JOIN ids ia ON ia.rep = r.rep_a JOIN ids ib ON ib.rep = r.rep_b
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, 1.0 AS est_jaccard
+        |  FROM ids a JOIN ids b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  WHERE a.rep IN (SELECT rep FROM p)
+        |) ORDER BY id_a, id_b""".stripMargin,
 
     "q20_embed_topk" ->
       """WITH q AS (
@@ -3502,45 +3568,10 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "q32_dup_clusters" ->
-      """WITH RECURSIVE p AS (
-        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
-        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
-        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
-        | -- computes jaccard over (FNV-64) gram hashes under the same
-        | -- negligible-collision contract
-        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
-        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
-        | FROM documents
-        |), idx AS (
-        | -- inverted-index intersection counts (see q17's oracle): gram
-        | -- equi-join + count, |union| = |A| + |B| - |∩|
-        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
-        |), ixc AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-        | FROM idx a JOIN idx b
-        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |  AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2
-        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
-        |), pairs AS (
-        | SELECT id_a, id_b FROM ixc
-        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
-        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
-        |), edges AS (
-        | SELECT id_a AS src, id_b AS dst FROM pairs
-        | UNION SELECT id_b, id_a FROM pairs
-        |), walk(v, c) AS (
-        | SELECT src, src FROM edges
-        | UNION
-        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(min(w.c), d.doc_id) AS cluster_id,
-        |  coalesce(min(w.c), d.doc_id) = d.doc_id AS keep
-        |FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q32_dup_clusters" -> (jaccardClusterCore +
+      """
+        |SELECT doc_id, cluster_id, cluster_id = doc_id AS keep
+        |FROM clustered ORDER BY doc_id""".stripMargin),
 
     "q19_simhash_fingerprints" ->
       """SELECT doc_id,
@@ -4935,49 +4966,13 @@ object SparkEntry {
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
-    "q97_canonical_docs" ->
-      """WITH RECURSIVE p AS (
-        | -- grams as 60-bit md5 hashes (q123's oracle style): BIGINT
-        | -- list_intersect runs ~an order of magnitude faster than VARCHAR
-        | -- at the sf1 replay's 31M candidate pairs, and the engine itself
-        | -- computes jaccard over (FNV-64) gram hashes under the same
-        | -- negligible-collision contract
-        | SELECT doc_id, lang, floor(n_chars / 50) AS len_bucket,
-        |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15))::BIGINT)) AS grams
-        | FROM documents
-        |), idx AS (
-        | -- inverted-index intersection counts (see q17's oracle): gram
-        | -- equi-join + count, |union| = |A| + |B| - |∩|
-        | SELECT doc_id, lang, len_bucket, unnest(grams) AS g FROM p
-        |), ixc AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-        | FROM idx a JOIN idx b
-        |   ON a.g = b.g AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |  AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2
-        |), pl AS (SELECT doc_id, len(grams) AS ng FROM p
-        |), pairs AS (
-        | SELECT id_a, id_b FROM ixc
-        | JOIN pl pa ON pa.doc_id = id_a JOIN pl pb ON pb.doc_id = id_b
-        | WHERE round(CAST(ix AS DOUBLE) / (pa.ng + pb.ng - ix), 4) >= 0.7
-        |), edges AS (
-        | SELECT id_a AS src, id_b AS dst FROM pairs
-        | UNION SELECT id_b, id_a FROM pairs
-        |), walk(v, c) AS (
-        | SELECT src, src FROM edges
-        | UNION
-        | SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.v
-        |), clustered AS (
-        | SELECT d.doc_id, coalesce(min(w.c), d.doc_id) AS cluster_id,
-        |   d.n_chars AS quality
-        | FROM documents d LEFT JOIN walk w ON w.v = d.doc_id
-        | GROUP BY d.doc_id, d.n_chars
-        |)
-        |SELECT doc_id, cluster_id, quality,
-        |  (row_number() OVER (PARTITION BY cluster_id
-        |     ORDER BY quality DESC, doc_id ASC)) = 1 AS is_canonical
-        |FROM clustered ORDER BY doc_id""".stripMargin,
+    "q97_canonical_docs" -> (jaccardClusterCore +
+      """
+        |SELECT c.doc_id, c.cluster_id, d.n_chars AS quality,
+        |  (row_number() OVER (PARTITION BY c.cluster_id
+        |     ORDER BY d.n_chars DESC, c.doc_id ASC)) = 1 AS is_canonical
+        |FROM clustered c JOIN documents d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
 
     "q101_count_min" ->
       """WITH tok AS (
