@@ -132,6 +132,19 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  it("a downstream per-key aggregate reuses the SMJ join's output partitioning") {
+    // outputPartitioning = left.outputPartitioning (same contract as the
+    // as-of exec): groupBy(k) after the join needs NO third exchange — 2
+    // total, one per join side — the cross-stage reuse the bucketed
+    // composition's post-explode partitioning cannot declare
+    val agg = IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end", Some(false))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+    agg.collect().length should be > 0
+  }
+
   it("rejects ambiguous output column names") {
     an[IllegalArgumentException] should be thrownBy
       IntervalJoin.intervalJoin(points, points, Seq("k"), Seq("k"), "t", "t", "t")
