@@ -213,6 +213,25 @@ object ScaleProbe {
         Seq("user_id"), Seq("r_user"), "ts", "r_ts",
         broadcastRight = Some(true))
     }
+    // hot-key skew: every purchase shares ONE user. The SMJ regime hashes
+    // the whole fact side to a single merge task (AQE's skew splitting
+    // does not apply to custom nodes); the broadcast regime never shuffles
+    // the fact side, so the hot key stays spread across its scan
+    // partitions — the skew escape hatch, measured
+    val lHot = lAsof.withColumn("user_id", lit(42L))
+    val rHot = evN.where(col("event_type") === "click")
+      .groupBy(lit(42L).as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("value")).as("r_value"))
+    for (i <- 1 to 2) time(s"as-of SMJ one-hot-key (2M on 1 key) r$i") {
+      graft.plans.AsOf.asOfJoin(lHot, rHot,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(false))
+    }
+    for (i <- 1 to 2) time(s"as-of BROADCAST one-hot-key r$i") {
+      graft.plans.AsOf.asOfJoin(lHot, rHot,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(true))
+    }
     for (i <- 1 to 2) time(s"as-of COMPOSED union+window r$i") {
       Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
         keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
