@@ -188,4 +188,42 @@ class CurationPipelineSpec extends SparkTestBase with Matchers {
     manifest.agg(sum("n_docs")).as[Long].head() shouldBe shards.count()
     manifest.count() shouldBe shards.select("shard").distinct().count()
   }
+
+  it("enriches facts against a dimension through the flow DSL with the native as-of") {
+    // the temporal-enrichment pipeline a reference user would assemble:
+    // source → two parallel-schedulable transforms → native as-of join
+    // stage → parquet sink, all as one DAG. The click dimension is tiny,
+    // so AsOfJoinStrategy auto-plans the BROADCAST regime inside the flow
+    // — the fact branch reaches the join without a shuffle or sort
+    val out = s"$tmpDir/enrich"
+    val flow = G.sparkFlow(spark)
+      .openFileParquet(s"${sf()}/events.parquet", "events")
+      .transform("events")("purchases") { ev =>
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+      }
+      .transform("events")("click_dim") { ev =>
+        ev.where(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"),
+            col("ts").cast("timestamp").as("c_ts"))
+          .agg(max(col("value")).as("c_value"))
+      }
+      .transform("purchases", "click_dim")("enriched") { (p, d) =>
+        graft.plans.AsOf.asOfJoin(p, d, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+      }
+      .writeParquet(out)("enriched")
+
+    flow.isValidFlowDAG.isSuccess shouldBe true
+    G.sparkExecutor(maxParallelActions = 4).execute(flow)
+
+    val enriched = spark.read.parquet(s"$out/enriched")
+    val purchases = spark.read.parquet(s"${sf()}/events.parquet")
+      .where(col("event_type") === "purchase")
+    enriched.count() shouldBe purchases.count() // left outer: every fact row
+    // enrichment really matched (the corpus has clicks before purchases)
+    enriched.where(col("c_value").isNotNull).count() should be > 0L
+    // no click is later than its purchase: the as-of contract end-to-end
+    enriched.where(col("c_ts") > col("ts")).count() shouldBe 0L
+  }
 }

@@ -197,6 +197,31 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     agg.collect().length should be > 0
   }
 
+  it("matches on multi-column keys in both regimes") {
+    val l = Seq(("A", 1, 10L), ("A", 2, 10L), ("B", 1, 10L)).toDF("s", "v", "t")
+    val r = Seq(("A", 1, 5L, 1.0), ("A", 2, 7L, 2.0), ("B", 2, 3L, 9.0))
+      .toDF("rs", "rv", "rt", "px")
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(l, r, Seq("s", "v"), Seq("rs", "rv"), "t", "rt",
+          broadcastRight = hint)
+        .select($"s", $"v", $"px").as[(String, Int, Option[Double])]
+        .collect().map(x => (x._1, x._2) -> x._3).toMap
+      out(("A", 1)) shouldBe Some(1.0)
+      out(("A", 2)) shouldBe Some(2.0)
+      out(("B", 1)) shouldBe None // (B,2) must not leak to (B,1)
+    }
+  }
+
+  it("null-extends every left row against an empty right side, both regimes") {
+    val r = quotes.where($"px" < 0) // empty
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(trades, r, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          broadcastRight = hint)
+      out.count() shouldBe 7
+      out.where($"px".isNotNull).count() shouldBe 0
+    }
+  }
+
   it("rejects ambiguous output column names") {
     an[IllegalArgumentException] should be thrownBy
       AsOf.asOfJoin(trades, trades, Seq("sym"), Seq("sym"), "t", "t")
