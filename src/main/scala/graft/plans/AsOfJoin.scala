@@ -66,6 +66,13 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * dominant shape at 100 TB is a huge event stream enriched against a
   * dimension-sized quote/snapshot table), anything larger sort-merges
   * ([[AsOfJoinExec]]). An explicit hint overrides the size estimate.
+  *
+  * Because the choice reads `right.stats`, it participates in AQE's
+  * RUNTIME re-planning too: once a materialized query stage with real
+  * row/byte counts sits under the right side, re-planning flips an
+  * initial sort-merge to broadcast mid-query — the same runtime BHJ
+  * conversion Spark performs for its own joins (spec-pinned).
+  *
   * Inject engine-wide via `spark.sql.extensions=graft.sql.GraftExtensions`
   * or per-session through [[AsOf.ensureStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {

@@ -85,7 +85,10 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * it plans [[BroadcastIntervalJoinExec]] (points never shuffle — the
   * measured 2× win when intervals are dimension-sized), otherwise the
   * sorted-merge [[IntervalJoinExec]] (both sides shuffle once, state
-  * bounded by per-key overlap — the 100 TB fact-×-fact shape). Injected by
+  * bounded by per-key overlap — the 100 TB fact-×-fact shape). The size
+  * read participates in AQE's runtime re-planning: a materialized stage
+  * under the interval side carries real stats, flipping an initial SMJ to
+  * broadcast mid-query (spec-pinned). Injected by
   * `graft.sql.GraftExtensions`, or per-session via
   * [[IntervalJoin.ensureStrategy]]. */
 object IntervalJoinStrategy extends SparkStrategy {

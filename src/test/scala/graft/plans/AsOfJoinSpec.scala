@@ -222,6 +222,35 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("AQE flips SMJ to broadcast at RUNTIME when the right side materializes small") {
+    // the strategy reads right.stats, and AQE re-runs the planner with
+    // LogicalQueryStage runtime statistics after each stage materializes —
+    // so a post-aggregation right side whose STATIC estimate exceeds the
+    // threshold (2M-row pre-agg scan) but whose RUNTIME size is tiny (200
+    // groups) converts to BroadcastAsOfJoinExec mid-query, reusing the
+    // left's already-materialized shuffle stage as the probe input. The
+    // same runtime BHJ conversion Spark performs for its own joins, with
+    // no hint and no code in the exec.
+    import org.apache.spark.sql.functions.{col, max, rand}
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold between the static pre-agg estimate (~MBs) and the
+      // materialized post-agg size (200 rows, a few KB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val l = spark.range(200000).select((col("id") % 200).as("k"), col("id").as("t"))
+      val rBig = spark.range(200000).select((col("id") % 200).as("rk"),
+        (col("id") % 1000).as("rt0"), rand(7).as("v"))
+      val r = rBig.groupBy(col("rk")).agg(max(col("rt0")).as("rt"))
+      val j = AsOf.asOfJoin(l.toDF(), r.toDF(), Seq("k"), Seq("rk"), "t", "rt")
+      val initial = j.queryExecution.executedPlan.toString
+      initial should include("AsOfJoin")
+      initial should not include "BroadcastAsOfJoin" // static stats: too big
+      j.queryExecution.toRdd.count() shouldBe 200000L
+      val finalPlan = j.queryExecution.executedPlan.toString
+      finalPlan.split("== Initial Plan ==").head should include("BroadcastAsOfJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   it("rejects ambiguous output column names") {
     an[IllegalArgumentException] should be thrownBy
       AsOf.asOfJoin(trades, trades, Seq("sym"), Seq("sym"), "t", "t")

@@ -145,6 +145,29 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
     agg.collect().length should be > 0
   }
 
+  it("AQE flips SMJ to broadcast at RUNTIME when the interval side materializes small") {
+    // same runtime regime conversion as the as-of spec: static post-agg
+    // estimate too big -> initial SMJ; materialized stage stats tiny ->
+    // re-planned BroadcastIntervalJoinExec mid-query
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val p = spark.range(200000).select((col("id") % 200).as("k"), col("id").as("t"))
+      val ivBig = spark.range(200000).select((col("id") % 200).as("ik"),
+        ((col("id") % 50) * 10000).as("s0"), rand(7).as("v"))
+      val iv = ivBig.groupBy(col("ik"), col("s0")).agg(count(lit(1)).as("n"))
+        .select(col("ik"), col("s0").as("s"), (col("s0") + 5000).as("e"))
+      val j = IntervalJoin.intervalJoin(p.toDF(), iv.toDF(), Seq("k"), Seq("ik"),
+        "t", "s", "e")
+      val initial = j.queryExecution.executedPlan.toString
+      initial should include("IntervalJoin")
+      initial should not include "BroadcastIntervalJoin"
+      j.queryExecution.toRdd.count() should be > 0L
+      val finalPlan = j.queryExecution.executedPlan.toString
+      finalPlan.split("== Initial Plan ==").head should include("BroadcastIntervalJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   it("rejects ambiguous output column names") {
     an[IllegalArgumentException] should be thrownBy
       IntervalJoin.intervalJoin(points, points, Seq("k"), Seq("k"), "t", "t", "t")
