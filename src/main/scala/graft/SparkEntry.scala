@@ -2182,8 +2182,9 @@ object SparkEntry {
       | FROM documents GROUP BY lang, floor(n_chars / 50), text
       |), ids AS (
       | SELECT d.doc_id, t.rep
-      | FROM documents d JOIN dt t ON d.text = t.text AND d.lang = t.lang
-      |   AND floor(d.n_chars / 50) = t.len_bucket
+      | FROM documents d JOIN dt t ON d.text IS NOT DISTINCT FROM t.text
+      |   AND d.lang IS NOT DISTINCT FROM t.lang
+      |   AND floor(d.n_chars / 50) IS NOT DISTINCT FROM t.len_bucket
       |), p AS (
       | SELECT rep, lang, len_bucket,
       |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
@@ -2234,7 +2235,8 @@ object SparkEntry {
         |), dt AS (
         |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text
         |), ids AS (
-        |  SELECT d.doc_id, t.rep FROM documents d JOIN dt t ON d.text = t.text
+        |  SELECT d.doc_id, t.rep FROM documents d
+        |    JOIN dt t ON d.text IS NOT DISTINCT FROM t.text
         |), sh AS (
         |  SELECT rep,
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
@@ -3388,8 +3390,9 @@ object SparkEntry {
         | FROM documents GROUP BY lang, floor(n_chars / 50), text
         |), ids AS (
         | SELECT d.doc_id, t.rep
-        | FROM documents d JOIN dt t ON d.text = t.text AND d.lang = t.lang
-        |   AND floor(d.n_chars / 50) = t.len_bucket
+        | FROM documents d JOIN dt t ON d.text IS NOT DISTINCT FROM t.text
+        |   AND d.lang IS NOT DISTINCT FROM t.lang
+        |   AND floor(d.n_chars / 50) IS NOT DISTINCT FROM t.len_bucket
         |), p AS (
         | SELECT rep, lang, len_bucket,
         |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
@@ -3415,8 +3418,12 @@ object SparkEntry {
         |   greatest(ia.doc_id, ib.doc_id) AS id_b, r.jaccard
         | FROM rp r JOIN ids ia ON ia.rep = r.rep_a JOIN ids ib ON ib.rep = r.rep_b
         | UNION ALL
+        | -- identical texts: gram sets equal, jaccard exactly 1.0. NULL-text
+        | -- groups are excluded: they carry no grams, so the pre-collapse
+        | -- formulation never paired them
         | SELECT a.doc_id, b.doc_id, 1.0 AS jaccard
         | FROM ids a JOIN ids b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        | WHERE a.rep IN (SELECT rep FROM p WHERE grams IS NOT NULL)
         |) ORDER BY id_a, id_b""".stripMargin,
 
     // MinHash+LSH: the md5-affine signature family (Dedup.minHashParams) is
@@ -3437,7 +3444,8 @@ object SparkEntry {
         |), dt AS (
         |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text
         |), ids AS (
-        |  SELECT d.doc_id, t.rep FROM documents d JOIN dt t ON d.text = t.text
+        |  SELECT d.doc_id, t.rep FROM documents d
+        |    JOIN dt t ON d.text IS NOT DISTINCT FROM t.text
         |), sh AS (
         |  SELECT rep,
         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
