@@ -62,6 +62,23 @@ object ScaleProbe {
       Quantization.adcTopK(coded, emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", model, k = 5)
     }
+    // IVF encode hot path, UDF vs native codegen expression: identical
+    // argmin, the expression reads ArrayData in place instead of paying the
+    // UDF's per-row Array[Double] copy at the serialization boundary
+    val centsProbe = Similarity.kmeansCentroids(
+      emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v")),
+      "id", "v", nCells = 64, iters = 1)
+    val embWide = (0 until 100).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    println(s"vectorsWide=${embWide.count()}")
+    for (i <- 1 to 2) time(s"cell assign UDF (2M vecs, 64 cells) r$i") {
+      embWide.select(Similarity.cellAssignUdf(centsProbe)(
+        col("embedding").cast("array<double>")).as("cell"))
+    }
+    for (i <- 1 to 2) time(s"cell assign native expr (2M vecs, 64 cells) r$i") {
+      embWide.select(Similarity.cellAssign(spark, centsProbe)(col("embedding")).as("cell"))
+    }
     time("ivf-pq top-5 (1000 queries, 4/16 probe)") {
       Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", dim = 64, k = 5, nLists = 16, nProbe = 4)

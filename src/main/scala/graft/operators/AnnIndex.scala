@@ -62,7 +62,7 @@ object AnnIndex {
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("cell",
-        Similarity.cellAssignUdf(cents)(col("vec")).cast("long"))
+        Similarity.cellAssign(spark, cents)(col("vec")).cast("long"))
     Storage.getOrCreateTable(spark, basePath,
       AuditTableInfo(CodesTable, Seq("vec_id"),
         Map("content" -> "ivf-codes"), retainHistory = false))

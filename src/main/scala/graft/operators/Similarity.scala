@@ -221,7 +221,9 @@ object Similarity {
     * per-dimension mean). Driver-side state is bounded at nLists x dim
     * doubles — never corpus-sized.
     */
-  /** Nearest-centroid assignment (strict-< argmin, first wins on ties). */
+  /** Nearest-centroid assignment (strict-< argmin, first wins on ties).
+    * Kept as the reference implementation for the equality spec and the
+    * UDF-vs-expression probe; production paths use [[cellAssign]]. */
   private[graft] def cellAssignUdf(cents: Array[Array[Double]]) =
     udf { (v: Array[Double]) =>
       var best = 0; var bestD = Double.MaxValue
@@ -235,6 +237,20 @@ object Similarity {
       best
     }
 
+  /** Nearest-centroid assignment via the native codegen'd
+    * [[graft.sql.CellAssign]] expression: the centroid table rides into the
+    * generated code once as a double[][] reference and the vector is read
+    * from ArrayData IN PLACE — the UDF pays a full Array[Double] copy per
+    * row at the serialization boundary, pure overhead on a corpus-scale
+    * encode. Same strict-< argmin contract as [[cellAssignUdf]]
+    * (spec-pinned equal). */
+  private[graft] def cellAssign(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]])(v: Column): Column = {
+    graft.sql.functions.ensureRegistered(spark)
+    call_function("graft_cell_assign", v.cast("array<double>"),
+      typedLit(cents.map(_.toSeq).toSeq))
+  }
+
   /** Deterministic distributed k-means over `(idColName, vecColName)`:
     * seeded with the first `nCells` vectors by id order, `iters` Lloyd
     * rounds (assignment = argmin over a broadcast centroid array; update =
@@ -247,7 +263,8 @@ object Similarity {
       .select(col(vecColName)).collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = c.withColumn("cell", cellAssignUdf(centroids)(col(vecColName)))
+      val assigned = c.withColumn("cell",
+        cellAssign(c.sparkSession, centroids)(col(vecColName)))
       val updated = assigned
         .select(col("cell"), posexplode(col(vecColName)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -291,7 +308,8 @@ object Similarity {
       }
     }
 
-    val indexed = c.withColumn("cell", cellAssignUdf(centroids)(col("c_vec")))
+    val indexed = c.withColumn("cell",
+      cellAssign(c.sparkSession, centroids)(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell", explode(probeUdf(col("q_vec"))))
@@ -393,7 +411,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .transform(Materialize.apply) // reused per Lloyd round + pair join
     val cents = kmeansCentroids(c, "id", "v", nCells, lloydIters)
-    val assigned = c.withColumn("cell", cellAssignUdf(cents)(col("v")))
+    val assigned = c.withColumn("cell", cellAssign(c.sparkSession, cents)(col("v")))
     val pairs = cosineNearDupPairs(
       assigned.withColumnRenamed("id", idCol).withColumnRenamed("v", vecCol),
       idCol, vecCol, col("cell"), threshold, scale)

@@ -600,6 +600,101 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   }
 }
 
+/** Native Catalyst expression: nearest-centroid assignment (squared-L2
+  * argmin) of an `array<double>` vector against a FOLDABLE
+  * `array<array<double>>` centroid table — the IVF encode/probe hot path
+  * (`graft_cell_assign(vec, centroids)`).
+  *
+  * The table child must be a literal (typedLit of the trained centroids);
+  * it is materialised ONCE into a `double[][]` that rides into the
+  * generated code as a referenced object, and the vector is read from
+  * `ArrayData` IN PLACE — the Scala-UDF formulation pays a full
+  * `Array[Double]` copy per row at the serialization boundary, which is
+  * pure overhead on a corpus-scale encode. Ties keep the LOWEST centroid
+  * index (strict `<`, same contract as the UDF it replaces). A vector
+  * longer than the centroid dimension throws; a shorter one compares over
+  * its own length — both identical to the UDF's `v.length` loop.
+  */
+case class CellAssign(vector: Expression, table: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = vector
+  override def right: Expression = table
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vector.dataType, table.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if table.foldable => TypeCheckResult.TypeCheckSuccess
+      case (v, t) if !table.foldable => TypeCheckResult.TypeCheckFailure(
+        s"graft_cell_assign needs a literal centroid table, got a non-foldable $t")
+      case (v, t) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cell_assign expects (array<double>, array<array<double>>), got ($v, $t)")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_cell_assign"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellAssign =
+    copy(vector = newLeft, table = newRight)
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = table.eval(null)
+    require(ad != null, "graft_cell_assign: centroid table must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    require(arr.numElements() > 0, "graft_cell_assign: centroid table is empty")
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+  }
+
+  override def nullSafeEval(a: Any, unused: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val cent = cents(ci)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val x = v.getDouble(i) - cent(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the table child is foldable: pre-materialise it and reference the
+    // double[][] directly; the generated code never touches the literal
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val ci = ctx.freshName("ci")
+      val cent = ctx.freshName("cent")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $v.numElements();
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+         |  double[] $cent = $centsRef[$ci];
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $v.getDouble($i) - $cent[$i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $ci; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+}
+
 object functions {
 
   private[sql] val cosineDescriptor = (
@@ -674,10 +769,18 @@ object functions {
       KmvSketch(children.head, children(1))
     })
 
+  private[sql] val cellAssignDescriptor = (
+    new FunctionIdentifier("graft_cell_assign"),
+    new ExpressionInfo(classOf[CellAssign].getName, "graft_cell_assign"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cell_assign expects exactly 2 arguments")
+      CellAssign(children.head, children(1))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
-      containDescriptor)
+      containDescriptor, cellAssignDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
