@@ -57,6 +57,27 @@ object ConfigParser {
 
   val TimeoutKey = "spark.graft.config.propertyProviderGetTimeoutMs"
   val RetriesKey = "spark.graft.config.propertyProviderGetRetries"
+  /** Comma-separated object names of [[PropertyProviderBuilder]]s to load
+    * reflectively — the declarative provider wiring of the reference
+    * (`CONFIG_PROPERTY_PROVIDER_BUILDER_MODULES`,
+    * waimak-core/.../configuration/CaseClassConfigParser.scala:33-40). */
+  val BuilderModulesKey = "spark.graft.config.propertyProviderBuilderModules"
+
+  /** Reflectively load the builder OBJECTS named in [[BuilderModulesKey]]
+    * (e.g. `graft.configuration.DatabricksSecretsPropertyProviderBuilder`). */
+  def buildersFromConf(spark: SparkSession): Seq[PropertyProviderBuilder] =
+    spark.conf.getOption(BuilderModulesKey).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { name =>
+        try Class.forName(name + "$").getField("MODULE$").get(null)
+          .asInstanceOf[PropertyProviderBuilder]
+        catch {
+          case e: ClassNotFoundException => throw new ConfigException(
+            s"Property provider builder object [$name] not found: $e")
+          case e: ClassCastException => throw new ConfigException(
+            s"[$name] is not a PropertyProviderBuilder: $e")
+        }
+      }
 
   def apply[A: ru.TypeTag](spark: SparkSession, prefix: String,
       additional: Map[String, String] = Map.empty,
@@ -64,12 +85,13 @@ object ConfigParser {
       extraProviders: Seq[PropertyProvider] = Seq.empty): A = {
     val timeoutMs = spark.conf.getOption(TimeoutKey).map(_.toLong).getOrElse(10000L)
     val retries = spark.conf.getOption(RetriesKey).map(_.toInt).getOrElse(3)
+    val configured = buildersFromConf(spark).map(_.getPropertyProvider(spark))
     val providers: Seq[PropertyProvider] = Seq(
       new PropertyProvider {
         def get(key: String): Option[String] = spark.conf.getOption(key)
       },
       MapPropertyProvider(additional)) ++
-      extraProviders.map(new RetryingPropertyProvider(_, timeoutMs, retries))
+      (extraProviders ++ configured).map(new RetryingPropertyProvider(_, timeoutMs, retries))
     parse[A](k => providers.view.flatMap(_.get(k)).headOption, prefix, separator)
   }
 
@@ -139,3 +161,11 @@ object ConfigParser {
 }
 
 class ConfigException(message: String) extends RuntimeException(message)
+
+/** Contract for declaratively-wired property providers (reference
+  * PropertyProviderBuilder): an OBJECT constructing a provider from the
+  * session, loaded by name via [[ConfigParser.BuilderModulesKey]] and
+  * wrapped in the parser's timeout/retry guard. */
+trait PropertyProviderBuilder {
+  def getPropertyProvider(spark: SparkSession): ConfigParser.PropertyProvider
+}
