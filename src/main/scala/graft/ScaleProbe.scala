@@ -79,6 +79,37 @@ object ScaleProbe {
     for (i <- 1 to 2) time(s"cell assign native expr (2M vecs, 64 cells) r$i") {
       embWide.select(Similarity.cellAssign(spark, centsProbe)(col("embedding")).as("cell"))
     }
+    // PQ encode hot path, UDF vs native subvec expression — the m-subspace
+    // analogue of the cell-assign comparison above: the former UDF encoder
+    // (faithful copy) pays one Array[Double] deserialization plus m
+    // copyOfRange slices per row; the native path is m in-place codegen'd
+    // argmins in one projection
+    val pqEncodeUdf = {
+      val cb = model.codebooks; val subDim = model.subDim; val mm = model.m
+      udf { (v: Array[Double]) =>
+        Array.tabulate(mm) { j =>
+          val sub = java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim)
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < cb(j).length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val x = sub(i) - cb(j)(ci)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          best
+        }
+      }
+    }
+    for (i <- 1 to 2) time(s"pq encode UDF (2M vecs, 4x8) r$i") {
+      val coded = embWide.select(col("vec_id"),
+        pqEncodeUdf(col("embedding").cast("array<double>")).as("codes"))
+      (0 until model.m).foldLeft(coded) { (acc, j) =>
+        acc.withColumn(s"code_$j", element_at(col("codes"), j + 1).cast("long"))
+      }.drop("codes")
+    }
+    for (i <- 1 to 2) time(s"pq encode native expr (2M vecs, 4x8) r$i") {
+      Quantization.encode(embWide, "vec_id", "embedding", model)
+    }
     time("ivf-pq top-5 (1000 queries, 4/16 probe)") {
       Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", dim = 64, k = 5, nLists = 16, nProbe = 4)

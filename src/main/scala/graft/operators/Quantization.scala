@@ -109,14 +109,11 @@ object Quantization {
     var it = 0
     while (it < lloydIters) {
       val cb = codebooks
-      val assignAll = udf { (v: Array[Double]) =>
-        Array.tabulate(m) { j =>
-          argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
-        }
-      }
+      val assignAll = array((0 until m).map(j =>
+        subvecCode(c.sparkSession, cb(j), j * subDim, dim)(col("v"))): _*)
       // one aggregation job refreshes every subspace: rows explode to
       // (subspace, cell, pos, x) and reduce to per-centroid means
-      val updated = c.withColumn("cells", assignAll(col("v")))
+      val updated = c.withColumn("cells", assignAll)
         .select(posexplode(col("v")).as(Seq("p", "x")), col("cells"))
         .select((col("p") / subDim).cast("int").as("j"),
           (col("p") % subDim).cast("int").as("pos"),
@@ -136,34 +133,41 @@ object Quantization {
     PqModel(subDim, codebooks)
   }
 
+  /** Per-subspace nearest-centroid code via the native codegen'd
+    * [[graft.sql.SubvecAssign]] expression: each codebook rides into the
+    * generated code ONCE as a double[][] reference and the subvector is
+    * read from ArrayData IN PLACE — the former Scala-UDF encoder paid a
+    * full Array[Double] copy per row at the serialization boundary plus a
+    * copyOfRange per subspace, pure overhead on a corpus-scale encode.
+    * Fails loudly when the vector length differs from `expectDim` (the
+    * UDF's dim-drift contract, now enforced inside the expression). */
+  private def subvecCode(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]], offset: Int, expectDim: Int)(v: Column): Column = {
+    graft.sql.functions.ensureRegistered(spark)
+    call_function("graft_subvec_assign", v.cast("array<double>"),
+      typedLit(codebook.map(_.toSeq).toSeq), lit(offset), lit(expectDim))
+  }
+
   /** Per-subspace nearest-centroid codes as one map-side pass:
     * (idCol, passthrough..., code_0 .. code_{m-1}) — integer output, exactly
     * reproducible by any engine that replays the training recurrence.
     * `passthrough` columns ride along so callers (IVF-PQ keeps its cell id)
-    * never need a corpus-wide re-join to recover them. */
+    * never need a corpus-wide re-join to recover them. One codegen'd
+    * [[graft.sql.SubvecAssign]] per subspace; the m argmins stay inside the
+    * same whole-stage-codegen projection (subexpression elimination shares
+    * the input array across them). */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
       passthrough: Seq[String] = Seq.empty): DataFrame = {
     val reserved = "codes" +: (0 until model.m).map(j => s"code_$j")
     require((idCol +: passthrough).forall(c => !reserved.contains(c)),
       s"idCol/passthrough may not use the reserved names ${reserved.mkString(", ")}")
-    val cb = model.codebooks
     val subDim = model.subDim
     val m = model.m
-    val codeUdf = udf { (v: Array[Double]) =>
-      // fail loudly on dim drift: copyOfRange would silently zero-pad a
-      // too-short vector into garbage codes (hazard once models persist
-      // across jobs and schemas evolve)
-      require(v.length == m * subDim,
-        s"vector of dim ${v.length} does not match PQ model dim ${m * subDim}")
-      Array.tabulate(m) { j =>
-        argminCell(java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim), cb(j))
-      }
-    }
-    val coded = df.select((idCol +: passthrough).map(col) :+
-      codeUdf(col(vecCol).cast("array<double>")).as("codes"): _*)
-    (0 until m).foldLeft(coded) { (acc, j) =>
-      acc.withColumn(s"code_$j", element_at(col("codes"), j + 1).cast("long"))
-    }.drop("codes")
+    df.select((idCol +: passthrough).map(col) ++
+      (0 until m).map { j =>
+        subvecCode(df.sparkSession, model.codebooks(j), j * subDim, m * subDim)(
+          col(vecCol)).cast("long").as(s"code_$j")
+      }: _*)
   }
 
   /** Append per-row distance TABLES `table_0 .. table_{m-1}` (m x k doubles,

@@ -695,6 +695,100 @@ case class CellAssign(vector: Expression, table: Expression)
   }
 }
 
+/** Native Catalyst expression: nearest-centroid assignment (squared-L2
+  * argmin) of the SUBVECTOR `[offset, offset + subDim)` of an
+  * `array<double>` against a FOLDABLE per-subspace codebook
+  * `array<array<double>>` — the PQ encode hot path
+  * (`graft_subvec_assign(vec, codebook, offset, expectDim)`).
+  *
+  * Replaces the Scala-UDF PQ encoder: the codebook materialises ONCE into
+  * a `double[][]` referenced from generated code, and the subvector is
+  * read from `ArrayData` IN PLACE — no per-row `Array[Double]` copy at a
+  * serialization boundary and no `slice()` intermediate. `subDim` is the
+  * codebook's centroid length. The full-vector length must equal
+  * `expectDim` or the row FAILS LOUDLY (same dim-drift contract as the
+  * UDF it replaces: a silent `copyOfRange` zero-pad would turn schema
+  * drift into garbage codes once models persist across jobs). Ties keep
+  * the LOWEST centroid index (strict `<`).
+  */
+case class SubvecAssign(vector: Expression, table: Expression,
+    offset: Expression, expectDim: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def first: Expression = vector
+  override def second: Expression = table
+  override def third: Expression = offset
+  override def fourth: Expression = expectDim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vector.dataType, table.dataType, offset.dataType, expectDim.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _),
+          IntegerType, IntegerType) =>
+        if (table.foldable && offset.foldable && expectDim.foldable)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_subvec_assign codebook/offset/expectDim must be literals")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_subvec_assign expects (array<double>, array<array<double>>, " +
+          s"int, int), got $other")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_subvec_assign"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SubvecAssign =
+    copy(newFirst, newSecond, newThird, newFourth)
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = table.eval(null)
+    require(ad != null, "graft_subvec_assign: codebook must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    require(arr.numElements() > 0, "graft_subvec_assign: codebook is empty")
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+  }
+
+  override protected def nullSafeEval(a: Any, unused: Any, o: Any, d: Any): Any =
+    SubvecAssign.compute(a.asInstanceOf[ArrayData], cents,
+      o.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _, o, d) => {
+      s"${ev.value} = graft.sql.SubvecAssign.compute($v, $centsRef, $o, $d);"
+    })
+  }
+}
+
+object SubvecAssign {
+  def compute(v: ArrayData, cents: Array[Array[Double]],
+      off: Int, dim: Int): Int = {
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"graft_subvec_assign: vector of dim ${v.numElements()} does not " +
+        s"match expected dim $dim — re-encode or rebuild the model")
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val cent = cents(ci)
+      var d = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val x = v.getDouble(off + i) - cent(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+}
+
 object functions {
 
   private[sql] val cosineDescriptor = (
@@ -777,10 +871,18 @@ object functions {
       CellAssign(children.head, children(1))
     })
 
+  private[sql] val subvecAssignDescriptor = (
+    new FunctionIdentifier("graft_subvec_assign"),
+    new ExpressionInfo(classOf[SubvecAssign].getName, "graft_subvec_assign"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4, "graft_subvec_assign expects exactly 4 arguments")
+      SubvecAssign(children.head, children(1), children(2), children(3))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
-      containDescriptor, cellAssignDescriptor)
+      containDescriptor, cellAssignDescriptor, subvecAssignDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -59,7 +59,7 @@ class QuantizationSpec extends SparkTestBase with Matchers {
       val ex = intercept[Exception] {
         Quantization.encode(wrongDim, "vec_id", "embedding", model).collect()
       }
-      ex.getMessage should include("does not match PQ model dim")
+      ex.getMessage should include("does not match expected dim")
       an[IllegalArgumentException] should be thrownBy
         Quantization.encode(corpus, "vec_id", "embedding", model,
           passthrough = Seq("code_0"))
