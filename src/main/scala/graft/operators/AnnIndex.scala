@@ -138,27 +138,6 @@ object AnnIndex {
   val PqCodesTable = "ivfpq_codes"
   val PqCodebooksTable = "ivfpq_codebooks"
 
-  private def residualUdf(cents: Array[Array[Double]]) =
-    udf { (v: Array[Double]) =>
-      require(cents.isEmpty || v.length == cents(0).length,
-        s"vector dim ${v.length} does not match trained centroid " +
-          s"dim ${cents(0).length} — re-encode or rebuild the index")
-      var best = 0
-      var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < cents.length) {
-        val cent = cents(ci); var d = 0.0; var i = 0
-        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      val cent = cents(best)
-      val res = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
-      (best.toLong, res)
-    }
-
   /** Train coarse centroids + residual PQ codebooks on `vectors`, store
     * both models, and index the vectors as codes only. One index per
     * `basePath` (the raw and PQ variants share the centroids table). */
@@ -177,8 +156,9 @@ object AnnIndex {
       AuditTableInfo(CentroidsTable, Seq("cell"),
         Map("content" -> "ivf-centroids"), retainHistory = false))
       .append(centDf, None, ts)
-    val withRes = Materialize(c.withColumn("_cr", residualUdf(cents)(col("vec")))
-      .select(col("vec_id"), col("_cr._1").as("cell"), col("_cr._2").as("res")))
+    val withRes = Materialize(c
+      .transform(Similarity.withCellAndResidual(spark, cents, "vec", "long"))
+      .select(col("vec_id"), col("cell"), col("res")))
     val model = Quantization.train(withRes, "vec_id", "res",
       dim = cents(0).length, m = m, k = codesPerSubspace,
       lloydIters = pqIters, preMaterialized = true)
@@ -203,8 +183,8 @@ object AnnIndex {
     val withRes = vectors
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("_cr", residualUdf(cents)(col("vec")))
-      .select(col("vec_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
+      .transform(Similarity.withCellAndResidual(spark, cents, "vec", "long"))
+      .select(col("vec_id"), col("cell"), col("res"))
     appendCodes(spark, basePath, withRes, model, ts)
   }
 

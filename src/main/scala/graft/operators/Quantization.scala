@@ -261,17 +261,11 @@ object Quantization {
       .transform(Materialize.apply) // coarse rounds + residual encode reread it
 
     val coarse = Similarity.kmeansCentroids(c, "neighbor_id", "c_vec", nLists, coarseIters)
-    val residualUdf = udf { (v: Array[Double]) =>
-      val cell = argminCell(v, coarse)
-      val cent = coarse(cell)
-      val res = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
-      (cell, res)
-    }
-    // one pass derives (cell, residual); PQ trains and encodes on residuals
-    val withRes = c.withColumn("_cr", residualUdf(col("c_vec")))
-      .select(col("neighbor_id"), col("_cr._1").as("cell"), col("_cr._2").as("res"))
+    // one pass derives (cell, residual) via the native cell-assign +
+    // centroid-sub expression pair; PQ trains and encodes on residuals
+    val withRes = c
+      .transform(Similarity.withCellAndResidual(corpus.sparkSession, coarse, "c_vec"))
+      .select(col("neighbor_id"), col("cell"), col("res"))
       .transform(Materialize.apply)
     val model = train(withRes, "neighbor_id", "res", dim, m, codesPerSubspace,
       pqIters, preMaterialized = true)

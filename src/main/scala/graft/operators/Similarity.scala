@@ -251,6 +251,28 @@ object Similarity {
       typedLit(cents.map(_.toSeq).toSeq))
   }
 
+  /** Append `cell` (nearest coarse centroid, `cellType`-cast) and `res`
+    * (residual against it) columns via the native codegen'd
+    * [[graft.sql.CellAssign]] + [[graft.sql.CentroidSub]] pair — the IVF
+    * residual-encode hot path. Two projections in the same codegen stage;
+    * the centroid table rides into generated code once as a double[][].
+    * Replaces the struct-returning Scala UDF that recomputed the argmin
+    * and paid a per-row array copy at the serialization boundary for
+    * every corpus vector on every (re-)ingest. Fails loudly on dimension
+    * drift (enforced inside CentroidSub). */
+  private[graft] def withCellAndResidual(
+      spark: org.apache.spark.sql.SparkSession, cents: Array[Array[Double]],
+      vecColName: String, cellType: String = "int")(df: DataFrame): DataFrame = {
+    graft.sql.functions.ensureRegistered(spark)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    df.withColumn("cell",
+        call_function("graft_cell_assign",
+          col(vecColName).cast("array<double>"), centsLit).cast(cellType))
+      .withColumn("res",
+        call_function("graft_centroid_sub",
+          col(vecColName).cast("array<double>"), centsLit, col("cell")))
+  }
+
   /** Deterministic distributed k-means over `(idColName, vecColName)`:
     * seeded with the first `nCells` vectors by id order, `iters` Lloyd
     * rounds (assignment = argmin over a broadcast centroid array; update =

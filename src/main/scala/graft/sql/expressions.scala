@@ -789,6 +789,91 @@ object SubvecAssign {
   }
 }
 
+/** Native Catalyst expression: residual subtraction `vec - table[cell]`
+  * against a FOLDABLE centroid table
+  * (`graft_centroid_sub(vec, centroids, cell)`) — the second half of the
+  * IVF residual-encode hot path, pairing with [[CellAssign]]: assign the
+  * cell in one codegen'd projection, subtract its centroid in the next,
+  * both reading `ArrayData` in place with the centroid table materialised
+  * ONCE as a `double[][]`. The former Scala-UDF formulation recomputed the
+  * argmin AND paid a per-row `Array[Double]` copy at the serialization
+  * boundary for every corpus vector on every (re-)ingest.
+  *
+  * FAILS LOUDLY when the vector length differs from the trained centroid
+  * dimension (the dim-drift contract of the ingest UDF it replaces) or
+  * when `cell` is outside the table.
+  */
+case class CentroidSub(vector: Expression, table: Expression, cell: Expression)
+  extends TernaryExpression {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def first: Expression = vector
+  override def second: Expression = table
+  override def third: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vector.dataType, table.dataType, cell.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _),
+          IntegerType | LongType) =>
+        if (table.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_centroid_sub needs a literal centroid table")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_centroid_sub expects (array<double>, array<array<double>>, " +
+          s"int|bigint), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_centroid_sub"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CentroidSub =
+    copy(newFirst, newSecond, newThird)
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = table.eval(null)
+    require(ad != null, "graft_centroid_sub: centroid table must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    require(arr.numElements() > 0, "graft_centroid_sub: centroid table is empty")
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+  }
+
+  private def cellToInt(c: Any): Int = c match {
+    case i: java.lang.Integer => i.intValue()
+    case l: java.lang.Long => l.intValue()
+  }
+
+  override protected def nullSafeEval(a: Any, unused: Any, c: Any): Any =
+    CentroidSub.compute(a.asInstanceOf[ArrayData], cents, cellToInt(c))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _, c) => {
+      s"${ev.value} = graft.sql.CentroidSub.compute($v, $centsRef, (int) $c);"
+    })
+  }
+}
+
+object CentroidSub {
+  /** Interpreted + generated code share this JVM loop. */
+  def compute(v: ArrayData, cents: Array[Array[Double]], cell: Int): ArrayData = {
+    if (cell < 0 || cell >= cents.length) throw new IllegalArgumentException(
+      s"graft_centroid_sub: cell $cell outside centroid table of ${cents.length}")
+    val cent = cents(cell)
+    val n = v.numElements()
+    if (n != cent.length) throw new IllegalArgumentException(
+      s"graft_centroid_sub: vector of dim $n does not match centroid dim " +
+        s"${cent.length} — re-encode or rebuild the index")
+    val res = new Array[Double](n)
+    var i = 0
+    while (i < n) { res(i) = v.getDouble(i) - cent(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+}
+
 object functions {
 
   private[sql] val cosineDescriptor = (
@@ -879,10 +964,19 @@ object functions {
       SubvecAssign(children.head, children(1), children(2), children(3))
     })
 
+  private[sql] val centroidSubDescriptor = (
+    new FunctionIdentifier("graft_centroid_sub"),
+    new ExpressionInfo(classOf[CentroidSub].getName, "graft_centroid_sub"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_centroid_sub expects exactly 3 arguments")
+      CentroidSub(children.head, children(1), children(2))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
-      containDescriptor, cellAssignDescriptor, subvecAssignDescriptor)
+      containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
+      centroidSubDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
