@@ -1771,7 +1771,8 @@ object SparkEntry {
         .select(col("o_orderkey").as("k"))
       val est = Sketches.cmJoinSizeEstimate(
         Sketches.countMinSketch(li, "k", depth = 4, width = 2048),
-        Sketches.countMinSketch(ord, "k", depth = 4, width = 2048))
+        Sketches.countMinSketch(ord, "k", depth = 4, width = 2048),
+        depth = Some(4))
       val exact = li.join(ord, Seq("k")).agg(count(lit(1)).as("exact_rows"))
       est.crossJoin(exact) // 1 row × 1 row
         .withColumn("one_sided_ok", col("cm_join_estimate") >= col("exact_rows"))

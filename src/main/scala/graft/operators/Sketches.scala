@@ -136,7 +136,8 @@ object Sketches {
     * depth×width cells (map-combined), the estimate joins two tiny
     * relations — no data is joined to learn how big the join would be.
     * Output: 1 row (cm_join_estimate long). */
-  def cmJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+  def cmJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame,
+      depth: Option[Int] = None): DataFrame = {
     val a = sketchA.select(col("cm_depth"), col("cm_bucket"),
       col("cm_count").as("cm_a"))
     val b = sketchB.select(col("cm_depth"), col("cm_bucket"),
@@ -144,11 +145,18 @@ object Sketches {
     // per-cell products only exist where BOTH sides hit the cell (inner
     // join), but the min must range over EVERY depth row — a depth with no
     // overlapping cells has dot = 0 and is the TIGHTEST bound (true join
-    // size 0). Left-join the dots onto the depth spine present in either
-    // sketch and coalesce absent depths to 0; fully-empty sketches (no rows
-    // at all) collapse to a single 0 row, never NULL.
-    val depths = a.select(col("cm_depth"))
-      .union(b.select(col("cm_depth"))).distinct()
+    // size 0). Left-join the dots onto the depth spine and coalesce absent
+    // depths to 0; fully-empty sketches (no rows at all) collapse to a
+    // single 0 row, never NULL. When the caller knows the sketch `depth`
+    // the spine is a literal range (no shuffle); otherwise it is recovered
+    // from the sketches themselves (union + distinct — two extra tiny
+    // shuffles, rows ≤ depth).
+    val depths = depth match {
+      case Some(d) =>
+        sketchA.sparkSession.range(d).select(col("id").cast("int").as("cm_depth"))
+      case None =>
+        a.select(col("cm_depth")).union(b.select(col("cm_depth"))).distinct()
+    }
     val dots = a.join(b, Seq("cm_depth", "cm_bucket"))
       .groupBy(col("cm_depth"))
       .agg(sum(col("cm_a") * col("cm_b")).as("dot"))

@@ -112,6 +112,18 @@ class SketchesSpec extends SparkTestBase with Matchers {
         .as[Long].head()
       est should be >= 11L
     }
+
+    it("a known depth uses a literal spine and agrees with the recovered one") {
+      val sa = Sketches.countMinSketch(a, "k", depth = 3, width = 64)
+      val sb = Sketches.countMinSketch(b, "k", depth = 3, width = 64)
+      Sketches.cmJoinSizeEstimate(sa, sb, depth = Some(3))
+        .as[Long].head() shouldBe 11L
+      // disjoint keys: every depth has zero overlapping cells -> 0, not NULL
+      val sd = Sketches.countMinSketch(Seq("x", "y").toDF("k"), "k",
+        depth = 3, width = 64)
+      Sketches.cmJoinSizeEstimate(sa, sd, depth = Some(3))
+        .as[Long].head() shouldBe 0L
+    }
   }
 
   describe("kmvSketch (bounded distinct sketch with set ops)") {
