@@ -114,6 +114,21 @@ object ScaleProbe {
       Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", dim = 64, k = 5, nLists = 16, nProbe = 4)
     }
+    // CM hash-family cost at corpus scale: the md5 family buys bit-exact
+    // DuckDB replay (the gate's q110 contract); the native xxhash64 family
+    // is the production choice when no cross-engine replay is needed —
+    // same two-pass plan, same guarantees, no string building / hex conv
+    // per (item, depth)
+    val hhToks = docs.select(explode(
+      graft.functions.TextFunctions.tokens(lower(col("text")))).as("token"))
+      .localCheckpoint(true)
+    for (i <- 1 to 2) time(s"heavy hitters md5 family (500k docs) r$i") {
+      Sketches.heavyHitters(hhToks, "token", threshold = 9000L, depth = 4, width = 32)
+    }
+    for (i <- 1 to 2) time(s"heavy hitters xxhash family (500k docs) r$i") {
+      Sketches.heavyHitters(hhToks, "token", threshold = 9000L, depth = 4, width = 32,
+        family = Sketches.XxHash)
+    }
     time("tfidf top-3 terms") {
       Ranking.tfIdfTopTerms(docs, "doc_id", "text", topK = 3)
     }

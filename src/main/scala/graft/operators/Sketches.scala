@@ -23,24 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** The row-`d` bucket of `item`: md5 of a row-tagged item string,
-    * first 32 bits, mod `width` — same value as DuckDB's
-    * `('0x' || substr(md5('cm_' || d || '_' || item), 1, 8))::BIGINT % width`. */
-  private def bucket(item: Column, d: Int, width: Int): Column =
-    conv(substring(md5(concat(lit(s"cm_${d}_"), item)), 1, 8), 16, 10)
-      .cast("long") % width
+  /** Bucket-hash family for the CM sketch. [[Md5Hash]] (default) is
+    * reproducible bit-for-bit in any engine with md5 — what makes the
+    * DuckDB oracle able to recompute the identical sketch. [[XxHash]] uses
+    * Spark's native codegen'd xxhash64 — several times cheaper per item
+    * (no string building, no hex conv), the family to run at corpus scale
+    * when no cross-engine replay is needed. Both are row-salted; the CM
+    * one-sided guarantee and error bounds are identical. Sketches are only
+    * mergeable/comparable when built with the SAME family (and depth and
+    * width) — like the hash seed, it is part of the sketch's identity. */
+  sealed trait CmHashFamily
+  case object Md5Hash extends CmHashFamily
+  case object XxHash extends CmHashFamily
+
+  /** The row-`d` bucket of `item`. Md5 family: md5 of a row-tagged item
+    * string, first 32 bits, mod `width` — same value as DuckDB's
+    * `('0x' || substr(md5('cm_' || d || '_' || item), 1, 8))::BIGINT % width`.
+    * XxHash family: `pmod(xxhash64(d, item), width)` — native, no oracle. */
+  private def bucket(item: Column, d: Int, width: Int,
+      family: CmHashFamily): Column = family match {
+    case Md5Hash =>
+      conv(substring(md5(concat(lit(s"cm_${d}_"), item)), 1, 8), 16, 10)
+        .cast("long") % width
+    case XxHash =>
+      pmod(xxhash64(lit(d), item), lit(width.toLong))
+  }
 
   /** All `depth` bucket assignments of an item, as an array column. */
-  private[graft] def buckets(item: Column, depth: Int, width: Int): Column =
-    array((0 until depth).map(d => bucket(item, d, width)): _*)
+  private[graft] def buckets(item: Column, depth: Int, width: Int,
+      family: CmHashFamily = Md5Hash): Column =
+    array((0 until depth).map(d => bucket(item, d, width, family)): _*)
 
   /** Build the sketch: one row per non-empty (cm_depth, cm_bucket) cell
     * with its count. At most depth×width rows. */
   def countMinSketch(items: DataFrame, itemCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024,
+      family: CmHashFamily = Md5Hash): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be >= 1")
     items
-      .select(posexplode(buckets(col(itemCol), depth, width))
+      .select(posexplode(buckets(col(itemCol), depth, width, family))
         .as(Seq("cm_depth", "cm_bucket")))
       .groupBy(col("cm_depth"), col("cm_bucket"))
       .agg(count(lit(1)).as("cm_count"))
@@ -54,11 +75,12 @@ object Sketches {
     * already exists (or is cheap to map-combine): the md5 family runs over
     * the vocabulary, not the corpus. */
   def countMinSketchWeighted(items: DataFrame, itemCol: String, weightCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024,
+      family: CmHashFamily = Md5Hash): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be >= 1")
     items
       .select(col(weightCol).cast("long").as("cm_w"),
-        posexplode(buckets(col(itemCol), depth, width))
+        posexplode(buckets(col(itemCol), depth, width, family))
           .as(Seq("cm_depth", "cm_bucket")))
       .groupBy(col("cm_depth"), col("cm_bucket"))
       .agg(sum(col("cm_w")).as("cm_count"))
@@ -95,15 +117,16 @@ object Sketches {
     * `confirmed` flag marks which candidates survived exact counting.
     * Output: item, cm_estimate, exact_count, confirmed. */
   def heavyHitters(items: DataFrame, itemCol: String, threshold: Long,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024,
+      family: CmHashFamily = Md5Hash): DataFrame = {
     require(threshold >= 1, "threshold must be >= 1")
     // flat depth×width cell array on the driver (absent cell = 0)
     val flat = new Array[Long](depth * width)
-    countMinSketch(items, itemCol, depth, width).collect().foreach { r =>
+    countMinSketch(items, itemCol, depth, width, family).collect().foreach { r =>
       flat(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2)
     }
     val cells = typedLit(flat.toSeq)
-    val est = array_min(transform(buckets(col(itemCol), depth, width),
+    val est = array_min(transform(buckets(col(itemCol), depth, width, family),
       (b, d) => element_at(cells, (d * width + b + 1).cast("int"))))
     items
       .withColumn("cm_estimate", est)
@@ -117,10 +140,11 @@ object Sketches {
     * min over the sketch rows of the item's cell counts (absent cell = 0).
     * Returns the query frame's columns plus `cm_estimate`. */
   def countMinEstimate(queries: DataFrame, itemCol: String, sketch: DataFrame,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024,
+      family: CmHashFamily = Md5Hash): DataFrame = {
     val qCols = queries.columns.map(col)
     queries
-      .select(qCols :+ posexplode(buckets(col(itemCol), depth, width))
+      .select(qCols :+ posexplode(buckets(col(itemCol), depth, width, family))
         .as(Seq("cm_depth", "cm_bucket")): _*)
       .join(sketch, Seq("cm_depth", "cm_bucket"), "left")
       .groupBy(qCols: _*)

@@ -92,6 +92,39 @@ class SketchesSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("XxHash family (native production hash, no oracle replay)") {
+    it("keeps the one-sided guarantee and finds the planted heavy hitters") {
+      val items = (Seq.fill(40)("hot_a") ++ Seq.fill(25)("hot_b") ++
+        (1 to 200).map(i => s"cold_$i")).toDF("item")
+      val hh = Sketches.heavyHitters(items, "item", threshold = 20,
+          depth = 4, width = 64, family = Sketches.XxHash)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      // candidates are a superset of the true heavy set; estimates never
+      // undercount
+      hh.filter(_._4).map(_._1).toSet shouldBe Set("hot_a", "hot_b")
+      hh.foreach { case (_, est, exact, _) => est should be >= exact }
+    }
+
+    it("estimates every item one-sidedly and the families agree on exact-width sketches") {
+      val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("item")
+      val truth = Map("a" -> 7L, "b" -> 3L, "c" -> 1L)
+      Seq(Sketches.Md5Hash, Sketches.XxHash).foreach { fam =>
+        val sk = Sketches.countMinSketch(items, "item", depth = 3,
+          width = 1024, family = fam)
+        val est = Sketches.countMinEstimate(items.distinct(), "item", sk,
+            depth = 3, width = 1024, family = fam)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        withClue(s"family=$fam: ") {
+          truth.foreach { case (k, v) => est(k) should be >= v }
+          // 3 items in 1024 buckets: collisions are practically absent, so
+          // both families should be exact here
+          est shouldBe truth
+        }
+      }
+    }
+  }
+
   describe("cmJoinSizeEstimate (sketch inner product)") {
     val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
     val b = (Seq.fill(2)("a") ++ Seq.fill(5)("c") ++ Seq("d")).toDF("k")
