@@ -194,19 +194,28 @@ object Sketches {
   /** 2^60 as an exact double — the KMV hash domain size. */
   private val KmvDomain = 1152921504606846976.0
 
-  /** The KMV item hash: first 15 md5 hex chars as a 60-bit non-negative
-    * long — `('0x' || substr(md5(x), 1, 15))::BIGINT` in DuckDB. */
-  def kmvHash(item: Column): Column =
-    conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+  /** The KMV item hash, uniform on [0, 2^60). Md5 family: first 15 md5 hex
+    * chars as a long — `('0x' || substr(md5(x), 1, 15))::BIGINT` in DuckDB.
+    * XxHash family: native xxhash64 masked to 60 bits — the production
+    * choice when no cross-engine replay is needed (same [[CmHashFamily]]
+    * contract as the count-min suite: sketches only merge/compare within
+    * one family). */
+  def kmvHash(item: Column, family: CmHashFamily = Md5Hash): Column =
+    family match {
+      case Md5Hash =>
+        conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+      case XxHash =>
+        xxhash64(item).bitwiseAND(lit((1L << 60) - 1))
+    }
 
   /** Per-group KMV sketch over `item`: `groupCols` plus a sorted-ascending
     * `kmv` array of the k smallest distinct item hashes. Buffer state is k
     * longs per group and combines map-side ([[graft.sql.KmvSketch]]). */
   def kmvSketch(df: DataFrame, groupCols: Seq[Column], item: Column,
-      k: Int): DataFrame = {
+      k: Int, family: CmHashFamily = Md5Hash): DataFrame = {
     graft.sql.functions.ensureRegistered(df.sparkSession)
     df.groupBy(groupCols: _*)
-      .agg(call_function("graft_kmv", kmvHash(item), lit(k)).as("kmv"))
+      .agg(call_function("graft_kmv", kmvHash(item, family), lit(k)).as("kmv"))
   }
 
   /** Distinct-count estimate from a KMV array: exact size below k (the

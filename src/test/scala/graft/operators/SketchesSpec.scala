@@ -160,6 +160,19 @@ class SketchesSpec extends SparkTestBase with Matchers {
   }
 
   describe("kmvSketch (bounded distinct sketch with set ops)") {
+    it("the XxHash family is exact below k and estimates within rsd above it") {
+      val exact = (1 to 5).flatMap(v => Seq.fill(3)(v.toLong)).toDF("v")
+      val sk = Sketches.kmvSketch(exact, Seq(lit(1).as("g")), $"v", k = 8,
+        family = Sketches.XxHash)
+      sk.select(org.apache.spark.sql.functions.size($"kmv"))
+        .as[Int].head() shouldBe 5
+      val big = (1 to 2000).map(_.toLong).toDF("v")
+      val est = Sketches.kmvSketch(big, Seq(lit(1).as("g")), $"v", k = 256,
+          family = Sketches.XxHash)
+        .select(Sketches.kmvEstimate($"kmv", 256)).as[Double].head()
+      est shouldBe 2000.0 +- 400.0 // ~1/sqrt(k) rsd
+    }
+
     it("is exact below k and deduplicates repeats") {
       val df = (1 to 5).flatMap(v => Seq.fill(10)(v.toLong)).toDF("v")
       val sk = Sketches.kmvSketch(df, Seq(lit(1).as("g")), $"v", k = 8)
