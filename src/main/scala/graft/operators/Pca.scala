@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the ONLY corpus-sized work is one pass accumulating the
   * d×d second-moment (Gramian) matrix and the d-vector of first moments,
-  * both as map-combined `groupBy().sum()` aggregations — after partial
-  * aggregation each partition contributes at most d(d+1)/2 + d rows to the
-  * shuffle, so the cost is FLOPs-bound (d² multiplies per row, the FLOPs
-  * any covariance computation pays), not shuffle-bound. Driver state is
-  * the d×d covariance matrix plus the iteration vector: O(d²), independent
-  * of corpus size — at d=1024 that is 8 MB on the driver; the corpus never
-  * moves.
+  * fused into a single bounded custom aggregate
+  * ([[graft.sql.GramianMoments]]) — per-partition state is
+  * 2 + d + d(d+1)/2 longs and the d²/2 multiply-adds per row run in one
+  * tight JVM loop, so the cost is FLOPs-bound (the FLOPs any covariance
+  * computation pays) with no row amplification and a shuffle of one
+  * moment vector per partition. Driver state is the d×d covariance matrix
+  * plus the iteration vector: O(d²), independent of corpus size — at
+  * d=1024 that is 8 MB on the driver; the corpus never moves.
   *
   * Determinism contract (the property that makes the result verifiable by
   * an independent SQL engine, and bit-stable across partitionings): there
@@ -67,38 +68,32 @@ object Pca {
     val Q9 = 1000000000.0 // moment quantum: product resolved to 1e-9
     val Q15 = 1.0e15 // driver-sum quantum: iteration terms resolved to 1e-15
 
-    // first moments: one exploded pass, terms quantized, exact long sums;
-    // partial agg bounds the shuffle at d rows per partition
-    val ex = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("i"), col("x").cast("double").as("x"))
-    val meansRows = ex.groupBy(col("i"))
-      .agg(sum(round(col("x") * Q9).cast("long")).as("s9"),
-        count(lit(1)).as("c"))
-      .collect()
-    require(meansRows.nonEmpty, s"principalComponent over an empty '$vecCol'")
-    val d = meansRows.length
-    val n = meansRows.head.getLong(2).toDouble
-    require(meansRows.forall(_.getLong(2) == n.toLong),
-      s"'$vecCol' arrays must all have length $d (ragged lengths found)")
+    // both moment passes fused into ONE bounded custom aggregate
+    // (sql.GramianMoments): per-partition state is 2 + d + d(d+1)/2 longs,
+    // terms quantized with the identical HALF_UP-×1e9 rule the former
+    // posexplode formulation applied (spec-pinned equal) — same exact
+    // integer sums, without the d(d+1)/2-generated-rows-per-input-row
+    // amplification through a hash aggregate (4,096× at d=64)
+    graft.sql.functions.ensureRegistered(spark)
+    val moments = df
+      .agg(call_function("graft_gramian", col(vecCol).cast("array<double>")))
+      .head().getSeq[Long](0)
+    require(moments.nonEmpty, s"principalComponent over an empty '$vecCol'")
+    val d = moments(0).toInt
+    val n = moments(1).toDouble
     val mean = new Array[Double](d)
-    meansRows.foreach(r => mean(r.getInt(0)) = r.getLong(1).toDouble / Q9 / n)
-
-    // upper-triangle second moments, same exact-integer contract; the
-    // d²/2 per-row expansion map-combines to ≤ d(d+1)/2 rows per partition
-    val prods = df.select(col(vecCol).as("_v"), posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col("_v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("xi") * col("xj").cast("double") * Q9).cast("long")).as("sp9"))
-      .collect()
+    (0 until d).foreach(i => mean(i) = moments(2 + i).toDouble / Q9 / n)
 
     val cov = Array.ofDim[Double](d, d)
-    prods.foreach { r: Row =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val c = round9(r.getLong(2).toDouble / Q9 / n - mean(i) * mean(j), matScale)
-      cov(i)(j) = c
-      cov(j)(i) = c
+    var triBase = 2 + d
+    for (i <- 0 until d) {
+      for (j <- i until d) {
+        val sp9 = moments(triBase + j - i)
+        val c = round9(sp9.toDouble / Q9 / n - mean(i) * mean(j), matScale)
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+      triBase += d - i
     }
 
     // fixed-round power iteration; every sum accumulates quantized terms

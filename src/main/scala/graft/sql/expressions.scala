@@ -972,11 +972,19 @@ object functions {
       CentroidSub(children.head, children(1), children(2))
     })
 
+  private[sql] val gramianDescriptor = (
+    new FunctionIdentifier("graft_gramian"),
+    new ExpressionInfo(classOf[GramianMoments].getName, "graft_gramian"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_gramian expects exactly 1 argument")
+      GramianMoments(children.head)
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
       containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
-      centroidSubDescriptor)
+      centroidSubDescriptor, gramianDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

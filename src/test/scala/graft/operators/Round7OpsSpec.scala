@@ -76,8 +76,9 @@ class Round7OpsSpec extends SparkTestBase with Matchers {
 
     it("rejects ragged vectors") {
       val df = Seq(Tuple1(Array(1f, 2f)), Tuple1(Array(1f, 2f, 3f))).toDF("embedding")
-      an[IllegalArgumentException] should be thrownBy
-        Pca.principalComponent(df, "embedding")
+      // thrown inside the moment aggregate's task -> surfaces wrapped
+      val ex = intercept[Exception] { Pca.principalComponent(df, "embedding") }
+      ex.getMessage should include("ragged")
     }
   }
 
