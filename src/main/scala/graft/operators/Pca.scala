@@ -65,8 +65,6 @@ object Pca {
       matScale: Int = 9, scale: Int = 6): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = df.sparkSession
-    val Q9 = 1000000000.0 // moment quantum: product resolved to 1e-9
-    val Q15 = 1.0e15 // driver-sum quantum: iteration terms resolved to 1e-15
 
     // both moment passes fused into ONE bounded custom aggregate
     // (sql.GramianMoments): per-partition state is 2 + d + d(d+1)/2 longs,
@@ -79,6 +77,26 @@ object Pca {
       .agg(call_function("graft_gramian", col(vecCol).cast("array<double>")))
       .head().getSeq[Long](0)
     require(moments.nonEmpty, s"principalComponent over an empty '$vecCol'")
+    val (v, share) = topComponentFromMoments(moments, iterations, matScale, scale)
+
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, round9(x, scale), share) }
+      .toSeq.toDF("pos", "loading", "var_share")
+  }
+
+  /** Deterministic top component from a [[graft.sql.GramianMoments]] result
+    * vector — the driver-side (or per-window, the vector is O(d²)) half of
+    * [[principalComponent]], shared with the streaming drift twin. Returns
+    * (unit eigenvector at `matScale` rounding, Rayleigh var share at
+    * `scale`). Same exact-integer-sum contract throughout: every
+    * accumulated term is quantized before summation, so the result is
+    * independent of where this runs. */
+  private[graft] def topComponentFromMoments(moments: Seq[Long],
+      iterations: Int, matScale: Int = 9,
+      scale: Int = 6): (Array[Double], Double) = {
+    val Q9 = 1000000000.0 // moment quantum: product resolved to 1e-9
+    val Q15 = 1.0e15 // driver-sum quantum: iteration terms resolved to 1e-15
     val d = moments(0).toInt
     val n = moments(1).toDouble
     val mean = new Array[Double](d)
@@ -139,10 +157,6 @@ object Pca {
     val share =
       if (trace > 0) round9(num.toDouble / den.toDouble / trace, scale)
       else Double.NaN
-
-    import spark.implicits._
-    v.zipWithIndex
-      .map { case (x, i) => (i.toLong, round9(x, scale), share) }
-      .toSeq.toDF("pos", "loading", "var_share")
+    (v, share)
   }
 }

@@ -306,6 +306,57 @@ object Streaming {
       .start()
   }
 
+  /** Streaming embedding-space drift monitor: per event-time window, the
+    * top principal axis of the arriving embeddings and its alignment with
+    * a FROZEN reference axis (from a batch
+    * [[graft.operators.Pca.principalComponent]] over historical data) —
+    * "is the embedding distribution rotating away from what the index /
+    * quantizer was trained on?". `drift` is 1 − |cos(window axis,
+    * reference axis)|: 0 = same axis (sign-insensitive — eigenvectors are
+    * sign-ambiguous), → 1 = orthogonal.
+    *
+    * The aggregation state per window is ONE [[graft.sql.GramianMoments]]
+    * buffer — 2 + d + d(d+1)/2 longs, O(d²) regardless of how many vectors
+    * arrive — and the watermark expires windows, so the monitor runs
+    * forever on bounded memory. The eigen-extraction runs once per WINDOW
+    * row (not per vector) through the exact-integer
+    * [[graft.operators.Pca.topComponentFromMoments]], so a window's
+    * reported axis is bit-identical to the batch operator over the same
+    * vectors. Run with Append output after the watermark closes windows. */
+  def embeddingDriftStream(vectors: DataFrame, vecCol: String, tsCol: String,
+      watermark: String, windowSec: Long, referenceAxis: Array[Double],
+      iterations: Int = 4): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    require(referenceAxis.nonEmpty, "referenceAxis must be non-empty")
+    graft.sql.functions.ensureRegistered(vectors.sparkSession)
+    val ref = referenceAxis
+    val extract = udf { (m: Seq[Long]) =>
+      val (axis, share) =
+        graft.operators.Pca.topComponentFromMoments(m, iterations)
+      require(axis.length == ref.length,
+        s"window embeddings have dim ${axis.length}, reference axis ${ref.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < axis.length) {
+        dot += axis(i) * ref(i); na += axis(i) * axis(i); nb += ref(i) * ref(i)
+        i += 1
+      }
+      val cos =
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+      (axis, share, 1.0 - math.abs(cos))
+    }
+    vectors
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$windowSec seconds"))
+      .agg(call_function("graft_gramian",
+        col(vecCol).cast("array<double>")).as("moments"))
+      .where(size(col("moments")) > lit(0)) // windows of only-null vectors
+      .withColumn("_e", extract(col("moments")))
+      .select(col("window.start").as("window_start"),
+        element_at(col("moments"), 2).as("n_vectors"),
+        col("_e._1").as("axis"), col("_e._2").as("var_share"),
+        col("_e._3").as("drift"))
+  }
+
   /** Streaming count-min sketch: the running depth×width frequency sketch
     * of an unbounded item stream — the streaming twin of
     * [[graft.operators.Sketches.countMinSketch]]. The aggregation STATE is

@@ -205,6 +205,56 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming embedding-drift windows report the batch axis exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // window 1: points along (1,1); window 2 (later, rotated corpus):
+    // points along (1,-1) — drift vs the (1,1) reference goes 0 -> ~1
+    def pts(base: Long, dir: Int): Seq[(Timestamp, Array[Double])] =
+      (0 until 40).map { i =>
+        val t = (i - 20) / 10.0
+        val o = ((i * 37) % 11 - 5) / 50.0
+        (new Timestamp(base + i * 10L), Array(t + o, dir * (t - o)))
+      }
+    val w1 = pts(0L, 1)
+    val w2 = pts(120000L, -1) // 2 minutes later: a separate 60s window
+    val refAxis = {
+      val batch = graft.operators.Pca.principalComponent(
+        w1.map(_._2).map(Tuple1(_)).toDF("v"), "v", iterations = 4)
+        .orderBy("pos").collect().map(_.getAs[Double]("loading"))
+      batch
+    }
+    val input = MemoryStream[(Timestamp, Array[Double])]
+    val query = Streaming.embeddingDriftStream(
+        input.toDF().toDF("ts", "v"), "v", "ts",
+        watermark = "10 seconds", windowSec = 60L, referenceAxis = refAxis)
+      .writeStream.format("memory").queryName("embdrift_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(w1: _*)
+      query.processAllAvailable()
+      input.addData(w2: _*) // advances the watermark past window 1
+      query.processAllAvailable()
+      input.addData((new Timestamp(600000L), Array(0.0, 0.0))) // close window 2
+      query.processAllAvailable()
+      val rows = spark.table("embdrift_out")
+        .orderBy($"window_start")
+        .select($"n_vectors", $"axis", $"drift").collect()
+      rows.length should be >= 2
+      rows(0).getLong(0) shouldBe 40L
+      // window 1 == the batch moment path over the same vectors, bit-exact
+      graft.sql.functions.ensureRegistered(spark)
+      val batchMoments = w1.map(_._2).map(Tuple1(_)).toDF("v")
+        .agg(org.apache.spark.sql.functions.call_function(
+          "graft_gramian", $"v")).head().getSeq[Long](0)
+      val (batchAxis, _) =
+        graft.operators.Pca.topComponentFromMoments(batchMoments, 4)
+      rows(0).getSeq[Double](1) shouldBe batchAxis.toSeq
+      rows(0).getDouble(2) shouldBe 0.0 +- 1e-4 // aligned with reference
+      rows(1).getDouble(2) should be > 0.9 // rotated corpus: near-orthogonal
+    } finally query.stop()
+  }
+
   it("streaming quantile sketch state matches the batch histogram and answers quantiles") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.OutputMode
