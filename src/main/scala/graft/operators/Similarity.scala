@@ -283,20 +283,26 @@ object Similarity {
       vecColName: String, nCells: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = c.orderBy(col(idColName)).limit(nCells)
       .select(col(vecColName)).collect().map(_.getSeq[Double](0).toArray)
+    val d = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
       val assigned = c.withColumn("cell",
         cellAssign(c.sparkSession, centroids)(col(vecColName)))
+      // per-dimension means as d avg aggregates over the UNEXPLODED rows —
+      // one hash-agg row per cell; the former posexplode formulation
+      // amplified every vector into d (cell, pos, x) rows first (64× row
+      // churn at d=64 per Lloyd round, same accumulation semantics)
       val updated = assigned
-        .select(col("cell"), posexplode(col(vecColName)).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .where(col("cell").isNotNull) // null vectors contributed no rows before
+        .groupBy(col("cell"))
+        .agg(avg(element_at(col(vecColName), 1)).as("m_0"),
+          (1 until d).map(i =>
+            avg(element_at(col(vecColName), i + 1)).as(s"m_$i")): _*)
         .collect()
-      val byCell = updated.groupBy(_.getInt(0))
+      val byCell = updated.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { ci =>
-        byCell.get(ci).map { rows =>
-          val arr = new Array[Double](centroids(ci).length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
+        byCell.get(ci).map { r =>
+          Array.tabulate(d)(i => r.getDouble(1 + i))
         }.getOrElse(centroids(ci))
       }.toArray
       it += 1
