@@ -328,16 +328,19 @@ object Quantization {
     * engine. Output: (id, codes array<int>, mse). */
   def int8Quantize(emb: DataFrame, idCol: String, vecCol: String,
       scale: Int = 9): DataFrame = {
-    val stats = emb
-      .select(posexplode(col(vecCol)).as(Seq("__dim", "__v")))
-      .groupBy(col("__dim"))
-      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val packed = stats.agg(
-      array_sort(collect_list(struct(col("__dim"), col("__mn"), col("__mx"))))
-        .as("__ds"))
-      .select(
-        transform(col("__ds"), s => s.getField("__mn").cast("double")).as("__mins"),
-        transform(col("__ds"), s => s.getField("__mx").cast("double")).as("__maxs"))
+    // dimension count first (a size-only scan), then the range stats as
+    // 2·dim min/max aggregates over the UNEXPLODED rows — min/max are
+    // order-independent, so this is bit-identical to the former
+    // posexplode + groupBy(dim) formulation without the dim× row
+    // amplification; ragged shorter vectors contribute null (ignored) at
+    // the dims they lack, exactly as their exploded rows were absent
+    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim > 0, s"int8Quantize over empty/null '$vecCol' arrays")
+    val packed = emb.agg(
+      array((0 until dim).map(i =>
+        min(element_at(col(vecCol), i + 1)).cast("double")): _*).as("__mins"),
+      array((0 until dim).map(i =>
+        max(element_at(col(vecCol), i + 1)).cast("double")): _*).as("__maxs"))
     val v = (i: Column) => element_at(col(vecCol), i + 1).cast("double")
     val mn = (i: Column) => element_at(col("__mins"), i + 1)
     val mx = (i: Column) => element_at(col("__maxs"), i + 1)

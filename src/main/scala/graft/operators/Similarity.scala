@@ -450,14 +450,21 @@ object Similarity {
         col("dup_of"), col("dup_of").isNull.as("keep"))
   }
 
-  /** Per-label centroids of an embedding column: posexplode → two-level agg.
-    * The partial aggregation (map-side combine) keeps the shuffle at
-    * |labels| x dim rows regardless of corpus size. */
-  def centroids(df: DataFrame, labelCol: String, vecCol: String, scale: Int = 6): DataFrame =
-    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "component")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("component").cast("double")), scale).as("centroid"))
+  /** Per-label centroids of an embedding column: dim avg aggregates over
+    * the UNEXPLODED rows (one hash-agg row per label through the
+    * map-side combine), then a tiny |labels|-row posexplode back to
+    * (label, pos, centroid) — the former per-element explode amplified
+    * every vector into dim rows before aggregating. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String, scale: Int = 6): DataFrame = {
+    val dim = df.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim > 0, s"centroids over empty/null '$vecCol' arrays")
+    df.groupBy(col(labelCol).as("label"))
+      .agg(array((0 until dim).map(i =>
+        round(avg(element_at(col(vecCol), i + 1).cast("double")), scale)): _*)
+        .as("__c"))
+      .select(col("label"), posexplode(col("__c")).as(Seq("pos", "centroid")))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+  }
 
   /** Per-query retrieval quality of the SRP index against exact ground
     * truth — the ORACLE-CHECKED slice of what `tools.RecallProbe` sweeps:
