@@ -333,8 +333,11 @@ class PlanSpec extends SparkTestBase with Matchers {
 
   it("int8 quantization: map-combined dim stats, 1-row broadcast, narrow coding pass") {
     val p = plan("q113_int8_quant")
-    p should include("partial_min") // dim ranges combine before the shuffle
-    p should include("partial_max")
+    // dim ranges combine before the shuffle as 2·dim min/max aggregates
+    // over the UNEXPLODED rows (the explain dump elides the later agg
+    // functions — "... N more fields" — so partial_max may not be visible)
+    p should include("partial_min")
+    p should not include "Generate" // no posexplode row amplification
     p should include("Broadcast") // packed stats ship to the corpus, not vice versa
     p should not include "CartesianProduct"
   }
