@@ -16,8 +16,20 @@ import graft.operators.{Dedup, Similarity}
   */
 object SparkEntry {
 
+  /** Whole-stage codegen cap raised above the d=64 embedding aggregates:
+    * the no-explode dimension stats (64 avg / 64 min+max buffers, q22/q113/
+    * q120 Lloyd rounds) carry >100 aggregate buffer fields, and Spark's
+    * default `spark.sql.codegen.maxFields=100` silently drops such plans
+    * out of WholeStageCodegen (measured 2× slower warm on the centroid
+    * aggregate). 300 keeps every current wide-aggregate shape fused;
+    * oversized generated methods still split / fall back gracefully. */
+  private def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.codegen.maxFields", "300")
+    s
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tune(s).read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet has shipped with two physical layouts for `ts`:
     * nanosecond int64 (rounds 1–5) and native timestamp[us] without a tz
