@@ -275,6 +275,10 @@ object Quantization {
     // queries: explode to nProbe probed cells, each with its own residual —
     // the distance tables below are PER (query, cell)
     val probeUdf = udf { (v: Array[Double]) =>
+      // loud dim-drift contract (same as AnnIndex.queryIvf/queryIvfPq)
+      require(coarse.isEmpty || v.length == coarse(0).length,
+        s"query vector dim ${v.length} does not match trained coarse " +
+          s"centroid dim ${coarse(0).length}")
       coarse.indices.map { ci =>
         (sqDist(v, coarse(ci)), ci)
       }.sorted.take(nProbe).map { case (_, ci) =>
