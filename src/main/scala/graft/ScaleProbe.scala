@@ -420,6 +420,92 @@ object ScaleProbe {
           "vec_id", "embedding", k = 5, nProbe = 3, day(28))
       }
     }
+    // Z-order layout: the claim is ROW-GROUP pruning — a 2-D selective
+    // predicate (one user band, one time window) over a log laid out by
+    // time alone must open almost every row group its time-slice keeps,
+    // because each group spans the full user range; the z-ordered layout
+    // bounds BOTH columns per group, so parquet footer stats prune in two
+    // dimensions. Counted directly from the footers (the same min/max check
+    // Spark's parquet reader applies), plus timed filtered scans.
+    if (only.isEmpty || only.exists(p =>
+        p.startsWith("zorder") || "zorder".startsWith(p))) {
+      import graft.operators.Layout
+      import scala.jdk.CollectionConverters._
+      val ev = rep(spark.read.parquet(s"$sfDir/events.parquet"), "event_id")
+        .withColumn("ts_us", unix_micros( // NTZ/instant-agnostic int64 time
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+        .drop("ts")
+        .localCheckpoint(true)
+      val base = java.nio.file.Files.createTempDirectory("graft-zorderprobe").toString
+      val timeDir = s"$base/bytime"; val zDir = s"$base/zorder"
+      // ~256 KiB row groups stand in for the many-row-group reality of a
+      // 100 TB table at probe scale; identical for both layouts
+      ev.repartitionByRange(16, col("ts_us")).sortWithinPartitions(col("ts_us"))
+        .write.option("parquet.block.size", 256 * 1024).parquet(timeDir)
+      Layout.clusterByZOrder(ev, Seq("user_id", "ts_us"), bits = 18,
+          numPartitions = 16)
+        .write.option("parquet.block.size", 256 * 1024).parquet(zDir)
+
+      val st = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx) = (st.getLong(0), st.getLong(1))
+      val (tmn, tmx) = (st.getLong(2), st.getLong(3))
+      // a ~1% user band in the middle, a ~3% time window
+      val (uLo, uHi) = (umn + (umx - umn) * 45 / 100,
+        umn + (umx - umn) * 46 / 100 + 1)
+      val (tLo, tHi) = (tmn + (tmx - tmn) * 40 / 100,
+        tmn + (tmx - tmn) * 43 / 100)
+
+      // row groups a footer min/max check keeps when ALL named ranges
+      // intersect — the same stats check Spark's parquet reader applies
+      def keptRowGroups(dir: String,
+          preds: Map[String, (Long, Long)]): (Int, Int) = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = new java.io.File(dir).listFiles
+          .filter(_.getName.endsWith(".parquet"))
+        var total = 0; var kept = 0
+        files.foreach { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try rdr.getFooter.getBlocks.asScala.foreach { b =>
+            total += 1
+            val byName = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            val ok = preds.forall { case (n, (lo, hi)) =>
+              val st = byName(n)
+              st.genericGetMax.asInstanceOf[Number].longValue >= lo &&
+                st.genericGetMin.asInstanceOf[Number].longValue < hi
+            }
+            if (ok) kept += 1
+          } finally rdr.close()
+        }
+        (kept, total)
+      }
+      // three predicate shapes: the time layout prunes perfectly on time
+      // and NOT AT ALL on the secondary dimension; z-order trades a few x
+      // on the primary for orders of magnitude on the secondary — the
+      // 100 TB claim is the user-band row, where a by-time log layout
+      // scans everything
+      val shapes = Seq(
+        "user band only " -> Map("user_id" -> (uLo, uHi)),
+        "time window only" -> Map("ts_us" -> (tLo, tHi)),
+        "user AND time   " -> Map("user_id" -> (uLo, uHi), "ts_us" -> (tLo, tHi)))
+      shapes.foreach { case (label, preds) =>
+        val (tk, tt) = keptRowGroups(timeDir, preds)
+        val (zk, _) = keptRowGroups(zDir, preds)
+        println(s"zorder probe [$label]: time-layout kept $tk/$tt row " +
+          s"groups; z-layout kept $zk/$tt")
+      }
+      def cond = col("user_id") >= uLo && col("user_id") < uHi &&
+        col("ts_us") >= tLo && col("ts_us") < tHi
+      for (i <- 1 to 2) time(s"zorder: 2-D filter, time layout r$i") {
+        spark.read.parquet(timeDir).where(cond)
+      }
+      for (i <- 1 to 2) time(s"zorder: 2-D filter, z layout r$i") {
+        spark.read.parquet(zDir).where(cond)
+      }
+    }
     spark.stop()
   }
 }

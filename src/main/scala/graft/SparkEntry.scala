@@ -1643,6 +1643,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Z-order (Morton) clustering values over (user_id, ts_ns): the
+    // multi-dimensional storage-layout primitive — rows close in BOTH
+    // dimensions share a z-range, so a partition-local sort on z makes
+    // parquet row-group footers selective on EITHER filter column.
+    // Quantization is an exact bit shift (never double division — epoch-ns
+    // exceeds 2^53), interleave is pure codegen'd column arithmetic; the
+    // only non-map work is the 1-row min/max stats agg
+    // (operators.Layout.zValue)
+    "q138_zorder" -> ((s, dir) => {
+      import graft.operators.Layout
+      Layout.zValue(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts_ns")),
+          Seq("user_id", "ts_ns"), bits = 20)
+        .select(col("event_id"), col("z_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // native keyed interval join: purchases inside [click_ts, click_ts+6h)
     // per user — custom LogicalPlan + strategy + single-sweep exec
     // (plans/IntervalJoin.scala). The bucketed compose (q35) replicates each
@@ -2811,6 +2828,40 @@ object SparkEntry {
         |  coalesce(j.click_value, -1.0) AS click_value
         |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.eid
         |ORDER BY l.event_id""".stripMargin,
+
+    // z-value replay: identical SIGNED bit-shift quantization (shift =
+    // bitLength(span) - bits, length(bin(x)) IS bitLength; negative shift
+    // = LEFT shift so a narrow dimension still fills its high interleave
+    // lanes) and identical lane convention (bit i of column c lands at
+    // position i*k + c; user_id is lane 0, ts_ns lane 1)
+    "q138_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events
+        |), st AS (
+        |  SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+        |    min(ts_ns) AS mn1, max(ts_ns) AS mx1
+        |  FROM e
+        |), sh AS (
+        |  SELECT mn0, mn1,
+        |    CASE WHEN mx0 > mn0
+        |      THEN length(bin(mx0 - mn0)) ELSE 0 END - 20 AS s0,
+        |    CASE WHEN mx1 > mn1
+        |      THEN length(bin(mx1 - mn1)) ELSE 0 END - 20 AS s1
+        |  FROM st
+        |), lv AS (
+        |  SELECT event_id,
+        |    CASE WHEN s0 >= 0 THEN (user_id - mn0) >> s0
+        |      ELSE (user_id - mn0) << -s0 END AS l0,
+        |    CASE WHEN s1 >= 0 THEN (ts_ns - mn1) >> s1
+        |      ELSE (ts_ns - mn1) << -s1 END AS l1
+        |  FROM e, sh
+        |)
+        |SELECT event_id,
+        |  sum((((l0 >> i) & 1) << (2 * i)) +
+        |      (((l1 >> i) & 1) << (2 * i + 1)))::BIGINT AS z_value
+        |FROM lv, range(0, 20) t(i)
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin,
 
     "q125_native_interval_join" ->
       """WITH p AS (

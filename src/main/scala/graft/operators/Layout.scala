@@ -79,4 +79,67 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[Column], bits: Int,
       numFiles: Int): Unit =
     zOrdered(df, zCols, bits, numFiles).write.mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------------------
+  // Exact integer path: [[rangeBucket]]'s double normalisation is exactly
+  // rounded but cannot represent int64 magnitudes above 2^53 (epoch-ns
+  // collapses neighbouring values), and it needs a caller-supplied range.
+  // The methods below quantize raw INTEGER columns from observed min/max
+  // stats with a pure bit shift — no floating point anywhere, so the level
+  // (and therefore the z-value) is replayable bit-for-bit by any engine
+  // with integer shifts.
+
+  /** Exact-integer quantization of `x` into `[0, 2^bits)` given the
+    * column's observed `[min, max]`: a SIGNED bit shift by
+    * `bitLength(max - min) - bits` — right when the span is wider than the
+    * target, LEFT when it is narrower. The up-shift matters: a narrow
+    * dimension (a ~2^11 user-id range against 2^45 of epoch time) left in
+    * its low bits would surrender every high interleave position to the
+    * wide dimension, and the "z-order" would degenerate to a plain sort on
+    * the wide column — measured as ZERO secondary-dimension row-group
+    * pruning before the normalisation. `span >> / << shift < 2^bits`
+    * either way. */
+  def intLevel(x: Column, min: Long, max: Long, bits: Int): Column = {
+    val span = max - min
+    require(span >= 0,
+      s"column range [$min, $max] overflows 64-bit span arithmetic")
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(span) - bits
+    if (shift >= 0) shiftright(x.cast("long") - lit(min), shift)
+    else shiftleft(x.cast("long") - lit(min), -shift)
+  }
+
+  /** Append a Morton key column over raw integer-valued `cols`: ONE
+    * map-combined min/max stats aggregation (driver state = 2 longs per
+    * column), then [[intLevel]] + [[mortonKey]] as pure map-side codegen
+    * arithmetic. Nulls in any clustering column yield a null key. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int,
+      zCol: String = "z_value"): DataFrame = {
+    require(cols.size >= 2, "zValue needs at least two clustering columns")
+    require(!df.columns.contains(zCol),
+      s"input already carries '$zCol' — pass a different zCol")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).as(s"mn$i"),
+        max(col(c).cast("long")).as(s"mx$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!(0 until cols.size * 2).exists(stats.isNullAt),
+      s"zValue over an empty (or all-null) input — no range to quantize")
+    val levels = cols.zipWithIndex.map { case (c, i) =>
+      intLevel(col(c), stats.getAs[Long](s"mn$i"), stats.getAs[Long](s"mx$i"),
+        bits)
+    }
+    df.withColumn(zCol, mortonKey(levels, bits))
+  }
+
+  /** [[zOrdered]] over raw integer columns: stats + exact quantization +
+    * range partitioning on the key + a partition-local sort; the helper
+    * column is dropped — the layout, not the value, is the product. */
+  def clusterByZOrder(df: DataFrame, cols: Seq[String], bits: Int = 18,
+      numPartitions: Int = 0): DataFrame = {
+    val z = zValue(df, cols, bits, "__graft_z")
+    val ranged =
+      if (numPartitions > 0) z.repartitionByRange(numPartitions, col("__graft_z"))
+      else z.repartitionByRange(col("__graft_z"))
+    ranged.sortWithinPartitions(col("__graft_z")).drop("__graft_z")
+  }
 }
