@@ -287,6 +287,20 @@ object actions {
           .parquet(s"$basePath/$label")
       }
 
+    /** Z-order clustered variant: `numFiles` parquet files range-
+      * partitioned + locally sorted on the Morton key of `zCols`
+      * (integer-valued columns, exact stats-based quantization —
+      * [[graft.operators.Layout.clusterByZOrder]]), so footer min/max
+      * stats prune row groups on EVERY clustered column, not just a
+      * leading sort key. */
+    def writeZOrderedParquet(basePath: String, numFiles: Int, bits: Int = 18,
+        overwrite: Boolean = false)(label: String, zCols: String*): SparkDataFlow =
+      writeAction(label, "writeZOrderedParquet") { (df, _) =>
+        graft.operators.Layout.clusterByZOrder(df, zCols, bits, numFiles)
+          .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+          .parquet(s"$basePath/$label")
+      }
+
     def writeCSV(basePath: String, options: Map[String, String] = Map.empty,
         overwrite: Boolean = false, numFiles: Option[Int] = Some(1))(
         labels: String*): SparkDataFlow =

@@ -37,6 +37,30 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       joined.count() shouldBe expected
     }
 
+    it("writes z-ordered parquet whose row-group stats bound every " +
+        "clustered column") {
+      val out = s"$tmpDir/zorder-action"
+      val flow = Graft.sparkFlow(spark)
+        .openFileParquet(s"${sf()}/lineitem.parquet", "lineitem")
+        .writeZOrderedParquet(out, numFiles = 4)(
+          "lineitem", "l_orderkey", "l_partkey")
+      executor.execute(flow)
+      val back = spark.read.parquet(s"$out/lineitem")
+      back.count() shouldBe
+        spark.read.parquet(s"${sf()}/lineitem.parquet").count()
+      // each file's l_partkey range must be a strict subset of the global
+      // range for most files (a plain l_orderkey sort leaves every file
+      // spanning all of l_partkey)
+      val global = back.agg(max("l_partkey") - min("l_partkey")).head().getLong(0)
+      val perFile = back
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max("l_partkey") - min("l_partkey")).as("span"))
+        .select("span").collect().map(_.getLong(0))
+      perFile.length shouldBe 4
+      assert(perFile.count(_ <= global * 3 / 4) >= 2,
+        s"no per-file l_partkey narrowing: $global vs ${perFile.mkString(",")}")
+    }
+
     it("runs independent branches in parallel pools") {
       val flow = Graft.sparkFlow(spark)
         .executionPool("a")(
