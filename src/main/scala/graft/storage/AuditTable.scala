@@ -157,12 +157,23 @@ class AuditTable(
   /** Merge all hot regions plus cold regions below `smallRegionRowThreshold`
     * into one new cold region sized by `partitioner`. When the table does not
     * retain history, the merge also PK-dedups (keeping latest). Old regions
-    * go to Trash (purged past `trashMaxAgeMs`). */
+    * go to Trash (purged past `trashMaxAgeMs`).
+    *
+    * `zOrderBy` (the lakehouse OPTIMIZE-ZORDER composition): the rewritten
+    * region is range-partitioned and locally sorted on the exact-quantized
+    * Morton key of the named integer-valued columns
+    * ([[graft.operators.Layout.clusterByZOrder]]), so every compaction —
+    * which rewrites these bytes anyway — leaves parquet footer stats
+    * selective on EVERY clustered column of the cold data. Costs one range
+    * shuffle where plain sizing may coalesce; choose columns that match
+    * the table's snapshot/filter access paths. */
   def compact(compactTs: Timestamp,
       trashMaxAgeMs: Long = 86400000L,
       smallRegionRowThreshold: Long = 50000000L,
       partitioner: CompactionPartitioner = TotalBytesPartitioner(),
-      recompactAll: Boolean = false): AuditTable = {
+      recompactAll: Boolean = false,
+      zOrderBy: Seq[String] = Nil,
+      zOrderBits: Int = 18): AuditTable = {
     guardOneShot()
     val hot = activeRegions.filter(_.storeType == HotType)
     val smallCold = activeRegions.filter(r =>
@@ -197,7 +208,10 @@ class AuditTable(
         math.max(1, math.ceil(bytes.toDouble / maxPartitionBytes).toInt)
       }
     val sized =
-      if (numPartitions < current) deduped.coalesce(numPartitions)
+      if (zOrderBy.nonEmpty)
+        graft.operators.Layout.clusterByZOrder(deduped, zOrderBy, zOrderBits,
+          numPartitions)
+      else if (numPartitions < current) deduped.coalesce(numPartitions)
       else deduped.repartition(numPartitions)
 
     val newRegionId = nextRegionId

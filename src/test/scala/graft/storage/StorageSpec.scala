@@ -116,6 +116,39 @@ class StorageSpec extends SparkTestBase with Matchers {
       rows shouldBe Array((1L, "new"))
     }
 
+    it("z-orders the compacted region without changing its contents") {
+      val t0 = mkTable("zcompact")
+      val rnd = new scala.util.Random(5)
+      val rows = Seq.tabulate(2000)(i =>
+        (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1 << 20).toLong))
+      val t1 = t0.append(rows.toDF("id", "a", "b"), None, ts("2024-01-01 00:00:00"))
+      val t2 = t1.compact(ts("2024-01-02 00:00:00"),
+        partitioner = TotalCellsPartitioner(cellsPerPartition = 2500),
+        zOrderBy = Seq("a", "b"))
+      t2.activeRegions.map(_.storeType) shouldBe Seq(AuditTable.ColdType)
+      val back = t2.snapshot(ts("2024-06-01 00:00:00")).get
+      back.select("id", "a", "b").as[(Long, Long, Long)].collect().sorted shouldBe
+        rows.sorted
+      // the clustered region's files each bound 'b' below the global span —
+      // plain sizing (round-robin) leaves every file spanning all of it.
+      // Files are inspected directly (input_file_name does not survive the
+      // snapshot's dedup shuffle)
+      val regionDir = new java.io.File(s"$tmpDir/zcompact")
+        .listFiles.filter(_.getName ==
+          s"${AuditTable.TypeColumn}=${AuditTable.ColdType}").head
+        .listFiles.head
+      val parts = regionDir.listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val spans = parts.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg((max("b") - min("b")).as("span")).head()
+        r.getLong(0)
+      }
+      val global = rows.map(_._3).max - rows.map(_._3).min
+      assert(spans.length > 1 && spans.count(_ <= global * 3 / 4) >= spans.length / 2,
+        s"no per-file narrowing after z-compaction: $global vs ${spans.mkString(",")}")
+    }
+
     it("enforces one-shot mutation handles") {
       val t0 = mkTable("oneshot")
       t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
