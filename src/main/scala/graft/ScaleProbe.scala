@@ -420,6 +420,42 @@ object ScaleProbe {
           "vec_id", "embedding", k = 5, nProbe = 3, day(28))
       }
     }
+    // PK bloom sidecars: a point lookup over a 28-day ingest history must
+    // not open 28 regions. Same data written with and without sidecars;
+    // measured: regions actually scanned + wall time per lookup.
+    if (only.isEmpty || only.exists(p =>
+        p.startsWith("pkbloom") || "pkbloom".startsWith(p))) {
+      import graft.storage._
+      import java.sql.Timestamp
+      val bbase = java.nio.file.Files.createTempDirectory("graft-bloomprobe").toString
+      def mk(name: String, meta: Map[String, String]) =
+        Storage.getOrCreateTable(spark, bbase,
+          AuditTableInfo(name, Seq("id"), meta, retainHistory = false))
+      def day(d: Int) = Timestamp.valueOf(f"2024-02-${d}%02d 00:00:00")
+      def fill(t0: AuditTable): AuditTable =
+        (1 to 28).foldLeft(t0) { (t, d) =>
+          t.append(spark.range((d - 1) * 35000L, d * 35000L)
+            .select(col("id"), (col("id") % 97).as("v")), None, day(d))
+        }
+      val plain = fill(mk("history_plain", Map.empty))
+      val bloomy = fill(mk("history_bloom", Map(AuditTable.PkBloomKey -> "true")))
+      val probeKeys = Seq(Seq(17L), Seq(350001L), Seq(979999L)).map(_.map(_.asInstanceOf[Any]))
+      def lookupTime(t: AuditTable, label: String): Unit =
+        for (i <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val n = probeKeys.map(k =>
+            t.snapshotPoint(day(28), Seq(k)).map(_.count()).getOrElse(0L)).sum
+          println(f"pkbloom: $label r$i ($n rows)".padTo(40, ' ') +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+      val h = spark.range(1).select(xxhash64(lit(350001L))).head().getLong(0)
+      println(s"pkbloom: regions kept for one key — plain " +
+        s"${plain.regionsForPointLookup(Seq(h)).length}/28, bloom " +
+        s"${bloomy.regionsForPointLookup(Seq(h)).length}/28")
+      lookupTime(plain, "3 point lookups, no sidecars")
+      lookupTime(bloomy, "3 point lookups, bloom-pruned")
+    }
+
     // Z-order layout: the claim is ROW-GROUP pruning — a 2-D selective
     // predicate (one user band, one time window) over a log laid out by
     // time alone must open almost every row group its time-slice keeps,

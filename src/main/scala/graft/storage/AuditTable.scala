@@ -89,6 +89,7 @@ class AuditTable(
     val region = nextRegionId
     val dest = s"$tableName/$TypeColumn=$HotType/$RegionColumn=$region"
     val (cnt, maxTs) = writeRegionWithStats(dest, stamped)
+    if (pkBloomEnabled) writeRegionBloom(HotType, region, cnt)
     val newRegion = AuditTableRegionInfo(
       tableName, HotType, region, appendTimestamp, isDeprecated = false, cnt, maxTs)
     reopened(regions :+ newRegion)
@@ -140,6 +141,92 @@ class AuditTable(
           .where(col("_de_rn") === 1)
           .drop("_de_rn")
       }
+    }
+  }
+
+  // -------------------------------------------------- PK bloom sidecars ---
+  // Opt-in (meta pkBloom=true): each region write also writes a compact
+  // Bloom filter of xxhash64(pk columns) beside the data
+  // (<table>/.region_bloom/<type>_<region>.bloom). snapshot() prunes
+  // regions by TIME only; a PK point lookup over a long ingest history
+  // otherwise opens every region. The sidecar is advisory and sound: no
+  // false negatives, so every region that might hold a key is still read
+  // (latest-row semantics intact); a missing/corrupt sidecar means
+  // "scan conservatively", never a wrong answer. Cost: one extra scan of
+  // the NEW region per append/compact — O(region), never O(table).
+
+  private def pkBloomEnabled: Boolean =
+    info.primaryKeys.nonEmpty &&
+      info.meta.get(PkBloomKey).exists(_.equalsIgnoreCase("true"))
+
+  private def pkBloomFpp: Double =
+    info.meta.get(PkBloomFppKey).map(_.toDouble).getOrElse(0.01)
+
+  private def bloomFile(storeType: String, region: String): Path =
+    new Path(tablePath, s"$BloomDir/${storeType}_$region.bloom")
+
+  private def pkHash: org.apache.spark.sql.Column =
+    xxhash64(info.primaryKeys.map(col): _*)
+
+  private def writeRegionBloom(storeType: String, region: String,
+      rowCount: Long): Unit = {
+    val df = ops.openParquet(Seq(regionPath(storeType, region)))
+      .getOrElse(return)
+    val filter = df.select(pkHash.as("_graft_pk_hash"))
+      .stat.bloomFilter("_graft_pk_hash", math.max(rowCount, 1L), pkBloomFpp)
+    val dest = bloomFile(storeType, region)
+    val tmp = new Path(dest.getParent, s".tmp_${dest.getName}")
+    ops.fs.mkdirs(dest.getParent)
+    val out = ops.fs.create(tmp, true)
+    try filter.writeTo(out) finally out.close()
+    if (ops.fs.exists(dest)) ops.fs.delete(dest, false)
+    ops.fs.rename(tmp, dest) // atomic publish; readers never see partials
+  }
+
+  private def readRegionBloom(storeType: String, region: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      if (!ops.fs.exists(bloomFile(storeType, region))) None
+      else {
+        val in = ops.fs.open(bloomFile(storeType, region))
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None } // corrupt → full scan
+
+  /** Readable regions that might contain ANY of the probe hashes: a region
+    * without a (readable) sidecar is always kept. */
+  private[graft] def regionsForPointLookup(hashes: Seq[Long])
+      : Seq[AuditTableRegionInfo] =
+    readableRegions.filter { r =>
+      readRegionBloom(r.storeType, r.storeRegion)
+        .forall(b => hashes.exists(b.mightContainLong))
+    }
+
+  /** [[snapshot]] restricted to the given PK tuples, with region pruning
+    * via the bloom sidecars. `keys(i)` pairs positionally with
+    * `info.primaryKeys`, and each value must match its column's TYPE
+    * (xxhash64 of a LongType column only matches a Long literal). One tiny
+    * local job hashes the probes; only surviving regions are scanned. */
+  def snapshotPoint(ts: Timestamp, keys: Seq[Seq[Any]]): Option[DataFrame] = {
+    require(info.primaryKeys.nonEmpty,
+      s"snapshotPoint needs primary keys on [$tableName]")
+    require(keys.nonEmpty && keys.forall(_.size == info.primaryKeys.size),
+      s"each key tuple must match the PK arity ${info.primaryKeys.size}")
+    val hashes = spark.range(1)
+      .select(keys.map(k => xxhash64(k.map(lit): _*)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val regs = regionsForPointLookup(hashes)
+    readRegions(regs).map { df =>
+      val keyed = df.where(keys.map(k =>
+        info.primaryKeys.zip(k).map { case (c, v) => col(c) <=> lit(v) }
+          .reduce(_ && _)).reduce(_ || _))
+      val filtered = keyed.where(col(AuditColumn) <= lit(ts))
+      val w = Window.partitionBy(info.primaryKeys.map(col): _*)
+        .orderBy(col(AuditColumn).desc)
+      filtered.withColumn("_de_rn", row_number().over(w))
+        .where(col("_de_rn") === 1)
+        .drop("_de_rn")
     }
   }
 
@@ -217,12 +304,18 @@ class AuditTable(
     val newRegionId = nextRegionId
     val dest = s"$tableName/$TypeColumn=$ColdType/$RegionColumn=$newRegionId"
     val (cnt, maxTs) = writeRegionWithStats(dest, sized)
+    if (pkBloomEnabled) writeRegionBloom(ColdType, newRegionId, cnt)
     // new region is live before old ones are trashed — a crash in between
     // leaves duplicates (resolved by snapshot dedup), never data loss
     val nowMs = compactTs.getTime
     ops.moveToTrash(basePath, tableName,
       toMerge.map(r => regionPath(r.storeType, r.storeRegion)), nowMs)
     ops.purgeTrash(basePath, tableName, nowMs, trashMaxAgeMs)
+    // advisory sidecars of merged regions are deleted outright (no Trash:
+    // a stale sidecar for a revived region would be WRONG, not just slow)
+    toMerge.foreach(r =>
+      if (ops.fs.exists(bloomFile(r.storeType, r.storeRegion)))
+        ops.fs.delete(bloomFile(r.storeType, r.storeRegion), false))
 
     val survivors = regions.filterNot(r => toMerge.exists(m =>
       m.storeType == r.storeType && m.storeRegion == r.storeRegion))
@@ -251,6 +344,12 @@ object AuditTable {
   val ColdType = "cold"
   val LowTimestamp: Timestamp = Timestamp.valueOf("0001-01-01 00:00:00")
   val HighTimestamp: Timestamp = Timestamp.valueOf("9999-12-31 23:59:59")
+  /** Sidecar folder for per-region PK bloom filters. */
+  val BloomDir = ".region_bloom"
+  /** `meta` key enabling PK bloom sidecars ("true"/"false"). */
+  val PkBloomKey = "pkBloom"
+  /** `meta` key overriding the sidecar false-positive rate (default 0.01). */
+  val PkBloomFppKey = "pkBloomFpp"
 }
 
 /** Pluggable compaction output sizing (reference StorageActions.scala:265-323). */

@@ -149,6 +149,64 @@ class StorageSpec extends SparkTestBase with Matchers {
         s"no per-file narrowing after z-compaction: $global vs ${spans.mkString(",")}")
     }
 
+    it("prunes regions for PK point lookups via bloom sidecars, with " +
+        "identical results to a full snapshot") {
+      val t0 = Storage.getOrCreateTable(spark, tmpDir,
+        AuditTableInfo("bloomy", Seq("id"), Map(AuditTable.PkBloomKey -> "true"),
+          retainHistory = true))
+      // 6 appends of disjoint id bands → 6 regions, each with a sidecar
+      val t6 = (0 until 6).foldLeft(t0) { (t, i) =>
+        t.append(Seq.tabulate(200)(j => (i * 1000L + j, s"v$i")).toDF("id", "v"),
+          None, ts(f"2024-01-0${i + 1}%d 00:00:00"))
+      }
+      new java.io.File(s"$tmpDir/bloomy/${AuditTable.BloomDir}")
+        .list().count(_.endsWith(".bloom")) shouldBe 6
+      // a key in band 2 prunes to ~1 region (fpp may keep an extra)
+      val hash = spark.range(1).select(xxhash64(lit(2042L))).head().getLong(0)
+      val kept = t6.regionsForPointLookup(Seq(hash))
+      kept.length should be <= 2
+      kept.map(_.storeRegion) should contain(t6.regions(2).storeRegion)
+      // point snapshot == full snapshot restricted to the key
+      val point = t6.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(2042L)))
+        .get.select("id", "v").as[(Long, String)].collect().toSeq
+      val full = t6.snapshot(ts("2024-06-01 00:00:00")).get
+        .where(col("id") === 2042L)
+        .select("id", "v").as[(Long, String)].collect().toSeq
+      point shouldBe full
+      point shouldBe Seq((2042L, "v2"))
+      // an updated key must survive pruning in EVERY region that holds it:
+      // append a new version of 2042 in a 7th region, point lookup sees it
+      val t7 = Storage.openTable(spark, tmpDir, "bloomy").get
+        .append(Seq((2042L, "v2-new")).toDF("id", "v"), None,
+          ts("2024-02-01 00:00:00"))
+      t7.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(2042L)))
+        .get.select("v").as[String].collect().toSeq shouldBe Seq("v2-new")
+      // compaction folds the sidecars too: one cold region, one sidecar,
+      // same point answer
+      val t8 = t7.compact(ts("2024-03-01 00:00:00"),
+        partitioner = TotalCellsPartitioner())
+      new java.io.File(s"$tmpDir/bloomy/${AuditTable.BloomDir}")
+        .list().count(_.endsWith(".bloom")) shouldBe 1
+      t8.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(2042L)))
+        .get.select("v").as[String].collect().toSeq shouldBe Seq("v2-new")
+      // a probe for an absent key prunes every region
+      val ghost = spark.range(1).select(xxhash64(lit(999999L))).head().getLong(0)
+      t8.regionsForPointLookup(Seq(ghost)) shouldBe empty
+    }
+
+    it("point lookups scan conservatively when sidecars are absent") {
+      val t0 = mkTable("nobloom") // pkBloom not enabled
+      val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None,
+        ts("2024-01-01 00:00:00"))
+      val t2 = t1.append(Seq((2L, "b")).toDF("id", "v"), None,
+        ts("2024-01-02 00:00:00"))
+      // no sidecars → every region kept, result still correct
+      t2.regionsForPointLookup(Seq(12345L)).length shouldBe 2
+      t2.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(2L)))
+        .get.select("id", "v").as[(Long, String)].collect().toSeq shouldBe
+        Seq((2L, "b"))
+    }
+
     it("enforces one-shot mutation handles") {
       val t0 = mkTable("oneshot")
       t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
