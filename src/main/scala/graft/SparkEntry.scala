@@ -363,6 +363,11 @@ object SparkEntry {
     // snapshot(after both) = batch2 where present else batch1.
     "q24_storage_snapshot" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = false)),
     "q25_storage_compact" -> ((s, dir) => storageRoundTrip(s, dir, compactFirst = true)),
+    // bloom-pruned PK point lookup over the z-compacted table: sidecar
+    // region pruning + snapshotPoint, answer identical to the full
+    // snapshot restricted to the probed keys (storage/AuditTable.scala)
+    "q139_point_lookup" -> ((s, dir) =>
+      storageRoundTrip(s, dir, compactFirst = true, pointLookup = true)),
 
     // ------------------------------------------- more relational shapes ---
     "q27_customers_without_orders" -> ((s, dir) => {
@@ -1955,8 +1960,12 @@ object SparkEntry {
 
   /** Ingest two event-derived batches into a fresh audit table and snapshot.
     * Exercises append, hive-partitioned region layout, window dedup and
-    * (optionally) compaction inside the driver's correctness gate. */
-  private def storageRoundTrip(s: SparkSession, dir: String, compactFirst: Boolean): DataFrame = {
+    * (optionally) compaction inside the driver's correctness gate. The
+    * `pointLookup` variant (q139) opts into PK bloom sidecars, z-orders
+    * the compacted region, and reads back through `snapshotPoint` — the
+    * bloom-pruned point path — for the 20 lowest user_ids ≡ 0 (mod 7). */
+  private def storageRoundTrip(s: SparkSession, dir: String, compactFirst: Boolean,
+      pointLookup: Boolean = false): DataFrame = {
     import graft.storage._
     import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-q24").toString
@@ -1975,17 +1984,32 @@ object SparkEntry {
       .select(col("user_id"), col("event_id").as("ref_event"), lit("purchase").as("src"))
       .coalesce(4)
 
+    val meta = if (pointLookup) Map(AuditTable.PkBloomKey -> "true")
+      else Map.empty[String, String]
     val t0 = Storage.getOrCreateTable(s, base,
-      AuditTableInfo("user_state", Seq("user_id"), Map.empty, retainHistory = true))
+      AuditTableInfo("user_state", Seq("user_id"), meta, retainHistory = true))
     val t1 = t0.append(batch1, None, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
     val t2 = t1.append(batch2, None, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
     val t3 = if (compactFirst)
       t2.compact(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
-        partitioner = TotalCellsPartitioner())
+        partitioner = TotalCellsPartitioner(),
+        zOrderBy = if (pointLookup) Seq("user_id", "ref_event") else Nil)
     else t2
-    t3.snapshot(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).get
-      .select(col("user_id"), col("ref_event"), col("src"))
-      .orderBy(col("user_id"))
+    val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    if (!pointLookup)
+      t3.snapshot(asOf).get
+        .select(col("user_id"), col("ref_event"), col("src"))
+        .orderBy(col("user_id"))
+    else {
+      val keys = t3.snapshot(asOf).get
+        .where(pmod(col("user_id"), lit(7L)) === 0L)
+        .select(col("user_id")).orderBy(col("user_id")).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      t3.snapshotPoint(asOf, keys.map(Seq(_)))
+        .get
+        .select(col("user_id"), col("ref_event"), col("src"))
+        .orderBy(col("user_id"))
+    }
   }
 
   /** One unrolled BPE training iteration for the q39/q102 oracles. Mirrors
@@ -3614,6 +3638,11 @@ object SparkEntry {
 
     "q24_storage_snapshot" -> storageOracleSql,
     "q25_storage_compact" -> storageOracleSql,
+    // the point variant restricts the identical snapshot to the 20 lowest
+    // user_ids ≡ 0 (mod 7) — the keys the Spark side probes
+    "q139_point_lookup" ->
+      (storageOracleSql.stripSuffix("ORDER BY u.user_id") +
+        "WHERE u.user_id % 7 = 0 ORDER BY u.user_id LIMIT 20"),
 
     "q27_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
