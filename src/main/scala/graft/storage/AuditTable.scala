@@ -294,8 +294,11 @@ class AuditTable(
         val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
         math.max(1, math.ceil(bytes.toDouble / maxPartitionBytes).toInt)
       }
+    // z-clustering pays one extra stats pass (min/max per z column) over
+    // the merged data on top of the rewrite itself — the OPTIMIZE trade.
+    // Empty merges (all regions empty) skip it: no rows, nothing to layout.
     val sized =
-      if (zOrderBy.nonEmpty)
+      if (zOrderBy.nonEmpty && totalRows > 0)
         graft.operators.Layout.clusterByZOrder(deduped, zOrderBy, zOrderBits,
           numPartitions)
       else if (numPartitions < current) deduped.coalesce(numPartitions)

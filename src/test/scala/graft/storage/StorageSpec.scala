@@ -207,6 +207,16 @@ class StorageSpec extends SparkTestBase with Matchers {
         Seq((2L, "b"))
     }
 
+    it("z-order compaction of an empty merge is a no-op, not an error") {
+      val t0 = mkTable("zempty")
+      val t1 = t0.append(Seq.empty[(Long, String)].toDF("id", "v"), None,
+        ts("2024-01-01 00:00:00"))
+      val t2 = t1.compact(ts("2024-01-02 00:00:00"),
+        partitioner = TotalCellsPartitioner(), zOrderBy = Seq("id"))
+      t2.hotRegions shouldBe empty
+      t2.snapshot(ts("2024-06-01 00:00:00")).foreach(_.count() shouldBe 0L)
+    }
+
     it("enforces one-shot mutation handles") {
       val t0 = mkTable("oneshot")
       t0.append(Seq((1L, "x")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
