@@ -111,32 +111,51 @@ object Layout {
   /** Append a Morton key column over raw integer-valued `cols`: ONE
     * map-combined min/max stats aggregation (driver state = 2 longs per
     * column), then [[intLevel]] + [[mortonKey]] as pure map-side codegen
-    * arithmetic. Nulls in any clustering column yield a null key. */
+    * arithmetic. Nulls in any clustering column yield a null key.
+    *
+    * `ranges` skips the stats pass entirely — pass the known per-column
+    * `(min, max)` (table metadata, a previous run, domain knowledge) and
+    * the key derivation is a single map-side projection with NO extra scan
+    * of the input. Values outside a declared range still get keys (levels
+    * merely fall outside `[0, 2^bits)`), so a stale-but-close range
+    * degrades locality, never correctness. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int,
-      zCol: String = "z_value"): DataFrame = {
+      zCol: String = "z_value",
+      ranges: Option[Seq[(Long, Long)]] = None): DataFrame = {
     require(cols.size >= 2, "zValue needs at least two clustering columns")
     require(!df.columns.contains(zCol),
       s"input already carries '$zCol' — pass a different zCol")
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("long")).as(s"mn$i"),
-        max(col(c).cast("long")).as(s"mx$i"))
+    val bounds: Seq[(Long, Long)] = ranges match {
+      case Some(rs) =>
+        require(rs.size == cols.size,
+          s"ranges arity ${rs.size} must match cols arity ${cols.size}")
+        rs
+      case None =>
+        val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c).cast("long")).as(s"mn$i"),
+            max(col(c).cast("long")).as(s"mx$i"))
+        }
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        require(!(0 until cols.size * 2).exists(stats.isNullAt),
+          s"zValue over an empty (or all-null) input — no range to quantize")
+        cols.indices.map(i =>
+          (stats.getAs[Long](s"mn$i"), stats.getAs[Long](s"mx$i")))
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!(0 until cols.size * 2).exists(stats.isNullAt),
-      s"zValue over an empty (or all-null) input — no range to quantize")
-    val levels = cols.zipWithIndex.map { case (c, i) =>
-      intLevel(col(c), stats.getAs[Long](s"mn$i"), stats.getAs[Long](s"mx$i"),
-        bits)
+    val levels = cols.zip(bounds).map { case (c, (mn, mx)) =>
+      intLevel(col(c), mn, mx, bits)
     }
     df.withColumn(zCol, mortonKey(levels, bits))
   }
 
   /** [[zOrdered]] over raw integer columns: stats + exact quantization +
     * range partitioning on the key + a partition-local sort; the helper
-    * column is dropped — the layout, not the value, is the product. */
+    * column is dropped — the layout, not the value, is the product.
+    * `ranges` as in [[zValue]]: provide known bounds to skip the stats
+    * scan (one pass over the input instead of two). */
   def clusterByZOrder(df: DataFrame, cols: Seq[String], bits: Int = 18,
-      numPartitions: Int = 0): DataFrame = {
-    val z = zValue(df, cols, bits, "__graft_z")
+      numPartitions: Int = 0,
+      ranges: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    val z = zValue(df, cols, bits, "__graft_z", ranges)
     val ranged =
       if (numPartitions > 0) z.repartitionByRange(numPartitions, col("__graft_z"))
       else z.repartitionByRange(col("__graft_z"))

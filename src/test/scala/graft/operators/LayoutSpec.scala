@@ -178,6 +178,24 @@ class LayoutSpec extends SparkTestBase with Matchers {
           "degenerate (un-normalised) key keeps all 16")
     }
 
+    it("caller-provided ranges skip the stats pass and match observed stats") {
+      val rows = Seq((0L, 0L), (511L, 1023L), (256L, 100L))
+      val df = rows.toDF("a", "b")
+      val observed = Layout.zValue(df, Seq("a", "b"), bits = 10)
+        .select("z_value").as[Long].collect().toSeq
+      val provided = Layout.zValue(df, Seq("a", "b"), bits = 10,
+        ranges = Some(Seq((0L, 511L), (0L, 1023L))))
+        .select("z_value").as[Long].collect().toSeq
+      provided shouldBe observed
+      // out-of-range values still get keys (degraded locality, not errors)
+      Layout.zValue(df, Seq("a", "b"), bits = 10,
+        ranges = Some(Seq((100L, 200L), (0L, 1023L))))
+        .select("z_value").as[Long].collect().length shouldBe 3
+      intercept[IllegalArgumentException] {
+        Layout.zValue(df, Seq("a", "b"), bits = 10, ranges = Some(Seq((0L, 1L))))
+      }
+    }
+
     it("nulls in a clustering column yield a null key") {
       val df = Seq((1L, Some(5L), 10L), (2L, None, 20L), (3L, Some(9L), 30L))
         .toDF("id", "a", "b")
