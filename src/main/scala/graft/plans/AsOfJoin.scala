@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution,
   IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Native as-of join — the time-series lookup ("latest right row at or
   * before each left row's time, per key") as a first-class physical
@@ -53,6 +54,21 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** The output cardinality is known by construction — left outer with at
+    * most one match per left row, so EXACTLY `rowCount(left)` output rows
+    * at the widened row size. Report that instead of Catalyst's statistics
+    * default for an unknown binary node (the PRODUCT of the child sizes),
+    * which would make the join's output look astronomically large to every
+    * operator planned above it — forbidding e.g. a downstream broadcast of
+    * a dimension-sized as-of result that in truth fits the threshold. */
+  override def stats: Statistics = {
+    val ls = left.stats
+    val lW = NativeJoinStats.rowWidth(left.output)
+    val outW = lW + NativeJoinStats.rowWidth(right.output)
+    Statistics(sizeInBytes = (ls.sizeInBytes * outW / lW).max(1),
+      rowCount = ls.rowCount)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -114,6 +130,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // one output row per left row, so numOutputRows == left row count;
+  // numMatchedRows counts the subset that found an as-of partner (the
+  // rest null-extend) — the join's hit rate at a glance in the SQL UI
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -121,6 +144,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // nullability-correct (right side nullable in outer joins)
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val lTimeB = leftTime
@@ -141,6 +165,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val fwd = forward
     val tol = toleranceUs
     val nRight = rOut.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
@@ -152,6 +178,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val timeOrd = NativeJoinTime.ordering(timeType)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
+      // Spark's operator contract expects UnsafeRow output (collect /
+      // exchange serialize through it) — same result projection the
+      // built-in sort-merge join applies
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       new Iterator[InternalRow] {
         // single-row lookahead over the right side (skipping null key/time
@@ -194,7 +224,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeEval.eval(l)
-          if (lKey.anyNull || lTime == null) return joined(l, nullRight)
+          numOutputRows += 1
+          if (lKey.anyNull || lTime == null)
+            return resultProj(joined(l, nullRight))
           if (fwd) {
             // drop right rows strictly before this left row (or of smaller
             // keys) — left times ascend, so they can't match later lefts
@@ -208,7 +240,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val matched = rNext != null &&
               keyOrd.compare(rNextKey, lKey) == 0 &&
               tol.forall(t => asLong(rNextTime) - asLong(lTime) <= t)
-            joined(l, if (matched) rNext else nullRight)
+            if (matched) numMatchedRows += 1
+            resultProj(joined(l, if (matched) rNext else nullRight))
           } else {
             // consume right rows that are at-or-before this left row: their
             // last one with an equal key is the as-of match (left times
@@ -228,7 +261,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val matched = lastMatch != null &&
               keyOrd.compare(lastMatchKey, lKey) == 0 &&
               tol.forall(t => asLong(lTime) - asLong(lastMatchTime) <= t)
-            joined(l, if (matched) lastMatch else nullRight)
+            if (matched) numMatchedRows += 1
+            resultProj(joined(l, if (matched) lastMatch else nullRight))
           }
         }
       }
@@ -264,6 +298,10 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -271,6 +309,7 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // nullability-correct (right side nullable in outer joins)
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val lTimeB = leftTime
@@ -291,6 +330,8 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val fwd = forward
     val tol = toleranceUs
     val nRight = rOut.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val relation = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions({ lIter =>
@@ -327,16 +368,19 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
+      // UnsafeRow output contract — see AsOfJoinExec
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       def asLong(v: Any): Long = v match {
         case l: Long => l
         case i: Int => i.toLong
         case other => throw new IllegalStateException(s"as-of time: $other")
       }
       lIter.map { l =>
+        numOutputRows += 1
         val k = lKeyProj(l)
         val t = lTimeEval.eval(l)
         val tab = if (k.anyNull || t == null) null else tables.get(k)
-        if (tab == null) joined(l, nullRight)
+        if (tab == null) resultProj(joined(l, nullRight))
         else {
           // binary bound over the key's sorted times:
           // backward → first index with time > t (candidate = bound - 1)
@@ -356,7 +400,8 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
                       else asLong(t) - asLong(tab.times(idx))
               d <= tv
             }
-          joined(l, if (matched) tab.rows(idx) else nullRight)
+          if (matched) numMatchedRows += 1
+          resultProj(joined(l, if (matched) tab.rows(idx) else nullRight))
         }
       }
     }, preservesPartitioning = true)

@@ -8,14 +8,23 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering,
   SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution,
   IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.DataType
+
+/** Schema-derived row-width estimate shared by the native joins' logical
+  * statistics (8 bytes of overhead + each column's `defaultSize`, the same
+  * shape Catalyst's `EstimationUtils.getSizePerRow` uses). */
+private[plans] object NativeJoinStats {
+  def rowWidth(out: Seq[Attribute]): Long =
+    8L + out.map(_.dataType.defaultSize.toLong).sum
+}
 
 /** Shared primitive-time comparison for the native temporal joins:
   * timestamps/longs eval to boxed longs — comparing them primitively
@@ -74,6 +83,23 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  /** Catalyst's statistics default for an unknown binary node is the
+    * PRODUCT of the child sizes — which makes this join's output look
+    * astronomically large to every operator planned above it, forbidding
+    * e.g. a downstream broadcast of a small interval-join result. The
+    * join's true fanout is data-dependent (per-point containing-interval
+    * count), so estimate the dominant enrichment shape — on the order of
+    * one match per point — as the left relation widened to the output row
+    * size, plus the interval side once as headroom for overlap. Like
+    * Spark's own size-only join estimates this is a planning heuristic,
+    * and AQE's runtime sizes correct it at each shuffle boundary. */
+  override def stats: Statistics = {
+    val lW = NativeJoinStats.rowWidth(left.output)
+    val outW = lW + NativeJoinStats.rowWidth(right.output)
+    val size = left.stats.sizeInBytes * outW / lW + right.stats.sizeInBytes
+    Statistics(sizeInBytes = size.max(1))
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -124,6 +150,9 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
@@ -131,6 +160,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // nullability-correct (right side nullable in outer joins)
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val tB = pointTime
@@ -143,6 +173,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       s"interval-join time types differ: ${pointTime.dataType} / " +
         s"${start.dataType} / ${end.dataType}")
     val timeType = pointTime.dataType
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
@@ -153,6 +184,10 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = NativeJoinTime.ordering(timeType)
       val joined = new JoinedRow
+      // Spark's operator contract expects UnsafeRow output (collect /
+      // exchange serialize through it) — same result projection the
+      // built-in sort-merge join applies
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       new Iterator[InternalRow] {
         // lookahead over the interval side; rows copied (Spark reuses
@@ -231,7 +266,8 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
-          joined(pendingLeft, pendingMatches.next())
+          numOutputRows += 1
+          resultProj(joined(pendingLeft, pendingMatches.next()))
         }
       }
     }
@@ -260,6 +296,9 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
     copy(left = newLeft, right = newRight)
@@ -267,6 +306,7 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // nullability-correct (right side nullable in outer joins)
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val tB = pointTime
@@ -279,6 +319,7 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
       s"interval-join time types differ: ${pointTime.dataType} / " +
         s"${start.dataType} / ${end.dataType}")
     val timeType = pointTime.dataType
+    val numOutputRows = longMetric("numOutputRows")
     val relation = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions({ lIter =>
@@ -313,6 +354,8 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val tEval = BindReferences.bindReference(tB, lOut)
       val joined = new JoinedRow
+      // UnsafeRow output contract — see IntervalJoinExec
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       lIter.flatMap { l =>
         val k = lKeyProj(l)
         val t = tEval.eval(l)
@@ -327,12 +370,12 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
             if (timeOrd.lteq(tab.starts(mid), t)) lo = mid + 1 else hi = mid
           }
           val bound = lo
-          // JoinedRow is reused per probe; safe because downstream Spark
-          // operators copy when they buffer (same contract as Spark's own
-          // BroadcastHashJoinExec output)
+          // the projection's result buffer is reused per row; safe because
+          // downstream Spark operators copy when they buffer (same contract
+          // as Spark's own BroadcastHashJoinExec output)
           Iterator.range(0, bound)
             .filter(i => timeOrd.gt(tab.ends(i), t))
-            .map(i => joined(l, tab.rows(i)))
+            .map { i => numOutputRows += 1; resultProj(joined(l, tab.rows(i))) }
         }
       }
     }, preservesPartitioning = true)

@@ -255,4 +255,59 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     an[IllegalArgumentException] should be thrownBy
       AsOf.asOfJoin(trades, trades, Seq("sym"), Seq("sym"), "t", "t")
   }
+
+  it("reports honest statistics: left cardinality at the widened width, not the child product") {
+    // Catalyst's default for an unknown binary node is the PRODUCT of the
+    // child sizes; the as-of join's cardinality is exact by construction
+    // (one output row per left row), so the node overrides stats
+    val j = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t")
+    val node = j.queryExecution.optimizedPlan.collectFirst {
+      case p: AsOfJoinPlan => p }.get
+    val ls = node.left.stats
+    val rs = node.right.stats
+    node.stats.sizeInBytes should be < ls.sizeInBytes * rs.sizeInBytes
+    node.stats.sizeInBytes should be >= ls.sizeInBytes // widened, never smaller
+    node.stats.rowCount shouldBe ls.rowCount // exactly the left row count
+  }
+
+  it("an honest size estimate lets a DOWNSTREAM Spark join broadcast the as-of output") {
+    // the scale case the stats override exists for: a dimension-sized
+    // as-of result enriching a fact table through Spark's OWN join
+    // planner. With the default product stats (~TB for two ~3MB inputs)
+    // JoinSelection could never pick BHJ for this side; with the honest
+    // estimate (~2x the left input) it statically plans BroadcastHashJoin.
+    import org.apache.spark.sql.functions.col
+    val dimL = spark.range(200000).select((col("id") % 500).as("k"), col("id").as("t"))
+    val dimR = spark.range(200000).select((col("id") % 500).as("rk"),
+      (col("id") / 500).as("rt"), (col("id") % 97).as("px"))
+    val asOfOut = AsOf.asOfJoin(dimL.toDF(), dimR.toDF(),
+      Seq("k"), Seq("rk"), "t", "rt", broadcastRight = Some(false))
+    val fact = spark.range(2000000).select((col("id") % 500).as("fk"), col("id").as("fv"))
+    val plan = fact.join(asOfOut, col("fk") === col("k"))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  it("reports numOutputRows and numMatchedRows metrics in both regimes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.metric.SQLMetric
+    // unwrap AQE's stage wrappers — the exec sits inside query stages that
+    // plain TreeNode.collect does not descend into
+    def findMetrics(p: SparkPlan): Option[Map[String, SQLMetric]] = p match {
+      case a: AdaptiveSparkPlanExec => findMetrics(a.executedPlan)
+      case q: QueryStageExec => findMetrics(q.plan)
+      case e: AsOfJoinExec => Some(e.metrics)
+      case e: BroadcastAsOfJoinExec => Some(e.metrics)
+      case other => other.children.view.flatMap(findMetrics(_)).headOption
+    }
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val df = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
+        broadcastRight = hint)
+      df.collect()
+      val metrics = findMetrics(df.queryExecution.executedPlan).get
+      metrics("numOutputRows").value shouldBe 7L // one per left row
+      metrics("numMatchedRows").value shouldBe 4L // the non-null-extended ones
+    }
+  }
 }

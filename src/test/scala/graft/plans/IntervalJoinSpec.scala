@@ -172,4 +172,41 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
     an[IllegalArgumentException] should be thrownBy
       IntervalJoin.intervalJoin(points, points, Seq("k"), Seq("k"), "t", "t", "t")
   }
+
+  it("reports honest statistics: linear in the inputs, not the child product") {
+    // Catalyst's default for an unknown binary node is the PRODUCT of the
+    // child sizes — the override estimates ~one match per point plus the
+    // interval side, so downstream operators can still broadcast a small
+    // interval-join result
+    val j = IntervalJoin.intervalJoin(points, intervals,
+      Seq("k"), Seq("i_key"), "t", "i_start", "i_end")
+    val node = j.queryExecution.optimizedPlan.collectFirst {
+      case p: IntervalJoinPlan => p }.get
+    val ls = node.left.stats
+    val rs = node.right.stats
+    node.stats.sizeInBytes should be < ls.sizeInBytes * rs.sizeInBytes
+    node.stats.sizeInBytes should be >= ls.sizeInBytes.max(rs.sizeInBytes)
+  }
+
+  it("reports a numOutputRows metric in both regimes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.metric.SQLMetric
+    // unwrap AQE's stage wrappers — the exec sits inside query stages that
+    // plain TreeNode.collect does not descend into
+    def findMetrics(p: SparkPlan): Option[Map[String, SQLMetric]] = p match {
+      case a: AdaptiveSparkPlanExec => findMetrics(a.executedPlan)
+      case q: QueryStageExec => findMetrics(q.plan)
+      case e: IntervalJoinExec => Some(e.metrics)
+      case e: BroadcastIntervalJoinExec => Some(e.metrics)
+      case other => other.children.view.flatMap(findMetrics(_)).headOption
+    }
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val df = IntervalJoin.intervalJoin(points, intervals,
+        Seq("k"), Seq("i_key"), "t", "i_start", "i_end", hint)
+      df.collect()
+      val metrics = findMetrics(df.queryExecution.executedPlan).get
+      metrics("numOutputRows").value shouldBe 6L // the containment pairs
+    }
+  }
 }
