@@ -476,6 +476,47 @@ object Streaming {
         lit(k)).as("top"))
   }
 
+  final case class PackInput(shard: String, order_key: Long, n_tokens: Long)
+  final case class PackState(cumTokens: Long)
+  final case class PackedDoc(shard: String, order_key: Long, n_tokens: Long,
+    start_offset: Long, chunk_id: Long, spans_boundary: Boolean)
+
+  /** Streaming sequence packing: the batch
+    * [[graft.operators.Packing.packSequences]] contract applied
+    * incrementally — documents receive their shard's cumulative token
+    * offset, fixed-window chunk id, and boundary flag as they ARRIVE, so a
+    * live ingest assigns final training-window coordinates without ever
+    * re-reading the corpus. The per-shard state is ONE long (the running
+    * token total): bounded by |shards| forever, no matter how many
+    * documents stream through — the window-function formulation the batch
+    * twin uses is not even expressible over an unbounded stream.
+    *
+    * Ordering contract: within a micro-batch, rows pack in ascending
+    * `order_key` (the batch twin's orderCol); ACROSS batches, arrival
+    * order is pack order. Feed batches in orderCol order (the backfill
+    * replay) and the stream's offsets equal the batch twin's exactly
+    * (spec-pinned). Packing is corpus-order, not event-time — there is no
+    * watermark and shard state never expires. */
+  def packStream(docs: Dataset[PackInput], windowTokens: Long): Dataset[PackedDoc] = {
+    require(windowTokens > 0, s"windowTokens must be > 0, got $windowTokens")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.order_key).map { r =>
+            val start = cum
+            cum += r.n_tokens
+            PackedDoc(shard, r.order_key, r.n_tokens, start,
+              start / windowTokens,
+              (start % windowTokens + r.n_tokens) > windowTokens)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** Stream into an audit table: each micro-batch appends one region via
     * [[graft.storage.AuditTable.append]], wiring Structured Streaming into
     * the storage layer's snapshot/compact lifecycle (the reference reaches

@@ -687,4 +687,38 @@ class StreamingSpec extends SparkTestBase with Matchers {
       batch("flat") shouldBe rows("flat")._3
     } finally query.stop()
   }
+
+  it("streaming sequence packing assigns the batch twin's offsets incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PackInput]
+    val query = Streaming.packStream(input.toDS(), windowTokens = 10L)
+      .writeStream.format("memory").queryName("packed_out")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Streaming.PackInput("en", 1L, 4L), Streaming.PackInput("en", 2L, 7L),
+      Streaming.PackInput("de", 3L, 9L),
+      Streaming.PackInput("en", 4L, 6L), Streaming.PackInput("de", 5L, 2L),
+      Streaming.PackInput("en", 6L, 0L), Streaming.PackInput("en", 7L, 12L))
+    try {
+      // three micro-batches arriving in order_key order — the backfill
+      // replay shape under which stream offsets must equal the batch twin's
+      input.addData(all.take(3): _*); query.processAllAvailable()
+      input.addData(all.slice(3, 5): _*); query.processAllAvailable()
+      input.addData(all.drop(5): _*); query.processAllAvailable()
+      val streamed = spark.table("packed_out").as[Streaming.PackedDoc]
+        .collect().sortBy(_.order_key)
+      val batch = graft.operators.Packing.packSequences(
+          all.map(p => (p.shard, p.order_key, p.n_tokens))
+            .toDF("shard", "order_key", "toks"),
+          Seq(col("shard")), col("order_key"), col("toks"), windowTokens = 10L)
+        .select("shard", "order_key", "n_tokens", "start_offset",
+          "chunk_id", "spans_boundary")
+        .as[Streaming.PackedDoc].collect().sortBy(_.order_key)
+      streamed shouldBe batch
+      // a doc crossing the 10-token window boundary carries the flag
+      streamed.find(_.order_key == 2L).get.spans_boundary shouldBe true
+      // zero-length docs keep well-defined offsets
+      streamed.find(_.order_key == 6L).get.start_offset shouldBe 17L
+    } finally query.stop()
+  }
 }
