@@ -542,6 +542,108 @@ object ScaleProbe {
         spark.read.parquet(zDir).where(cond)
       }
     }
+
+    // ---- round-8 probes ------------------------------------------------
+    // downstream planning over a native-join output: the honest stats
+    // override lets Spark's OWN join planner broadcast a dimension-sized
+    // as-of result into a 2M-row fact join (zero fact-side shuffle). The
+    // threshold=-1 run stands in for the pre-override behavior, where the
+    // node's default PRODUCT-of-children size estimate forbade the
+    // broadcast and forced both sides through a shuffle
+    if (only.isEmpty || only.exists("downstream".startsWith)) {
+      // one probe row per key -> the as-of output is a 500-row dimension;
+      // the 10M-row fact joins it 1:1. Honest stats let Spark's OWN join
+      // planner broadcast that dimension (the fact side never shuffles);
+      // the threshold=-1 run reproduces the plan the old
+      // PRODUCT-of-children estimate forced (10M rows shuffled + sorted)
+      val dimL = spark.range(500)
+        .select(col("id").as("k"), lit(1000000L).as("t"))
+      val dimR = spark.range(200000).select((col("id") % 500).as("rk"),
+        (col("id") / 500).cast("long").as("rt"), (col("id") % 97).as("px"))
+      val asOfOut = graft.plans.AsOf.asOfJoin(dimL.toDF(), dimR.toDF(),
+        Seq("k"), Seq("rk"), "t", "rt", broadcastRight = Some(false))
+      // realistic fact-row width (~190B of INCOMPRESSIBLE payload — a
+      // constant pad would vanish under the shuffle's lz4): the plans
+      // differ in whether these bytes cross a shuffle, so narrow or
+      // compressible rows would hide the cost the broadcast plan avoids
+      val fact = evN.select((col("user_id") % 500).as("fk"),
+        col("event_id").as("fv"),
+        concat(md5(col("event_id").cast("string")),
+          md5((col("event_id") + 1L).cast("string")),
+          md5((col("event_id") * 7L).cast("string")),
+          md5((col("event_id") - 3L).cast("string")),
+          md5((col("event_id") * 13L).cast("string")),
+          md5((col("event_id") + 11L).cast("string"))).as("pad"))
+      // a 32-thread in-process shuffle hides the cost in wall-clock, so
+      // report the quantity that scales with cluster cost instead: the
+      // bytes each plan moves through exchanges (shuffle = network at
+      // 1000 executors; broadcast = one dimension-sized payload per node)
+      def exchangeBytes(label: String)(df: => DataFrame): Unit =
+        if (only.isEmpty || only.exists(label.startsWith)) {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+          val d = df
+          val t0 = System.nanoTime()
+          // execute THIS queryExecution's plan instance (a noop write
+          // builds its own QueryExecution, leaving these nodes' metrics
+          // untouched), full plan via toRdd like Bench
+          d.queryExecution.toRdd.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+              while (it.hasNext) it.next())
+          val sec = (System.nanoTime() - t0) / 1e9
+          def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec => q +: walk(q.plan)
+            case o => o +: o.children.flatMap(walk)
+          }
+          val nodes = walk(d.queryExecution.executedPlan).distinct
+          def mb(xs: Seq[Long]) = f"${xs.sum / 1e6}%.1f MB"
+          val sh = nodes.collect { case s: ShuffleExchangeLike =>
+            s.metrics.get("dataSize").map(_.value).getOrElse(0L) }
+          val bc = nodes.collect { case b: BroadcastExchangeLike =>
+            b.metrics.get("dataSize").map(_.value).getOrElse(0L) }
+          println(f"$label%-40s $sec%.1f s  shuffled ${mb(sh)}, broadcast ${mb(bc)}")
+        }
+      for (i <- 1 to 2)
+        exchangeBytes(s"downstream join over as-of: honest-stats BHJ r$i") {
+          fact.join(asOfOut, col("fk") === col("k"))
+        }
+      // the conf window must cover EXECUTION (planning is lazy, at write
+      // time), so it wraps the probe call rather than the plan expression
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for (i <- 1 to 2)
+          exchangeBytes(s"downstream join over as-of: forced shuffle (old stats) r$i") {
+            fact.join(asOfOut, col("fk") === col("k"))
+          }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+
+    // the q140 composed curation chain at 10x: filter -> decontaminate ->
+    // exact dedup -> per-language cap -> pack. Stage costs are the
+    // individually-probed shapes; this measures their composition
+    time("curation pipeline (q140 chain)") {
+      import graft.functions.TextFunctions
+      val filtered = docs.where(TextFunctions.gopherPass(col("text"),
+        minWords = 5L, minStopwords = 1L, minAlphaFrac = 0.5))
+      val flags = Dedup.decontaminate(filtered, "doc_id", "text",
+        benchmark = docs.where(col("doc_id") < 5), benchTextCol = "text",
+        n = 3, maxHits = 0L)
+      val clean = filtered.join(
+        flags.where(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val dups = Dedup.exactDuplicates(clean, "doc_id", "text")
+        .select(col("dup_id").as("doc_id"))
+      val deduped = clean.join(dups, Seq("doc_id"), "left_anti")
+      val capped = Sampling.cappedPerKey(deduped, Seq(col("lang")),
+        col("doc_id"), maxPerKey = 5000)
+      Packing.packSequences(
+        capped.select(col("doc_id"), col("lang"), col("text")),
+        shardCols = Seq(col("lang")), orderCol = col("doc_id"),
+        tokenCol = TextFunctions.tokenCount(col("text")), windowTokens = 512L)
+    }
     spark.stop()
   }
 }

@@ -279,7 +279,7 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     import org.apache.spark.sql.functions.col
     val dimL = spark.range(200000).select((col("id") % 500).as("k"), col("id").as("t"))
     val dimR = spark.range(200000).select((col("id") % 500).as("rk"),
-      (col("id") / 500).as("rt"), (col("id") % 97).as("px"))
+      (col("id") / 500).cast("long").as("rt"), (col("id") % 97).as("px"))
     val asOfOut = AsOf.asOfJoin(dimL.toDF(), dimR.toDF(),
       Seq("k"), Seq("rk"), "t", "rt", broadcastRight = Some(false))
     val fact = spark.range(2000000).select((col("id") % 500).as("fk"), col("id").as("fv"))
