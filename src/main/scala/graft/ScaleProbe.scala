@@ -295,6 +295,22 @@ object ScaleProbe {
         Seq("user_id"), Seq("r_user"), "ts", "r_ts",
         broadcastRight = Some(true))
     }
+    // the fact x fact corner: both sides too big to broadcast, one hot key
+    // — salting spreads the single (key-clustered) sort+merge task over 16
+    // (key, salt) reducers at the cost of replicating the right side 16x
+    // (Skew.saltedAsOfJoin). Probed at 10M rows on ONE key, where the
+    // unsalted plan's single-partition sort is the straggler
+    val lHotBig = evN.select(col("event_id"), lit(42L).as("user_id"),
+      col("ts"), col("value"))
+    for (i <- 1 to 2) time(s"as-of SMJ one-hot-key (10M on 1 key) r$i") {
+      graft.plans.AsOf.asOfJoin(lHotBig, rHot,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(false))
+    }
+    for (i <- 1 to 2) time(s"as-of SALTED x16 one-hot-key (10M) r$i") {
+      Skew.saltedAsOfJoin(lHotBig, rHot,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts", saltBuckets = 16)
+    }
     for (i <- 1 to 2) time(s"as-of COMPOSED union+window r$i") {
       Temporal.asofJoin(lAsof, rAsof.withColumnRenamed("r_user", "user_id"),
         keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",

@@ -45,6 +45,72 @@ object Skew {
       .drop("_salt")
   }
 
+  /** As-of left join with a skew-salted fact side, composing with the
+    * NATIVE as-of exec ([[graft.plans.AsOf.asOfJoin]]).
+    *
+    * The regime map for a hot key at scale: when the right side is
+    * dimension-sized, [[graft.plans.AsOfJoinStrategy]]'s broadcast regime
+    * is the escape hatch (the fact side never shuffles, so the hot key
+    * stays spread across its scan partitions). This operator covers the
+    * remaining corner — fact × fact, BOTH sides too big to broadcast, one
+    * key dominating the shuffle: AQE's runtime skew split rewrites only
+    * Spark's own SortMergeJoin, never a custom exec, so without help the
+    * hot key serializes through ONE merge task. The salt spreads it:
+    * left rows get a content-derived salt in [0, saltBuckets) (see
+    * [[contentSalt]] for why content, not position), the right side
+    * replicates once per salt value, and the native join clusters on
+    * (key, salt). Per (key, salt) partition the right rows of the key are
+    * COMPLETE — a full replica — so each left row's as-of winner is
+    * exactly the unsalted one, and left-outer multiplicity is preserved
+    * (every left row lives in exactly one salt). Cost: the right side
+    * shuffles saltBuckets times over — the standard salting trade; size
+    * the bucket count to the hot key's excess, not the cluster. */
+  def saltedAsOfJoin(
+      skewedLeft: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      direction: String = "backward", tolerance: Option[Long] = None,
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = skewedLeft.withColumn("_gsalt",
+      contentSalt(skewedLeft, saltBuckets))
+    val replicated = right.withColumn("_gsalt_r",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    graft.plans.AsOf.asOfJoin(salted, replicated,
+        leftKeys :+ "_gsalt", rightKeys :+ "_gsalt_r",
+        leftTimeCol, rightTimeCol, direction, tolerance,
+        // salting is definitionally the sort-merge regime: a right side
+        // small enough to broadcast should use the broadcast regime
+        // instead of salting at all
+        broadcastRight = Some(false))
+      .drop("_gsalt", "_gsalt_r")
+  }
+
+  /** Keyed interval inner join with a skew-salted point side — the
+    * [[saltedAsOfJoin]] construction applied to
+    * [[graft.plans.IntervalJoin.intervalJoin]]: points salt by content,
+    * intervals replicate per salt, the native exec clusters on
+    * (key, salt). Each point meets every containing interval of its key
+    * exactly once (in its own salt's replica), so the pair multiset is
+    * the unsalted one. */
+  def saltedIntervalJoin(
+      skewedPoints: DataFrame,
+      intervals: DataFrame,
+      pointKeys: Seq[String], intervalKeys: Seq[String],
+      timeCol: String, startCol: String, endCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = skewedPoints.withColumn("_gsalt",
+      contentSalt(skewedPoints, saltBuckets))
+    val replicated = intervals.withColumn("_gsalt_r",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    graft.plans.IntervalJoin.intervalJoin(salted, replicated,
+        pointKeys :+ "_gsalt", intervalKeys :+ "_gsalt_r",
+        timeCol, startCol, endCol, broadcastIntervals = Some(false))
+      .drop("_gsalt", "_gsalt_r")
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt), then final aggregate on key. Expressed for the common
     * count/sum shapes — each (aggExpr name -> (partial, merge)) pair. */

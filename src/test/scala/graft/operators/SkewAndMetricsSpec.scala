@@ -40,6 +40,47 @@ class SkewAndMetricsSpec extends SparkTestBase with Matchers {
       b shouldBe a
     }
 
+    it("salted as-of join equals the unsalted native join, hot key included") {
+      // one hot key carrying most rows plus normal keys; equality must
+      // hold for backward, forward, and tolerance variants
+      val trades = Seq.tabulate(300)(i =>
+        (if (i < 250) 1L else (i % 7).toLong, i.toLong * 3 + 1, s"t$i"))
+        .toDF("sym", "t", "tag")
+      val quotes = Seq.tabulate(120)(i =>
+        ((i % 9).toLong, i.toLong * 7, i * 0.5)).toDF("r_sym", "r_t", "px")
+      for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+          ("backward", Some(40L)))) withClue(s"dir=$dir tol=$tol: ") {
+        val plain = graft.plans.AsOf.asOfJoin(trades, quotes,
+          Seq("sym"), Seq("r_sym"), "t", "r_t", dir, tol)
+        val salted = Skew.saltedAsOfJoin(trades, quotes,
+          Seq("sym"), Seq("r_sym"), "t", "r_t", dir, tol, saltBuckets = 8)
+        salted.count() shouldBe 300L // left-outer multiplicity preserved
+        salted.exceptAll(plain).count() shouldBe 0
+        plain.exceptAll(salted).count() shouldBe 0
+      }
+      // the exchange clusters on (key, salt): the hot key is spread
+      val plan = Skew.saltedAsOfJoin(trades, quotes,
+        Seq("sym"), Seq("r_sym"), "t", "r_t", saltBuckets = 8)
+        .queryExecution.executedPlan.toString
+      plan should include("AsOfJoin")
+      plan should include("_gsalt")
+    }
+
+    it("salted interval join equals the unsalted native join pair multiset") {
+      val points = Seq.tabulate(300)(i =>
+        (if (i < 250) 1L else (i % 5).toLong, i.toLong * 2, s"p$i"))
+        .toDF("k", "t", "tag")
+      val intervals = Seq.tabulate(60)(i =>
+        ((i % 6).toLong, i.toLong * 9, i.toLong * 9 + 25, s"iv$i"))
+        .toDF("i_k", "i_s", "i_e", "i_tag")
+      val plain = graft.plans.IntervalJoin.intervalJoin(points, intervals,
+        Seq("k"), Seq("i_k"), "t", "i_s", "i_e")
+      val salted = Skew.saltedIntervalJoin(points, intervals,
+        Seq("k"), Seq("i_k"), "t", "i_s", "i_e", saltBuckets = 8)
+      salted.exceptAll(plain).count() shouldBe 0
+      plain.exceptAll(salted).count() shouldBe 0
+    }
+
     it("salted count/sum equals the direct aggregation") {
       val df = Seq.tabulate(500)(i => (i % 3, i.toDouble)).toDF("k", "v")
       val direct = df.groupBy("k").agg(count(lit(1)), sum("v"))
