@@ -1624,6 +1624,29 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the SALTED fact x fact hot-key path of the native as-of join
+    // (operators.Skew.saltedAsOfJoin): same query as q124, routed through
+    // a 8-way content salt on the fact side with the click side replicated
+    // per salt — the oracle is the SAME plain ASOF JOIN, pinning that the
+    // salt is invisible in the result
+    "q141_salted_asof" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = events(s, dir)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("purchase_value"))
+      val r = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("r_user"), col("ts").as("click_ts"))
+        .agg(round(max(col("value")), 6).as("click_value"))
+      Skew.saltedAsOfJoin(l, r, Seq("user_id"), Seq("r_user"),
+          "ts", "click_ts", saltBuckets = 8)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_value"),
+          coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // BROADCAST regime of the native as-of exec (plans.BroadcastAsOfJoinExec,
     // forced via the hint so the gate covers it deterministically): each
     // purchase takes the user's latest click within the PRECEDING HOUR —
@@ -2850,6 +2873,24 @@ object SparkEntry {
     // as plans.AsOfJoinExec; the right side is pre-aggregated per
     // (user, ts) so the match is tie-free and deterministic in both engines
     "q124_native_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS r_user, ts AS click_ts,
+        |    round(max(value), 6) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+        |  coalesce(r.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |  coalesce(r.click_value, -1.0) AS click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.r_user AND l.ts >= r.click_ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // the salted path must be result-identical to the plain as-of: the
+    // oracle IS q124's plain ASOF JOIN (no salt anywhere in it)
+    "q141_salted_asof" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
         |  FROM events WHERE event_type = 'purchase'
