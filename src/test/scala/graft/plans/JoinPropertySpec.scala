@@ -79,4 +79,54 @@ class JoinPropertySpec extends SparkTestBase with Matchers {
       }
     }
   }
+
+  it("salted variants equal brute force on every seed") {
+    // the salted wrappers (operators.Skew) reroute through (key, salt)
+    // clustering with a replicated right side — same brute-force ground
+    // truth as the unsalted paths, including exact-time ties and
+    // degenerate intervals
+    (1 to 15).foreach { seed =>
+      val rnd = new Random(seed + 1000)
+      val lRows = genSide(rnd, 1 + rnd.nextInt(30), 4, 12).distinct
+      val rRows = genSide(rnd, 1 + rnd.nextInt(30), 4, 12).distinct
+      val l = lRows.toDF("k", "t").repartition(1 + rnd.nextInt(4))
+      val r = rRows.map { case (k, t) => (k, t, t * 10 + k.last.toLong) }
+        .toDF("rk", "rt", "pay").repartition(1 + rnd.nextInt(4))
+      for (fwd <- Seq(false, true); tol <- Seq(None, Some(3L))) {
+        val got = graft.operators.Skew.saltedAsOfJoin(l, r,
+            Seq("k"), Seq("rk"), "t", "rt",
+            direction = if (fwd) "forward" else "backward", tolerance = tol,
+            saltBuckets = 1 + rnd.nextInt(8))
+          .select($"k", $"t", $"rt").as[(String, Long, Option[Long])]
+          .collect().map(x => (x._1, x._2) -> x._3).toMap
+        lRows.foreach { case (k, t) =>
+          val cands = rRows.filter(_._1 == k).map(_._2)
+            .filter(rt => if (fwd) rt >= t else rt <= t)
+            .filter(rt => tol.forall(tv => math.abs(rt - t) <= tv))
+          val want = if (cands.isEmpty) None
+            else Some(if (fwd) cands.min else cands.max)
+          withClue(s"seed=$seed fwd=$fwd tol=$tol left=($k,$t): ") {
+            got((k, t)) shouldBe want
+          }
+        }
+      }
+      val pts = genSide(rnd, 1 + rnd.nextInt(30), 4, 15).distinct
+      val ivs = Seq.fill(1 + rnd.nextInt(20)) {
+        val s = rnd.nextInt(15).toLong
+        (s"k${rnd.nextInt(4)}", s, s + rnd.nextInt(7) - 1, rnd.nextLong())
+      }.distinct
+      val p = pts.toDF("k", "t").repartition(1 + rnd.nextInt(4))
+      val iv = ivs.toDF("ik", "s", "e", "tag").repartition(1 + rnd.nextInt(4))
+      val want = (for {
+        (k, t) <- pts
+        (ik, s, e, tag) <- ivs
+        if ik == k && s < e && s <= t && t < e
+      } yield (k, t, tag)).sorted
+      val got = graft.operators.Skew.saltedIntervalJoin(p, iv,
+          Seq("k"), Seq("ik"), "t", "s", "e", saltBuckets = 1 + rnd.nextInt(8))
+        .select($"k", $"t", $"tag").as[(String, Long, Long)]
+        .collect().sorted
+      withClue(s"seed=$seed interval: ") { got shouldBe want }
+    }
+  }
 }

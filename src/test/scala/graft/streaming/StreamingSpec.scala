@@ -721,4 +721,38 @@ class StreamingSpec extends SparkTestBase with Matchers {
       streamed.find(_.order_key == 6L).get.start_offset shouldBe 17L
     } finally query.stop()
   }
+
+  it("packStream equals the batch twin under ANY in-order micro-batch split") {
+    // property-style: random corpora (zero-length docs included) cut at
+    // random points into 1..4 ordered micro-batches — the offsets must not
+    // depend on where the batch boundaries fall
+    implicit val sqlCtx = spark.sqlContext
+    import scala.util.Random
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val all = (1 to 12 + rnd.nextInt(12)).map(i =>
+        Streaming.PackInput(s"s${rnd.nextInt(3)}", i.toLong, rnd.nextInt(9).toLong))
+      val cuts = (Seq(0, all.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(all.size)))
+        .distinct.sorted
+      val input = MemoryStream[Streaming.PackInput]
+      val query = Streaming.packStream(input.toDS(), windowTokens = 7L)
+        .writeStream.format("memory").queryName(s"packed_prop_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { input.addData(all.slice(a, b): _*); query.processAllAvailable() }
+        }
+        val streamed = spark.table(s"packed_prop_$seed")
+          .as[Streaming.PackedDoc].collect().sortBy(_.order_key)
+        val batch = graft.operators.Packing.packSequences(
+            all.map(p => (p.shard, p.order_key, p.n_tokens))
+              .toDF("shard", "order_key", "toks"),
+            Seq(col("shard")), col("order_key"), col("toks"), windowTokens = 7L)
+          .select("shard", "order_key", "n_tokens", "start_offset",
+            "chunk_id", "spans_boundary")
+          .as[Streaming.PackedDoc].collect().sortBy(_.order_key)
+        withClue(s"seed=$seed cuts=$cuts: ") { streamed shouldBe batch }
+      } finally query.stop()
+    }
+  }
 }
