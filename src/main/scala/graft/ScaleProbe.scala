@@ -566,7 +566,10 @@ object ScaleProbe {
     // threshold=-1 run stands in for the pre-override behavior, where the
     // node's default PRODUCT-of-children size estimate forbade the
     // broadcast and forced both sides through a shuffle
-    if (only.isEmpty || only.exists("downstream".startsWith)) {
+    // same prefix convention as time(): run if any selector is a prefix
+    // of this block's probe labels (they all start with "downstream")
+    if (only.isEmpty || only.exists("downstream join over as-of".startsWith)
+        || only.exists(_.startsWith("downstream"))) {
       // one probe row per key -> the as-of output is a 500-row dimension;
       // the 10M-row fact joins it 1:1. Honest stats let Spark's OWN join
       // planner broadcast that dimension (the fact side never shuffles);
@@ -596,8 +599,6 @@ object ScaleProbe {
       // 1000 executors; broadcast = one dimension-sized payload per node)
       def exchangeBytes(label: String)(df: => DataFrame): Unit =
         if (only.isEmpty || only.exists(label.startsWith)) {
-          import org.apache.spark.sql.execution.SparkPlan
-          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
           import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
           val d = df
           val t0 = System.nanoTime()
@@ -608,12 +609,7 @@ object ScaleProbe {
             (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
               while (it.hasNext) it.next())
           val sec = (System.nanoTime() - t0) / 1e9
-          def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-            case q: QueryStageExec => q +: walk(q.plan)
-            case o => o +: o.children.flatMap(walk)
-          }
-          val nodes = walk(d.queryExecution.executedPlan).distinct
+          val nodes = graft.plans.PlanWalk.unwrap(d.queryExecution.executedPlan).distinct
           def mb(xs: Seq[Long]) = f"${xs.sum / 1e6}%.1f MB"
           val sh = nodes.collect { case s: ShuffleExchangeLike =>
             s.metrics.get("dataSize").map(_.value).getOrElse(0L) }

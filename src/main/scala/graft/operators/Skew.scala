@@ -30,6 +30,17 @@ object Skew {
   private def contentSalt(df: DataFrame, buckets: Int) =
     pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int")
 
+  // the salted native joins would silently overwrite-then-drop a user
+  // column named like the internal salt — reject, as packSequences does
+  // for its reserved output names
+  private def requireNoSaltColumns(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = Seq("_gsalt", "_gsalt_r")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input already carries ${clash.mkString(", ")} — rename it (the " +
+        "salted join uses these internally and would drop it)")
+  }
+
   /** Inner equi-join with the left side treated as skewed. `saltBuckets`
     * bounds the replication of the right side. */
   def saltedJoin(
@@ -64,17 +75,28 @@ object Skew {
     * exactly the unsalted one, and left-outer multiplicity is preserved
     * (every left row lives in exactly one salt). Cost: the right side
     * shuffles saltBuckets times over — the standard salting trade; size
-    * the bucket count to the hot key's excess, not the cluster. */
+    * the bucket count to the hot key's excess, not the cluster.
+    *
+    * The default salt derives from FULL row content ([[contentSalt]]), so
+    * FULLY-IDENTICAL duplicate left rows share one bucket — and unlike
+    * the plain [[saltedJoin]], there is no AQE skew-split fallback behind
+    * a custom exec to absorb that residue. If the hot key is
+    * identical-duplicate-heavy, dedup/pre-aggregate it first, or pass
+    * `saltOn` (e.g. a unique id column) to spread the salt on columns
+    * that do vary — still deterministic under stage retry as long as the
+    * chosen columns are row content, not position. */
   def saltedAsOfJoin(
       skewedLeft: DataFrame,
       right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       direction: String = "backward", tolerance: Option[Long] = None,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16, saltOn: Seq[Column] = Seq.empty): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val salted = skewedLeft.withColumn("_gsalt",
-      contentSalt(skewedLeft, saltBuckets))
+    requireNoSaltColumns(skewedLeft, right)
+    val salt = if (saltOn.isEmpty) contentSalt(skewedLeft, saltBuckets)
+      else pmod(xxhash64(saltOn: _*), lit(saltBuckets.toLong)).cast("int")
+    val salted = skewedLeft.withColumn("_gsalt", salt)
     val replicated = right.withColumn("_gsalt_r",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     graft.plans.AsOf.asOfJoin(salted, replicated,
@@ -99,10 +121,12 @@ object Skew {
       intervals: DataFrame,
       pointKeys: Seq[String], intervalKeys: Seq[String],
       timeCol: String, startCol: String, endCol: String,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16, saltOn: Seq[Column] = Seq.empty): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val salted = skewedPoints.withColumn("_gsalt",
-      contentSalt(skewedPoints, saltBuckets))
+    requireNoSaltColumns(skewedPoints, intervals)
+    val salt = if (saltOn.isEmpty) contentSalt(skewedPoints, saltBuckets)
+      else pmod(xxhash64(saltOn: _*), lit(saltBuckets.toLong)).cast("int")
+    val salted = skewedPoints.withColumn("_gsalt", salt)
     val replicated = intervals.withColumn("_gsalt_r",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     graft.plans.IntervalJoin.intervalJoin(salted, replicated,

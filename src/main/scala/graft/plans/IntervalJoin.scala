@@ -88,15 +88,20 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     * astronomically large to every operator planned above it, forbidding
     * e.g. a downstream broadcast of a small interval-join result. The
     * join's true fanout is data-dependent (per-point containing-interval
-    * count), so estimate the dominant enrichment shape — on the order of
-    * one match per point — as the left relation widened to the output row
-    * size, plus the interval side once as headroom for overlap. Like
-    * Spark's own size-only join estimates this is a planning heuristic,
-    * and AQE's runtime sizes correct it at each shuffle boundary. */
+    * count) and, unlike the as-of join's, unbounded — so the estimate
+    * models the dominant enrichment shape (~one match per point, as the
+    * left relation widened to the output width plus the interval side)
+    * and then multiplies by an 8× fanout headroom: small results stay
+    * broadcastable downstream, while a genuinely high-overlap join must
+    * be ~two orders of magnitude denser than the estimate before a wrong
+    * static broadcast is even possible. Like Spark's own size-only join
+    * estimates this is a heuristic; AQE's runtime sizes correct it at
+    * every shuffle boundary (and are the default in Spark 4). */
   override def stats: Statistics = {
     val lW = NativeJoinStats.rowWidth(left.output)
     val outW = lW + NativeJoinStats.rowWidth(right.output)
-    val size = left.stats.sizeInBytes * outW / lW + right.stats.sizeInBytes
+    val size =
+      (left.stats.sizeInBytes * outW / lW + right.stats.sizeInBytes) * 8
     Statistics(sizeInBytes = size.max(1))
   }
 

@@ -289,23 +289,16 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
   }
 
   it("reports numOutputRows and numMatchedRows metrics in both regimes") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.metric.SQLMetric
-    // unwrap AQE's stage wrappers — the exec sits inside query stages that
-    // plain TreeNode.collect does not descend into
-    def findMetrics(p: SparkPlan): Option[Map[String, SQLMetric]] = p match {
-      case a: AdaptiveSparkPlanExec => findMetrics(a.executedPlan)
-      case q: QueryStageExec => findMetrics(q.plan)
-      case e: AsOfJoinExec => Some(e.metrics)
-      case e: BroadcastAsOfJoinExec => Some(e.metrics)
-      case other => other.children.view.flatMap(findMetrics(_)).headOption
-    }
     for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
       val df = AsOf.asOfJoin(trades, quotes, Seq("sym"), Seq("r_sym"), "t", "r_t",
         broadcastRight = hint)
       df.collect()
-      val metrics = findMetrics(df.queryExecution.executedPlan).get
+      // PlanWalk unwraps AQE's stage wrappers, which plain TreeNode
+      // traversal does not descend into
+      val metrics = PlanWalk.unwrap(df.queryExecution.executedPlan).collectFirst {
+        case e: AsOfJoinExec => e.metrics
+        case e: BroadcastAsOfJoinExec => e.metrics
+      }.get
       metrics("numOutputRows").value shouldBe 7L // one per left row
       metrics("numMatchedRows").value shouldBe 4L // the non-null-extended ones
     }

@@ -189,23 +189,16 @@ class IntervalJoinSpec extends SparkTestBase with Matchers {
   }
 
   it("reports a numOutputRows metric in both regimes") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.metric.SQLMetric
-    // unwrap AQE's stage wrappers — the exec sits inside query stages that
-    // plain TreeNode.collect does not descend into
-    def findMetrics(p: SparkPlan): Option[Map[String, SQLMetric]] = p match {
-      case a: AdaptiveSparkPlanExec => findMetrics(a.executedPlan)
-      case q: QueryStageExec => findMetrics(q.plan)
-      case e: IntervalJoinExec => Some(e.metrics)
-      case e: BroadcastIntervalJoinExec => Some(e.metrics)
-      case other => other.children.view.flatMap(findMetrics(_)).headOption
-    }
     for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
       val df = IntervalJoin.intervalJoin(points, intervals,
         Seq("k"), Seq("i_key"), "t", "i_start", "i_end", hint)
       df.collect()
-      val metrics = findMetrics(df.queryExecution.executedPlan).get
+      // PlanWalk unwraps AQE's stage wrappers, which plain TreeNode
+      // traversal does not descend into
+      val metrics = PlanWalk.unwrap(df.queryExecution.executedPlan).collectFirst {
+        case e: IntervalJoinExec => e.metrics
+        case e: BroadcastIntervalJoinExec => e.metrics
+      }.get
       metrics("numOutputRows").value shouldBe 6L // the containment pairs
     }
   }
