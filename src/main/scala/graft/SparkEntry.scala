@@ -1745,6 +1745,28 @@ object SparkEntry {
         .orderBy(col("event_id"), col("click_ts"))
     }),
 
+    // the SALTED hot-key path of the native interval join
+    // (operators.Skew.saltedIntervalJoin) — q141's twin: same query as
+    // q125, routed through an 8-way content salt with the interval side
+    // replicated per salt; the oracle is the SAME plain interval join,
+    // pinning that the salt leaves the pair multiset untouched
+    "q142_salted_interval" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("purchase_value"))
+      val iv = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .distinct()
+        .withColumn("click_end", col("click_ts") + expr("INTERVAL 6 HOURS"))
+      Skew.saltedIntervalJoin(p, iv, Seq("user_id"), Seq("c_user"),
+          "ts", "click_ts", "click_end", saltBuckets = 8)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_value"), col("click_ts"))
+        .orderBy(col("event_id"), col("click_ts"))
+    }),
+
     // DSIR importance log-weights: hashed-unigram likelihood ratio of the
     // English (target) slice vs the raw corpus — resampling ∝ exp(weight)
     // tilts a crawl toward the target domain with no classifier training.
@@ -3044,6 +3066,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q125_native_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT DISTINCT user_id AS c_user, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_ts
+        |FROM p JOIN c ON p.user_id = c.c_user
+        |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
+        |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    // the salted path must be result-identical to the plain interval
+    // join: the oracle IS q125's plain containment join (no salt in it)
+    "q142_salted_interval" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
         |  FROM events WHERE event_type = 'purchase'
