@@ -1745,6 +1745,25 @@ object SparkEntry {
         .orderBy(col("event_id"), col("click_ts"))
     }),
 
+    // late-interaction retrieval (ColBERT-style MaxSim with one query
+    // vector): docs are CHUNK SETS (4 consecutive embeddings each);
+    // score(query, doc) = max cosine over the doc's chunks, so one strong
+    // passage retrieves a long document pooled embeddings would dilute.
+    // Queries broadcast; the shuffle carries |queries| x |docs| maxes,
+    // never per-chunk rows; top-k per query is the k-bounded graft_topk
+    // aggregate (operators.Similarity.lateInteractionTopK)
+    "q143_late_interaction" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val chunks = emb.select((col("vec_id") / 4).cast("long").as("doc_id"),
+        col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Similarity.lateInteractionTopK(chunks, "doc_id", "embedding",
+          queries, "query_id", "q_vec", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the SALTED hot-key path of the native interval join
     // (operators.Skew.saltedIntervalJoin) — q141's twin: same query as
     // q125, routed through an 8-way content salt with the interval side
@@ -3077,6 +3096,29 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.c_user
         |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    // full replay: per-chunk cosines -> per-(query, doc) max -> ranked
+    // top-5 with the same (score desc, doc_id asc) tie order
+    "q143_late_interaction" ->
+      """WITH c AS (
+        |  SELECT vec_id // 4 AS doc_id, CAST(embedding AS DOUBLE[]) AS c_vec
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, doc_id,
+        |    max(round(list_dot_product(c_vec, q_vec)
+        |      / (sqrt(list_dot_product(c_vec, c_vec))
+        |         * sqrt(list_dot_product(q_vec, q_vec))), 6)) AS score
+        |  FROM q, c GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+        |  doc_id, score
+        |FROM s QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // the salted path must be result-identical to the plain interval
     // join: the oracle IS q125's plain containment join (no salt in it)

@@ -66,6 +66,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Late-interaction (chunk-granularity) retrieval: each document is
+    * represented by MANY chunk vectors, and a query's score for a document
+    * is the MAX cosine over that document's chunks — the
+    * single-query-vector MaxSim of ColBERT-style late interaction. One
+    * strongly-matching passage retrieves a long document that a pooled
+    * whole-document embedding would dilute toward its average topic.
+    *
+    * Scale shape: queries broadcast (dimension-sized), per-chunk cosines
+    * are one codegen'd map over the streaming chunk table, the
+    * (query, doc) max is a map-combined aggregate (shuffle rows =
+    * |queries| × |docs|, never |queries| × |chunks|), and the final
+    * per-query top-k rides the k-bounded `graft_topk` aggregate — no
+    * window over an unbounded partition, nothing driver-side. Rounding
+    * before the max is safe (round is monotone, so max∘round = round∘max)
+    * and makes ranks engine-stable with the id tie-break. */
+  def lateInteractionTopK(
+      chunks: DataFrame,
+      docIdCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = chunks.sparkSession
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv")))
+    val perDoc = chunks
+      .select(col(docIdCol).as("__doc"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("__qid"), col("__doc"),
+        nativeCosine(spark, col("__cv"), col("__qv")).as("__cos"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(max(col("__cos")).as("__score"))
+    graft.operators.Ranking
+      .topKPerKey(perDoc, Seq(col("__qid")), col("__score"), col("__doc"), k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("id").as("doc_id"), col("score"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector, the top-k most-similar corpus vectors whose label
     * DIFFERS from the query's — the highest-loss negatives a trainer wants

@@ -361,4 +361,48 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       pairs.exists(p => p._2 == 3L || p._1 == 3L) shouldBe false
     }
   }
+
+  describe("late-interaction retrieval") {
+    it("one strong chunk outranks uniformly mediocre chunks") {
+      // doc 1: three off-topic chunks + ONE exact match for the query;
+      // doc 2: four somewhat-related chunks. Pooled embeddings would favor
+      // doc 2; MaxSim must rank doc 1 first with score 1.0
+      val query = Array(1.0, 0.0, 0.0, 0.0)
+      val chunks = Seq(
+        (1L, Array(0.0, 1.0, 0.0, 0.0)), (1L, Array(0.0, 0.0, 1.0, 0.0)),
+        (1L, Array(0.0, 0.0, 0.0, 1.0)), (1L, query),
+        (2L, Array(0.6, 0.8, 0.0, 0.0)), (2L, Array(0.6, 0.0, 0.8, 0.0)),
+        (2L, Array(0.6, 0.0, 0.0, 0.8)), (2L, Array(0.6, 0.8, 0.0, 0.0)),
+        (3L, Array(0.0, 0.0, 0.7, 0.7))).toDF("doc_id", "embedding")
+      val queries = Seq((100L, query)).toDF("query_id", "q_vec")
+      val out = Similarity.lateInteractionTopK(chunks, "doc_id", "embedding",
+          queries, "query_id", "q_vec", k = 2)
+        .select($"query_id", $"rank", $"doc_id", $"score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+      out.map(r => (r._3, r._4)) shouldBe Array((1L, 1.0), (2L, 0.6))
+      // the per-doc max collapses before any ranking: the topk aggregate
+      // sees |queries| x |docs| rows, and no row_number window appears
+      val plan = Similarity.lateInteractionTopK(chunks, "doc_id", "embedding",
+          queries, "query_id", "q_vec", k = 2)
+        .queryExecution.executedPlan.toString
+      plan should include("graft_topk")
+      (plan should not).include("row_number")
+    }
+
+    it("is invariant to chunk order and partitioning") {
+      val rnd = new scala.util.Random(7)
+      val chunks = (1 to 40).map(i =>
+        ((i % 8).toLong, Array.fill(8)(rnd.nextDouble() - 0.5)))
+      val queries = chunks.take(2).zipWithIndex
+        .map { case ((_, v), qi) => (qi.toLong + 500L, v) }
+      def run(c: Seq[(Long, Array[Double])], parts: Int) =
+        Similarity.lateInteractionTopK(
+            c.toDF("doc_id", "embedding").repartition(parts),
+            "doc_id", "embedding",
+            queries.toDF("query_id", "q_vec"), "query_id", "q_vec", k = 3)
+          .select($"query_id", $"rank", $"doc_id", $"score")
+          .as[(Long, Long, Long, Double)].collect().sorted
+      run(chunks, 1) shouldBe run(rnd.shuffle(chunks), 7)
+    }
+  }
 }
