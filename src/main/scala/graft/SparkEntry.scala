@@ -1745,6 +1745,26 @@ object SparkEntry {
         .orderBy(col("event_id"), col("click_ts"))
     }),
 
+    // hybrid retrieval: BM25 lexical top-20 and exact-cosine vector top-20
+    // fused by reciprocal-rank fusion (operators.Ranking.rrfFuse) — the
+    // combiner every hybrid search stack runs. Both lists are k-bounded
+    // retrieval outputs, the fusion sums INTEGER micro-units (no float
+    // accumulation order), docs and embeddings align 1:1 by id
+    "q144_hybrid_rrf" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity}
+      val bm = Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "join"))
+      val lexical = Ranking.topKPerKey(bm, Seq(lit(1).as("__g")),
+          col("bm25"), col("doc_id"), k = 20)
+        .select(col("id").as("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vector = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Ranking.rrfFuse(Seq(lexical, vector), "doc_id", "rank", topK = 10)
+        .orderBy(col("rank"))
+    }),
+
     // late-interaction retrieval (ColBERT-style MaxSim with one query
     // vector): docs are CHUNK SETS (4 consecutive embeddings each);
     // score(query, doc) = max cosine over the doc's chunks, so one strong
@@ -3096,6 +3116,64 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.c_user
         |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    // full replay: q43's BM25 ranked top-20, q20-style cosine top-20 for
+    // query 0, RRF-fused in integer micro-units with the same tie orders
+    "q144_hybrid_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), s AS (
+        |  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+        |  FROM d
+        |), bmscore AS (
+        |  SELECT doc_id,
+        |    round(
+        |      round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1), 6) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n))))
+        |    + round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1), 6) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n))))
+        |    + round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1), 6) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / (CAST(total AS DOUBLE) / n)))), 4) AS bm25
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |      CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,
+        |      CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |    FROM d), s
+        |), lex AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+        |  FROM bmscore QUALIFY rnk <= 20
+        |), qv AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id = 0
+        |), vec AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+        |  FROM (
+        |    SELECT vec_id AS doc_id,
+        |      round(list_dot_product(CAST(embedding AS DOUBLE[]), q_vec)
+        |        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[])))
+        |           * sqrt(list_dot_product(q_vec, q_vec))), 6) AS cos
+        |    FROM embeddings, qv WHERE vec_id <> 0)
+        |  QUALIFY rnk <= 20
+        |), u AS (
+        |  SELECT doc_id, CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS units FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS units FROM vec
+        |), f AS (
+        |  SELECT doc_id, CAST(sum(units) AS BIGINT) AS rrf_units,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id ASC) AS BIGINT) AS rank,
+        |  doc_id, rrf_units, n_lists
+        |FROM f QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     // full replay: per-chunk cosines -> per-(query, doc) max -> ranked
     // top-5 with the same (score desc, doc_id asc) tie order

@@ -364,4 +364,35 @@ object Ranking {
         (col("__pos") + 1L).cast("long").as("rank") :+
         col("__row.score").as("score") :+ col("__row.id").as("id"): _*)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) — THE standard
+    * hybrid-retrieval combiner: fuse N ranked lists (lexical BM25, vector
+    * ANN, ...) by `score(d) = Σ_lists 1/(k0 + rank_list(d))`; a document
+    * absent from a list contributes nothing from it. Rank-based, so the
+    * lists' score scales never need calibrating against each other.
+    *
+    * Exactness: each reciprocal is fixed once as an INTEGER micro-unit
+    * (`round(1e9 / (k0 + rank))`) and the fusion sums longs — no float
+    * accumulation order anywhere, so the fused score is bit-identical
+    * across engines and partitionings (`rrf_units`; divide by 1e9 for the
+    * textbook value). Input lists are top-bounded retrieval outputs, so
+    * the union is tiny and the final single-partition ranking window is
+    * over at most Σ|list| rows — never corpus-sized. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tagged = lists.map(_.select(col(idCol).cast("long").as("doc_id"),
+      round(lit(1e9) / (lit(k0) + col(rankCol).cast("long"))).cast("long")
+        .as("__units")))
+    val w = Window.orderBy(col("rrf_units").desc, col("doc_id").asc)
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__units")).as("rrf_units"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("rrf_units"), col("n_lists"))
+  }
 }

@@ -271,4 +271,34 @@ class RankingSpec extends SparkTestBase with Matchers {
       out(1L)._3 shouldBe 1.0
     }
   }
+
+  describe("reciprocal-rank fusion") {
+    it("fuses ranked lists with exact integer micro-units") {
+      // doc 10 ranks 1st lexically and 3rd in vectors; doc 20 ranks 1st in
+      // vectors only; doc 30 appears in both mid-list
+      val lexical = Seq((10L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+      val vector = Seq((20L, 1L), (30L, 2L), (10L, 3L)).toDF("doc_id", "rank")
+      val out = Ranking.rrfFuse(Seq(lexical, vector), "doc_id", "rank", topK = 4)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      def u(r: Long) = math.round(1e9 / (60 + r))
+      // exact unit sums: both-list docs beat single-list docs, and
+      // {1st, 3rd} (32266459) edges out {2nd, 2nd} (32258064)
+      out.map(r => (r._2, r._3, r._4)) shouldBe Array(
+        (10L, u(1) + u(3), 2L),
+        (30L, u(2) + u(2), 2L),
+        (20L, u(1), 1L),
+        (40L, u(3), 1L))
+      out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L) // ranks dense from 1
+    }
+
+    it("breaks unit ties by doc id and respects topK") {
+      val a = Seq((5L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+      val b = Seq((3L, 1L), (5L, 2L)).toDF("doc_id", "rank")
+      // both docs share the same unit sum u(1)+u(2): rank order = id asc
+      val out = Ranking.rrfFuse(Seq(a, b), "doc_id", "rank", topK = 1)
+        .as[(Long, Long, Long, Long)].collect()
+      out.length shouldBe 1
+      out.head._2 shouldBe 3L
+    }
+  }
 }
