@@ -633,6 +633,20 @@ object ScaleProbe {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
     }
 
+    // late-interaction retrieval at 2M chunks / 500k pseudo-docs / 100
+    // queries: per-chunk cosines map-side, the (query, doc) max collapses
+    // before the shuffle — the exchange carries |q| x |docs| rows, never
+    // the 200M per-chunk scores
+    time("late-interaction maxsim (2M chunks, 100 q)") {
+      Similarity.lateInteractionTopK(
+        embWide.select((col("vec_id") / 4).cast("long").as("doc_id"),
+          col("embedding")),
+        "doc_id", "embedding",
+        emb.where(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+        "query_id", "q_vec", k = 10)
+    }
+
     // the q140 composed curation chain at 10x: filter -> decontaminate ->
     // exact dedup -> per-language cap -> pack. Stage costs are the
     // individually-probed shapes; this measures their composition
