@@ -1745,6 +1745,30 @@ object SparkEntry {
         .orderBy(col("event_id"), col("click_ts"))
     }),
 
+    // retrieval evaluation: nDCG@10 of the exact-cosine system against
+    // deterministic synthetic judgments (rel keyed on id arithmetic so
+    // DuckDB recomputes them) — graded-relevance twin of the q117 MRR
+    // gate. DCG/IDCG are exact long sums of integer discount units
+    // (operators.Ranking.ndcgAtK): no float accumulation order anywhere
+    "q145_ndcg" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity}
+      val emb = t(s, dir, "embeddings")
+      val results = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = emb.select(col("vec_id").as("doc_id"))
+        .crossJoin(broadcast(
+          emb.where(col("vec_id") < 5).select(col("vec_id").as("query_id"))))
+        .select(col("query_id"), col("doc_id"),
+          when((col("doc_id") + col("query_id")) % 7 === 0, lit(3L))
+            .when((col("doc_id") + col("query_id")) % 7 === 1, lit(1L))
+            .otherwise(lit(0L)).as("rel"))
+      Ranking.ndcgAtK(results, qrels, k = 10)
+        .select(col("query_id"), col("dcg_units"), col("idcg_units"),
+          coalesce(col("ndcg"), lit(-1.0)).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
     // hybrid retrieval: BM25 lexical top-20 and exact-cosine vector top-20
     // fused by reciprocal-rank fusion (operators.Ranking.rrfFuse) — the
     // combiner every hybrid search stack runs. Both lists are k-bounded
@@ -3116,6 +3140,64 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.c_user
         |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    // full replay: cosine top-10 ranks, id-arithmetic judgments, and the
+    // SAME hardcoded integer discount units (1e9/log2(rank+1), fixed on
+    // the driver in Ranking.ndcgAtK so neither engine's libm is in play)
+    "q145_ndcg" ->
+      """WITH disc AS (
+        |  SELECT rnk, CAST(units AS BIGINT) AS units FROM (VALUES
+        |    (1, 1000000000), (2, 630929754), (3, 500000000), (4, 430676558),
+        |    (5, 386852807), (6, 356207187), (7, 333333333), (8, 315464877),
+        |    (9, 301029996), (10, 289064826)) AS t(rnk, units)
+        |), q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q_vec)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_vec, q_vec))), 6) AS cos
+        |  FROM embeddings, q WHERE vec_id <> query_id
+        |), res AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id ASC) AS rnk
+        |  FROM s QUALIFY rnk <= 10
+        |), qrels AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    CASE (e.vec_id + q.query_id) % 7 WHEN 0 THEN 3 WHEN 1 THEN 1
+        |      ELSE 0 END AS rel
+        |  FROM embeddings e, q
+        |), dcg AS (
+        |  SELECT r.query_id,
+        |    CAST(sum((CASE coalesce(j.rel, 0) WHEN 3 THEN 7 WHEN 1 THEN 1
+        |      ELSE 0 END) * d.units) AS BIGINT) AS dcg_units
+        |  FROM res r
+        |  JOIN disc d ON d.rnk = r.rnk
+        |  LEFT JOIN qrels j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+        |  GROUP BY r.query_id
+        |), ideal AS (
+        |  SELECT query_id, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id ASC) AS ir
+        |  FROM qrels WHERE rel > 0 QUALIFY ir <= 10
+        |), idcg AS (
+        |  SELECT i.query_id,
+        |    CAST(sum((CASE i.rel WHEN 3 THEN 7 WHEN 1 THEN 1 ELSE 0 END)
+        |      * d.units) AS BIGINT) AS idcg_units
+        |  FROM ideal i JOIN disc d ON d.rnk = i.ir
+        |  GROUP BY i.query_id
+        |)
+        |SELECT dcg.query_id, dcg.dcg_units,
+        |  coalesce(idcg.idcg_units, 0) AS idcg_units,
+        |  CASE WHEN coalesce(idcg.idcg_units, 0) > 0
+        |    THEN round(CAST(dcg.dcg_units AS DOUBLE)
+        |      / CAST(idcg.idcg_units AS DOUBLE), 6)
+        |    ELSE -1.0 END AS ndcg
+        |FROM dcg LEFT JOIN idcg ON idcg.query_id = dcg.query_id
+        |ORDER BY dcg.query_id""".stripMargin,
 
     // full replay: q43's BM25 ranked top-20, q20-style cosine top-20 for
     // query 0, RRF-fused in integer micro-units with the same tie orders

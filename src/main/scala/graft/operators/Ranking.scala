@@ -365,6 +365,61 @@ object Ranking {
         col("__row.score").as("score") :+ col("__row.id").as("id"): _*)
   }
 
+  /** nDCG@k — the graded-relevance retrieval-quality metric (complement
+    * of the MRR gate): per query,
+    * `DCG = Σ_ranks (2^rel − 1) / log2(rank + 1)` over the system's top-k,
+    * normalized by the ideal DCG of the query's judgments.
+    *
+    * Exactness: the rank discounts `1/log2(rank+1)` are fixed ONCE as
+    * integer micro-units (`round(1e9/log2(r+1))`, a k-element literal) and
+    * gains are exact integers (`2^rel − 1`), so DCG/IDCG are exact long
+    * sums — no libm call and no float accumulation order in either
+    * engine, the same trick as [[rrfFuse]]. Scale shape: one broadcast of
+    * the k discounts, one (query, doc) equi-join of results to judgments,
+    * two map-combined aggregates keyed on query_id.
+    *
+    * `results`: (queryIdCol, docIdCol, rankCol), ranks 1-based — rows past
+    * `k` are ignored. `qrels`: (queryIdCol, docIdCol, relCol) integer
+    * grades; absent pairs count as rel 0. A query whose judgments hold no
+    * positive grade has IDCG 0 and reports ndcg null. */
+  def ndcgAtK(results: DataFrame, qrels: DataFrame, k: Int,
+      queryIdCol: String = "query_id", docIdCol: String = "doc_id",
+      rankCol: String = "rank", relCol: String = "rel",
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 1e9/log2(r+1) for r = 1..k, fixed on the driver so neither engine's
+    // runtime log enters the data path (libm implementations differ by
+    // ulps, which an in-data round() could amplify across engines)
+    val discounts = (1 to k).map(r =>
+      math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+    val disc = element_at(
+      typedLit(discounts), col(rankCol).cast("int"))
+    val gain = (pow(lit(2.0), col(relCol).cast("double")) - 1.0).cast("long")
+    val dcg = results
+      .where(col(rankCol).between(1, k))
+      .join(qrels.select(col(queryIdCol), col(docIdCol), col(relCol)),
+        Seq(queryIdCol, docIdCol), "left")
+      .groupBy(col(queryIdCol))
+      .agg(sum(coalesce(gain, lit(0L)) * disc).as("dcg_units"))
+    val idealRank = row_number().over(
+      Window.partitionBy(col(queryIdCol))
+        .orderBy(col(relCol).desc, col(docIdCol).asc))
+    val idcg = qrels
+      .where(col(relCol) > 0)
+      .withColumn("__ir", idealRank)
+      .where(col("__ir") <= k)
+      .groupBy(col(queryIdCol))
+      .agg(sum(gain * element_at(typedLit(discounts), col("__ir")))
+        .as("idcg_units"))
+    dcg.join(idcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        col("dcg_units"),
+        coalesce(col("idcg_units"), lit(0L)).as("idcg_units"),
+        when(col("idcg_units") > 0,
+          round(col("dcg_units").cast("double")
+            / col("idcg_units").cast("double"), scale)).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) — THE standard
     * hybrid-retrieval combiner: fuse N ranked lists (lexical BM25, vector
     * ANN, ...) by `score(d) = Σ_lists 1/(k0 + rank_list(d))`; a document

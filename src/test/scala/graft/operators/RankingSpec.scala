@@ -291,6 +291,35 @@ class RankingSpec extends SparkTestBase with Matchers {
       out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L) // ranks dense from 1
     }
 
+    it("nDCG@k is 1.0 for the ideal ranking, lower when graded docs sink") {
+      // query 1: docs 100 (rel 3), 200 (rel 1), 300 (rel 0 / unjudged)
+      val qrels = Seq((1L, 100L, 3L), (1L, 200L, 1L), (2L, 500L, 0L))
+        .toDF("query_id", "doc_id", "rel")
+      val ideal = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 300L, 3L))
+        .toDF("query_id", "doc_id", "rank")
+      val idealOut = Ranking.ndcgAtK(ideal, qrels, k = 3)
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      idealOut._4 shouldBe Some(1.0)
+      idealOut._2 shouldBe idealOut._3 // DCG == IDCG, exact units
+      // the reversed ranking discounts the rel-3 doc at rank 3
+      val reversed = Seq((1L, 300L, 1L), (1L, 200L, 2L), (1L, 100L, 3L))
+        .toDF("query_id", "doc_id", "rank")
+      val revOut = Ranking.ndcgAtK(reversed, qrels, k = 3)
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      revOut._4.get should be < 1.0
+      revOut._4.get should be > 0.0
+      // exact unit arithmetic: DCG = 1*630929754 + 7*500000000,
+      // IDCG = 7*1000000000 + 1*630929754
+      revOut._2 shouldBe (630929754L + 7L * 500000000L)
+      revOut._3 shouldBe (7L * 1000000000L + 630929754L)
+      // a query with no positive judgments reports null ndcg
+      val q2 = Seq((2L, 500L, 1L)).toDF("query_id", "doc_id", "rank")
+      val q2Out = Ranking.ndcgAtK(q2, qrels, k = 3)
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      q2Out._3 shouldBe 0L
+      q2Out._4 shouldBe None
+    }
+
     it("breaks unit ties by doc id and respects topK") {
       val a = Seq((5L, 1L), (3L, 2L)).toDF("doc_id", "rank")
       val b = Seq((3L, 1L), (5L, 2L)).toDF("doc_id", "rank")
