@@ -1769,6 +1769,30 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // binary-relevance twin of q145: precision/recall@10 of the same
+    // system against the same judgments (rel > 0 = relevant) — pure
+    // integer counting, ratios rounded once
+    // (operators.Ranking.precisionRecallAtK)
+    "q146_precision_recall" -> ((s, dir) => {
+      import graft.operators.{Ranking, Similarity}
+      val emb = t(s, dir, "embeddings")
+      val results = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = emb.select(col("vec_id").as("doc_id"))
+        .crossJoin(broadcast(
+          emb.where(col("vec_id") < 5).select(col("vec_id").as("query_id"))))
+        .select(col("query_id"), col("doc_id"),
+          when((col("doc_id") + col("query_id")) % 7 === 0, lit(3L))
+            .when((col("doc_id") + col("query_id")) % 7 === 1, lit(1L))
+            .otherwise(lit(0L)).as("rel"))
+      Ranking.precisionRecallAtK(results, qrels, k = 10)
+        .select(col("query_id"), col("n_hits"), col("n_relevant"),
+          col("precision_at_k"),
+          coalesce(col("recall_at_k"), lit(-1.0)).as("recall_at_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // hybrid retrieval: BM25 lexical top-20 and exact-cosine vector top-20
     // fused by reciprocal-rank fusion (operators.Ranking.rrfFuse) — the
     // combiner every hybrid search stack runs. Both lists are k-bounded
@@ -3140,6 +3164,48 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.c_user
         |  AND p.ts >= c.click_ts AND p.ts < c.click_ts + INTERVAL 6 HOUR
         |ORDER BY p.event_id, c.click_ts""".stripMargin,
+
+    // same cosine ranks and judgments as q145; hits/relevant counted as
+    // integers, the two ratios rounded once
+    "q146_precision_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q_vec)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_vec, q_vec))), 6) AS cos
+        |  FROM embeddings, q WHERE vec_id <> query_id
+        |), res AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id ASC) AS rnk
+        |  FROM s QUALIFY rnk <= 10
+        |), rel AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id
+        |  FROM embeddings e, q
+        |  WHERE (e.vec_id + q.query_id) % 7 IN (0, 1)
+        |), h AS (
+        |  SELECT r.query_id, count(*) AS n_hits
+        |  FROM res r JOIN rel j
+        |    ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+        |  GROUP BY r.query_id
+        |), t AS (
+        |  SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id
+        |)
+        |SELECT q.query_id,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(t.n_relevant, 0) AS n_relevant,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10, 6) AS precision_at_k,
+        |  CASE WHEN coalesce(t.n_relevant, 0) > 0
+        |    THEN round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_relevant, 6)
+        |    ELSE -1.0 END AS recall_at_k
+        |FROM q
+        |LEFT JOIN h ON h.query_id = q.query_id
+        |LEFT JOIN t ON t.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
 
     // full replay: cosine top-10 ranks, id-arithmetic judgments, and the
     // SAME hardcoded integer discount units (1e9/log2(rank+1), fixed on

@@ -420,6 +420,40 @@ object Ranking {
             / col("idcg_units").cast("double"), scale)).as("ndcg"))
   }
 
+  /** Precision/recall@k — the binary-relevance complement of [[ndcgAtK]]
+    * (a judgment counts as relevant when its grade is positive). Pure
+    * integer counting — hits, k, and the query's relevant total — with
+    * the two ratios rounded once at the end, so results are deterministic
+    * across engines and partitionings by construction. One equi-join of
+    * the rank-bounded results to the positive judgments, two
+    * map-combined aggregates keyed on query_id. */
+  def precisionRecallAtK(results: DataFrame, qrels: DataFrame, k: Int,
+      queryIdCol: String = "query_id", docIdCol: String = "doc_id",
+      rankCol: String = "rank", relCol: String = "rel",
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.where(col(relCol) > 0)
+      .select(col(queryIdCol), col(docIdCol))
+    val totals = rel.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = results
+      .where(col(rankCol).between(1, k))
+      .join(rel, Seq(queryIdCol, docIdCol), "left_semi")
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_hits"))
+    results.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left")
+      .join(totals, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, scale)
+          .as("precision_at_k"),
+        when(col("n_relevant") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_relevant"), scale)).as("recall_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) — THE standard
     * hybrid-retrieval combiner: fuse N ranked lists (lexical BM25, vector
     * ANN, ...) by `score(d) = Σ_lists 1/(k0 + rank_list(d))`; a document

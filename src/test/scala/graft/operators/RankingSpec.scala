@@ -320,6 +320,22 @@ class RankingSpec extends SparkTestBase with Matchers {
       q2Out._4 shouldBe None
     }
 
+    it("precision/recall@k count hits exactly; zero-judgment queries report null recall") {
+      val qrels = Seq((1L, 100L, 3L), (1L, 200L, 1L), (1L, 300L, 0L),
+        (2L, 900L, 2L)).toDF("query_id", "doc_id", "rel")
+      // query 1 retrieves one relevant (100), one rel-0 (300), one unjudged
+      // (999) in its top-3; query 3 has NO judgments at all
+      val results = Seq(
+        (1L, 100L, 1L), (1L, 300L, 2L), (1L, 999L, 3L), (1L, 200L, 4L),
+        (3L, 100L, 1L)).toDF("query_id", "doc_id", "rank")
+      val out = Ranking.precisionRecallAtK(results, qrels, k = 3)
+        .as[(Long, Long, Long, Double, Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+      // rank 4 (doc 200, relevant) falls outside k=3
+      out(1L) shouldBe ((1L, 1L, 2L, 0.333333, Some(0.5)))
+      out(3L) shouldBe ((3L, 0L, 0L, 0.0, None))
+    }
+
     it("breaks unit ties by doc id and respects topK") {
       val a = Seq((5L, 1L), (3L, 2L)).toDF("doc_id", "rank")
       val b = Seq((3L, 1L), (5L, 2L)).toDF("doc_id", "rank")
