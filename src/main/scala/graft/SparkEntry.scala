@@ -5518,10 +5518,13 @@ object SparkEntry {
         |), v AS (
         |  SELECT CAST(count(DISTINCT tk) AS DOUBLE) AS vs
         |  FROM (SELECT unnest(t) AS tk FROM tok)
+        |), prof AS (
+        |  SELECT doc_id, a, b, count(*) AS cnt FROM b2 GROUP BY doc_id, a, b
         |), s AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    round(avg(-ln((c_ab + 1.0) / (c_a + 1.0 * vs))), 4) AS avg_surprisal
-        |  FROM b2 JOIN lm USING (a, b) JOIN ctx USING (a), v GROUP BY doc_id
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    round(sum(cnt * -ln((c_ab + 1.0) / (c_a + 1.0 * vs)))
+        |      / sum(cnt), 4) AS avg_surprisal
+        |  FROM prof JOIN lm USING (a, b) JOIN ctx USING (a), v GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  coalesce(s.avg_surprisal, -1.0) AS avg_surprisal

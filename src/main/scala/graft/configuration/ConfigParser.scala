@@ -72,8 +72,14 @@ object ConfigParser {
         try Class.forName(name + "$").getField("MODULE$").get(null)
           .asInstanceOf[PropertyProviderBuilder]
         catch {
-          case e: ClassNotFoundException => throw new ConfigException(
+          // ReflectiveOperationException covers ClassNotFound AND the
+          // NoSuchField a plain class (no MODULE$) raises; a failing object
+          // initializer surfaces as ExceptionInInitializerError — all should
+          // read as the same friendly misconfiguration, not a bare throw
+          case e: ReflectiveOperationException => throw new ConfigException(
             s"Property provider builder object [$name] not found: $e")
+          case e: ExceptionInInitializerError => throw new ConfigException(
+            s"Property provider builder object [$name] failed to initialise: $e")
           case e: ClassCastException => throw new ConfigException(
             s"[$name] is not a PropertyProviderBuilder: $e")
         }

@@ -41,6 +41,10 @@ object Bpe {
     * that won its iteration. */
   final case class Merge(left: String, right: String, count: Long)
 
+  /** Rounds between lineage truncations in [[learnBpe]] — see the
+    * localCheckpoint note there. */
+  private val LineageCutEvery = 6
+
   /** Words = lowercase letter runs — deliberately RE2-safe and trivially
     * reproducible in any engine ('[a-z]+' over lower(text)). */
   private val WordPattern = "[a-z]+"
@@ -87,9 +91,29 @@ object Bpe {
     * table, which makes corpus application a plain equi-join (see
     * [[tokenizeWithVocab]]). The returned frame is left persisted because
     * callers immediately consume it; release with `.unpersist()` when done.
-    */
-  def learnBpe(docs: DataFrame, text: Column, numMerges: Int): (Seq[Merge], DataFrame) = {
-    // One Spark job per iteration: the argmax scan over pairCounts(vocab) is
+    *
+    * `maxBatch` > 1 learns up to that many merges per Spark round while
+    * staying EXACTLY sequential-equivalent: candidates are taken in the
+    * global (count DESC, left, right) order, the batch is the maximal
+    * CONSECUTIVE prefix whose {left, right, merged} symbol sets are
+    * pairwise disjoint (disjoint merges can't change each other's counts,
+    * and prefix-consecutiveness means every pair ranked above an accepted
+    * merge was itself accepted — so each stays the true argmax at its
+    * sequential step), and the batch is then truncated to merges whose
+    * count strictly exceeds the first unaccepted candidate's count — a
+    * pair newly CREATED by an earlier batch member (x + merged) is bounded
+    * by the count of an old pair overlapping that member, which ranks at
+    * or below the stop candidate, so nothing new can out-rank (or tie)
+    * what we kept. The head always survives (it is the global argmax
+    * unconditionally), so every round makes progress and the worst
+    * adversarial input degrades to one-merge rounds, never to divergence.
+    * Learning a 32k vocab thus runs ~32k/maxBatch Spark rounds instead of
+    * one per merge — the difference between a production tokenizer train
+    * and 32k driver round-trips. */
+  def learnBpe(docs: DataFrame, text: Column, numMerges: Int,
+      maxBatch: Int = 16): (Seq[Merge], DataFrame) = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    // One Spark job per ROUND: the candidate scan over pairCounts(vocab) is
     // also what materialises vocab's cache (persist is lazy), so no explicit
     // count() pass is needed. The PREVIOUS frame stays persisted until the
     // job that reads it has run — unpersisting earlier would force the new
@@ -101,23 +125,67 @@ object Bpe {
       .persist()
     var prev: DataFrame = null
     val merges = Seq.newBuilder[Merge]
-    var it = 0
+    var learned = 0
     var exhausted = false
-    while (it < numMerges && !exhausted) {
-      val best = pairCounts(vocab)
+    var roundsSinceCut = 0
+    while (learned < numMerges && !exhausted) {
+      val want = math.min(maxBatch, numMerges - learned)
+      // 4x headroom past conflicts, +1 so the stop candidate's count (the
+      // safety threshold below) is visible even when the prefix fills
+      val candK = want * 4 + 1
+      val cand = pairCounts(vocab)
         .orderBy(desc("pcnt"), asc("s1"), asc("s2"))
-        .limit(1)
+        .limit(candK)
         .collect()
       if (prev != null) { prev.unpersist(); prev = null }
-      if (best.isEmpty) exhausted = true
+      if (cand.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(l, r, c)
-        val next = vocab.withColumn("syms", applyOne(col("syms"), l, r)).persist()
-        prev = vocab
-        vocab = next
+        val used = scala.collection.mutable.HashSet[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[Merge]()
+        var i = 0
+        var stopped = false
+        while (!stopped && i < cand.length && accepted.length < want) {
+          val (l, r, c) =
+            (cand(i).getString(0), cand(i).getString(1), cand(i).getLong(2))
+          val syms = Seq(l, r, l + r)
+          if (syms.forall(s => !used.contains(s))) {
+            accepted += Merge(l, r, c); used ++= syms; i += 1
+          } else stopped = true
+        }
+        // i < cand.length: stopped on a conflict or a full batch — its
+        // count bounds every pair an accepted merge can create. i ==
+        // cand.length only when limit(candK) wasn't binding (accepted <
+        // want < candK), i.e. the list IS the complete pair set: no
+        // overlapping pair exists at all, so no new pair can form.
+        val safe: Seq[Merge] =
+          if (i < cand.length) {
+            val tau = cand(i).getLong(2)
+            accepted.head +: accepted.tail.takeWhile(_.count > tau).toSeq
+          } else accepted.toSeq
+        merges ++= safe
+        learned += safe.length
+        val nextRaw = vocab.withColumn("syms",
+          safe.foldLeft(col("syms"))((s, m) => applyOne(s, m.left, m.right)))
+        if (roundsSinceCut >= LineageCutEvery) {
+          // truncate logical-plan + RDD lineage: an uncut chain of cached
+          // projections makes driver-side analysis/explain super-linear in
+          // the round count (a 32k-merge train would die on plan strings
+          // long before any executor works). localCheckpoint materialises
+          // the vocab-sized frame on the executors and replaces the plan
+          // with a flat LogicalRDD — iterative-algorithm hygiene, not an
+          // optimisation of the data path.
+          val flat = nextRaw.localCheckpoint(true)
+          if (prev != null) { prev.unpersist(); prev = null }
+          vocab.unpersist()
+          vocab = flat
+          roundsSinceCut = 0
+        } else {
+          val next = nextRaw.persist()
+          prev = vocab
+          vocab = next
+          roundsSinceCut += 1
+        }
       }
-      it += 1
     }
     // The final frame was persisted but never scanned; materialise it before
     // releasing its parent so callers read from cache, not a rebuilt fold.

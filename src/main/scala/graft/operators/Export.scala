@@ -36,28 +36,56 @@ object Export {
     * (shard, pos) address — shard = 60-bit content-hash bucket, pos =
     * hash-order rank WITHIN the shard. The "global random order" a
     * training run consumes is (shard, pos) lexicographic, but no global
-    * sort ever runs: shard assignment is map-side and each shard orders
-    * independently — one window partitioned by shard, max partition
-    * ~ corpus/nShards, so doubling the corpus at fixed shard size leaves
-    * per-task work constant. A different `epoch` salt re-permutes both
-    * shard membership and in-shard order, giving per-epoch reshuffles with
-    * zero extra machinery; epoch 0 of the same corpus is always
-    * byte-identical (resumable exports).
+    * sort ever runs — and no SHARD-sized sort either: the rank space is
+    * cut into `nBands` contiguous ranges (the top log2(nBands) bits of
+    * the 60-bit rank), per-(shard, band) counts cumulate on a tiny
+    * nShards x nBands frame, and each row's pos is its band's offset plus
+    * a within-(shard, band) row_number — the [[Sampling.budgetSelect]]
+    * two-level trick. Window parallelism is nShards x nBands tasks of
+    * ~corpus/(nShards x nBands) rows each, instead of nShards tasks
+    * owning ~corpus/nShards apiece (at 100 TB / 1024 shards a
+    * one-task-per-shard sort is ~100 GB — the classic funnel). Bands are
+    * contiguous in rank, so band-major-then-rank order IS rank order and
+    * pos is bit-identical to the single-window formulation.
     *
-    * Hash ties (distinct keys colliding on the 60-bit rank) break on the
-    * key's string form, so `pos` is total and engine-reproducible. */
+    * A different `epoch` salt re-permutes both shard membership and
+    * in-shard order, giving per-epoch reshuffles with zero extra
+    * machinery; epoch 0 of the same corpus is always byte-identical
+    * (resumable exports). Hash ties (distinct keys colliding on the
+    * 60-bit rank) break on the key's string form — same rank means same
+    * band, so the tie-break never crosses a window boundary and `pos` is
+    * total and engine-reproducible. */
   def shuffleShard(df: DataFrame, key: Column, nShards: Int, epoch: Int = 0,
-      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
+      shardCol: String = "shard", posCol: String = "pos",
+      nBands: Int = 64): DataFrame = {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
+    require(nBands > 0 && (nBands & (nBands - 1)) == 0,
+      s"nBands must be a power of two, got $nBands")
     require(!df.columns.contains(shardCol) && !df.columns.contains(posCol),
       s"input already carries '$shardCol' or '$posCol'")
     val salted = concat(key.cast("string"), lit(s"_epoch_$epoch"))
     val rank = Sampling.hashRank(salted)
     val shard = pmod(rank, lit(nShards.toLong))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shard).orderBy(rank.asc, key.cast("string").asc)
-    df.withColumn(shardCol, shard)
-      .withColumn(posCol, row_number().over(w).cast("long"))
+    // top bits of the 60-bit rank: bands are CONTIGUOUS rank ranges
+    val shiftBits = 60 - Integer.numberOfTrailingZeros(nBands)
+    val keyed = df.withColumn(shardCol, shard)
+      .withColumn("__graft_band", shiftright(rank, shiftBits))
+      .withColumn("__graft_rk", rank)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("__graft_band").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(shardCol), col("__graft_band"))
+      .agg(count(lit(1)).as("__graft_bc"))
+      .withColumn("__graft_off",
+        coalesce(sum(col("__graft_bc")).over(wOff), lit(0L)))
+      .select(col(shardCol), col("__graft_band"), col("__graft_off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol), col("__graft_band"))
+      .orderBy(col("__graft_rk").asc, key.cast("string").asc)
+    keyed.join(broadcast(offsets), Seq(shardCol, "__graft_band"))
+      .withColumn(posCol,
+        (col("__graft_off") + row_number().over(wIn)).cast("long"))
+      .drop("__graft_band", "__graft_rk", "__graft_off")
   }
 
   /** Per-shard manifest: row count plus an ORDER-INSENSITIVE content

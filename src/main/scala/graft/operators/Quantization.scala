@@ -337,15 +337,18 @@ object Quantization {
     // order-independent, so this is bit-identical to the former
     // posexplode + groupBy(dim) formulation without the dim× row
     // amplification; ragged shorter vectors contribute null (ignored) at
-    // the dims they lack, exactly as their exploded rows were absent
-    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
-    require(dim > 0, s"int8Quantize over empty/null '$vecCol' arrays")
+    // the dims they lack, exactly as their exploded rows were absent —
+    // try_element_at, because ANSI element_at past the array end THROWS
+    val dimRow = emb.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0) && dimRow.getInt(0) > 0,
+      s"int8Quantize over empty/null '$vecCol' arrays")
+    val dim = dimRow.getInt(0)
     val packed = emb.agg(
       array((0 until dim).map(i =>
-        min(element_at(col(vecCol), i + 1)).cast("double")): _*).as("__mins"),
+        min(try_element_at(col(vecCol), lit(i + 1))).cast("double")): _*).as("__mins"),
       array((0 until dim).map(i =>
-        max(element_at(col(vecCol), i + 1)).cast("double")): _*).as("__maxs"))
-    val v = (i: Column) => element_at(col(vecCol), i + 1).cast("double")
+        max(try_element_at(col(vecCol), lit(i + 1))).cast("double")): _*).as("__maxs"))
+    val v = (i: Column) => try_element_at(col(vecCol), i + 1).cast("double")
     val mn = (i: Column) => element_at(col("__mins"), i + 1)
     val mx = (i: Column) => element_at(col("__maxs"), i + 1)
     val codeAt = (i: Column) =>

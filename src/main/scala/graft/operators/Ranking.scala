@@ -169,30 +169,55 @@ object Ranking {
     * STARTING at `a` (so the smoothed distribution sums to 1 over the
     * vocabulary). Docs with < 2 tokens get n_bigrams=0 and a null score.
     *
-    * Scale shape: bigram and context counts reduce map-combined; scoring
-    * joins key on the bigram (LM-sized relations, not corpus-sized); V
-    * attaches as a broadcast 1-row scalar. Nothing corpus-sized reaches the
-    * driver. */
+    * Scale shape — the [[dsirLogWeights]] fused-profile pattern: ONE JVM
+    * pass builds each doc's bigram PROFILE ((a,b) -> count), so everything
+    * downstream handles <= distinct-bigrams-per-doc rows, never one row per
+    * token position. The LM and context counts are aggregates OF the
+    * profile stream (map-combined, and Catalyst reuses the profile's
+    * (a,b) exchange for both the aggregate and the scoring join); the
+    * context count attaches to the LM side first, so the corpus-profile
+    * stream joins exactly ONCE, on (a,b), against an LM-sized relation
+    * that never needs to broadcast; V attaches as a broadcast 1-row
+    * scalar. Nothing corpus-sized reaches the driver. (The former
+    * formulation joined the per-token-INSTANCE stream against the LM twice
+    * and forced the full distinct-bigram LM through a BroadcastExchange —
+    * at 100 TB the LM is billions of rows and the corpus token stream
+    * shuffled twice.) */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0, scale: Int = 4): DataFrame = {
     val arr = TextFunctions.tokens(lower(col(textCol)))
-    val bigs = docs.select(col(idCol).as("doc_id"),
-        explode(arrays_zip(
-          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("bg"))
-      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
-    val lm = bigs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    // \S+ runs == TextFunctions.tokens; the hash map keeps the pass fused
+    val profileUdf = udf { (txt: String) =>
+      val toks =
+        if (txt == null) Array.empty[String]
+        else txt.split("\\s+").filter(_.nonEmpty)
+      val m = new scala.collection.mutable.HashMap[(String, String), Int]()
+      var i = 0
+      while (i + 1 < toks.length) {
+        val key = (toks(i), toks(i + 1))
+        m.update(key, m.getOrElse(key, 0) + 1)
+        i += 1
+      }
+      m.iterator.map { case ((a, b), c) => (a, b, c) }.toSeq
+    }
+    val prof = docs.select(col(idCol).as("doc_id"),
+        explode(profileUdf(lower(col(textCol)))).as("p"))
+      .select(col("doc_id"), col("p._1").as("a"), col("p._2").as("b"),
+        col("p._3").cast("long").as("cnt"))
+    val lm = prof.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c_ab"))
     val ctx = lm.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     val vocab = docs.select(explode(arr).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("_graft_v"))
-    val scored = bigs
-      .join(lm, Seq("a", "b"))
-      .join(ctx, Seq("a"))
+    val lmCtx = lm.join(ctx, Seq("a")) // LM x token-vocab — never corpus rows
+    val scored = prof
+      .join(lmCtx, Seq("a", "b"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("c_ab") + lit(k)) /
-          (col("c_a") + lit(k) * col("_graft_v")))), scale).as("avg_surprisal"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt").cast("double") *
+            -log((col("c_ab") + lit(k)) /
+              (col("c_a") + lit(k) * col("_graft_v")))) /
+          sum(col("cnt")).cast("double"), scale).as("avg_surprisal"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
@@ -472,7 +497,10 @@ object Ranking {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k0 >= 0, s"k0 must be >= 0, got $k0")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val tagged = lists.map(_.select(col(idCol).cast("long").as("doc_id"),
+    // fuse on the RAW id column — no numeric cast, so string/UUID doc ids
+    // work (ANSI would throw on a non-numeric cast, and the algorithm only
+    // ever groups and orders by the id, never does arithmetic on it)
+    val tagged = lists.map(_.select(col(idCol).as("doc_id"),
       round(lit(1e9) / (lit(k0) + col(rankCol).cast("long"))).cast("long")
         .as("__units")))
     val w = Window.orderBy(col("rrf_units").desc, col("doc_id").asc)

@@ -341,9 +341,10 @@ object Similarity {
       val updated = assigned
         .where(col("cell").isNotNull) // null vectors contributed no rows before
         .groupBy(col("cell"))
-        .agg(avg(element_at(col(vecColName), 1)).as("m_0"),
+        // try_element_at: ANSI element_at past a ragged vector's end throws
+        .agg(avg(try_element_at(col(vecColName), lit(1))).as("m_0"),
           (1 until d).map(i =>
-            avg(element_at(col(vecColName), i + 1)).as(s"m_$i")): _*)
+            avg(try_element_at(col(vecColName), lit(i + 1))).as(s"m_$i")): _*)
         .collect()
       val byCell = updated.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { ci =>
@@ -508,11 +509,16 @@ object Similarity {
     * (label, pos, centroid) — the former per-element explode amplified
     * every vector into dim rows before aggregating. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String, scale: Int = 6): DataFrame = {
-    val dim = df.agg(max(size(col(vecCol)))).head().getInt(0)
-    require(dim > 0, s"centroids over empty/null '$vecCol' arrays")
+    // null-check the probe row BEFORE getInt: on empty/all-null input the
+    // max aggregate is null and a bare getInt would NPE past the message
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0) && dimRow.getInt(0) > 0,
+      s"centroids over empty/null '$vecCol' arrays")
+    val dim = dimRow.getInt(0)
     df.groupBy(col(labelCol).as("label"))
       .agg(array((0 until dim).map(i =>
-        round(avg(element_at(col(vecCol), i + 1).cast("double")), scale)): _*)
+        // try_element_at: ANSI element_at past a ragged vector's end throws
+        round(avg(try_element_at(col(vecCol), lit(i + 1)).cast("double")), scale)): _*)
         .as("__c"))
       .select(col("label"), posexplode(col("__c")).as(Seq("pos", "centroid")))
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))

@@ -205,19 +205,27 @@ class AuditTable(
 
   /** [[snapshot]] restricted to the given PK tuples, with region pruning
     * via the bloom sidecars. `keys(i)` pairs positionally with
-    * `info.primaryKeys`, and each value must match its column's TYPE
-    * (xxhash64 of a LongType column only matches a Long literal). One tiny
-    * local job hashes the probes; only surviving regions are scanned. */
+    * `info.primaryKeys`. Probe literals are CAST to the table schema's PK
+    * column types before hashing, because the sidecar hashed the parquet
+    * columns with THEIR types — an uncast Int probe against a bigint PK
+    * would still match the row filter (`<=>` coerces) but hash differently,
+    * silently pruning the region that holds the key. One tiny local job
+    * hashes the probes; only surviving regions are scanned. */
   def snapshotPoint(ts: Timestamp, keys: Seq[Seq[Any]]): Option[DataFrame] = {
     require(info.primaryKeys.nonEmpty,
       s"snapshotPoint needs primary keys on [$tableName]")
     require(keys.nonEmpty && keys.forall(_.size == info.primaryKeys.size),
       s"each key tuple must match the PK arity ${info.primaryKeys.size}")
-    val hashes = spark.range(1)
-      .select(keys.map(k => xxhash64(k.map(lit): _*)): _*)
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val regs = regionsForPointLookup(hashes)
-    readRegions(regs).map { df =>
+    readRegions(readableRegions).flatMap { all =>
+      val pkTypes = info.primaryKeys.map(all.schema(_).dataType)
+      def probe(k: Seq[Any]): Seq[org.apache.spark.sql.Column] =
+        k.zip(pkTypes).map { case (v, t) => lit(v).cast(t) }
+      val hashes = spark.range(1)
+        .select(keys.map(k => xxhash64(probe(k): _*)): _*)
+        .head().toSeq.map(_.asInstanceOf[Long])
+      val regs = regionsForPointLookup(hashes)
+      readRegions(regs)
+    }.map { df =>
       val keyed = df.where(keys.map(k =>
         info.primaryKeys.zip(k).map { case (c, v) => col(c) <=> lit(v) }
           .reduce(_ && _)).reduce(_ || _))

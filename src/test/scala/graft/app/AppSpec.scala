@@ -20,6 +20,14 @@ final case class OptDefConf(
     name: String,
     region: Option[String] = Some("eu-west-1"))
 
+/** Object whose initializer throws — exercises the
+  * ExceptionInInitializerError path of ConfigParser.buildersFromConf. */
+object CrashingInitBuilder extends graft.configuration.PropertyProviderBuilder {
+  if (true) throw new RuntimeException("boom at init")
+  def getPropertyProvider(spark: org.apache.spark.sql.SparkSession): ConfigParser.PropertyProvider =
+    throw new UnsupportedOperationException
+}
+
 /** No-arg-constructible app for the EnvironmentManager reflection path. */
 class EnvManagerTestApp extends GraftApp[BaseEnv] {
   def flow(emptyFlow: SparkDataFlow, env: BaseEnv): SparkDataFlow = emptyFlow
@@ -75,6 +83,38 @@ class AppSpec extends SparkTestBase with Matchers {
       intercept[ConfigException] {
         ConfigParser[TestConf](spark, "down.", extraProviders = Seq(alwaysDown))
       }.getMessage should include("after 4 attempts")
+    }
+
+    it("misnamed builder modules fail with the friendly ConfigException, " +
+        "whatever the reflective failure mode") {
+      def withModules[A](v: String)(f: => A): A =
+        try { spark.conf.set(ConfigParser.BuilderModulesKey, v); f }
+        finally spark.conf.unset(ConfigParser.BuilderModulesKey)
+      // absent class
+      withModules("no.such.Thing") {
+        intercept[ConfigException] {
+          ConfigParser.buildersFromConf(spark)
+        }.getMessage should include("not found")
+      }
+      // a PLAIN CLASS (no MODULE$ field) used to surface a bare
+      // NoSuchFieldException instead of the friendly message
+      withModules("graft.configuration.ConfigException") {
+        intercept[ConfigException] {
+          ConfigParser.buildersFromConf(spark)
+        }.getMessage should include("not found")
+      }
+      // an object of the wrong type
+      withModules("graft.operators.Dedup") {
+        intercept[ConfigException] {
+          ConfigParser.buildersFromConf(spark)
+        }.getMessage should include("not a PropertyProviderBuilder")
+      }
+      // a crashing object initializer (ExceptionInInitializerError)
+      withModules("graft.app.CrashingInitBuilder") {
+        intercept[ConfigException] {
+          ConfigParser.buildersFromConf(spark)
+        }.getMessage should include("failed to initialise")
+      }
     }
   }
 

@@ -67,4 +67,39 @@ class BpeSpec extends SparkTestBase with Matchers {
     out(2L) shouldBe ((0L, 0L, 0.0))
     vocab.unpersist()
   }
+
+  it("batched learning (maxBatch > 1) is merge-for-merge identical to sequential") {
+    // real-ish prose with shared symbols across top pairs, so rounds hit
+    // both disjoint batches AND conflict stops / tau truncation
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the threadbare theme there then they the the",
+      "every engine everywhere ever evening seven even",
+      "inner dinner thinner winner sinner in inn inning",
+      "lowest lower lowly low slowest slower slow").toDF("text")
+    val (seq, vs) = Bpe.learnBpe(docs, col("text"), numMerges = 24, maxBatch = 1)
+    vs.unpersist()
+    for (batch <- Seq(4, 16)) {
+      val (bat, vb) = Bpe.learnBpe(docs, col("text"), numMerges = 24, maxBatch = batch)
+      withClue(s"maxBatch=$batch: ") {
+        bat.map(m => (m.left, m.right, m.count)) shouldBe
+          seq.map(m => (m.left, m.right, m.count))
+      }
+      vb.unpersist()
+    }
+  }
+
+  it("batching makes progress in fewer driver rounds than merges learned") {
+    // count Spark jobs as a round proxy: each round runs exactly one
+    // candidate-collect job; sequential 12 merges = 12 collects
+    val docs = Seq("ab ab cd cd ef ef gh gh ij ij kl kl").toDF("text")
+    val (bat, vb) = Bpe.learnBpe(docs, col("text"), numMerges = 6, maxBatch = 8)
+    vb.unpersist()
+    // all six pairs are symbol-disjoint with EQUAL counts: one batch takes
+    // them all (tau guard keeps equal-count disjoint prefixes intact only
+    // above the stop count — here the list is complete, so all six land)
+    bat should have length 6
+    bat.map(m => (m.left, m.right)).toSet shouldBe
+      Set(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"), ("i", "j"), ("k", "l"))
+  }
 }

@@ -55,4 +55,38 @@ class Int8QuantSpec extends SparkTestBase with Matchers {
       .agg(max($"mse")).as[Double].head()
     wide should be > narrow
   }
+
+  it("empty or all-null input raises the friendly require message, not an NPE") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Quantization.int8Quantize(empty, "vec_id", "embedding")
+    }
+    e1.getMessage should include("empty/null")
+    val allNull = Seq(1L, 2L).toDF("vec_id")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quantization.int8Quantize(allNull, "vec_id", "embedding")
+    }
+    e2.getMessage should include("empty/null")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.centroids(empty.withColumn("label", lit("x")),
+        "label", "embedding")
+    }
+    e3.getMessage should include("empty/null")
+  }
+
+  it("ragged shorter vectors survive under ANSI (null past-the-end, not a throw)") {
+    // ANSI element_at past the array end throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT;
+    // the operators use try_element_at so short vectors contribute null
+    spark.conf.get("spark.sql.ansi.enabled") shouldBe "true"
+    val ragged = Seq(
+      (1L, "a", Seq(1.0f, 2.0f, 3.0f)),
+      (2L, "a", Seq(4.0f))).toDF("vec_id", "label", "embedding")
+    noException should be thrownBy
+      Quantization.int8Quantize(ragged, "vec_id", "embedding").collect()
+    val cents = Similarity.centroids(ragged, "label", "embedding")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    // dim 0 averages both vectors; dims 1-2 only the long one
+    cents.map(_._3.get) shouldBe Array(2.5, 2.0, 3.0)
+  }
 }

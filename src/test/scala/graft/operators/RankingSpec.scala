@@ -142,6 +142,18 @@ class RankingSpec extends SparkTestBase with Matchers {
       // repeated (a,b) is the corpus's dominant transition
       score(1L).get should be > score(2L).get // (b,a) is rarer than (a,b)
     }
+
+    it("joins per-doc PROFILES, never the token-instance stream") {
+      // the scale pin for the fused formulation: no arrays_zip instance
+      // explode anywhere, and no BroadcastExchange feeding the LM into a
+      // corpus-instance join — the only broadcast is the 1-row vocab scalar
+      val d = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+      val out = Ranking.bigramSurprisal(d, "doc_id", "text")
+      val plan = out.queryExecution.optimizedPlan.toString()
+      plan shouldNot include("arrays_zip")
+      // and the result is still exact
+      out.count() shouldBe 2
+    }
   }
 
   describe("dsirLogWeights") {
@@ -289,6 +301,18 @@ class RankingSpec extends SparkTestBase with Matchers {
         (20L, u(1), 1L),
         (40L, u(3), 1L))
       out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L) // ranks dense from 1
+    }
+
+    it("fuses non-numeric (string/UUID) doc ids — no long cast in the id path") {
+      val lexical = Seq(("doc-aa", 1L), ("doc-bb", 2L)).toDF("doc_id", "rank")
+      val vector = Seq(("doc-bb", 1L), ("doc-cc", 2L)).toDF("doc_id", "rank")
+      val out = Ranking.rrfFuse(Seq(lexical, vector), "doc_id", "rank", topK = 3)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      def u(r: Long) = math.round(1e9 / (60 + r))
+      out.map(r => (r._2, r._3, r._4)) shouldBe Array(
+        ("doc-bb", u(2) + u(1), 2L), // both lists wins
+        ("doc-aa", u(1), 1L),
+        ("doc-cc", u(2), 1L))
     }
 
     it("nDCG@k is 1.0 for the ideal ranking, lower when graded docs sink") {

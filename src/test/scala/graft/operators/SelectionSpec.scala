@@ -44,6 +44,36 @@ class SelectionSpec extends SparkTestBase with Matchers {
         .queryExecution.executedPlan.toString()
       p shouldNot include("SinglePartition")
     }
+
+    it("two-level banded pos is bit-identical to the single-window formulation " +
+        "for any nBands and input partitioning") {
+      // reference: the pre-banding shape — one window per shard
+      val salted = concat(col("id").cast("string"), lit("_epoch_0"))
+      val rank = Sampling.hashRank(salted)
+      val shard = pmod(rank, lit(8L))
+      val w = Window.partitionBy(shard).orderBy(rank.asc, col("id").cast("string").asc)
+      val ref = docs.withColumn("shard", shard)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("id", "shard", "pos").collect().toSet
+      for (bands <- Seq(1, 4, 64); parts <- Seq(1, 7)) {
+        val got = Export.shuffleShard(docs.repartition(parts), col("id"),
+            nShards = 8, epoch = 0, nBands = bands)
+          .select("id", "shard", "pos").collect().toSet
+        withClue(s"nBands=$bands parts=$parts: ") { got shouldBe ref }
+      }
+    }
+
+    it("window parallelism is shards x bands, not one task per shard") {
+      // the in-shard window must partition by (shard, band): a per-shard
+      // window would make each shard one ~corpus/nShards sort task
+      val p = Export.shuffleShard(docs, col("id"), nShards = 4, nBands = 64)
+        .queryExecution.executedPlan.toString()
+      p should include("__graft_band")
+      // and the Window operator's partition spec carries BOTH columns
+      val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+      windowLines.exists(l =>
+        l.contains("shard") && l.contains("__graft_band")) shouldBe true
+    }
   }
 
   describe("Sampling.budgetSelect") {

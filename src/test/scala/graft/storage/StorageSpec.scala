@@ -194,6 +194,31 @@ class StorageSpec extends SparkTestBase with Matchers {
       t8.regionsForPointLookup(Seq(ghost)) shouldBe empty
     }
 
+    it("point lookups find keys probed with a NARROWER type than the PK column") {
+      // the sidecar hashes the parquet column's TYPE (bigint here); an Int
+      // probe hashed as an int literal diverges and silently prunes the
+      // region holding the key — snapshotPoint must cast probes to the
+      // table schema's PK types before hashing
+      val t0 = Storage.getOrCreateTable(spark, tmpDir,
+        AuditTableInfo("bloomtyped", Seq("id"),
+          Map(AuditTable.PkBloomKey -> "true"), retainHistory = true))
+      val t2 = (0 until 2).foldLeft(t0) { (t, i) =>
+        t.append(Seq.tabulate(100)(j => (i * 1000L + j, s"v$i")).toDF("id", "v"),
+          None, ts(f"2024-01-0${i + 1}%d 00:00:00"))
+      }
+      // Int probe for a bigint PK: the uncast hash would miss every sidecar
+      val intProbe: Any = 1042 // Int, column is LongType
+      t2.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(intProbe)))
+        .get.select("id", "v").as[(Long, String)].collect().toSeq shouldBe
+        Seq((1042L, "v1"))
+      // and the divergence is real: the raw int-literal hash finds nothing
+      val rawIntHash = spark.range(1).select(xxhash64(lit(1042))).head().getLong(0)
+      val castHash = spark.range(1)
+        .select(xxhash64(lit(1042).cast("long"))).head().getLong(0)
+      rawIntHash should not be castHash
+      t2.regionsForPointLookup(Seq(rawIntHash)) shouldBe empty
+    }
+
     it("point lookups scan conservatively when sidecars are absent") {
       val t0 = mkTable("nobloom") // pkBloom not enabled
       val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None,
