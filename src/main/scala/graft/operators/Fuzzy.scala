@@ -100,6 +100,31 @@ object Fuzzy {
     cross.unionByName(same)
   }
 
+  /** [[fuzzyDupPairs]] with BOUNDED output: only the `maxIdsPerName`
+    * smallest ids of each distinct string participate in pair expansion, so
+    * a dup group of g rows emits ≤ maxIdsPerName² pairs instead of g² — the
+    * form that stays result-feasible when duplicate groups are huge (the
+    * unbounded q70 output is quadratic in group size BY DEFINITION; at
+    * corpus scale you want representatives-per-spelling, not every pair).
+    * Deterministic: the kept ids are the per-name minima, so the same input
+    * yields the same pairs under any partitioning. The row_number ≤ k
+    * filter compiles to WindowGroupLimit in Spark 4 (map-side partial
+    * top-k per name — no single-task sort of a hot dup group). */
+  def fuzzyDupPairsBounded(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxTokenFreq: Option[Long] = None,
+      maxIdsPerName: Int = 16): DataFrame = {
+    require(maxIdsPerName >= 2,
+      s"maxIdsPerName must be >= 2 to form any pair, got $maxIdsPerName")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strCol)).orderBy(col(idCol))
+    val capped = df.select(col(idCol), col(strCol))
+      .where(col(strCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxIdsPerName)
+      .drop("__rk")
+    fuzzyDupPairs(capped, idCol, strCol, maxDist, maxTokenFreq)
+  }
+
   /** End-to-end entity resolution: fuzzy pairs → connected components →
     * canonical entity per cluster — the one-call record-linkage loop
     * ("these 37 spellings are all the same vendor").

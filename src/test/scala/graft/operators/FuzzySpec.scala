@@ -66,6 +66,44 @@ class FuzzySpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("fuzzyDupPairsBounded") {
+
+    it("caps expansion to the k smallest ids per name, pairs unchanged otherwise") {
+      val df = Seq(
+        (5L, "red widget"), (3L, "red widget"), (9L, "red widget"), (7L, "red widget"),
+        (2L, "red wodget")
+      ).toDF("id", "name")
+      // unbounded: 4 same-name ids -> 6 same pairs + 4 cross pairs = 10
+      Fuzzy.fuzzyDupPairs(df, "id", "name", maxDist = 2).count() shouldBe 10L
+      // cap 2 keeps ids {3,5} of "red widget": 1 same pair + 2 cross pairs
+      val out = Fuzzy.fuzzyDupPairsBounded(df, "id", "name", maxDist = 2,
+        maxIdsPerName = 2).as[(Long, Long, Long)].collect().toSet
+      out shouldBe Set((3L, 5L, 0L), (2L, 3L, 1L), (2L, 5L, 1L))
+    }
+
+    it("output is bounded by maxIdsPerName^2 per dup group, deterministically") {
+      val df = (1L to 100L).map(i => (i, "same name")).toDF("id", "name")
+      val out = Fuzzy.fuzzyDupPairsBounded(df, "id", "name", maxDist = 2,
+        maxIdsPerName = 3).as[(Long, Long, Long)].collect().toSet
+      // the 3 smallest ids pair among themselves: C(3,2) = 3 pairs, not C(100,2)
+      out shouldBe Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L))
+      // determinism across partitionings
+      val re = Fuzzy.fuzzyDupPairsBounded(df.repartition(7), "id", "name",
+        maxDist = 2, maxIdsPerName = 3).as[(Long, Long, Long)].collect().toSet
+      re shouldBe out
+    }
+
+    it("agrees with the unbounded form when groups fit under the cap") {
+      val df = Seq((1L, "red widget"), (2L, "red wodget"), (3L, "blue widget"))
+        .toDF("id", "name")
+      val bounded = Fuzzy.fuzzyDupPairsBounded(df, "id", "name", maxDist = 2,
+        maxIdsPerName = 16).as[(Long, Long, Long)].collect().toSet
+      val full = Fuzzy.fuzzyDupPairs(df, "id", "name", maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      bounded shouldBe full
+    }
+  }
+
   describe("fuzzyJoin") {
     it("joins two tables on approximate names") {
       val left = Seq((1L, "john smith"), (2L, "mary jones")).toDF("id", "name")
