@@ -405,6 +405,39 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  it("no gate query goes cartesian; nested-loop joins only on bounded-by-construction sides") {
+    // Whole-suite guard (round-8 verdict #10): a CartesianProduct anywhere is
+    // an instant fail; BroadcastNestedLoopJoin is legitimate ONLY where the
+    // broadcast side is bounded by construction — a 1-row scalar aggregate
+    // (vocab size, corpus total, dim count) or an explicitly tiny query set.
+    // EXACT set equality: a new BNLJ hit fails (regression), and a fixed one
+    // fails too (stale allowlist) — the list can't drift silently.
+    val allowedBnl = Set(
+      // 1-row scalar broadcast (corpus total / vocab size / dim stats /
+      // global min-max spine): the nested loop touches each row once
+      "q51_tfidf", "q64_vocabulary", "q73_unigram_surprisal",
+      "q77_category_drift", "q78_token_drift", "q83_histogram_by",
+      "q84_mutual_info", "q88_collocations", "q92_corpus_overlap",
+      "q95_bigram_surprisal", "q113_int8_quant", "q115_key_skew",
+      "q116_approx_quantiles", "q122_temperature_sample",
+      "q126_dsir_weights", "q128_kmv_overlap", "q131_cm_join_size",
+      // tiny fixed query / evaluation set broadcast (brute-force ANN
+      // baselines and retrieval-eval gates: <=20 query vectors by
+      // construction; the scale path is the IVF/LSH variants)
+      "q20_embed_topk", "q46_pq_adc", "q91_embed_decontaminate",
+      "q106_hard_negatives", "q117_ann_mrr", "q143_late_interaction",
+      "q144_hybrid_rrf", "q145_ndcg", "q146_precision_recall")
+    val cartesian = scala.collection.mutable.ArrayBuffer[String]()
+    val bnl = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) cartesian += name
+      if (p.contains("BroadcastNestedLoopJoin")) bnl += name
+    }
+    cartesian.toSeq shouldBe empty
+    bnl.toSet shouldBe allowedBnl
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
