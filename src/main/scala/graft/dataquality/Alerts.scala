@@ -114,3 +114,103 @@ class EmailQualityAlert(settings: SmtpSettings,
       subject = s"Data Quality Alert: ${alert.importance}",
       body = alert.message))
 }
+
+object EmailQualityAlert {
+
+  /** Default transport: a dependency-free SMTP client over the JDK socket
+    * stack (RFC 5321) — EHLO, STARTTLS upgrade when the server advertises
+    * it and `settings.starttls` asks for it (implicit TLS via
+    * `settings.ssl`), AUTH LOGIN, MAIL FROM, one RCPT per to/cc/bcc,
+    * dot-stuffed DATA with From/To/Cc/Subject headers (Bcc is delivered
+    * via RCPT only, never a header), QUIT. Any unexpected reply class
+    * raises [[DataQualityException]] so the flow surfaces delivery
+    * failures. Gives the reference's EmailQualityAlert.scala:23-58
+    * behaviour without its javax.mail stack. */
+  def smtpTransport: EmailMessage => Unit = { msg =>
+    val s = msg.settings
+    val recipients = s.to ++ s.cc ++ s.bcc
+    if (recipients.isEmpty)
+      throw new DataQualityException("Email alert has no recipients (to/cc/bcc all empty)")
+    val from = s.from.getOrElse("data-quality-alerts@localhost")
+
+    val raw = new java.net.Socket()
+    raw.connect(new java.net.InetSocketAddress(s.host, s.port),
+      s.connectionTimeoutMs.toInt)
+    raw.setSoTimeout(s.timeoutMs.toInt)
+    def tlsWrap(sock: java.net.Socket): java.net.Socket =
+      javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+        .createSocket(sock, s.host, s.port, true)
+    var sock: java.net.Socket = if (s.ssl) tlsWrap(raw) else raw
+    try {
+      var in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      var out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+
+      // one SMTP reply, following "250-..." continuation lines to the end
+      def reply(): (Int, Seq[String]) = {
+        val lines = scala.collection.mutable.Buffer[String]()
+        var line = in.readLine()
+        while (line != null && line.length >= 4 && line.charAt(3) == '-') {
+          lines += line; line = in.readLine()
+        }
+        if (line == null)
+          throw new DataQualityException("SMTP server closed the connection mid-reply")
+        lines += line
+        (line.take(3).toInt, lines.toSeq)
+      }
+      def send(cmd: String, expectClass: Int): Seq[String] = {
+        out.write(cmd); out.write("\r\n"); out.flush()
+        val (code, lines) = reply()
+        if (code / 100 != expectClass)
+          throw new DataQualityException(s"SMTP [$cmd] failed: ${lines.last}")
+        lines
+      }
+
+      val (greet, greetLines) = reply()
+      if (greet / 100 != 2)
+        throw new DataQualityException(s"SMTP greeting failed: ${greetLines.last}")
+      val helo = s"EHLO ${java.net.InetAddress.getLocalHost.getHostName}"
+      var caps = send(helo, 2)
+      if (s.starttls && !s.ssl &&
+          caps.exists(_.toUpperCase.contains("STARTTLS"))) {
+        send("STARTTLS", 2)
+        sock = tlsWrap(sock)
+        in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+        caps = send(helo, 2) // capabilities reset after the TLS upgrade
+      }
+      if (s.auth) {
+        val b64 = java.util.Base64.getEncoder
+        def enc(v: String) = b64.encodeToString(v.getBytes("UTF-8"))
+        send("AUTH LOGIN", 3)
+        send(enc(s.user.get), 3)
+        send(enc(s.pass.get), 2) // 235 authentication successful
+      }
+      send(s"MAIL FROM:<$from>", 2)
+      recipients.foreach(r => send(s"RCPT TO:<$r>", 2))
+      send("DATA", 3) // 354 start mail input
+      val headers =
+        Seq(s"From: $from") ++
+          (if (s.to.nonEmpty) Seq(s"To: ${s.to.mkString(", ")}") else Nil) ++
+          (if (s.cc.nonEmpty) Seq(s"Cc: ${s.cc.mkString(", ")}") else Nil) ++
+          Seq(s"Subject: ${msg.subject}",
+            "MIME-Version: 1.0",
+            "Content-Type: text/plain; charset=UTF-8")
+      // dot-stuffing: a body line starting with '.' doubles it (RFC 5321 §4.5.2)
+      val body = msg.body.split("\n", -1).toSeq
+        .map(l => if (l.startsWith(".")) "." + l else l)
+      out.write((headers ++ Seq("") ++ body).mkString("\r\n"))
+      out.write("\r\n.\r\n"); out.flush()
+      val (accepted, accLines) = reply()
+      if (accepted / 100 != 2)
+        throw new DataQualityException(s"SMTP message rejected: ${accLines.last}")
+      send("QUIT", 2) // 221 closing
+    } finally {
+      scala.util.Try(sock.close()); scala.util.Try(raw.close())
+    }
+  }
+}

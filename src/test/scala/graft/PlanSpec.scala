@@ -405,6 +405,23 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  it("bounded fuzzy pairs cap ids per name via a map-side WindowGroupLimit") {
+    // the row_number <= k filter must compile to WindowGroupLimit (partial
+    // top-k per name before the shuffle) — a full per-name sort would make
+    // a hot dup group a single-task bottleneck
+    val p = plan("q147_fuzzy_dups_bounded")
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
+  it("q140 materializes between stages — the final plan never re-scans the corpus") {
+    // the curation pipeline materializes its gopher-filtered and
+    // decontaminated intermediates (round-8 verdict #5: the composed plan
+    // re-scanned documents.parquet 4x); the final executed plan must read
+    // the materialized blocks, not the parquet source
+    plan("q140_curation_pipeline") should not include "documents.parquet"
+  }
+
   it("no gate query goes cartesian; nested-loop joins only on bounded-by-construction sides") {
     // Whole-suite guard (round-8 verdict #10): a CartesianProduct anywhere is
     // an instant fail; BroadcastNestedLoopJoin is legitimate ONLY where the
