@@ -19,9 +19,12 @@ object BpeProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    // SPARK_GRAFT_BPE_MERGES: vocabulary size for the learn probe (the
+    // round-8 verdict's done-bar is a 256-merge learn under 30s at sf0.1)
+    val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt
     for (round <- Seq("cold", "warm")) {
       timed(s"$round total") {
-        val (m, v) = graft.operators.Bpe.learnBpe(docs, col("text"), 8)
+        val (m, v) = graft.operators.Bpe.learnBpe(docs, col("text"), merges)
         timed(s"$round tokenize") {
           graft.operators.Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), v).count()
         }
