@@ -971,6 +971,41 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // weighted sampling WITHOUT replacement: 100 docs with probability
+    // ∝ n_chars via Gumbel top-k — the EXECUTION half of importance
+    // resampling (q126 computes DSIR weights; this selects with them).
+    // One map pass + TakeOrderedAndProject (per-partition heads, k-row
+    // driver merge; no global sort). Noise u = (h+0.5)/2^20 from md5 is an
+    // exact binary rational, so the oracle recomputes every key
+    // bit-identically (operators.Sampling.gumbelTopK)
+    "q148_gumbel_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.gumbelTopK(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), log(col("n_chars").cast("double")), k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // event log → regular weekly time series per user (LOCF): epoch-
+    // aligned ticks generated distributively (per-key min/max +
+    // sequence()), the carry-forward match through the NATIVE as-of join —
+    // the log shuffles once, the tiny grid side rides the join's regime.
+    // Oracle is DuckDB's own ASOF JOIN over the same generated grid
+    // (operators.Temporal.resampleLocf)
+    "q149_locf_resample" -> ((s, dir) => {
+      import graft.operators.Temporal
+      val obs = events(s, dir).where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 6).as("v"))
+      Temporal.resampleLocf(obs, Seq("user_id"), "ts", "v",
+          intervalSec = 7L * 86400)
+        .select(col("user_id"), col("tick"), col("obs_ts"),
+          col("v").as("value"))
+        .orderBy(col("user_id"), col("tick"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5020,6 +5055,47 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(n1, n2) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Gumbel top-k replay: the noise uniform is (h+0.5)/2^20 with h the
+    // first 5 hex digits of md5 — an exact binary rational, so both
+    // engines compute identical doubles; selection happens on unrounded
+    // keys, the output rounds for the float compare
+    "q148_gumbel_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(n_chars::DOUBLE) +
+        |    -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 5))::BIGINT + 0.5)
+        |            / 1048576.0)) AS k
+        |  FROM documents
+        |), top AS (
+        |  SELECT doc_id, n_chars, k FROM keyed
+        |  ORDER BY k DESC, doc_id::VARCHAR LIMIT 100
+        |)
+        |SELECT doc_id, n_chars, round(k, 6) AS gumbel_key
+        |FROM top ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN over the identically-generated weekly grid:
+    // first tick = span start rounded UP to a multiple of 7 days (epoch-
+    // aligned), generate_series is stop-inclusive like Spark's sequence()
+    "q149_locf_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, round(max(value), 6) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), bounds AS (
+        |  SELECT user_id,
+        |    make_timestamp(((epoch_us(min(ts)) + 604799999999) // 604800000000)
+        |      * 604800000000) AS first_tick,
+        |    max(ts) AS tmax
+        |  FROM obs GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(first_tick, tmax, INTERVAL 7 DAY)) AS tick
+        |  FROM bounds WHERE first_tick <= tmax
+        |)
+        |SELECT g.user_id, g.tick, o.ts AS obs_ts, o.v AS value
+        |FROM grid g ASOF JOIN obs o
+        |  ON g.user_id = o.user_id AND g.tick >= o.ts
+        |ORDER BY g.user_id, g.tick""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

@@ -173,6 +173,34 @@ object Sampling {
     df.orderBy(hashRank(key), keyStr(key)).limit(k)
   }
 
+  /** Weighted sampling WITHOUT replacement (Gumbel top-k / exponential
+    * clocks): select exactly k rows with probability proportional to
+    * exp(`logWeight`) by ranking on `logWeight + Gumbel(0,1)` noise and
+    * taking the global top-k. This is the EXECUTION half of importance
+    * resampling — DSIR's "resample ∝ exp(weight)" ([[graft.operators
+    * .Ranking.dsirLogWeights]]) is literally this operator over its output.
+    *
+    * The noise derives deterministically from the key's md5, so the same
+    * corpus always yields the same sample and any SQL engine can replay
+    * the selection. Noise construction is oracle-exact: u = (h + 0.5)/2²⁰
+    * with h the first 5 hex digits of md5(key) — an exact binary rational,
+    * bit-identical as a double in every engine; g = −ln(−ln u).
+    *
+    * Scale shape: one map pass attaches keys, then a distributed TopK
+    * (per-partition heads, k-row driver merge — TakeOrderedAndProject) —
+    * no global sort, no corpus shuffle. k rows are the sample; they must
+    * fit wherever the sample is consumed anyway. */
+  def gumbelTopK(df: DataFrame, key: Column, logWeight: Column, k: Int,
+      keyOut: String = "gumbel_key"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val h = conv(substring(md5(keyStr(key)), 1, 5), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(1048576.0)
+    val g = -log(-log(u))
+    df.withColumn(keyOut, logWeight + g)
+      .orderBy(col(keyOut).desc, keyStr(key))
+      .limit(k)
+  }
+
   /** Deterministic dataset split (train/validation/test): assign each row a
     * named split by its key's hash bucket, with fractions `splits` (must sum
     * to ≤ 1; any remainder falls into the LAST split). The assignment is a

@@ -222,4 +222,50 @@ object Temporal {
         coalesce(abs(col("z")) > lit(zThreshold), lit(false)))
       .drop("__n", "__sum", "__sumsq")
   }
+
+  /** LOCF (last-observation-carried-forward) resampling onto a regular,
+    * epoch-aligned time grid: for each key, one row per tick of width
+    * `intervalSec` between the key's first and last observation, carrying
+    * the most recent observation at or before the tick — the "event log →
+    * regular time series" primitive behind feature snapshots, dashboards
+    * and drift series.
+    *
+    * Ticks are aligned to the epoch grid (first tick = the observation
+    * span's start rounded UP to a multiple of `intervalSec`), so series
+    * from different keys share tick instants and can be compared/joined
+    * directly. A key whose span contains no aligned tick emits nothing.
+    *
+    * Scale shape: tick generation is distributive — a per-key min/max
+    * aggregate plus `sequence()` (never a driver loop) — and the match runs
+    * through the NATIVE as-of join ([[graft.plans.AsOf]]): the observation
+    * log shuffles/sorts once per key; the grid (tiny next to the log)
+    * broadcasts or co-shuffles by the join's regime. Every tick ≥ its
+    * key's first observation, so the join is total (no null carries).
+    *
+    * Observations must be unique per (key, ts) for deterministic output —
+    * pre-aggregate duplicates first (same contract as [[asofJoin]]).
+    *
+    * Output: keyCols, `tick`, `obs_ts` (matched observation's timestamp),
+    * `valueCol` (its value). */
+  def resampleLocf(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, intervalSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "resampleLocf needs at least one key column")
+    require(intervalSec > 0, s"intervalSec must be > 0, got $intervalSec")
+    val ivUs = intervalSec * 1000000L
+    val firstTick = timestamp_micros(
+      expr(s"((unix_micros(__min) + ${ivUs - 1}) div $ivUs) * $ivUs"))
+    val grid = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+      .withColumn("__first", firstTick)
+      .where(col("__first") <= col("__max")) // span too short for any tick
+      .select(keyCols.map(col) :+ explode(sequence(col("__first"),
+        col("__max"), expr(s"INTERVAL $intervalSec SECONDS"))).as("tick"): _*)
+    // rename the observation side so the as-of output has no ambiguity
+    val rKeys = keyCols.map(k => s"__r_$k")
+    val obs = df.select(keyCols.zip(rKeys).map { case (k, r) => col(k).as(r) }
+      ++ Seq(col(tsCol).as("obs_ts"), col(valueCol).as("__v")): _*)
+    graft.plans.AsOf.asOfJoin(grid, obs, keyCols, rKeys, "tick", "obs_ts")
+      .select(keyCols.map(col) ++
+        Seq(col("tick"), col("obs_ts"), col("__v").as(valueCol)): _*)
+  }
 }

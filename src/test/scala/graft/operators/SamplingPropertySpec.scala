@@ -100,4 +100,45 @@ class SamplingPropertySpec extends SparkTestBase with Matchers {
       .as[Long].collect().toSet
     sample((a ++ b).distinct) shouldBe (sample(a) union sample(b))
   }
+
+  it("gumbelTopK: exact k, deterministic across partitionings, matches the scala ground truth") {
+    val rnd = new Random(53)
+    val rows = (1L to 400L).map(id => (id, 0.1 + rnd.nextDouble() * 5))
+    val df = rows.toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.gumbelTopK(d, col("id"), log(col("w")), k = 25)
+        .select("id").as[Long].collect().toSet
+    val sel = run(df)
+    sel.size shouldBe 25
+    run(df.repartition(13)) shouldBe sel // partitioning-independent
+    // ground truth: recompute the gumbel keys in plain scala
+    def key(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 1048576.0
+      math.log(w) - math.log(-math.log(u))
+    }
+    val expected = rows.sortBy { case (id, w) => -key(id, w) }.take(25).map(_._1).toSet
+    sel shouldBe expected
+  }
+
+  it("gumbelTopK selection is monotone in weight: boosting a selected row never evicts it") {
+    val rows = (1L to 100L).map(id => (id, 1.0))
+    val df = rows.toDF("id", "w")
+    val base = Sampling.gumbelTopK(df, col("id"), log(col("w")), k = 10)
+      .select("id").as[Long].collect().toSet
+    // boost one selected row's weight hugely: still selected
+    val boosted = rows.map { case (id, w) => (id, if (id == base.head) 1e6 else w) }
+    val after = Sampling.gumbelTopK(boosted.toDF("id", "w"), col("id"),
+      log(col("w")), k = 10).select("id").as[Long].collect().toSet
+    after should contain(base.head)
+  }
+
+  it("gumbelTopK plans as a distributed TopK, not a global sort") {
+    val df = (1L to 1000L).toDF("id").withColumn("w", lit(1.0))
+    val plan = Sampling.gumbelTopK(df, col("id"), log(col("w")), k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
 }

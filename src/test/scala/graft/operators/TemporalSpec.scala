@@ -288,4 +288,60 @@ class TemporalSpec extends SparkTestBase with Matchers {
       out.where(col("is_anomaly")).count() shouldBe 0L
     }
   }
+
+  describe("resampleLocf") {
+    import spark.implicits._
+
+    it("emits epoch-aligned ticks carrying the latest observation at or before each") {
+      val obs = Seq(
+        (1L, ts("2024-01-01 10:30:00"), 10.0), // span 01-01 .. 01-04
+        (1L, ts("2024-01-02 23:59:00"), 20.0),
+        (1L, ts("2024-01-04 00:00:00"), 30.0),
+        (2L, ts("2024-01-02 12:00:00"), 99.0)  // span < one day: no tick? no —
+        // 2024-01-03 00:00 > max, so key 2 emits nothing
+      ).toDF("user_id", "ts", "v")
+      val out = Temporal.resampleLocf(obs, Seq("user_id"), "ts", "v",
+          intervalSec = 86400)
+        .select(col("user_id"), col("tick").cast("string"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      out shouldBe Set(
+        (1L, "2024-01-02 00:00:00", 10.0), // first aligned tick after 10:30
+        (1L, "2024-01-03 00:00:00", 20.0),
+        (1L, "2024-01-04 00:00:00", 30.0)) // tick == obs ts: inclusive match
+    }
+
+    it("a tick aligned exactly on the first observation starts the grid") {
+      val obs = Seq((1L, ts("2024-01-02 00:00:00"), 5.0),
+        (1L, ts("2024-01-03 06:00:00"), 7.0)).toDF("user_id", "ts", "v")
+      val out = Temporal.resampleLocf(obs, Seq("user_id"), "ts", "v", 86400)
+        .select(col("tick").cast("string"), col("v"))
+        .as[(String, Double)].collect().toSet
+      out shouldBe Set(("2024-01-02 00:00:00", 5.0), ("2024-01-03 00:00:00", 5.0))
+    }
+
+    it("matches a window-composed LOCF on random event sets") {
+      val rnd = new scala.util.Random(7)
+      val obs = (1 to 500).map { _ =>
+        (rnd.nextInt(5).toLong,
+          ts(f"2024-01-${1 + rnd.nextInt(20)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+          rnd.nextInt(1000).toDouble)
+      }.distinct.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+        .toDF("user_id", "ts", "v")
+      val native = Temporal.resampleLocf(obs, Seq("user_id"), "ts", "v", 86400)
+        .select(col("user_id"), col("tick"), col("v"))
+      // oracle: compositional asofJoin over the same grid (same key name
+      // on both sides, per asofJoin's contract)
+      val grid = native.select(col("user_id"), col("tick")).distinct()
+        .withColumnRenamed("user_id", "u")
+      val composed = Temporal.asofJoin(grid,
+          obs.withColumnRenamed("user_id", "u"),
+          keyCols = Seq("u"), leftTs = "tick", rightTs = "ts",
+          payloadCols = Seq("v"))
+      // align for comparison
+      val a = native.as[(Long, Timestamp, Double)].collect().toSet
+      val b = composed.select(col("u"), col("tick"), col("v"))
+        .as[(Long, Timestamp, Double)].collect().toSet
+      a shouldBe b
+    }
+  }
 }
