@@ -207,6 +207,86 @@ object Streaming {
       }
   }
 
+  final case class LocfState(lastObsTs: Long, lastObsVal: Double,
+      pending: List[(Long, Double)], nextTickMs: Long)
+  final case class LocfTick(key: Long, tick: Timestamp, obs_ts: Timestamp,
+      value: Double)
+
+  /** Streaming LOCF resampler — the streaming twin of
+    * [[graft.operators.Temporal.resampleLocf]]: per key, emit one row per
+    * epoch-aligned tick of width `intervalSec` carrying the most recent
+    * observation at or before the tick. Ticks fire as the WATERMARK passes
+    * them (strictly: tick < watermark, so a within-watermark late
+    * observation can never land at-or-before an already-emitted tick), and
+    * the event-time timeout keeps a silent key ticking — the gap-filling a
+    * live series needs and the batch twin, which stops at each key's max
+    * observation, cannot express. `idleStopSec` optionally ends a series:
+    * a key whose newest observation trails the watermark by more than it
+    * stops emitting and drops its state.
+    *
+    * State per key is ONE carried observation plus the pending
+    * observations newer than the emission frontier (drains every time the
+    * watermark advances) — memory follows key count + late-arrival rate ×
+    * watermark delay, not stream length. Agreement with the batch twin:
+    * identical (tick, obs_ts, value) rows for every tick both emit —
+    * ticks ≤ the key's max observation once the watermark passes them. */
+  def locfResampleStream(points: Dataset[PointInput], intervalSec: Long,
+      watermark: String = "1 hour",
+      idleStopSec: Option[Long] = None): Dataset[LocfTick] = {
+    import points.sparkSession.implicits._
+    val ivMs = intervalSec * 1000L
+    def ceilTick(tsMs: Long): Long = math.floorDiv(tsMs + ivMs - 1, ivMs) * ivMs
+    points
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LocfState, LocfTick](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[LocfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption
+          // merge this batch into the pending timeline (ascending by ts;
+          // unique (key, ts) required, same contract as the batch twin)
+          val merged = (prior.map(_.pending).getOrElse(Nil) ++
+            rows.map(r => (r.ts.getTime, r.value))).sortBy(_._1)
+          if (merged.isEmpty && prior.isEmpty) {
+            // timeout fired for a key whose state was already dropped
+            state.remove(); Iterator.empty
+          } else {
+            val idleCut = idleStopSec.map { s =>
+              val newest = (prior.map(_.lastObsTs).getOrElse(Long.MinValue) +:
+                merged.map(_._1)).max
+              newest + s * 1000L
+            }
+            if (idleCut.exists(_ < wm)) { state.remove(); Iterator.empty }
+            else {
+              // emission frontier: resumes where the last batch stopped, or
+              // starts at the first observation's aligned tick
+              var tick = prior.map(_.nextTickMs)
+                .getOrElse(ceilTick(merged.head._1))
+              var lastTs = prior.map(_.lastObsTs).getOrElse(Long.MinValue)
+              var lastVal = prior.map(_.lastObsVal).getOrElse(Double.NaN)
+              var rest = merged
+              val out = scala.collection.mutable.ListBuffer.empty[LocfTick]
+              while (tick < wm) {
+                while (rest.nonEmpty && rest.head._1 <= tick) {
+                  lastTs = rest.head._1; lastVal = rest.head._2
+                  rest = rest.tail
+                }
+                if (lastTs != Long.MinValue)
+                  out += LocfTick(key, new Timestamp(tick),
+                    new Timestamp(lastTs), lastVal)
+                tick += ivMs
+              }
+              state.update(LocfState(lastTs, lastVal, rest, tick))
+              // wake when the watermark passes the next tick, so a silent
+              // key keeps ticking without new data
+              state.setTimeoutTimestamp(math.max(tick + 1, wm + 1))
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** Stream-static enrichment: attach dimension attributes to each event.
     * The static side re-resolves per micro-batch (a metastore-backed dim
     * picks up updates) and broadcasts — no stream-side shuffle at all. */

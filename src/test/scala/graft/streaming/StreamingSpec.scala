@@ -755,4 +755,74 @@ class StreamingSpec extends SparkTestBase with Matchers {
       } finally query.stop()
     }
   }
+
+  it("LOCF resampler matches the batch twin up to the key max and gap-fills beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PointInput]
+    val query = Streaming.locfResampleStream(input.toDS(),
+        intervalSec = 3600, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("locf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streaming.PointInput(1L, ts("2024-01-01 10:30:00"), 10.0),
+        Streaming.PointInput(1L, ts("2024-01-01 12:15:00"), 20.0))
+      query.processAllAvailable() // wm still at epoch during this batch
+      input.addData(Streaming.PointInput(1L, ts("2024-01-01 15:05:00"), 30.0))
+      query.processAllAvailable() // wm=12:15 -> ticks 11:00, 12:00
+      // watermark advances via OTHER keys; key 1 ticks on its timeout
+      input.addData(Streaming.PointInput(2L, ts("2024-01-01 18:20:00"), 1.0))
+      query.processAllAvailable() // wm=15:05 -> key-1 ticks 13:00..15:00
+      input.addData(Streaming.PointInput(3L, ts("2024-01-01 20:00:00"), 2.0))
+      query.processAllAvailable() // wm=18:20 -> key-1 gap-fills 16:00..18:00
+
+      val streamed = spark.table("locf_out")
+        .where(col("key") === 1L)
+        .select("tick", "obs_ts", "value")
+        .as[(Timestamp, Timestamp, Double)].collect().sortBy(_._1.getTime)
+
+      // batch twin over key 1's observations: ticks 11:00..15:00
+      import graft.operators.Temporal
+      val batch = Temporal.resampleLocf(
+          Seq((1L, ts("2024-01-01 10:30:00"), 10.0),
+            (1L, ts("2024-01-01 12:15:00"), 20.0),
+            (1L, ts("2024-01-01 15:05:00"), 30.0)).toDF("key", "ts", "v"),
+          Seq("key"), "ts", "v", intervalSec = 3600)
+        .select("tick", "obs_ts", "v")
+        .as[(Timestamp, Timestamp, Double)].collect().sortBy(_._1.getTime)
+      streamed.take(batch.length) shouldBe batch
+
+      // beyond the key's max observation the stream keeps carrying forward:
+      // the final watermark lands at 20:00 (the last event time — timeout
+      // processing runs one more empty batch), so ticks run through 19:00
+      val extra = streamed.drop(batch.length)
+      extra.map(_._1) shouldBe Array(
+        ts("2024-01-01 16:00:00"), ts("2024-01-01 17:00:00"),
+        ts("2024-01-01 18:00:00"), ts("2024-01-01 19:00:00"))
+      extra.foreach { case (_, obsTs, v) =>
+        obsTs shouldBe ts("2024-01-01 15:05:00"); v shouldBe 30.0
+      }
+    } finally query.stop()
+  }
+
+  it("LOCF resampler drops a key after idleStopSec of silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PointInput]
+    val query = Streaming.locfResampleStream(input.toDS(),
+        intervalSec = 3600, watermark = "0 seconds",
+        idleStopSec = Some(2 * 3600))
+      .writeStream.format("memory").queryName("locf_idle")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Streaming.PointInput(1L, ts("2024-01-01 10:00:00"), 5.0))
+      query.processAllAvailable()
+      // push the watermark far past the idle horizon with another key
+      input.addData(Streaming.PointInput(2L, ts("2024-01-02 10:00:00"), 1.0))
+      query.processAllAvailable()
+      input.addData(Streaming.PointInput(2L, ts("2024-01-02 12:00:00"), 1.0))
+      query.processAllAvailable()
+      val key1Ticks = spark.table("locf_idle").where(col("key") === 1L).count()
+      key1Ticks shouldBe 0L // idle cut fired before any tick could emit
+    } finally query.stop()
+  }
 }
