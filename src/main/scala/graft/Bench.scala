@@ -66,8 +66,13 @@ object Bench {
         .where(col("rn") === 1).queryExecution.toRdd.count()
       // persisted-ANN gate indexes (q134–q136) build here, outside the timed
       // region, so those rows measure SEARCH cost — probe + ADC / re-rank —
-      // not k-means training + encode (round-8 verdict: build dominated)
-      scala.util.Try(SparkEntry.prewarmPersistedIndexes(spark, sfDir))
+      // not k-means training + encode (round-8 verdict: build dominated).
+      // A swallowed failure would silently revert those rows to timing the
+      // build — say so instead
+      scala.util.Try(SparkEntry.prewarmPersistedIndexes(spark, sfDir)).failed
+        .foreach(e => System.err.println(
+          s"WARN prewarmPersistedIndexes failed (${e.getMessage}); " +
+            "q134-q136 will time index build + search"))
     }
 
     // local-iteration filter (the driver sets no SPARK_GRAFT_ONLY): time a

@@ -71,12 +71,20 @@ final case class SmtpSettings(
     bcc: Seq[String] = Seq.empty,
     from: Option[String] = None,
     auth: Boolean = false,
+    /** Opportunistic TLS upgrade, like javax.mail's
+      * `mail.smtp.starttls.enable`: upgrade when the server advertises
+      * STARTTLS, proceed in cleartext when it doesn't. Set
+      * [[starttlsRequired]] to refuse the cleartext fallback. */
     starttls: Boolean = true,
     ssl: Boolean = false,
     user: Option[String] = None,
     pass: Option[String] = None,
     connectionTimeoutMs: Long = 1000,
-    timeoutMs: Long = 1000) {
+    timeoutMs: Long = 1000,
+    /** javax.mail's `mail.smtp.starttls.required`: fail delivery instead
+      * of silently downgrading (credentials + alert body in cleartext)
+      * when the server does not advertise STARTTLS. */
+    starttlsRequired: Boolean = false) {
 
   if (auth)
     require(user.nonEmpty && pass.nonEmpty,
@@ -90,6 +98,7 @@ final case class SmtpSettings(
     "mail.smtp.port" -> port.toString,
     "mail.smtp.auth" -> auth.toString,
     "mail.smtp.starttls.enable" -> starttls.toString,
+    "mail.smtp.starttls.required" -> starttlsRequired.toString,
     "mail.smtp.ssl.enable" -> ssl.toString,
     "mail.smtp.connectiontimeout" -> connectionTimeoutMs.toString,
     "mail.smtp.timeout" -> timeoutMs.toString)
@@ -119,7 +128,9 @@ object EmailQualityAlert {
 
   /** Default transport: a dependency-free SMTP client over the JDK socket
     * stack (RFC 5321) — EHLO, STARTTLS upgrade when the server advertises
-    * it and `settings.starttls` asks for it (implicit TLS via
+    * it and `settings.starttls` asks for it (opportunistic, like
+    * javax.mail's starttls.enable; set `settings.starttlsRequired` to fail
+    * instead of falling back to cleartext; implicit TLS via
     * `settings.ssl`), AUTH LOGIN, MAIL FROM, one RCPT per to/cc/bcc,
     * dot-stuffed DATA with From/To/Cc/Subject headers (Bcc is delivered
     * via RCPT only, never a header), QUIT. Any unexpected reply class
@@ -158,7 +169,12 @@ object EmailQualityAlert {
         if (line == null)
           throw new DataQualityException("SMTP server closed the connection mid-reply")
         lines += line
-        (line.take(3).toInt, lines.toSeq)
+        // a malformed reply (non-SMTP service on the port) must surface as
+        // the module's documented failure type, not NumberFormatException
+        val code = scala.util.Try(line.take(3).toInt).getOrElse(
+          throw new DataQualityException(
+            s"Malformed SMTP reply (is ${s.host}:${s.port} an SMTP server?): '$line'"))
+        (code, lines.toSeq)
       }
       def send(cmd: String, expectClass: Int): Seq[String] = {
         out.write(cmd); out.write("\r\n"); out.flush()
@@ -173,8 +189,12 @@ object EmailQualityAlert {
         throw new DataQualityException(s"SMTP greeting failed: ${greetLines.last}")
       val helo = s"EHLO ${java.net.InetAddress.getLocalHost.getHostName}"
       var caps = send(helo, 2)
-      if (s.starttls && !s.ssl &&
-          caps.exists(_.toUpperCase.contains("STARTTLS"))) {
+      val advertisesTls = caps.exists(_.toUpperCase.contains("STARTTLS"))
+      if (s.starttlsRequired && !s.ssl && !advertisesTls)
+        throw new DataQualityException(
+          s"STARTTLS required but ${s.host}:${s.port} does not advertise it — " +
+            "refusing to send credentials/content in cleartext")
+      if (s.starttls && !s.ssl && advertisesTls) {
         send("STARTTLS", 2)
         sock = tlsWrap(sock)
         in = new java.io.BufferedReader(

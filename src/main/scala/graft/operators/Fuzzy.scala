@@ -113,8 +113,10 @@ object Fuzzy {
   def fuzzyDupPairsBounded(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxTokenFreq: Option[Long] = None,
       maxIdsPerName: Int = 16): DataFrame = {
-    require(maxIdsPerName >= 2,
-      s"maxIdsPerName must be >= 2 to form any pair, got $maxIdsPerName")
+    // cap 1 is valid: one representative per spelling still forms all
+    // CROSS-name pairs; only same-name (dist 0) pairs need two ids
+    require(maxIdsPerName >= 1,
+      s"maxIdsPerName must be >= 1, got $maxIdsPerName")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strCol)).orderBy(col(idCol))
     val capped = df.select(col(idCol), col(strCol))

@@ -189,14 +189,21 @@ object Sampling {
     * Scale shape: one map pass attaches keys, then a distributed TopK
     * (per-partition heads, k-row driver merge — TakeOrderedAndProject) —
     * no global sort, no corpus shuffle. k rows are the sample; they must
-    * fit wherever the sample is consumed anyway. */
+    * fit wherever the sample is consumed anyway.
+    *
+    * Rows whose `logWeight` is null are EXCLUDED up front (explicitly, not
+    * via null ordering): Spark's `log` returns null for a non-positive
+    * weight, so a zero-weight row reads as "never sample me" — which is
+    * exactly what weight 0 means under ∝ exp semantics, but it must not
+    * depend on nulls-last sort behaviour or pad the sample short of k. */
   def gumbelTopK(df: DataFrame, key: Column, logWeight: Column, k: Int,
       keyOut: String = "gumbel_key"): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     val h = conv(substring(md5(keyStr(key)), 1, 5), 16, 10).cast("double")
     val u = (h + lit(0.5)) / lit(1048576.0)
     val g = -log(-log(u))
-    df.withColumn(keyOut, logWeight + g)
+    df.where(logWeight.isNotNull)
+      .withColumn(keyOut, logWeight + g)
       .orderBy(col(keyOut).desc, keyStr(key))
       .limit(k)
   }

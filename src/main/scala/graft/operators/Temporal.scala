@@ -252,8 +252,13 @@ object Temporal {
     require(keyCols.nonEmpty, "resampleLocf needs at least one key column")
     require(intervalSec > 0, s"intervalSec must be > 0, got $intervalSec")
     val ivUs = intervalSec * 1000000L
+    // ceil to the next grid multiple via pmod (mathematical modulus):
+    // x + ((-x) mod iv). The (x + iv - 1) div iv form is WRONG for
+    // pre-1970 timestamps — Spark's div truncates toward zero, not floor —
+    // while pmod is sign-safe exact integer math (matches the oracle's
+    // floor-div `//` form and the streaming twin's floorDiv)
     val firstTick = timestamp_micros(
-      expr(s"((unix_micros(__min) + ${ivUs - 1}) div $ivUs) * $ivUs"))
+      expr(s"unix_micros(__min) + pmod(-unix_micros(__min), $ivUs)"))
     val grid = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
       .withColumn("__first", firstTick)

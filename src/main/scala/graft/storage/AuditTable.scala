@@ -216,15 +216,23 @@ class AuditTable(
       s"snapshotPoint needs primary keys on [$tableName]")
     require(keys.nonEmpty && keys.forall(_.size == info.primaryKeys.size),
       s"each key tuple must match the PK arity ${info.primaryKeys.size}")
-    readRegions(readableRegions).flatMap { all =>
-      val pkTypes = info.primaryKeys.map(all.schema(_).dataType)
+    // ONE table open: the same frame supplies the PK schema for probe
+    // hashing and, filtered to the surviving regions (RegionColumn is a
+    // partition column, so the isin prunes at the scan), the data read —
+    // a second openParquet would re-list the whole table on the exact
+    // fast path the sidecars keep cheap
+    ops.openParquet(Seq(tablePath)).flatMap { raw =>
+      val pkTypes = info.primaryKeys.map(raw.schema(_).dataType)
       def probe(k: Seq[Any]): Seq[org.apache.spark.sql.Column] =
         k.zip(pkTypes).map { case (v, t) => lit(v).cast(t) }
       val hashes = spark.range(1)
         .select(keys.map(k => xxhash64(probe(k): _*)): _*)
         .head().toSeq.map(_.asInstanceOf[Long])
       val regs = regionsForPointLookup(hashes)
-      readRegions(regs)
+      if (regs.isEmpty) None
+      else Some(raw
+        .where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
+        .drop(TypeColumn, RegionColumn))
     }.map { df =>
       val keyed = df.where(keys.map(k =>
         info.primaryKeys.zip(k).map { case (c, v) => col(c) <=> lit(v) }

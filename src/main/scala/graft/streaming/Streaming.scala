@@ -220,9 +220,10 @@ object Streaming {
     * observation can never land at-or-before an already-emitted tick), and
     * the event-time timeout keeps a silent key ticking — the gap-filling a
     * live series needs and the batch twin, which stops at each key's max
-    * observation, cannot express. `idleStopSec` optionally ends a series:
-    * a key whose newest observation trails the watermark by more than it
-    * stops emitting and drops its state.
+    * observation, cannot express. `idleStopSec` optionally ends a series
+    * at newest-observation + idleStopSec: ticks due before that instant
+    * still emit (so nothing the batch twin produces is swallowed), then
+    * the key's state drops.
     *
     * State per key is ONE carried observation plus the pending
     * observations newer than the emission frontier (drains every time the
@@ -252,37 +253,44 @@ object Streaming {
             // timeout fired for a key whose state was already dropped
             state.remove(); Iterator.empty
           } else {
-            val idleCut = idleStopSec.map { s =>
-              val newest = (prior.map(_.lastObsTs).getOrElse(Long.MinValue) +:
-                merged.map(_._1)).max
-              newest + s * 1000L
-            }
-            if (idleCut.exists(_ < wm)) { state.remove(); Iterator.empty }
-            else {
-              // emission frontier: resumes where the last batch stopped, or
-              // starts at the first observation's aligned tick
-              var tick = prior.map(_.nextTickMs)
-                .getOrElse(ceilTick(merged.head._1))
-              var lastTs = prior.map(_.lastObsTs).getOrElse(Long.MinValue)
-              var lastVal = prior.map(_.lastObsVal).getOrElse(Double.NaN)
-              var rest = merged
-              val out = scala.collection.mutable.ListBuffer.empty[LocfTick]
-              while (tick < wm) {
-                while (rest.nonEmpty && rest.head._1 <= tick) {
-                  lastTs = rest.head._1; lastVal = rest.head._2
-                  rest = rest.tail
-                }
-                if (lastTs != Long.MinValue)
-                  out += LocfTick(key, new Timestamp(tick),
-                    new Timestamp(lastTs), lastVal)
-                tick += ivMs
+            // idle cutoff: the series ENDS at newest-obs + idleStopSec —
+            // ticks due before that instant (and before the watermark)
+            // still emit, THEN the state drops; removing first would
+            // silently swallow ticks the batch twin produces
+            val newestObs = (prior.map(_.lastObsTs).getOrElse(Long.MinValue) +:
+              merged.map(_._1)).max
+            val seriesEnd = idleStopSec.map(s => newestObs + s * 1000L)
+            val ended = seriesEnd.exists(_ < wm)
+            // emission horizon: strictly below the watermark, and never
+            // past the series end when one applies
+            val horizon = seriesEnd.filter(_ < wm).map(_ + 1).getOrElse(wm)
+
+            // emission frontier: resumes where the last batch stopped, or
+            // starts at the first observation's aligned tick
+            var tick = prior.map(_.nextTickMs)
+              .getOrElse(ceilTick(merged.head._1))
+            var lastTs = prior.map(_.lastObsTs).getOrElse(Long.MinValue)
+            var lastVal = prior.map(_.lastObsVal).getOrElse(Double.NaN)
+            var rest = merged
+            val out = scala.collection.mutable.ListBuffer.empty[LocfTick]
+            while (tick < horizon) {
+              while (rest.nonEmpty && rest.head._1 <= tick) {
+                lastTs = rest.head._1; lastVal = rest.head._2
+                rest = rest.tail
               }
+              if (lastTs != Long.MinValue)
+                out += LocfTick(key, new Timestamp(tick),
+                  new Timestamp(lastTs), lastVal)
+              tick += ivMs
+            }
+            if (ended) state.remove()
+            else {
               state.update(LocfState(lastTs, lastVal, rest, tick))
               // wake when the watermark passes the next tick, so a silent
               // key keeps ticking without new data
               state.setTimeoutTimestamp(math.max(tick + 1, wm + 1))
-              out.iterator
             }
+            out.iterator
           }
       }
   }

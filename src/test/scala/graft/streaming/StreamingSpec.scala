@@ -805,7 +805,7 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
-  it("LOCF resampler drops a key after idleStopSec of silence") {
+  it("LOCF resampler ends a series at idleStopSec: due ticks emit, then the key stops") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.PointInput]
     val query = Streaming.locfResampleStream(input.toDS(),
@@ -821,8 +821,29 @@ class StreamingSpec extends SparkTestBase with Matchers {
       query.processAllAvailable()
       input.addData(Streaming.PointInput(2L, ts("2024-01-02 12:00:00"), 1.0))
       query.processAllAvailable()
-      val key1Ticks = spark.table("locf_idle").where(col("key") === 1L).count()
-      key1Ticks shouldBe 0L // idle cut fired before any tick could emit
+      // series ends at 10:00 + 2h = 12:00 — ticks due through the end
+      // still emit (10:00 is itself aligned, inclusive like the batch
+      // twin), nothing after
+      val key1 = spark.table("locf_idle").where(col("key") === 1L)
+        .select(col("tick").cast("string"), col("value"))
+        .as[(String, Double)].collect().toSet
+      key1 shouldBe Set(
+        ("2024-01-01 10:00:00", 5.0), ("2024-01-01 11:00:00", 5.0),
+        ("2024-01-01 12:00:00", 5.0))
     } finally query.stop()
+  }
+
+  it("LOCF resampler first-tick alignment is floor-correct for pre-1970 observations") {
+    // batch twin regression for the truncating-div bug: a 1969 span still
+    // gets its aligned daily ticks (Spark div truncates toward zero, which
+    // resolved the first tick to epoch 0 and emptied the series)
+    import graft.operators.Temporal
+    val obs = Seq((1L, ts("1969-06-01 05:00:00"), 1.0),
+      (1L, ts("1969-06-03 07:00:00"), 2.0)).toDF("key", "ts", "v")
+    val out = Temporal.resampleLocf(obs, Seq("key"), "ts", "v", 86400)
+      .select(col("tick").cast("string"), col("v"))
+      .as[(String, Double)].collect().toSet
+    out shouldBe Set(
+      ("1969-06-02 00:00:00", 1.0), ("1969-06-03 00:00:00", 1.0))
   }
 }
