@@ -10,7 +10,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Sta
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution,
   IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
@@ -150,18 +149,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lTimeB = leftTime
     val rTimeB = rightTime
     val keyTypes = leftKeys.map(_.dataType)
-    require(keyTypes == rightKeys.map(_.dataType),
-      s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
-    require(leftTime.dataType == rightTime.dataType,
-      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
-    val timeType = leftTime.dataType
-    if (toleranceUs.isDefined) {
-      import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
-      require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
-          .contains(timeType),
-        s"as-of tolerance needs an integral/timestamp/date time column, got $timeType")
-      require(toleranceUs.get >= 0, "as-of tolerance must be >= 0")
-    }
+    val timeType =
+      NativeJoinTime.validateAsOf(leftKeys, rightKeys, leftTime, rightTime, toleranceUs)
     val fwd = forward
     val tol = toleranceUs
     val nRight = rOut.size
@@ -210,14 +199,6 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var lastMatchKey: InternalRow = null
         private var lastMatchTime: Any = null
 
-        // tolerance distances in the time type's native representation
-        // (timestamps eval to epoch-µs longs, dates to day ints)
-        private def asLong(v: Any): Long = v match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case other => throw new IllegalStateException(s"as-of time: $other")
-        }
-
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
@@ -239,7 +220,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
             val matched = rNext != null &&
               keyOrd.compare(rNextKey, lKey) == 0 &&
-              tol.forall(t => asLong(rNextTime) - asLong(lTime) <= t)
+              tol.forall(t => NativeJoinTime.withinTolerance(rNextTime, lTime, t))
             if (matched) numMatchedRows += 1
             resultProj(joined(l, if (matched) rNext else nullRight))
           } else {
@@ -260,7 +241,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
             val matched = lastMatch != null &&
               keyOrd.compare(lastMatchKey, lKey) == 0 &&
-              tol.forall(t => asLong(lTime) - asLong(lastMatchTime) <= t)
+              tol.forall(t => NativeJoinTime.withinTolerance(lTime, lastMatchTime, t))
             if (matched) numMatchedRows += 1
             resultProj(joined(l, if (matched) lastMatch else nullRight))
           }
@@ -314,55 +295,49 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
-    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
-      s"as-of key types differ: ${leftKeys.map(_.dataType)} vs " +
-        s"${rightKeys.map(_.dataType)}")
-    require(leftTime.dataType == rightTime.dataType,
-      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
-    val timeType = leftTime.dataType
-    if (toleranceUs.isDefined) {
-      import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
-      require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
-          .contains(timeType),
-        s"as-of tolerance needs an integral/timestamp/date time column, got $timeType")
-      require(toleranceUs.get >= 0, "as-of tolerance must be >= 0")
-    }
+    val timeType =
+      NativeJoinTime.validateAsOf(leftKeys, rightKeys, leftTime, rightTime, toleranceUs)
     val fwd = forward
     val tol = toleranceUs
     val nRight = rOut.size
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
     val relation = right.executeBroadcast[Array[InternalRow]]()
+    val planId = id
 
     left.execute().mapPartitions({ lIter =>
       val timeOrd = NativeJoinTime.ordering(timeType)
-      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
-      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
       // per-key tables from the broadcast rows: parallel arrays time-sorted
       // (stable, so equal times keep broadcast row order — backward's
       // upper-bound probe then picks the LAST duplicate, matching the
       // sort-merge regime's consume-all-equal-times behavior). Built once
-      // per task, amortized over the partition's probes.
-      final class KeyTable(val times: Array[Any], val rows: Array[InternalRow])
-      val byKey = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
-      relation.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeEval.eval(r)
-        if (t != null && !k.anyNull) {
-          var buf = byKey.get(k)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]
-            byKey.put(k.copy(), buf)
+      // per EXECUTOR via BroadcastTableCache — rebuilding identical tables
+      // in every task was O(|R| log |R|) × tasks of waste.
+      val tables = BroadcastTableCache.getOrBuild(relation.id, planId) {
+        val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+        val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+        val byKey = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        relation.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTimeEval.eval(r)
+          if (t != null && !k.anyNull) {
+            var buf = byKey.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]
+              byKey.put(k.copy(), buf)
+            }
+            buf += ((t, r)) // broadcast rows are materialized copies already
           }
-          buf += ((t, r)) // broadcast rows are materialized copies already
         }
-      }
-      val tables = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow, KeyTable](byKey.size())
-      byKey.forEach { (k, buf) =>
-        val sorted = buf.sortBy(_._1)(timeOrd)
-        tables.put(k, new KeyTable(sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
+        val built = new java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+          AsOfKeyTable](byKey.size())
+        byKey.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1)(timeOrd)
+          built.put(k, new AsOfKeyTable(sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+        built
+      }.asInstanceOf[java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow, AsOfKeyTable]]
 
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
@@ -370,11 +345,6 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       // UnsafeRow output contract — see AsOfJoinExec
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      def asLong(v: Any): Long = v match {
-        case l: Long => l
-        case i: Int => i.toLong
-        case other => throw new IllegalStateException(s"as-of time: $other")
-      }
       lIter.map { l =>
         numOutputRows += 1
         val k = lKeyProj(l)
@@ -396,9 +366,8 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val idx = if (fwd) lo else lo - 1
           val matched = idx >= 0 && idx < tab.times.length &&
             tol.forall { tv =>
-              val d = if (fwd) asLong(tab.times(idx)) - asLong(t)
-                      else asLong(t) - asLong(tab.times(idx))
-              d <= tv
+              if (fwd) NativeJoinTime.withinTolerance(tab.times(idx), t, tv)
+              else NativeJoinTime.withinTolerance(t, tab.times(idx), tv)
             }
           if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) tab.rows(idx) else nullRight))
@@ -447,10 +416,14 @@ object AsOf {
       "as-of needs one or more key columns, the same count on both sides")
     require(direction == "backward" || direction == "forward",
       s"as-of direction must be 'backward' or 'forward', got '$direction'")
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    val spark = left.sparkSession
+    // resolver-aware: with default case-insensitive resolution, 'Ts' vs
+    // 'ts' is exactly the downstream ambiguity this guard documents —
+    // a case-sensitive Set intersect would let it through
+    val overlap = left.columns.filter(lc =>
+      right.columns.exists(rc => spark.sessionState.conf.resolver(lc, rc)))
     require(overlap.isEmpty,
       s"as-of output would carry ambiguous column names: ${overlap.mkString(", ")}")
-    val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

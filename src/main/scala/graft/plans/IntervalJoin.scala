@@ -47,6 +47,76 @@ private[plans] object NativeJoinTime {
     case _ => TypeUtils.getInterpretedOrdering(timeType)
       .asInstanceOf[Ordering[Any]]
   }
+
+  /** Time value in its native long representation (timestamps eval to
+    * epoch-µs longs, dates to day ints). ONE definition shared by both
+    * as-of regimes so a semantics fix can never diverge them. */
+  def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalStateException(s"native-join time: $other")
+  }
+
+  /** Overflow-safe tolerance check. The probe guarantees `later >= earlier`
+    * in time order, so the true distance is non-negative — a NEGATIVE
+    * computed difference can only be Long wraparound (e.g. a Long.MinValue
+    * "beginning of time" sentinel on one side), which without the `>= 0`
+    * guard would silently pass `d <= tol` and emit a false match. */
+  def withinTolerance(later: Any, earlier: Any, tol: Long): Boolean = {
+    val d = asLong(later) - asLong(earlier)
+    d >= 0 && d <= tol
+  }
+
+  /** Shared key/time/tolerance validation for the as-of execs (both
+    * regimes run the same checks from one definition). Returns the time
+    * type. */
+  def validateAsOf(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+      leftTime: Expression, rightTime: Expression,
+      toleranceUs: Option[Long]): DataType = {
+    val keyTypes = leftKeys.map(_.dataType)
+    require(keyTypes == rightKeys.map(_.dataType),
+      s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val timeType = leftTime.dataType
+    if (toleranceUs.isDefined) {
+      import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+      require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+          .contains(timeType),
+        s"as-of tolerance needs an integral/timestamp/date time column, got $timeType")
+      require(toleranceUs.get >= 0, "as-of tolerance must be >= 0")
+    }
+    timeType
+  }
+}
+
+/** Per-EXECUTOR cache of probe tables derived from a broadcast relation.
+  * IdentityBroadcastMode ships raw rows, so without this every task of the
+  * fact side re-hashes and re-sorts the same dimension rows into the same
+  * per-key tables — O(|R| log |R|) × tasks of pure waste (Spark's own BHJ
+  * avoids it with a transforming BroadcastMode). Keyed on
+  * (broadcast id, plan node id): same broadcast probed by two different
+  * execs builds two tables. `computeIfAbsent` gives per-key locking, so
+  * one task builds while the rest of that exec's tasks wait, and unrelated
+  * builds proceed in parallel. Crude bound: past `MaxEntries` the cache
+  * clears — the fallback cost is exactly the per-task rebuild this cache
+  * removes, and the broadcast's own row array (the big part) lives in
+  * Spark's block manager regardless. */
+/** Per-key time-sorted probe tables for the broadcast regimes — package
+  * level so [[BroadcastTableCache]] values type-check across tasks. */
+private[plans] final class AsOfKeyTable(val times: Array[Any],
+    val rows: Array[InternalRow])
+private[plans] final class IntervalKeyTable(val starts: Array[Any],
+    val ends: Array[Any], val rows: Array[InternalRow])
+
+private[plans] object BroadcastTableCache {
+  private val MaxEntries = 16
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), AnyRef]()
+  def getOrBuild(broadcastId: Long, planId: Int)(build: => AnyRef): AnyRef = {
+    if (cache.size > MaxEntries) cache.clear()
+    cache.computeIfAbsent((broadcastId, planId), _ => build)
+  }
 }
 
 /** Native keyed interval join — "every (point, interval) pair with equal
@@ -248,12 +318,10 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
               }
               // expire end <= t lazily; left times ascend within the key, so
               // an interval expired for this point is expired for all later
-              // ones and can be dropped for good
-              var i = 0
-              while (i < active.length) {
-                if (timeOrd.lteq(active(i)._2, t)) active.remove(i)
-                else i += 1
-              }
+              // ones and can be dropped for good. Single compaction pass —
+              // element-shifting remove(i) in a scan is O(n²) when a burst
+              // of intervals expires at once
+              active.filterInPlace(p => timeOrd.gt(p._2, t))
               if (active.nonEmpty) {
                 pendingLeft = l.copy()
                 // snapshot: `active` mutates on the next fill, and a live
@@ -326,35 +394,37 @@ case class BroadcastIntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val timeType = pointTime.dataType
     val numOutputRows = longMetric("numOutputRows")
     val relation = right.executeBroadcast[Array[InternalRow]]()
+    val planId = id
 
     left.execute().mapPartitions({ lIter =>
       val timeOrd = NativeJoinTime.ordering(timeType)
-      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
-      val sEval = BindReferences.bindReference(sB, rOut)
-      val eEval = BindReferences.bindReference(eB, rOut)
       // per-key tables from the broadcast rows: parallel arrays sorted by
       // start (stable, so equal starts keep broadcast row order). Built
-      // once per task — the build is |intervals| log |intervals|, amortized
-      // over the partition's points.
-      final class KeyTable(val starts: Array[Any], val ends: Array[Any],
-        val rows: Array[InternalRow])
-      val byKey = new java.util.HashMap[UnsafeRow, ArrayBuffer[(Any, Any, InternalRow)]]()
-      relation.value.foreach { r =>
-        val k = rKeyProj(r)
-        val s = sEval.eval(r)
-        val e = eEval.eval(r)
-        if (s != null && e != null && !k.anyNull && timeOrd.lt(s, e)) {
-          var buf = byKey.get(k)
-          if (buf == null) { buf = new ArrayBuffer; byKey.put(k.copy(), buf) }
-          buf += ((s, e, r)) // broadcast rows are materialized copies already
+      // once per EXECUTOR via BroadcastTableCache — per-task rebuilds were
+      // |intervals| log |intervals| of repeated work.
+      val tables = BroadcastTableCache.getOrBuild(relation.id, planId) {
+        val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+        val sEval = BindReferences.bindReference(sB, rOut)
+        val eEval = BindReferences.bindReference(eB, rOut)
+        val byKey = new java.util.HashMap[UnsafeRow, ArrayBuffer[(Any, Any, InternalRow)]]()
+        relation.value.foreach { r =>
+          val k = rKeyProj(r)
+          val s = sEval.eval(r)
+          val e = eEval.eval(r)
+          if (s != null && e != null && !k.anyNull && timeOrd.lt(s, e)) {
+            var buf = byKey.get(k)
+            if (buf == null) { buf = new ArrayBuffer; byKey.put(k.copy(), buf) }
+            buf += ((s, e, r)) // broadcast rows are materialized copies already
+          }
         }
-      }
-      val tables = new java.util.HashMap[UnsafeRow, KeyTable](byKey.size())
-      byKey.forEach { (k, buf) =>
-        val sorted = buf.sortBy(_._1)(timeOrd)
-        tables.put(k, new KeyTable(sorted.map(_._1).toArray,
-          sorted.map(_._2).toArray, sorted.map(_._3).toArray))
-      }
+        val built = new java.util.HashMap[UnsafeRow, IntervalKeyTable](byKey.size())
+        byKey.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1)(timeOrd)
+          built.put(k, new IntervalKeyTable(sorted.map(_._1).toArray,
+            sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+        }
+        built
+      }.asInstanceOf[java.util.HashMap[UnsafeRow, IntervalKeyTable]]
 
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val tEval = BindReferences.bindReference(tB, lOut)
@@ -415,10 +485,13 @@ object IntervalJoin {
       broadcastIntervals: Option[Boolean] = None): DataFrame = {
     require(pointKeys.nonEmpty && pointKeys.size == intervalKeys.size,
       "interval join needs one or more key columns, the same count on both sides")
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    val spark = points.sparkSession
+    // resolver-aware — see AsOf.asOfJoin: case-insensitive resolution makes
+    // same-name-different-case columns ambiguous downstream
+    val overlap = points.columns.filter(pc =>
+      intervals.columns.exists(ic => spark.sessionState.conf.resolver(pc, ic)))
     require(overlap.isEmpty,
       s"interval-join output would carry ambiguous column names: ${overlap.mkString(", ")}")
-    val spark = points.sparkSession
     ensureStrategy(spark)
     val lPlan = points.queryExecution.analyzed
     val rPlan = intervals.queryExecution.analyzed

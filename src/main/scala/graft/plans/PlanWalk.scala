@@ -13,6 +13,8 @@ object PlanWalk {
   def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
     case q: QueryStageExec => q +: unwrap(q.plan)
-    case other => other +: other.children.flatMap(unwrap)
+    // subquery plans (DPP filters, scalar subqueries) hang off EXPRESSIONS,
+    // not children — without them an exchange-count probe under-reports
+    case other => other +: (other.children ++ other.subqueries).flatMap(unwrap)
   }
 }

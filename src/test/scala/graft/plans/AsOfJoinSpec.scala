@@ -87,6 +87,31 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("tolerance never matches across a Long-overflow distance (sentinel times)") {
+    // a Long.MinValue "beginning of time" sentinel quote: the true distance
+    // to any real trade is ~2^63, but the naive subtraction wraps negative
+    // and would pass d <= tol — both regimes must reject it
+    val l = Seq(("A", 100L)).toDF("sym", "t")
+    val r = Seq(("A", Long.MinValue, 1.0), ("B", 50L, 2.0))
+      .toDF("r_sym", "r_t", "px")
+    for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
+      val out = AsOf.asOfJoin(l, r, Seq("sym"), Seq("r_sym"), "t", "r_t",
+          tolerance = Some(10L), broadcastRight = hint)
+        .select($"px").collect()
+      out.length shouldBe 1
+      out.head.isNullAt(0) shouldBe true // sentinel is NOT within tolerance
+    }
+  }
+
+  it("rejects same-name-different-case columns under case-insensitive resolution") {
+    val l = Seq(("A", 10L)).toDF("sym", "Ts")
+    val r = Seq(("A", 5L, 1.0)).toDF("r_sym", "ts", "px") // 'ts' vs 'Ts'
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(l, r, Seq("sym"), Seq("r_sym"), "Ts", "ts")
+    }
+    ex.getMessage should include("ambiguous")
+  }
+
   it("does not leak a match across a key change") {
     // C's quote at t=99 must never match B or D rows even though 99 > their times
     for ((name, hint) <- regimes) withClue(s"regime=$name: ") {
