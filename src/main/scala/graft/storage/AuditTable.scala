@@ -83,7 +83,16 @@ class AuditTable(
       appendTimestamp: Timestamp): AuditTable = {
     guardOneShot()
     val stamped = lastUpdatedCol match {
-      case Some(c) => ds.toDF().withColumn(AuditColumn, col(c).cast("timestamp"))
+      case Some(c) =>
+        // a null or unparseable last-updated would write a row that NO
+        // snapshot/allBetween can ever return (null <= ts filters it out
+        // forever) while region stats still count it — silent data loss.
+        // Fail the append loudly instead.
+        val cast = col(c).cast("timestamp")
+        ds.toDF().withColumn(AuditColumn, when(cast.isNull,
+          raise_error(concat(
+            lit(s"append to [$tableName]: null or unparseable '$c' value: "),
+            coalesce(col(c).cast("string"), lit("null"))))).otherwise(cast))
       case None => ds.toDF().withColumn(AuditColumn, lit(appendTimestamp))
     }
     val region = nextRegionId
@@ -192,7 +201,13 @@ class AuditTable(
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
         finally in.close()
       }
-    } catch { case _: java.io.IOException => None } // corrupt → full scan
+    } catch {
+      // corrupt → full scan; NonFatal, not just IOException: a garbage
+      // sidecar can surface as NegativeArraySizeException or the like from
+      // BloomFilter.readFrom, and an ADVISORY structure must never take
+      // down the query it exists to speed up
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Readable regions that might contain ANY of the probe hashes: a region
     * without a (readable) sidecar is always kept. */
@@ -220,8 +235,10 @@ class AuditTable(
     // hashing and, filtered to the surviving regions (RegionColumn is a
     // partition column, so the isin prunes at the scan), the data read —
     // a second openParquet would re-list the whole table on the exact
-    // fast path the sidecars keep cheap
-    ops.openParquet(Seq(tablePath)).flatMap { raw =>
+    // fast path the sidecars keep cheap. Created-but-never-appended tables
+    // (only .table_info on disk) short-circuit like snapshot() does.
+    if (readableRegions.isEmpty) None
+    else ops.openParquet(Seq(tablePath)).flatMap { raw =>
       val pkTypes = info.primaryKeys.map(raw.schema(_).dataType)
       def probe(k: Seq[Any]): Seq[org.apache.spark.sql.Column] =
         k.zip(pkTypes).map { case (v, t) => lit(v).cast(t) }
@@ -230,19 +247,26 @@ class AuditTable(
         .head().toSeq.map(_.asInstanceOf[Long])
       val regs = regionsForPointLookup(hashes)
       if (regs.isEmpty) None
-      else Some(raw
-        .where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
-        .drop(TypeColumn, RegionColumn))
-    }.map { df =>
-      val keyed = df.where(keys.map(k =>
-        info.primaryKeys.zip(k).map { case (c, v) => col(c) <=> lit(v) }
-          .reduce(_ && _)).reduce(_ || _))
-      val filtered = keyed.where(col(AuditColumn) <= lit(ts))
-      val w = Window.partitionBy(info.primaryKeys.map(col): _*)
-        .orderBy(col(AuditColumn).desc)
-      filtered.withColumn("_de_rn", row_number().over(w))
-        .where(col("_de_rn") === 1)
-        .drop("_de_rn")
+      else Some {
+        val df = raw
+          .where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
+          .drop(TypeColumn, RegionColumn)
+        // row filter uses the SAME cast-to-column-type probe the bloom
+        // hash used: filtering on the raw literal instead would let
+        // Spark's comparison coercion diverge from the cast semantics
+        // (e.g. an Int probe against a string PK holding "042" coerces to
+        // match rows the cast probe — and the sidecar — does not see),
+        // breaking the "advisory, never a wrong answer" invariant
+        val keyed = df.where(keys.map(k =>
+          info.primaryKeys.zip(probe(k)).map { case (c, v) => col(c) <=> v }
+            .reduce(_ && _)).reduce(_ || _))
+        val filtered = keyed.where(col(AuditColumn) <= lit(ts))
+        val w = Window.partitionBy(info.primaryKeys.map(col): _*)
+          .orderBy(col(AuditColumn).desc)
+        filtered.withColumn("_de_rn", row_number().over(w))
+          .where(col("_de_rn") === 1)
+          .drop("_de_rn")
+      }
     }
   }
 
@@ -296,12 +320,17 @@ class AuditTable(
       }
 
     val totalRows = toMerge.map(_.count).sum
-    val numPartitions = partitioner.numPartitions(deduped, totalRows)
+    // size from the PRE-dedup merged scan: same schema (dedup only drops
+    // rows), but sampling `deduped` would execute the full merge + window
+    // pipeline once just to plan the write that executes it again
+    val numPartitions = partitioner.numPartitions(merged, totalRows)
     // current partition count is ESTIMATED, never via `.rdd` — under AQE
     // that would execute the whole merge pipeline once just to plan it:
     // after a dedup window the data sits in shuffle partitions; otherwise
-    // it parallelises as the scan of the merged regions' bytes
-    val current =
+    // it parallelises as the scan of the merged regions' bytes. Lazy: the
+    // z-order branch never reads it, and the per-region content summaries
+    // are real I/O on object stores
+    lazy val current =
       if (!info.retainHistory && info.primaryKeys.nonEmpty)
         spark.sessionState.conf.numShufflePartitions
       else {

@@ -35,9 +35,16 @@ final case class AuditTableRegionInfo(
   * All writes stage into `.tmp` then `rename` — O(1) and atomic on
   * HDFS-like filesystems, so readers never observe partial regions.
   */
-class FileStorageOps(spark: SparkSession) {
+class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
 
-  lazy val fs: FileSystem = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** Resolved from the storage base path when given: a warehouse on a
+    * non-default scheme (s3a:// under an hdfs:// default FS) otherwise
+    * fails every metadata/trash/bloom operation with "Wrong FS" while the
+    * Spark reads themselves work — the reference resolves from the base
+    * path for the same reason. */
+  lazy val fs: FileSystem = fsBase
+    .map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    .getOrElse(FileSystem.get(spark.sparkContext.hadoopConfiguration))
 
   /** Open N region paths as one DataFrame with schema evolution. */
   def openParquet(paths: Seq[Path]): Option[DataFrame] = {
@@ -141,8 +148,14 @@ class FileStorageOps(spark: SparkSession) {
     } finally w.close()
     val dest = new Path(dir, tableName)
     if (fs.exists(dest)) fs.delete(dest, false)
+    // best-effort publish: the cache is ADVISORY (a stale or missing file
+    // is detected against the folder layout and rebuilt). On HDFS-like
+    // filesystems a concurrent reader's cache rebuild can win the rename
+    // race; failing HERE would surface as a failed append/compact AFTER
+    // the data region is already live, making the caller retry and
+    // duplicate data.
     if (!fs.rename(tmp, dest))
-      throw new StorageException(s"Failed to publish region cache for $tableName")
+      scala.util.Try(fs.delete(tmp, false))
   }
 
   def readRegionInfoCache(base: Path, tableName: String): Option[Seq[AuditTableRegionInfo]] = {

@@ -13,11 +13,16 @@ import graft.dataflow.spark.{SparkAction, SparkDataFlow, SparkFlowContext}
 object Storage {
 
   /** Create a new audit table (writes `.table_info`) or open the existing
-    * one, validating metadata matches when both exist. */
+    * one. When the table exists, `primaryKeys` and `retainHistory` must
+    * match the persisted `.table_info` (both change storage SEMANTICS —
+    * silently ignoring a mismatch would e.g. let a caller expecting
+    * PK-dedup compaction keep reading full history); `meta` follows the
+    * persisted file (operational knobs like pkBloom evolve by editing the
+    * table, not by whichever job opened it last). */
   def getOrCreateTable(spark: SparkSession, basePath: String, info: AuditTableInfo,
       includeHot: Boolean = true): AuditTable = {
-    val ops = new FileStorageOps(spark)
     val base = new Path(basePath)
+    val ops = new FileStorageOps(spark, Some(base))
     val tablePath = new Path(base, info.tableName)
     ops.readTableInfo(tablePath) match {
       case Some(existing) =>
@@ -25,6 +30,10 @@ object Storage {
           throw new StorageException(
             s"Table [${info.tableName}] exists with different primary keys " +
               s"[${existing.primaryKeys.mkString(",")}] vs requested [${info.primaryKeys.mkString(",")}]")
+        if (existing.retainHistory != info.retainHistory)
+          throw new StorageException(
+            s"Table [${info.tableName}] exists with retainHistory=" +
+              s"${existing.retainHistory} vs requested ${info.retainHistory}")
         openTable(spark, basePath, info.tableName, includeHot).get
       case None =>
         ops.fs.mkdirs(tablePath)
@@ -37,8 +46,8 @@ object Storage {
     * from the partition folder layout with stats from a grouped parquet scan. */
   def openTable(spark: SparkSession, basePath: String, tableName: String,
       includeHot: Boolean = true): Option[AuditTable] = {
-    val ops = new FileStorageOps(spark)
     val base = new Path(basePath)
+    val ops = new FileStorageOps(spark, Some(base))
     val tablePath = new Path(base, tableName)
     ops.readTableInfo(tablePath).map { info =>
       new AuditTable(info, inferRegions(spark, ops, tablePath, tableName), base, ops, spark,
@@ -143,22 +152,26 @@ object StorageActions {
 
     /** Open + snapshot(ts) N tables into plain dataset labels. */
     def snapshotFromStorage(basePath: String, ts: Timestamp,
-        outputPrefix: Option[String] = None)(tables: String*): SparkDataFlow =
+        outputPrefix: Option[String] = None,
+        includeHot: Boolean = true)(tables: String*): SparkDataFlow =
       tables.foldLeft(flow) { (fl, table) =>
         val out = outputPrefix.fold(table)(p => s"${p}_$table")
         fl.addAction(new SparkAction(List.empty, List(out), s"snapshotFromStorage:$table")(
-          (_, ctx) => Seq(Storage.openTable(ctx.spark, basePath, table)
+          (_, ctx) => Seq(Storage.openTable(ctx.spark, basePath, table, includeHot)
             .flatMap(_.snapshot(ts)))))
       }
 
-    /** Open + allBetween(from, to) N tables into plain dataset labels. */
+    /** Open + allBetween(from, to) N tables into plain dataset labels.
+      * `includeHot = false` reads only compacted (cold) published state —
+      * same contract as [[Storage.openTable]]. */
     def loadFromStorage(basePath: String, from: Option[Timestamp] = None,
-        to: Option[Timestamp] = None, outputPrefix: Option[String] = None)(
+        to: Option[Timestamp] = None, outputPrefix: Option[String] = None,
+        includeHot: Boolean = true)(
         tables: String*): SparkDataFlow =
       tables.foldLeft(flow) { (fl, table) =>
         val out = outputPrefix.fold(table)(p => s"${p}_$table")
         fl.addAction(new SparkAction(List.empty, List(out), s"loadFromStorage:$table")(
-          (_, ctx) => Seq(Storage.openTable(ctx.spark, basePath, table)
+          (_, ctx) => Seq(Storage.openTable(ctx.spark, basePath, table, includeHot)
             .flatMap(_.allBetween(from, to)))))
       }
   }

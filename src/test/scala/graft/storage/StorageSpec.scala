@@ -219,6 +219,59 @@ class StorageSpec extends SparkTestBase with Matchers {
       t2.regionsForPointLookup(Seq(rawIntHash)) shouldBe empty
     }
 
+    it("point lookups on a created-but-never-appended table return None") {
+      val t0 = Storage.getOrCreateTable(spark, tmpDir,
+        AuditTableInfo("pointempty", Seq("id"), Map.empty, retainHistory = true))
+      t0.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(1L))) shouldBe None
+    }
+
+    it("bloom prune and row filter share the cast-probe normalization (string PK)") {
+      // string PK holding "042": an Int probe must be ONE thing everywhere.
+      // With the row filter on the raw literal, Spark's comparison coercion
+      // ("042" <=> 42 numerically) would match rows the cast probe ("42")
+      // — and the sidecar — never see: rows present without blooms, absent
+      // with them. Both paths now normalize through cast-to-column-type, so
+      // the numeric probe consistently finds nothing and the exact string
+      // probe finds the row.
+      val t0 = Storage.getOrCreateTable(spark, tmpDir,
+        AuditTableInfo("bloomstr", Seq("id"),
+          Map(AuditTable.PkBloomKey -> "true"), retainHistory = true))
+      val t1 = t0.append(Seq(("042", "padded"), ("7", "plain")).toDF("id", "v"),
+        None, ts("2024-01-01 00:00:00"))
+      t1.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq(42))) shouldBe None
+      t1.snapshotPoint(ts("2024-06-01 00:00:00"), Seq(Seq("042")))
+        .get.select("v").as[String].collect().toSeq shouldBe Seq("padded")
+    }
+
+    it("getOrCreateTable rejects a retainHistory mismatch against the persisted table") {
+      Storage.getOrCreateTable(spark, tmpDir,
+        AuditTableInfo("histmatch", Seq("id"), Map.empty, retainHistory = true))
+      val ex = intercept[StorageException] {
+        Storage.getOrCreateTable(spark, tmpDir,
+          AuditTableInfo("histmatch", Seq("id"), Map.empty, retainHistory = false))
+      }
+      ex.getMessage should include("retainHistory")
+    }
+
+    it("append fails loudly on a null or unparseable last-updated value") {
+      // a null (or, under non-ANSI configs, unparseable) last-updated would
+      // write a row invisible to every snapshot/allBetween — silent loss
+      val t0 = mkTable("badlu")
+      val ex = intercept[Exception] {
+        t0.append(Seq((1L, "a", null: String)).toDF("id", "v", "lu"),
+          Some("lu"), ts("2024-01-01 00:00:00"))
+      }
+      ex.getMessage should include("unparseable")
+      // malformed strings fail too (ANSI's own cast error or our guard)
+      val t1 = mkTable("badlu2")
+      val ex2 = intercept[Exception] {
+        t1.append(Seq((1L, "a", "2024-13-45 99:99:99")).toDF("id", "v", "lu"),
+          Some("lu"), ts("2024-01-01 00:00:00"))
+      }
+      (ex2.getMessage.contains("cannot be cast") ||
+        ex2.getMessage.contains("unparseable")) shouldBe true
+    }
+
     it("point lookups scan conservatively when sidecars are absent") {
       val t0 = mkTable("nobloom") // pkBloom not enabled
       val t1 = t0.append(Seq((1L, "a")).toDF("id", "v"), None,
