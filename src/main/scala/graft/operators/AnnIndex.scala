@@ -29,18 +29,31 @@ import graft.storage.{AuditTableInfo, Storage}
   * Scale shape: training is [[Similarity.kmeansCentroids]] (driver state =
   * nLists×dim doubles); ingest is one map-side assignment pass; a query
   * joins the probe cells only (nProbe/nLists of the corpus). Centroids are
-  * FROZEN by design — rebuild under drift is a new `buildIvf` at a new
-  * timestamp, and the audit history keeps both generations queryable.
+  * FROZEN by design — rebuild under drift is a new `buildIvf` into a FRESH
+  * basePath (enforced: PK-latest-wins snapshots cannot delete, so a
+  * rebuild over an existing index would leave stale cells/codes from the
+  * old generation live and silently mix generations at query time; keep
+  * the old path around for as long as its generation must stay queryable).
   */
 object AnnIndex {
 
   val CodesTable = "ivf_codes"
   val CentroidsTable = "ivf_centroids"
 
-  /** Train centroids on `vectors`, store them, and index those vectors. */
+  /** Guard against silent generation mixing: PK-latest-wins snapshots
+    * cannot delete, so training INTO an existing index leaves stale
+    * centroid cells / codebook entries / codes live beside the new ones. */
+  private def requireFreshIndex(spark: SparkSession, basePath: String): Unit =
+    require(Storage.openTable(spark, basePath, CentroidsTable).isEmpty,
+      s"an index already exists under $basePath — rebuilds mix generations " +
+        "(stale cells/codes survive PK snapshots); build into a fresh basePath")
+
+  /** Train centroids on `vectors`, store them, and index those vectors.
+    * `basePath` must not already hold an index (see [[requireFreshIndex]]). */
   def buildIvf(spark: SparkSession, basePath: String, vectors: DataFrame,
       idCol: String, vecCol: String, nLists: Int, lloydIters: Int,
       ts: Timestamp): Unit = {
+    requireFreshIndex(spark, basePath)
     val c = Materialize(vectors.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("vec")))
     val cents = Similarity.kmeansCentroids(c, "vec_id", "vec", nLists, lloydIters)
@@ -51,6 +64,7 @@ object AnnIndex {
         Map("content" -> "ivf-centroids"), retainHistory = false))
       .append(centDf, None, ts)
     appendVectors(spark, basePath, c, "vec_id", "vec", ts)
+    Materialize.release(c)
   }
 
   /** Assign a new batch against the centroids as of `ts` and append it.
@@ -111,6 +125,9 @@ object AnnIndex {
     }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
+      // a null query vector can match nothing; dropping it here beats the
+      // bare NPE the probe's v.length would throw mid-task
+      .where(col("q_vec").isNotNull)
       .withColumn("cell", explode(probeUdf(col("q_vec"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -132,7 +149,7 @@ object AnnIndex {
   // by asymmetric distance (ADC) against only the probed cells. Same
   // operational contract as the raw index: FROZEN coarse centroids AND
   // frozen codebooks after build (re-ingest encodes against them; drift =
-  // a new buildIvfPq at a new timestamp), PK replacement on vec_id,
+  // a new buildIvfPq into a FRESH basePath), PK replacement on vec_id,
   // snapshot/region pruning from the audit tables.
 
   val PqCodesTable = "ivfpq_codes"
@@ -146,6 +163,7 @@ object AnnIndex {
       m: Int = 4, codesPerSubspace: Int = 8, pqIters: Int = 1,
       ts: Timestamp): Unit = {
     import spark.implicits._
+    requireFreshIndex(spark, basePath)
     val c = Materialize(vectors.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("vec")))
     val cents = Similarity.kmeansCentroids(c, "vec_id", "vec", nLists, lloydIters)
@@ -235,9 +253,12 @@ object AnnIndex {
 
   /** [[queryIvfPq]] + exact COSINE re-rank of an ADC shortlist: codes give
     * `shortlist`-many candidates per query (cheap, m lookups each), then
-    * ONLY those rows fetch their raw vector from `corpus` by id and re-score
-    * exactly — queries × shortlist lookups against the source table, never a
-    * corpus scan. This is the IVFADC + re-rank split every production
+    * ONLY those rows fetch their raw vector from `corpus` by id and
+    * re-score exactly. The fetch broadcasts the (queries × shortlist)-sized
+    * candidate set against ONE map-side pass over the corpus projection —
+    * no corpus shuffle; with an audit-table corpus, `snapshotPoint` (PK
+    * bloom sidecars) can replace the scan with regional point lookups.
+    * This is the IVFADC + re-rank split every production
     * vector store runs: the index stays codes-only (storage ~dim/m of the
     * corpus), full precision lives where it already exists (the source
     * table), and ADC's within-shortlist ranking noise (it quantizes away
@@ -257,7 +278,9 @@ object AnnIndex {
       col(vecCol).cast("array<double>").as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.join(cv, Seq("neighbor_id")) // shortlist-sized fetch by PK
+    // broadcast the tiny candidate set: the corpus side is read in one
+    // map-side pass with no shuffle (a plain join could shuffle BOTH sides)
+    broadcast(cand).join(cv, Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos",
         Similarity.nativeCosine(spark, col("q_vec"), col("c_vec")))
@@ -299,6 +322,7 @@ object AnnIndex {
     }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
+      .where(col("q_vec").isNotNull) // see queryIvf: skip, don't NPE
       .withColumn("_probe", explode(probeUdf(col("q_vec"))))
       .select(col("query_id"), col("_probe._1").as("cell"),
         col("_probe._2").as("q_res"))

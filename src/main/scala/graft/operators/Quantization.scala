@@ -202,9 +202,17 @@ object Quantization {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = model.m
-    val tabled = withDistTables(
-      queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("q_vec")), "q_vec", model)
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    // loud dim-drift contract (same as every other query path): a short
+    // query would null-pad through zip_with, making adc_dist NULL — which
+    // the ascending sort ranks FIRST, silently topping k with garbage
+    val dims = qs.agg(min(size(col("q_vec"))), max(size(col("q_vec")))).head()
+    if (!dims.isNullAt(0))
+      require(dims.getInt(0) == model.subDim * m && dims.getInt(1) == model.subDim * m,
+        s"query vector dims [${dims.getInt(0)}, ${dims.getInt(1)}] do not match " +
+          s"the PQ model's ${model.subDim * m} — re-encode queries or retrain")
+    val tabled = withDistTables(qs, "q_vec", model)
     val q = broadcast(tabled)
     // same doubles as computing each subspace distance in place (identical
     // per-element ops and fold order), so the SQL oracle formula matches
@@ -362,13 +370,20 @@ object Quantization {
     // correctly rounded, multiplication is — keeps MSE engine-exact
     val diffAt = (i: Column) =>
       when(mx(i) > mn(i), v(i) - reconAt(i)).otherwise(lit(0.0))
+    // zero-length (or null) vectors: guard the sequence — unguarded,
+    // sequence(0, -1) yields [0, -1] (Spark auto-negates the step) and the
+    // -1 index evaluates element_at(__mins, 0), which throws "SQL array
+    // indices start at 1" and fails the whole job on one bad row. Empty →
+    // empty codes + null mse, the row stays visible for triage.
+    val n = size(col(vecCol))
     emb.crossJoin(broadcast(packed))
       .select(col(idCol).as("id"),
-        transform(sequence(lit(0), size(col(vecCol)) - 1), codeAt).as("codes"),
-        round(
+        when(n > 0, transform(sequence(lit(0), n - 1), codeAt))
+          .otherwise(typedLit(Seq.empty[Int])).as("codes"),
+        when(n > 0, round(
           aggregate(
-            transform(sequence(lit(0), size(col(vecCol)) - 1), diffAt),
-            lit(0.0), (acc, d) => acc + d * d) / size(col(vecCol)),
-          scale).as("mse"))
+            transform(sequence(lit(0), n - 1), diffAt),
+            lit(0.0), (acc, d) => acc + d * d) / n,
+          scale)).as("mse"))
   }
 }

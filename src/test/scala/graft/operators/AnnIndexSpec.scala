@@ -36,6 +36,36 @@ class AnnIndexSpec extends SparkTestBase with Matchers {
     persisted.length should be > 0
   }
 
+  it("rejects a rebuild into an existing basePath — generations would mix") {
+    // PK-latest-wins snapshots cannot delete: a second build with fewer
+    // cells would leave the old generation's higher cell ids (and codes
+    // for un-reindexed vec_ids) live — silently wrong probes
+    val base = s"$tmpDir/ann_rebuild"
+    AnnIndex.buildIvf(spark, base, vectors(40), "vec_id", "embedding",
+      nLists = 4, lloydIters = 1, ts("2024-01-01 00:00:00"))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.buildIvf(spark, base, vectors(40), "vec_id", "embedding",
+        nLists = 2, lloydIters = 1, ts("2024-02-01 00:00:00"))
+    }
+    ex.getMessage should include("fresh basePath")
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.buildIvfPq(spark, base, vectors(40), "vec_id", "embedding",
+        nLists = 2, lloydIters = 1, ts = ts("2024-02-01 00:00:00"))
+    }
+    ex2.getMessage should include("fresh basePath")
+  }
+
+  it("skips null query vectors instead of failing the probe") {
+    val base = s"$tmpDir/ann_nullq"
+    AnnIndex.buildIvf(spark, base, vectors(40), "vec_id", "embedding",
+      nLists = 2, lloydIters = 1, ts("2024-01-01 00:00:00"))
+    val queries = Seq((0L, Some(Seq.tabulate(8)(d => math.sin(d * 7.0)))),
+      (1L, None)).toDF("vec_id", "embedding")
+    val out = AnnIndex.queryIvf(spark, base, queries, "vec_id", "embedding",
+      k = 3, nProbe = 1, ts("2024-06-01 00:00:00"))
+    out.select("query_id").distinct().as[Long].collect() shouldBe Array(0L)
+  }
+
   it("isolates snapshots: a query as of day 1 never sees day-2 vectors") {
     val base = s"$tmpDir/ann_asof"
     AnnIndex.buildIvf(spark, base, vectors(60), "vec_id", "embedding",
