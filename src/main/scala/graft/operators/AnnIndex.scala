@@ -110,18 +110,10 @@ object AnnIndex {
         s"$CodesTable has no data at $asOf"))
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("vec").as("c_vec"))
+    // shared probe (Quantization.nearestCells): loud dim-drift guard +
+    // deterministic tie-break live in ONE definition across all IVF paths
     val probeUdf = udf { (v: Array[Double]) =>
-      // fail loudly on dimension drift: a longer query vector would throw
-      // ArrayIndexOutOfBounds mid-centroid, a shorter one would silently
-      // probe on a truncated distance — both are schema bugs at the caller
-      require(cents.isEmpty || v.length == cents(0).length,
-        s"query vector dim ${v.length} does not match trained centroid " +
-          s"dim ${cents(0).length} — re-encode queries or rebuild the index")
-      cents.indices.map { ci =>
-        val cent = cents(ci); var d = 0.0; var i = 0
-        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
-        (d, ci)
-      }.sorted.take(nProbe).map(_._2.toLong).toArray
+      Quantization.nearestCells(cents, v, nProbe).map(_.toLong)
     }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
@@ -305,20 +297,7 @@ object AnnIndex {
       .select(col("vec_id").as("neighbor_id") +: col("cell") +:
         (0 until m).map(j => col(s"code_$j")): _*)
     val probeUdf = udf { (v: Array[Double]) =>
-      require(cents.isEmpty || v.length == cents(0).length,
-        s"query vector dim ${v.length} does not match trained centroid " +
-          s"dim ${cents(0).length} — re-encode queries or rebuild the index")
-      cents.indices.map { ci =>
-        val cent = cents(ci); var d = 0.0; var i = 0
-        while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
-        (d, ci)
-      }.sorted.take(nProbe).map { case (_, ci) =>
-        val cent = cents(ci)
-        val res = new Array[Double](v.length)
-        var i = 0
-        while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
-        (ci.toLong, res)
-      }.toArray
+      Quantization.nearestCellsWithResiduals(cents, v, nProbe) // shared probe
     }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))

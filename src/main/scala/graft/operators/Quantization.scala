@@ -60,10 +60,57 @@ object Quantization {
     PqModel(codebooks.head.head.length, codebooks)
   }
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
     d
+  }
+
+  /** Indices of the `nProbe` nearest centroids to `v` (squared-L2,
+    * deterministic tie-break by cell index) with the loud dim-drift
+    * contract — ONE definition behind every IVF probe UDF (AnnIndex raw +
+    * PQ, ivfPqTopK, Similarity.ivfTopK), so a probe-semantics fix can
+    * never diverge the paths. */
+  private[operators] def nearestCells(cents: Array[Array[Double]],
+      v: Array[Double], nProbe: Int): Array[Int] = {
+    require(cents.isEmpty || v.length == cents(0).length,
+      s"query vector dim ${v.length} does not match trained centroid " +
+        s"dim ${cents(0).length} — re-encode queries or rebuild the index")
+    cents.indices.map(ci => (sqDist(v, cents(ci)), ci))
+      .sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** [[nearestCells]] plus the per-cell query RESIDUAL (IVF-PQ scores ADC
+    * in each probed cell's residual space). */
+  private[operators] def nearestCellsWithResiduals(cents: Array[Array[Double]],
+      v: Array[Double], nProbe: Int): Array[(Long, Array[Double])] =
+    nearestCells(cents, v, nProbe).map { ci =>
+      val cent = cents(ci)
+      val res = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+      (ci.toLong, res)
+    }
+
+  /** Shared ADC scoring tail — m table lookups per candidate, rounded
+    * distance, id tie-break (the module's determinism contract in ONE
+    * place; it was copy-pasted across adcTopK / ivfPqTopK / the persisted
+    * shortlist and would silently break oracle parity if the copies
+    * drifted). `joined` must carry query_id, neighbor_id, table_j, code_j. */
+  private[operators] def adcRank(joined: DataFrame, m: Int, k: Int,
+      scale: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = (0 until m).map { j =>
+      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    joined.where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(dist, scale))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
   }
 
   private def argminCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
@@ -214,20 +261,10 @@ object Quantization {
           s"the PQ model's ${model.subDim * m} — re-encode queries or retrain")
     val tabled = withDistTables(qs, "q_vec", model)
     val q = broadcast(tabled)
-    // same doubles as computing each subspace distance in place (identical
-    // per-element ops and fold order), so the SQL oracle formula matches
-    val dist: Column = (0 until m).map { j =>
-      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    q.crossJoin(codedCorpus.withColumnRenamed(idCol, "neighbor_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", round(dist, scale))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
-        col("rank").cast("long").as("rank"))
+    // adcRank computes the same doubles as per-subspace distances in place
+    // (identical per-element ops and fold order) — the SQL oracle matches
+    adcRank(q.crossJoin(codedCorpus.withColumnRenamed(idCol, "neighbor_id")),
+      m, k, scale)
   }
 
   /** IVF-PQ composite search (the FAISS `IVFPQ` shape, as DataFrame ops):
@@ -283,38 +320,16 @@ object Quantization {
     // queries: explode to nProbe probed cells, each with its own residual —
     // the distance tables below are PER (query, cell)
     val probeUdf = udf { (v: Array[Double]) =>
-      // loud dim-drift contract (same as AnnIndex.queryIvf/queryIvfPq)
-      require(coarse.isEmpty || v.length == coarse(0).length,
-        s"query vector dim ${v.length} does not match trained coarse " +
-          s"centroid dim ${coarse(0).length}")
-      coarse.indices.map { ci =>
-        (sqDist(v, coarse(ci)), ci)
-      }.sorted.take(nProbe).map { case (_, ci) =>
-        val cent = coarse(ci)
-        val res = new Array[Double](v.length)
-        var i = 0
-        while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
-        (ci, res)
-      }.toArray
+      nearestCellsWithResiduals(coarse, v, nProbe) // shared loud dim guard
     }
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
+      .where(col("q_vec").isNotNull) // skip null queries, don't NPE
       .withColumn("_probe", explode(probeUdf(col("q_vec"))))
       .select(col("query_id"), col("_probe._1").as("cell"), col("_probe._2").as("q_res"))
     val tabled = broadcast(withDistTables(q, "q_res", model))
 
-    val dist: Column = (0 until m).map { j =>
-      element_at(col(s"table_$j"), col(s"code_$j").cast("int") + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    val out = tabled.join(coded, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", round(dist, scale))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
-        col("rank").cast("long").as("rank"))
+    val out = adcRank(tabled.join(coded, Seq("cell")), m, k, scale)
       // queries x k rows — materializing the (tiny) result lets BOTH
       // corpus-sized intermediates release immediately instead of leaking
       // replicated cache entries for the session (persist mode contract)

@@ -374,18 +374,10 @@ object Similarity {
 
     val probeUdf = {
       val cents = centroids
+      // shared probe (Quantization.nearestCells): loud dim-drift guard +
+      // deterministic tie-break in ONE definition across all IVF paths
       udf { (v: Array[Double]) =>
-        // same loud dim-drift contract as AnnIndex.queryIvf: a longer query
-        // vector would throw AIOOBE mid-centroid, a shorter one would
-        // silently probe on a truncated distance
-        require(cents.isEmpty || v.length == cents(0).length,
-          s"query vector dim ${v.length} does not match trained centroid " +
-            s"dim ${cents(0).length}")
-        cents.indices.map { ci =>
-          val cent = cents(ci); var d = 0.0; var i = 0
-          while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
-          (d, ci)
-        }.sorted.take(nProbe).map(_._2).toArray
+        Quantization.nearestCells(cents, v, nProbe)
       }
     }
 
