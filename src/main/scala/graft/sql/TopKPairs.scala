@@ -125,10 +125,19 @@ object TopKPairs {
     def size: Int = heap.size()
 
     def offer(s: Double, i: Long): Unit = {
+      // NaN scores are unrankable and DROPPED deterministically: primitive
+      // comparisons are always false for NaN while Double.compare ranks it
+      // above everything, so keeping NaNs would make the kept set depend on
+      // arrival order (in while the heap is filling, out once it's full)
+      if (java.lang.Double.isNaN(s)) return
       if (heap.size() < k) { heap.add((s, i)); () }
       else {
         val worst = heap.peek()
-        val better = s > worst._1 || (s == worst._1 && i < worst._2)
+        // the SAME total order as the heap comparator (Double.compare, so
+        // -0.0 < 0.0 consistently) — a primitive >/== here disagreed on
+        // signed zeros, making eviction outcomes arrival-order-dependent
+        val c = java.lang.Double.compare(s, worst._1)
+        val better = c > 0 || (c == 0 && i < worst._2)
         if (better) { heap.poll(); heap.add((s, i)); () }
       }
     }
@@ -138,11 +147,15 @@ object TopKPairs {
       while (it.hasNext) { val p = it.next(); f(p._1, p._2) }
     }
 
-    /** Kept pairs best-first: score DESC, id ASC. */
+    /** Kept pairs best-first: score DESC, id ASC — through Double.compare,
+      * the same total order as the heap/offer, so signed zeros cannot
+      * reorder by heap iteration order. */
     def sortedDescending: Array[(Double, Long)] = {
       val arr = heap.toArray(new Array[(Double, Long)](heap.size()))
-      scala.util.Sorting.stableSort(arr, (a: (Double, Long), b: (Double, Long)) =>
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      scala.util.Sorting.stableSort(arr, (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      })
       arr
     }
   }

@@ -40,13 +40,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 
+  // a null ELEMENT yields a null result (the zip_with twin's semantics)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // loud dim-drift contract (same as the IVF probes): silently truncating
+    // to the shorter vector would score a drifted embedding as a perfect
+    // neighbour instead of failing the caller's schema bug
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: vector dims differ ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -66,15 +76,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: vector dims differ (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |if (!${ev.isNull}) {
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
        """.stripMargin
     })
 }
@@ -304,6 +321,11 @@ object CdcBounds {
     *    chunk and skew every downstream task. */
   def compute(str: org.apache.spark.unsafe.types.UTF8String,
       window: Int, divisor: Int, minLen: Int, maxLen: Int): ArrayData = {
+    // validate here (both eval paths funnel through): window/divisor of 0
+    // would otherwise surface as per-row '/ by zero' task failures deep in
+    // the executor instead of a readable message
+    require(window >= 1, s"graft_cdc_bounds: window must be >= 1, got $window")
+    require(divisor >= 1, s"graft_cdc_bounds: divisor must be >= 1, got $divisor")
     val s = str.toString
     val M = 2147483647L
     var pow = 1L
@@ -395,7 +417,11 @@ object BpeMergePass {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      if (i + 1 < n && s.equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+      // a null symbol (arr.getUTF8String of a null element) never matches;
+      // it passes through — the raw equals would NPE and kill the job
+      if (s != null && i + 1 < n && s.equals(l) &&
+          arr.getUTF8String(i + 1) != null &&
+          arr.getUTF8String(i + 1).equals(r)) {
         out(outLen) = org.apache.spark.unsafe.types.UTF8String.concat(l, r)
         i += 2
       } else {
@@ -639,13 +665,8 @@ case class CellAssign(vector: Expression, table: Expression)
       newLeft: Expression, newRight: Expression): CellAssign =
     copy(vector = newLeft, table = newRight)
 
-  @transient private lazy val cents: Array[Array[Double]] = {
-    val ad = table.eval(null)
-    require(ad != null, "graft_cell_assign: centroid table must not be null")
-    val arr = ad.asInstanceOf[ArrayData]
-    require(arr.numElements() > 0, "graft_cell_assign: centroid table is empty")
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
-  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    FoldableTable.materialise(table, "graft_cell_assign")
 
   override def nullSafeEval(a: Any, unused: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -744,13 +765,8 @@ case class SubvecAssign(vector: Expression, table: Expression,
       newThird: Expression, newFourth: Expression): SubvecAssign =
     copy(newFirst, newSecond, newThird, newFourth)
 
-  @transient private lazy val cents: Array[Array[Double]] = {
-    val ad = table.eval(null)
-    require(ad != null, "graft_subvec_assign: codebook must not be null")
-    val arr = ad.asInstanceOf[ArrayData]
-    require(arr.numElements() > 0, "graft_subvec_assign: codebook is empty")
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
-  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    FoldableTable.materialise(table, "graft_subvec_assign")
 
   override protected def nullSafeEval(a: Any, unused: Any, o: Any, d: Any): Any =
     SubvecAssign.compute(a.asInstanceOf[ArrayData], cents,
@@ -764,12 +780,32 @@ case class SubvecAssign(vector: Expression, table: Expression,
   }
 }
 
+/** Shared materialisation of a FOLDABLE `array<array<double>>` child into
+  * a `double[][]` — one definition behind CellAssign / SubvecAssign /
+  * CentroidSub (the three copies had to be kept in sync by hand). */
+private[sql] object FoldableTable {
+  def materialise(table: Expression, fn: String): Array[Array[Double]] = {
+    val ad = table.eval(null)
+    require(ad != null, s"$fn: centroid table must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    require(arr.numElements() > 0, s"$fn: centroid table is empty")
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
+  }
+}
+
 object SubvecAssign {
   def compute(v: ArrayData, cents: Array[Array[Double]],
       off: Int, dim: Int): Int = {
     if (v.numElements() != dim) throw new IllegalArgumentException(
       s"graft_subvec_assign: vector of dim ${v.numElements()} does not " +
         s"match expected dim $dim — re-encode or rebuild the model")
+    // bounds-check the subspace window: UnsafeArrayData reads past the end
+    // are raw memory access — garbage codes, no exception — so a bad
+    // offset must fail HERE, loudly
+    if (off < 0 || off + cents(0).length > dim)
+      throw new IllegalArgumentException(
+        s"graft_subvec_assign: subspace [$off, ${off + cents(0).length}) " +
+          s"outside vector dim $dim")
     var best = 0
     var bestD = Double.MaxValue
     var ci = 0
@@ -833,36 +869,34 @@ case class CentroidSub(vector: Expression, table: Expression, cell: Expression)
       newThird: Expression): CentroidSub =
     copy(newFirst, newSecond, newThird)
 
-  @transient private lazy val cents: Array[Array[Double]] = {
-    val ad = table.eval(null)
-    require(ad != null, "graft_centroid_sub: centroid table must not be null")
-    val arr = ad.asInstanceOf[ArrayData]
-    require(arr.numElements() > 0, "graft_centroid_sub: centroid table is empty")
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray)
-  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    FoldableTable.materialise(table, "graft_centroid_sub")
 
-  private def cellToInt(c: Any): Int = c match {
-    case i: java.lang.Integer => i.intValue()
-    case l: java.lang.Long => l.intValue()
+  private def cellToLong(c: Any): Long = c match {
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
   }
 
   override protected def nullSafeEval(a: Any, unused: Any, c: Any): Any =
-    CentroidSub.compute(a.asInstanceOf[ArrayData], cents, cellToInt(c))
+    CentroidSub.compute(a.asInstanceOf[ArrayData], cents, cellToLong(c))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
     nullSafeCodeGen(ctx, ev, (v, _, c) => {
-      s"${ev.value} = graft.sql.CentroidSub.compute($v, $centsRef, (int) $c);"
+      s"${ev.value} = graft.sql.CentroidSub.compute($v, $centsRef, (long) $c);"
     })
   }
 }
 
 object CentroidSub {
-  /** Interpreted + generated code share this JVM loop. */
-  def compute(v: ArrayData, cents: Array[Array[Double]], cell: Int): ArrayData = {
+  /** Interpreted + generated code share this JVM loop. The cell arrives as
+    * a LONG and is range-checked before narrowing — truncating first (the
+    * old `(int) cell`) let an out-of-range bigint wrap INTO range and
+    * subtract the wrong centroid silently. */
+  def compute(v: ArrayData, cents: Array[Array[Double]], cell: Long): ArrayData = {
     if (cell < 0 || cell >= cents.length) throw new IllegalArgumentException(
       s"graft_centroid_sub: cell $cell outside centroid table of ${cents.length}")
-    val cent = cents(cell)
+    val cent = cents(cell.toInt)
     val n = v.numElements()
     if (n != cent.length) throw new IllegalArgumentException(
       s"graft_centroid_sub: vector of dim $n does not match centroid dim " +
