@@ -1386,9 +1386,15 @@ object SparkEntry {
           .as("token"))
       // one corpus pass: the exact frequency frame feeds the weighted sketch
       // construction (linear sketch — bit-identical to hashing every token
-      // instance, but md5 runs over the 31-token vocab, not ~1M instances)
-      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-        .persist()
+      // instance, but md5 runs over the 31-token vocab, not ~1M instances).
+      // The vocab frame is materialized to the driver (31 rows) rather than
+      // persist()ed: the caller evaluates the returned frame AFTER this
+      // body exits, so a persist here could never be released and would
+      // hold cached blocks for the rest of a 149-query session.
+      val exactDist = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_count"))
+      val exactRows = java.util.Arrays.asList(exactDist.collect(): _*)
+      val exact = s.createDataFrame(exactRows, exactDist.schema)
       val sketch = Sketches.countMinSketchWeighted(exact, "token", "exact_count",
         depth = 4, width = 32)
       Sketches.countMinEstimate(exact, "token", sketch, depth = 4, width = 32)

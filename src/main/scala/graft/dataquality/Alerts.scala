@@ -84,7 +84,13 @@ final case class SmtpSettings(
     /** javax.mail's `mail.smtp.starttls.required`: fail delivery instead
       * of silently downgrading (credentials + alert body in cleartext)
       * when the server does not advertise STARTTLS. */
-    starttlsRequired: Boolean = false) {
+    starttlsRequired: Boolean = false,
+    /** javax.mail's `mail.smtp.ssl.checkserveridentity`: verify the
+      * server certificate's hostname against [[host]] during the TLS
+      * handshake (defaults ON — chain validation alone lets any
+      * CA-signed cert MITM the session). Disable only for self-signed
+      * test fixtures. */
+    sslCheckServerIdentity: Boolean = true) {
 
   if (auth)
     require(user.nonEmpty && pass.nonEmpty,
@@ -100,6 +106,7 @@ final case class SmtpSettings(
     "mail.smtp.starttls.enable" -> starttls.toString,
     "mail.smtp.starttls.required" -> starttlsRequired.toString,
     "mail.smtp.ssl.enable" -> ssl.toString,
+    "mail.smtp.ssl.checkserveridentity" -> sslCheckServerIdentity.toString,
     "mail.smtp.connectiontimeout" -> connectionTimeoutMs.toString,
     "mail.smtp.timeout" -> timeoutMs.toString)
 }
@@ -148,10 +155,24 @@ object EmailQualityAlert {
     raw.connect(new java.net.InetSocketAddress(s.host, s.port),
       s.connectionTimeoutMs.toInt)
     raw.setSoTimeout(s.timeoutMs.toInt)
-    def tlsWrap(sock: java.net.Socket): java.net.Socket =
-      javax.net.ssl.SSLSocketFactory.getDefault
+    // Chain validation alone is not enough: without endpoint identification
+    // an active MITM can present ANY valid CA-signed cert and read AUTH
+    // LOGIN credentials. "HTTPS" enables RFC 2818-style hostname matching
+    // against s.host (javax.mail's mail.smtp.ssl.checkserveridentity twin);
+    // settings.sslCheckServerIdentity=false opts out for self-signed labs.
+    def tlsWrap(sock: java.net.Socket): java.net.Socket = {
+      val ssl = javax.net.ssl.SSLSocketFactory.getDefault
         .asInstanceOf[javax.net.ssl.SSLSocketFactory]
         .createSocket(sock, s.host, s.port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      if (s.sslCheckServerIdentity) {
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
+      }
+      ssl.startHandshake()
+      ssl
+    }
     var sock: java.net.Socket = if (s.ssl) tlsWrap(raw) else raw
     try {
       var in = new java.io.BufferedReader(
@@ -220,8 +241,10 @@ object EmailQualityAlert {
           Seq(s"Subject: ${msg.subject}",
             "MIME-Version: 1.0",
             "Content-Type: text/plain; charset=UTF-8")
-      // dot-stuffing: a body line starting with '.' doubles it (RFC 5321 §4.5.2)
-      val body = msg.body.split("\n", -1).toSeq
+      // dot-stuffing: a body line starting with '.' doubles it (RFC 5321
+      // §4.5.2). Split on \r?\n so a CRLF-terminated body doesn't emit
+      // bare-CR "\r\r\n" lines (RFC 5321 §2.3.8 forbids bare CR).
+      val body = msg.body.split("\r?\n", -1).toSeq
         .map(l => if (l.startsWith(".")) "." + l else l)
       out.write((headers ++ Seq("") ++ body).mkString("\r\n"))
       out.write("\r\n.\r\n"); out.flush()

@@ -260,7 +260,7 @@ object AnnIndex {
   def queryIvfPqRerank(spark: SparkSession, basePath: String,
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, asOf: Timestamp, shortlist: Int = 0,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, maxBroadcastCandidates: Long = 2L * 1000 * 1000): DataFrame = {
     val sl = if (shortlist > 0) shortlist else math.max(k * 5, 50)
     val cand = queryIvfPqShortlist(spark, basePath, queries, idCol, vecCol,
       sl, nProbe, asOf, scale).select(col("query_id"), col("neighbor_id"))
@@ -268,12 +268,24 @@ object AnnIndex {
       col(vecCol).cast("array<double>").as("q_vec"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
+    // The candidate set is queries x shortlist rows — tiny for interactive
+    // batches, but a force-broadcast of a MILLION-query batch would blow
+    // the 8GB broadcast limit where a planner-chosen join works. Gate the
+    // hint on the candidate estimate; the probe count is bounded (stops at
+    // limit+1 query rows), so it never scans a large queries frame.
+    val probeLimit = maxBroadcastCandidates / math.max(sl, 1) + 1
+    val nQueries = qv.limit(
+      math.min(probeLimit, Int.MaxValue.toLong).toInt).count()
+    val smallBatch = nQueries * sl <= maxBroadcastCandidates
+    def hint(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    // broadcast the tiny candidate set: the corpus side is read in one
-    // map-side pass with no shuffle (a plain join could shuffle BOTH sides)
-    broadcast(cand).join(cv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+    // small batch: broadcast the candidate set so the corpus side is read
+    // in one map-side pass with no shuffle (a plain join could shuffle
+    // BOTH sides); large batch: let the planner/AQE pick the join — a
+    // shuffle beats an oversized broadcast
+    hint(cand).join(cv, Seq("neighbor_id"))
+      .join(hint(qv), Seq("query_id"))
       .withColumn("cos",
         Similarity.nativeCosine(spark, col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))

@@ -249,16 +249,21 @@ object Quantization {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = model.m
-    val qs = queries.select(col(idCol).as("query_id"),
+    val rawQ = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
     // loud dim-drift contract (same as every other query path): a short
     // query would null-pad through zip_with, making adc_dist NULL — which
-    // the ascending sort ranks FIRST, silently topping k with garbage
-    val dims = qs.agg(min(size(col("q_vec"))), max(size(col("q_vec")))).head()
-    if (!dims.isNullAt(0))
-      require(dims.getInt(0) == model.subDim * m && dims.getInt(1) == model.subDim * m,
-        s"query vector dims [${dims.getInt(0)}, ${dims.getInt(1)}] do not match " +
-          s"the PQ model's ${model.subDim * m} — re-encode queries or retrain")
+    // the ascending sort ranks FIRST, silently topping k with garbage.
+    // Checked LAZILY in the plan (like AuditTable.append's null guard), so
+    // building the query costs no extra scan and plan-only contexts
+    // (explain/PlanDump) never execute a job; the error fires on execution.
+    val expectDim = model.subDim * m
+    val qs = rawQ.withColumn("q_vec",
+      when(size(col("q_vec")) === expectDim, col("q_vec"))
+        .otherwise(raise_error(concat(
+          lit("adcTopK: query vector of dim "), size(col("q_vec")),
+          lit(s" does not match the PQ model's $expectDim — " +
+            "re-encode queries or retrain")))))
     val tabled = withDistTables(qs, "q_vec", model)
     val q = broadcast(tabled)
     // adcRank computes the same doubles as per-subspace distances in place

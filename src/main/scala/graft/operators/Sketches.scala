@@ -128,12 +128,19 @@ object Sketches {
     val cells = typedLit(flat.toSeq)
     val est = array_min(transform(buckets(col(itemCol), depth, width, family),
       (b, d) => element_at(cells, (d * width + b + 1).cast("int"))))
+    // Filter on the raw expression and re-derive cm_estimate AFTER the
+    // exact-count aggregate: projecting it pre-filter makes Catalyst keep
+    // the depth-deep hash expression in BOTH the Filter and Project nodes
+    // (2x the hash cost per instance); post-agg it runs once per CANDIDATE
+    // item — vocabulary-sized, not instance-sized.
     items
-      .withColumn("cm_estimate", est)
-      .where(col("cm_estimate") >= threshold)
-      .groupBy(col(itemCol), col("cm_estimate"))
+      .where(est >= threshold)
+      .groupBy(col(itemCol))
       .agg(count(lit(1)).as("exact_count"))
+      .withColumn("cm_estimate", est)
       .withColumn("confirmed", col("exact_count") >= threshold)
+      .select(col(itemCol), col("cm_estimate"), col("exact_count"),
+        col("confirmed"))
   }
 
   /** Estimate counts for each distinct item in `queries(itemCol)`:

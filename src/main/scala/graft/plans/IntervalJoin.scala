@@ -111,11 +111,33 @@ private[plans] final class IntervalKeyTable(val starts: Array[Any],
 
 private[plans] object BroadcastTableCache {
   private val MaxEntries = 16
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int), AnyRef]()
+  // Soft values: the probe tables' rows point into the broadcast's row
+  // array, so a strong cache would pin destroyed/unpersisted broadcasts
+  // (hundreds of MB each) for the executor JVM's lifetime. Soft refs let
+  // the GC reclaim them under pressure; the fallback cost is one per-task
+  // rebuild, exactly what the cache saves in the common case.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), java.lang.ref.SoftReference[AnyRef]]()
   def getOrBuild(broadcastId: Long, planId: Int)(build: => AnyRef): AnyRef = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent((broadcastId, planId), _ => build)
+    // Bound enforcement evicts per-entry — GC-cleared refs first, then
+    // arbitrary extras — so one executor running >MaxEntries distinct
+    // broadcast joins sheds cold entries instead of thrash-rebuilding
+    // every hot one (the old clear() dropped the whole map).
+    if (cache.size > MaxEntries) {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      val extras = cache.keySet().iterator()
+      while (cache.size > MaxEntries && extras.hasNext) {
+        extras.next(); extras.remove()
+      }
+    }
+    // compute keeps computeIfAbsent's per-key build locking and also
+    // replaces entries whose soft ref the GC already cleared
+    val ref = cache.compute((broadcastId, planId), (_, old) =>
+      if (old != null && old.get() != null) old
+      else new java.lang.ref.SoftReference[AnyRef](build))
+    val got = ref.get()
+    if (got != null) got else build // GC raced the insert: uncached build
   }
 }
 

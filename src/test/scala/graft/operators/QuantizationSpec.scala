@@ -91,5 +91,17 @@ class QuantizationSpec extends SparkTestBase with Matchers {
         rows.foreach { case (_, nid, _, _) => nid % 4 shouldBe qid % 4 }
       }
     }
+
+    it("adcTopK's dim-drift guard is lazy: plan builds clean, execution fails loud") {
+      val model = Quantization.train(corpus, "vec_id", "embedding", dim, m = 2, k = 4)
+      val coded = Quantization.encode(corpus, "vec_id", "embedding", model)
+      val shortQ = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+      // construction must NOT run a Spark job (the old eager guard scanned
+      // the queries frame per call, even in explain-only contexts)
+      val planned = Quantization.adcTopK(coded, shortQ, "vec_id", "embedding", model, k = 3)
+      planned.queryExecution.analyzed // resolves without executing
+      val ex = intercept[Exception] { planned.collect() }
+      ex.getMessage should include("does not match the PQ model")
+    }
   }
 }
