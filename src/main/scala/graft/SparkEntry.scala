@@ -1006,6 +1006,38 @@ object SparkEntry {
         .orderBy(col("user_id"), col("tick"))
     }),
 
+    // REAL image decode end-to-end (no stubs anywhere on this path): per
+    // doc a 60x60 BMP of 10x6 constant-gray cells (cell values md5-derived
+    // so DuckDB can replay them) is ENCODED through the real ImageIO BMP
+    // writer, then DECODED back through the real reader — dims/channels
+    // from the decoded pixels, pHash from decoded luminance (blockhash over
+    // the 10x6 grid). Constant gray cells make integer luminance exact
+    // (=v), so the oracle replays the hash from the cell-value formula
+    // alone, while Spark's numbers only match if the full encode->decode->
+    // pixel->luminance path is correct (operators.Multimodal.imageKernel /
+    // pHashImageKernel / blockImageBytes)
+    "q150_real_image_phash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      import org.apache.spark.sql.Encoders
+      val cellVals = transform(sequence(lit(0), lit(59)), k =>
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_cell_"), k.cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(256L)).cast("int"))
+      val synth = udf((vals: Seq[Int]) =>
+        Multimodal.blockImageBytes(vals.toArray, cellW = 6, cellH = 10,
+          gridX = 10, gridY = 6))
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("content", synth(cellVals))
+      val dims = Multimodal.decodePartitioned(media, "doc_id", "content",
+          Multimodal.imageKernel)(Encoders.product[Multimodal.DecodedImage])
+        .toDF("doc_id", "width", "height", "channels")
+      val hashes = Multimodal.perceptualHashesReal(media, "doc_id", "content")
+      dims.join(hashes, Seq("doc_id"))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("phash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5102,6 +5134,29 @@ object SparkEntry {
         |FROM grid g ASOF JOIN obs o
         |  ON g.user_id = o.user_id AND g.tick >= o.ts
         |ORDER BY g.user_id, g.tick""".stripMargin,
+
+    // the oracle never decodes an image: constant-gray cells reduce the
+    // real pixel pHash to the cell-value formula (bit k set iff v_k * 60 >
+    // sum over the doc's 60 cells), and the dims are the synthesis
+    // constants — Spark's side must round-trip real BMP bytes to match
+    "q150_real_image_phash" ->
+      """WITH cells AS (
+        |  SELECT d.doc_id, k.k,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR || '_cell_' || k.k::VARCHAR),
+        |      1, 15))::BIGINT % 256 AS v
+        |  FROM documents d,
+        |    (SELECT CAST(unnest(generate_series(0, 59)) AS INT) AS k) k
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(60 AS BIGINT) AS width, CAST(60 AS BIGINT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(sum(CASE WHEN c.v * 60 > t.s THEN (1::BIGINT << c.k)
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |FROM cells c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

@@ -173,4 +173,157 @@ object Multimodal {
       DecodedImage(id, h % 960L + 64L, (h >>> 16) % 960L + 64L, 3)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // REAL codecs over JDK ImageIO (zero vendor deps: the PNG/BMP/JPEG/GIF
+  // readers and writers ship in java.desktop and run headless). These plug
+  // into the SAME MediaKernel seam as the stubs — callers switch kernels,
+  // never plumbing.
+  // ---------------------------------------------------------------------
+
+  private def readImage(id: Long, bytesOrNull: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytesOrNull == null || bytesOrNull.isEmpty) null
+    else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytesOrNull))
+  }
+
+  /** REAL image decode: ImageIO container sniffing + pixel decode.
+    * Undecodable / null payloads yield (0, 0, 0) — corrupt rows are routine
+    * in a 100 TB media crawl and must flow to a quality filter, not kill
+    * the job. `channels` is the color model's component count (3 = RGB,
+    * 4 = RGBA, 1 = gray). */
+  def imageKernel: MediaKernel[DecodedImage] = () => {
+    (id: Long, bytesOrNull: Array[Byte]) => {
+      val img = readImage(id, bytesOrNull)
+      if (img == null) DecodedImage(id, 0L, 0L, 0)
+      else DecodedImage(id, img.getWidth.toLong, img.getHeight.toLong,
+        img.getColorModel.getNumComponents)
+    }
+  }
+
+  /** REAL perceptual hash: decode to pixels, integer luminance
+    * `(299r + 587g + 114b) / 1000` (exact on gray pixels, coefficients sum
+    * to 1000), then the same blockhash shape as [[pHashKernelStub]] over a
+    * `gridX x gridY` cell grid: bit k set iff cell k's mean luminance
+    * strictly exceeds the image mean, compared in integers
+    * (`cellSum * nPixels > totalSum * cellPixels`) so results are
+    * bit-reproducible across JVMs. Cell k = `cy * gridX + cx` with
+    * `cx = x*gridX/w`, `cy = y*gridY/h` (floor) — uneven dims get uneven
+    * cells, the count term keeps the comparison fair. Default 10x6 = 60
+    * bits, compatible with [[Dedup.fingerprintPairs]]'s 4 x 15-bit
+    * quadrant blocking. Undecodable payloads hash to -1 (sentinel outside
+    * the 60-bit non-negative range — filter or route to quarantine).
+    * Integer-exact up to ~189 MP (255 * N^2 < Long.Max). */
+  def pHashImageKernel(gridX: Int = 10, gridY: Int = 6): MediaKernel[MediaHash] = () => {
+    require(gridX * gridY <= 63, s"grid ${gridX}x$gridY exceeds 63 bits")
+    (id: Long, bytesOrNull: Array[Byte]) => {
+      val img = readImage(id, bytesOrNull)
+      if (img == null) MediaHash(id, -1L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, sRGB ints
+        val g = gridX * gridY
+        val sums = new Array[Long](g)
+        val counts = new Array[Long](g)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val cy = y * gridY / h
+          val rowBase = cy * gridX
+          var x = 0
+          while (x < w) {
+            val rgb = px(y * w + x)
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            val k = rowBase + x * gridX / w
+            sums(k) += lum
+            counts(k) += 1
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < g) {
+          if (sums(k) * n > total * counts(k)) hash |= (1L << k)
+          k += 1
+        }
+        MediaHash(id, hash)
+      }
+    }
+  }
+
+  /** A real resize result: re-encoded bytes plus the post-resize dims. */
+  final case class ResizedImage(id: Long, content: Array[Byte], width: Int, height: Int)
+
+  /** REAL resize kernel: decode, bilinear-scale onto an RGB canvas, and
+    * re-encode (`format`: png | bmp | jpg — the JDK's writer set).
+    * Undecodable inputs pass through as (id, null, 0, 0). The Graphics2D
+    * context is per-IMAGE (cheap); the kernel seam still amortises the
+    * ImageIO plugin registry lookup per partition. */
+  def resizeKernel(targetW: Int, targetH: Int,
+      format: String = "png"): MediaKernel[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    () => {
+      (id: Long, bytesOrNull: Array[Byte]) => {
+        val img = readImage(id, bytesOrNull)
+        if (img == null) ResizedImage(id, null, 0, 0)
+        else {
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val gfx = out.createGraphics()
+          try {
+            gfx.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally gfx.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, format, buf)
+          ResizedImage(id, buf.toByteArray, targetW, targetH)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL image synthesis: a `gridX x gridY` grid of
+    * constant-gray cells (`values(k)` in 0..255, k = cy*gridX + cx), each
+    * `cellW x cellH` pixels, encoded through the real ImageIO BMP writer
+    * (uncompressed, byte-stable). Because each cell is constant and gray,
+    * the [[pHashImageKernel]] bit for cell k reduces to
+    * `v_k * G > sum(v)` — a SQL oracle replays the hash without decoding
+    * anything. Fixture generator for specs and the correctness gate, built
+    * on the same codec stack the decode path exercises. */
+  def blockImageBytes(values: Array[Int], cellW: Int, cellH: Int,
+      gridX: Int, gridY: Int): Array[Byte] = {
+    require(values.length == gridX * gridY,
+      s"need ${gridX * gridY} cell values, got ${values.length}")
+    val img = new java.awt.image.BufferedImage(gridX * cellW, gridY * cellH,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < gridY * cellH) {
+      val cy = y / cellH
+      var x = 0
+      while (x < gridX * cellW) {
+        val v = values(cy * gridX + x / cellW) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", buf)
+    buf.toByteArray
+  }
+
+  /** (doc_id, phash) over REAL decoded pixels — the production twin of
+    * [[perceptualHashes]]; same downstream contract
+    * ([[Dedup.fingerprintPairs]] blocking). */
+  def perceptualHashesReal(df: DataFrame, idCol: String, contentCol: String,
+      gridX: Int = 10, gridY: Int = 6): DataFrame =
+    decodePartitioned(df, idCol, contentCol, pHashImageKernel(gridX, gridY))(
+      org.apache.spark.sql.Encoders.product[MediaHash])
+      .toDF("doc_id", "phash")
 }

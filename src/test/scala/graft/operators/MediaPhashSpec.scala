@@ -71,4 +71,102 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     got shouldBe want
     got should contain((100L, 101L))
   }
+
+  // ------------------------------------------------------------------
+  // REAL bytes: the ImageIO kernels, not the stubs
+  // ------------------------------------------------------------------
+
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1)) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  it("imageKernel decodes real PNG and BMP bytes to true dimensions") {
+    val png = gradientPng(48, 32)
+    val bmp = Multimodal.blockImageBytes(Array.fill(60)(128), 6, 10, 10, 6)
+    val media = Seq((1L, png), (2L, bmp), (3L, "not an image".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "content")
+    val got = Multimodal.decodePartitioned(media, "doc_id", "content",
+        Multimodal.imageKernel)(
+        org.apache.spark.sql.Encoders.product[Multimodal.DecodedImage])
+      .collect().map(d => d.id -> ((d.width, d.height, d.channels))).toMap
+    got(1L) shouldBe ((48L, 32L, 3))
+    got(2L) shouldBe ((60L, 60L, 3))
+    got(3L) shouldBe ((0L, 0L, 0)) // undecodable flows, never throws
+    got(4L) shouldBe ((0L, 0L, 0))
+  }
+
+  it("pHashImageKernel over block images reproduces the cell-value formula exactly") {
+    // one light half, one dark half: bits 0..29 dark (below mean), 30..59
+    // light (above mean) -> hash = high 30 bits of the 60
+    val vals = Array.tabulate(60)(k => if (k < 30) 10 else 200)
+    val expected = (30 until 60).foldLeft(0L)((h, k) => h | (1L << k))
+    val media = Seq((1L, Multimodal.blockImageBytes(vals, 6, 10, 10, 6)))
+      .toDF("doc_id", "content")
+    val h = Multimodal.perceptualHashesReal(media, "doc_id", "content")
+      .as[(Long, Long)].collect().toMap
+    h(1L) shouldBe expected
+  }
+
+  it("real pHash is locality-sensitive on real pixels and 60-bit bounded") {
+    val a = Array.tabulate(60)(k => (k * 4) % 256)
+    val b = a.clone(); b(7) = 255; b(12) = 0 // two cells repainted
+    val c = Array.tabulate(60)(k => ((59 - k) * 4) % 256) // reversed ramp
+    val media = Seq(
+      (1L, Multimodal.blockImageBytes(a, 6, 10, 10, 6)),
+      (2L, Multimodal.blockImageBytes(a, 6, 10, 10, 6)),
+      (3L, Multimodal.blockImageBytes(b, 6, 10, 10, 6)),
+      (4L, Multimodal.blockImageBytes(c, 6, 10, 10, 6)),
+      (5L, "garbage bytes".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val h = Multimodal.perceptualHashesReal(media, "doc_id", "content")
+      .as[(Long, Long)].collect().toMap
+    hamming(h(1L), h(2L)) shouldBe 0
+    hamming(h(1L), h(3L)) should be <= 4
+    hamming(h(1L), h(4L)) should be > 10
+    h(5L) shouldBe -1L // undecodable sentinel
+    Seq(h(1L), h(3L), h(4L)).foreach { v =>
+      v should be >= 0L
+      (v >>> 60) shouldBe 0L
+    }
+  }
+
+  it("pHash is invariant to the container format (PNG vs BMP, same pixels)") {
+    val vals = Array.tabulate(60)(k => (k * 7 + 3) % 256)
+    val bmp = Multimodal.blockImageBytes(vals, 6, 10, 10, 6)
+    val asImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(asImg, "png", pngBuf)
+    val media = Seq((1L, bmp), (2L, pngBuf.toByteArray)).toDF("doc_id", "content")
+    val h = Multimodal.perceptualHashesReal(media, "doc_id", "content")
+      .as[(Long, Long)].collect().toMap
+    h(1L) shouldBe h(2L)
+  }
+
+  it("resizeKernel really rescales: output bytes re-decode to the target dims") {
+    val media = Seq((1L, gradientPng(100, 60)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val out = Multimodal.decodePartitioned(media, "doc_id", "content",
+        Multimodal.resizeKernel(25, 15))(
+        org.apache.spark.sql.Encoders.product[Multimodal.ResizedImage])
+      .collect().map(r => r.id -> r).toMap
+    out(1L).width shouldBe 25
+    out(1L).height shouldBe 15
+    val redecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    redecoded.getWidth shouldBe 25
+    redecoded.getHeight shouldBe 15
+    // bilinear downscale of a horizontal gradient stays monotone left->right
+    val left = redecoded.getRGB(0, 7) & 0xff
+    val right = redecoded.getRGB(24, 7) & 0xff
+    left should be < right
+    out(2L).content shouldBe null // undecodable passthrough
+    out(2L).width shouldBe 0
+  }
 }
