@@ -1028,13 +1028,12 @@ object SparkEntry {
           gridX = 10, gridY = 6))
       val media = t(s, dir, "documents").select(col("doc_id"))
         .withColumn("content", synth(cellVals))
-      val dims = Multimodal.decodePartitioned(media, "doc_id", "content",
-          Multimodal.imageKernel)(Encoders.product[Multimodal.DecodedImage])
-        .toDF("doc_id", "width", "height", "channels")
-      val hashes = Multimodal.perceptualHashesReal(media, "doc_id", "content")
-      dims.join(hashes, Seq("doc_id"))
-        .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          col("phash"))
+      // ONE decode pass for dims + hash (imageProfileKernel) — profiling
+      // and hashing separately would decode every image twice
+      Multimodal.decodePartitioned(media, "doc_id", "content",
+          Multimodal.imageProfileKernel())(
+          Encoders.product[Multimodal.ImageProfile])
+        .toDF("doc_id", "width", "height", "channels", "phash")
         .orderBy(col("doc_id"))
     }),
 

@@ -213,45 +213,65 @@ object Multimodal {
     * quadrant blocking. Undecodable payloads hash to -1 (sentinel outside
     * the 60-bit non-negative range — filter or route to quarantine).
     * Integer-exact up to ~189 MP (255 * N^2 < Long.Max). */
-  def pHashImageKernel(gridX: Int = 10, gridY: Int = 6): MediaKernel[MediaHash] = () => {
+  private def lumBlockhash(img: java.awt.image.BufferedImage,
+      gridX: Int, gridY: Int): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, sRGB ints
+    val g = gridX * gridY
+    val sums = new Array[Long](g)
+    val counts = new Array[Long](g)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * gridY / h
+      val rowBase = cy * gridX
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        val k = rowBase + x * gridX / w
+        sums(k) += lum
+        counts(k) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < g) {
+      if (sums(k) * n > total * counts(k)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  def pHashImageKernel(gridX: Int = 10, gridY: Int = 6): MediaKernel[MediaHash] = {
     require(gridX * gridY <= 63, s"grid ${gridX}x$gridY exceeds 63 bits")
-    (id: Long, bytesOrNull: Array[Byte]) => {
+    () => (id: Long, bytesOrNull: Array[Byte]) => {
       val img = readImage(id, bytesOrNull)
       if (img == null) MediaHash(id, -1L)
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val n = w.toLong * h
-        val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, sRGB ints
-        val g = gridX * gridY
-        val sums = new Array[Long](g)
-        val counts = new Array[Long](g)
-        var total = 0L
-        var y = 0
-        while (y < h) {
-          val cy = y * gridY / h
-          val rowBase = cy * gridX
-          var x = 0
-          while (x < w) {
-            val rgb = px(y * w + x)
-            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-              114 * (rgb & 0xff)) / 1000
-            val k = rowBase + x * gridX / w
-            sums(k) += lum
-            counts(k) += 1
-            total += lum
-            x += 1
-          }
-          y += 1
-        }
-        var hash = 0L
-        var k = 0
-        while (k < g) {
-          if (sums(k) * n > total * counts(k)) hash |= (1L << k)
-          k += 1
-        }
-        MediaHash(id, hash)
-      }
+      else MediaHash(id, lumBlockhash(img, gridX, gridY))
+    }
+  }
+
+  /** Everything a curation pipeline wants per image in ONE decode: dims,
+    * channels, and the luminance blockhash. At 100 TB the decode dominates
+    * the kernel cost — profiling and hashing in separate passes would pay
+    * it twice. Undecodable: (0, 0, 0, -1). */
+  final case class ImageProfile(id: Long, width: Long, height: Long,
+      channels: Int, phash: Long)
+
+  def imageProfileKernel(gridX: Int = 10, gridY: Int = 6): MediaKernel[ImageProfile] = {
+    require(gridX * gridY <= 63, s"grid ${gridX}x$gridY exceeds 63 bits")
+    () => (id: Long, bytesOrNull: Array[Byte]) => {
+      val img = readImage(id, bytesOrNull)
+      if (img == null) ImageProfile(id, 0L, 0L, 0, -1L)
+      else ImageProfile(id, img.getWidth.toLong, img.getHeight.toLong,
+        img.getColorModel.getNumComponents, lumBlockhash(img, gridX, gridY))
     }
   }
 
