@@ -438,6 +438,44 @@ object actions {
         }
       }
 
+    /** [[cacheAsParquet]] with a Hive partition layout: the checkpoint is
+      * written `partitionBy(partitions)` and re-opened, so every downstream
+      * consumer that filters on a partition column PRUNES directories
+      * instead of re-scanning the whole intermediate — the point of caching
+      * a large intermediate at 100 TB. `repartition=true` (default) hash-
+      * clusters rows by the partition columns first so each Hive partition
+      * is written by one task; without it every task writes a file into
+      * every partition (tasks x partitions small files).
+      * Reference: spark/package.scala:728-732. */
+    def cacheAsPartitionedParquet(partitions: Seq[String],
+        repartition: Boolean = true)(labels: String*): SparkDataFlow = {
+      if (labels.isEmpty)
+        throw new FlowException("At least one label must be specified for cacheAsPartitionedParquet")
+      if (partitions.isEmpty)
+        throw new FlowException("cacheAsPartitionedParquet needs at least one partition column")
+      labels.foldLeft(flow) { (fl, label) =>
+        fl.interceptPostOutput(label) { original =>
+          new SparkAction(original.inputLabels, original.outputLabels,
+            s"cacheAsPartitionedParquet:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
+            val results = original.performAction(entities, ctx).get
+            original.outputLabels.zip(results).map {
+              case (l, Some(ds: Dataset[_])) if l == label =>
+                val tmpRoot = ctx.tempFolder.getOrElse(
+                  throw new FlowException("cacheAsPartitionedParquet needs a flow temp folder"))
+                val path = new Path(tmpRoot, l).toString
+                val laidOut =
+                  if (repartition) ds.repartition(partitions.map(ds.col): _*)
+                  else ds.toDF()
+                laidOut.write.mode(SaveMode.Overwrite)
+                  .partitionBy(partitions: _*).parquet(path)
+                Some(ctx.spark.read.parquet(path))
+              case (_, other) => other
+            }
+          })
+        }
+      }
+    }
+
     /** Spark persist with eager materialisation (cheap isEmpty action), so
       * parallel consumers hit the cache instead of racing the computation.
       * Reference: SparkInterceptors.scala:31-46. */

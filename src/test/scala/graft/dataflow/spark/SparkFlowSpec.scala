@@ -93,6 +93,33 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
       enriched.queryExecution.logical.toString.toLowerCase should include("parquet")
     }
 
+    it("cacheAsPartitionedParquet lays out the cache for downstream partition pruning") {
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/pcache-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        .transform("nation")("enriched")(_.withColumn("x", lit(1)))
+        .cacheAsPartitionedParquet(Seq("n_regionkey"))("enriched")
+        .transform("enriched")("one_region")(
+          _.filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+            .select("n_nationkey"))
+      val (executed, finalFlow) = executor.execute(flow)
+      executed.size shouldBe 3
+      // the cached copy is a real Hive layout on disk...
+      val dirs = new java.io.File(s"$tmpDir/pcache-tmp/enriched").list()
+      dirs.count(_.startsWith("n_regionkey=")) shouldBe 5
+      // ...and a partition-column filter PRUNES it: the executed scan reads
+      // one of the five directories (PartitionFilters prune at planning)
+      val pruned = finalFlow.inputs.get[org.apache.spark.sql.Dataset[_]]("one_region")
+      pruned.count() shouldBe 5 // 5 nations in region 2
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+      val partInfo = scan.toString
+      partInfo should include("PartitionFilters")
+      partInfo should include("n_regionkey")
+      // repartition=true clusters rows: one file per partition directory
+      new java.io.File(s"$tmpDir/pcache-tmp/enriched/n_regionkey=2")
+        .list().count(_.endsWith(".parquet")) shouldBe 1
+    }
+
     it("sparkCache persists eagerly") {
       val flow = Graft.sparkFlow(spark)
         .openFileParquet(s"${sf()}/region.parquet", "region")
