@@ -71,6 +71,63 @@ class DerbyExtractor(val spark: SparkSession, dbUrl: String) extends RDBMExtract
       forceRetainStorageHistory.getOrElse(lastUpdatedColumn.isDefined))
 }
 
+/** The temporal extract loop against LIVE JDBC: an emulated system-versioned
+  * table (all versions in one physical table with SYS_START/SYS_END period
+  * columns — what SQL Server keeps across current+history under the hood),
+  * so the production sentinel-detection query, delete-flag CASE and
+  * changed-since window filters all EXECUTE under a real dialect's type
+  * rules instead of a recording fake (the reference covers this with a
+  * Docker SQL Server in SQLServerTemporalExtractorIntegrationTest.scala).
+  * `FOR SYSTEM_TIME` has no Derby spelling; because the emulated table
+  * already holds the full version history, the where-filters alone select
+  * the same rows the production clause would. */
+class DerbyTemporalExtractor(spark: SparkSession, dbUrl: String)
+  extends SQLServerTemporalExtractor(spark,
+    JDBCConnection(dbUrl, driver = Some("org.apache.derby.jdbc.EmbeddedDriver")),
+    startCol = "SYS_START", endCol = "SYS_END") {
+
+  private val start = "SYS_START"
+  private val end = "SYS_END"
+  val issuedQueries = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def escapeKeyword(id: String): String = id // no [brackets] on Derby
+
+  override protected def loadQuery(query: String, predicates: Seq[String]): DataFrame = {
+    issuedQueries += query
+    super.loadQuery(query, predicates) // the REAL spark.read.jdbc
+  }
+
+  /** Production sentinel detection, Derby-typed: no datetime2(7)/nvarchar,
+    * plain varchar cast of max(SYS_END). Same trust rule: only a detected
+    * 9999-12-31 value is believed. */
+  override def upperTimestamp(dbSchema: String, tableName: String): String = {
+    val detected = loadQuery(
+      s"select coalesce(cast(max($end) as varchar(29)), " +
+        s"'$defaultUpperTimestamp') as database_upper_timestamp " +
+        s"from $dbSchema.$tableName",
+      Seq.empty).collect().head.get(0).toString
+    if (detected.startsWith("9999-12-31")) detected else defaultUpperTimestamp
+  }
+
+  /** Same logical query as the SQL Server version — detected-sentinel
+    * delete flag, closed-in-window OR opened-in-window delta — in Derby
+    * syntax (table alias to project past *, TIMESTAMP() typed literals). */
+  override def selectQuery(dbSchema: String, tableName: String,
+      lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
+    val highEnd = upperTimestamp(dbSchema, tableName)
+    val base =
+      s"select t.*, case when t.$end = TIMESTAMP('$highEnd') then 0 else 1 end as source_type, " +
+        s"$sourceDBSystemTimestampFunction as $systemTimestampColumn " +
+        s"from $dbSchema.$tableName t"
+    lastUpdated match {
+      case Some(ts) =>
+        s"$base where (t.$end < TIMESTAMP('$highEnd') and t.$end >= TIMESTAMP('$ts')) " +
+          s"or t.$start >= TIMESTAMP('$ts')"
+      case None => base
+    }
+  }
+}
+
 class DerbyRoundTripSpec extends SparkTestBase with Matchers {
 
   import graft.dataflow.spark.Graft
@@ -150,6 +207,69 @@ class DerbyRoundTripSpec extends SparkTestBase with Matchers {
       snap2.count() shouldBe 4 // PK-window dedup keeps the newest version
       snap2.where(org.apache.spark.sql.functions.col("ID") === 2L)
         .select("NAME").collect().head.getString(0) shouldBe "grace hopper"
+    }
+
+    it("runs the full temporal version/delete loop over live JDBC") {
+      exec(
+        """create table APP.USERS_HIST (
+          |  ID bigint not null,
+          |  NAME varchar(64),
+          |  SYS_START timestamp not null,
+          |  SYS_END timestamp not null)""".stripMargin,
+        "insert into APP.USERS_HIST values (1, 'ada', " +
+          "timestamp('2024-01-01 10:00:00'), timestamp('9999-12-31 23:59:59'))",
+        "insert into APP.USERS_HIST values (2, 'grace', " +
+          "timestamp('2024-01-01 10:00:00'), timestamp('9999-12-31 23:59:59'))")
+      val base = s"$tmpDir/derby_temporal"
+      val cfgs = Map("USERS_HIST" ->
+        ExtractionTableConfig("USERS_HIST", Some(Seq("ID")), Some("SYS_START")))
+      def snapshotAt(at: Timestamp): Array[(Long, String)] = {
+        val (_, done) = Graft.sparkExecutor(4).execute(Graft.sparkFlow(spark)
+          .snapshotTemporalTablesFromStorage(base, at)("USERS_HIST"))
+        done.inputs.get[org.apache.spark.sql.Dataset[_]]("USERS_HIST").toDF()
+          .select("ID", "NAME").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted
+      }
+
+      // run 1: full version-history load; the sentinel-detection query and
+      // the CASE delete flag execute on the live dialect
+      val ex1 = new DerbyTemporalExtractor(spark, url)
+      Graft.sparkExecutor(4).execute(Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex1, "APP", base, cfgs,
+          ts("2024-02-01 00:00:00"))("USERS_HIST"))
+      ex1.issuedQueries.exists(_.contains("database_upper_timestamp")) shouldBe true
+      ex1.issuedQueries.exists(_.contains("as source_type")) shouldBe true
+      snapshotAt(ts("2024-02-01 00:00:00")) shouldBe
+        Array((1L, "ada"), (2L, "grace"))
+
+      // source history moves on: UPDATE id 1 (close v1, open v2) and
+      // DELETE id 2 (close its version, nothing opens)
+      exec(
+        "update APP.USERS_HIST set SYS_END = timestamp('2024-03-01 00:00:00') " +
+          "where ID = 1 and NAME = 'ada'",
+        "insert into APP.USERS_HIST values (1, 'ada lovelace', " +
+          "timestamp('2024-03-01 00:00:00'), timestamp('9999-12-31 23:59:59'))",
+        "update APP.USERS_HIST set SYS_END = timestamp('2024-03-05 00:00:00') " +
+          "where ID = 2")
+
+      // run 2: the delta carries the stored watermark through the
+      // closed-in-window OR opened-in-window filters, with typed literals
+      val ex2 = new DerbyTemporalExtractor(spark, url)
+      Graft.sparkExecutor(4).execute(Graft.sparkFlow(spark)
+        .extractToStorageFromRDBM(ex2, "APP", base, cfgs,
+          ts("2024-03-06 00:00:00"))("USERS_HIST"))
+      val delta = ex2.issuedQueries.filter(_.contains("as source_type"))
+      delta.exists(q => q.contains("SYS_START >= TIMESTAMP('2024-01-01 10:00:00") &&
+        q.contains("SYS_END >= TIMESTAMP('2024-01-01 10:00:00")) shouldBe true
+
+      // version resolution + delete detection from the stored history:
+      // at 03-10 the update shows and the deleted PK is GONE
+      snapshotAt(ts("2024-03-10 00:00:00")) shouldBe
+        Array((1L, "ada lovelace"))
+      // time travel to 02-15: both original versions still valid (the
+      // closed copies beat the stale open ones via the end-asc tie-break)
+      snapshotAt(ts("2024-02-15 00:00:00")) shouldBe
+        Array((1L, "ada"), (2L, "grace"))
     }
 
     it("shards the read with real split predicates pushed to Derby") {
