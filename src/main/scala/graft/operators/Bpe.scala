@@ -109,7 +109,20 @@ object Bpe {
     * adversarial input degrades to one-merge rounds, never to divergence.
     * Learning a 32k vocab thus runs ~32k/maxBatch Spark rounds instead of
     * one per merge — the difference between a production tokenizer train
-    * and 32k driver round-trips. */
+    * and 32k driver round-trips.
+    *
+    * SCALING LIMIT (measured, tools/BpeProbe at >=1k merges): rounds are
+    * inherently SEQUENTIAL — each argmax depends on the previous batch's
+    * counts — so wall time is (rounds x per-round latency), and per-round
+    * latency is dominated by driver job scheduling on a vocab-sized cached
+    * frame, not data volume. At ~0.1-0.2 s/merge warm, a full 32k-vocab
+    * production train is still ~1-2 h of driver-coordinated rounds. That
+    * is acceptable for a nightly tokenizer refresh but not interactive;
+    * training at larger vocab or tighter latency wants a coarser
+    * algorithm (per-round top-B acceptance with conflict REPLAY instead
+    * of prefix truncation, or local BPE per shard + merge-table
+    * reconciliation) — the exactness contract here is the stronger
+    * guarantee, chosen deliberately. */
   def learnBpe(docs: DataFrame, text: Column, numMerges: Int,
       maxBatch: Int = 16): (Seq[Merge], DataFrame) = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")

@@ -19,6 +19,29 @@ object BpeProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    // SPARK_GRAFT_BPE_SCALE=<n>: the >=1k-merge probe (realistic-vocab
+    // scale check). The synthetic testdata's natural word vocabulary is
+    // only ~47 distinct words (documents' 31 + part names' 16) and BPE
+    // saturates once every distinct word is a single symbol — a few
+    // hundred merges — so the scale corpus widens it with md5-derived hash
+    // words per document (deterministic; the long-tail fragment shape a
+    // real crawl vocabulary has). Prints total seconds and s/merge.
+    sys.env.get("SPARK_GRAFT_BPE_SCALE").foreach { n =>
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+      val corpus = docs
+        .select(concat_ws(" ", col("text"),
+          md5(concat(col("text"), col("doc_id"))),
+          md5(concat(col("doc_id"), col("text")))).as("text"))
+        .unionByName(part.select(col("p_name").as("text")))
+      val t0 = System.nanoTime()
+      val (m, v) = graft.operators.Bpe.learnBpe(corpus, col("text"), n.toInt)
+      val sec = (System.nanoTime() - t0) / 1e9
+      v.unpersist()
+      println(f"PROBE scale merges=${m.size} total=$sec%.1f s " +
+        f"perMerge=${sec / math.max(m.size, 1)}%.4f s")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_BPE_MERGES: vocabulary size for the learn probe (the
     // round-8 verdict's done-bar is a 256-merge learn under 30s at sf0.1)
     val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt

@@ -160,6 +160,38 @@ object RecallProbe {
     rows.toSeq
   }
 
+  /** The persisted-index path ([[graft.operators.AnnIndex]]): IVF-PQ codes
+    * on storage + exact cosine RE-RANK of the ADC shortlist from the raw
+    * corpus — the production deployment shape (q136). Graded against
+    * cosine truth (the metric the re-rank emits). Each config builds a
+    * throwaway index; the scan fraction is the probe share (the re-rank
+    * adds one map-side corpus pass over shortlist ids only). */
+  def sweepRerank(corpus: DataFrame, queries: DataFrame, tag: String,
+      k: Int = 10, headlineOnly: Boolean = false): Seq[ProbeRow] = {
+    import graft.operators.AnnIndex
+    val spark = corpus.sparkSession
+    val truthCos = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .persist()
+    truthCos.count()
+    val buildTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val configs =
+      if (headlineOnly) Seq((16, 4, 8, 16))
+      else Seq((16, 2, 8, 16), (16, 4, 8, 16), (16, 8, 8, 16), (16, 4, 16, 16))
+    val rows = configs.map { case (nLists, nProbe, m, kk) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-recall-idx").toString
+      AnnIndex.buildIvfPq(spark, base, corpus, "vec_id", "embedding",
+        nLists = nLists, lloydIters = 2, m = m, codesPerSubspace = kk,
+        pqIters = 2, ts = buildTs)
+      val r = recallAtK(AnnIndex.queryIvfPqRerank(spark, base, queries, corpus,
+        "vec_id", "embedding", k, nProbe, asOf), truthCos)
+      ProbeRow("ivfpq-rerank", s"nLists=$nLists nProbe=$nProbe m=$m k=$kk",
+        tag, r, nProbe.toDouble / nLists)
+    }
+    truthCos.unpersist()
+    rows
+  }
+
   /** Deterministic replicated corpus: `repl` copies, replica r offset by
     * r*10000 in id and jittered by a fixed md5-derived direction scaled
     * eps*r — grows the corpus without degenerate exact ties (pure copies
@@ -194,7 +226,8 @@ object RecallProbe {
     val queries = emb.filter(col("vec_id") < 100).persist()
     println(s"[recall] corpus=${emb.count()} queries=${queries.count()} sf=$sfDir")
 
-    val base = sweep(emb, queries, tag = f"${emb.count()}")
+    val base = sweep(emb, queries, tag = f"${emb.count()}") ++
+      sweepRerank(emb, queries, tag = f"${emb.count()}")
 
     // the 10x check: headline configs only (brute-force truth is repl x
     // bigger; the point is the trend, not the full grid)
@@ -202,7 +235,9 @@ object RecallProbe {
       val bigCorpus = replicate(emb, repl).persist()
       bigCorpus.count()
       val r = sweep(bigCorpus, queries, tag = f"${repl}x=${bigCorpus.count()}",
-        headlineOnly = true)
+        headlineOnly = true) ++
+        sweepRerank(bigCorpus, queries, tag = f"${repl}x=${bigCorpus.count()}",
+          headlineOnly = true)
       bigCorpus.unpersist()
       r
     } else Seq.empty

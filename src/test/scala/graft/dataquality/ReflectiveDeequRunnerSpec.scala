@@ -90,6 +90,24 @@ class ReflectiveDeequRunnerSpec extends SparkTestBase {
       assert(repo.saved.head._1.tags.isEmpty)
     }
 
+    it("version-drift canary: the full required surface resolves in one probe") {
+      // DeequApiSurface is the single source of truth for every bound
+      // name/arity; an upgrade that drifts ANY of them must fail here (and
+      // in ReflectiveDeequRunner.apply) with a readable list, never as a
+      // NoSuchMethodException inside a running flow
+      val drift = DeequApiSurface.missing(getClass.getClassLoader)
+      assert(drift.isEmpty, s"API drift: ${drift.mkString("; ")}")
+    }
+
+    it("version-drift canary: a mismatched classpath reports readable reasons") {
+      val empty = new java.net.URLClassLoader(Array.empty, null)
+      val drift = DeequApiSurface.missing(empty)
+      assert(drift.exists(_.contains("VerificationSuite: class not found")))
+      assert(drift.exists(_.contains("ResultKey: class not found")))
+      assert(drift.exists(_.contains("CheckResult")))
+      assert(drift.exists(_.contains("ConstraintResult")))
+    }
+
     it("repository-only runs (no anomaly checks) still save under the key") {
       val repo = new InMemoryMetricsRepository
       val at = Instant.parse("2024-07-01T00:00:00Z")

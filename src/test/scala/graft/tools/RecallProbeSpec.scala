@@ -64,6 +64,74 @@ class RecallProbeSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("recall floors (quantization/index changes cannot silently degrade retrieval)") {
+    // Pinned from the round-10 RecallProbe run at sf0.001 (100 queries,
+    // k=10): srp(8,2)=0.318, ivf(16,4)=0.629, pq-adc(8,16)=0.273,
+    // ivf-pq(16,4,8,16)=0.299, rerank(16,4,8,16)=0.586. Every family is
+    // deterministic (seeded k-means, strict-< argmin, id tie-breaks), so a
+    // floor breach means a code change ACTUALLY lost retrieval quality —
+    // floors sit ~15% under measured to absorb benign numeric drift only.
+    lazy val q100 = emb.filter(col("vec_id") < 100)
+    lazy val truthCos = Similarity.bruteForceTopK(emb, q100, "vec_id", "embedding", 10)
+    lazy val truthL2 = RecallProbe.exactL2TopK(emb, q100, "vec_id", "embedding", 10)
+
+    it("SRP nPlanes=8 radius=2 holds its floor") {
+      RecallProbe.recallAtK(Similarity.srpAnnTopK(emb, q100, "vec_id", "embedding",
+        10, nPlanes = 8, dim = 64, probeRadius = 2), truthCos) should be >= 0.27
+    }
+
+    it("IVF nLists=16 nProbe=4 holds its floor") {
+      RecallProbe.recallAtK(Similarity.ivfTopK(emb, q100, "vec_id", "embedding",
+        10, nLists = 16, lloydIters = 2, nProbe = 4), truthCos) should be >= 0.53
+    }
+
+    it("PQ-ADC m=8 k=16 holds its floor") {
+      import graft.operators.Quantization
+      val model = Quantization.train(emb, "vec_id", "embedding", 64, m = 8,
+        k = 16, lloydIters = 2)
+      RecallProbe.recallAtK(Quantization.adcTopK(
+        Quantization.encode(emb, "vec_id", "embedding", model),
+        q100, "vec_id", "embedding", model, 10), truthL2) should be >= 0.23
+    }
+
+    it("persisted IVF-PQ + rerank holds its floor AND beats the raw shortlist") {
+      import graft.operators.{AnnIndex, Quantization}
+      val buildTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val base = java.nio.file.Files.createTempDirectory("graft-floor-idx").toString
+      AnnIndex.buildIvfPq(spark, base, emb, "vec_id", "embedding",
+        nLists = 16, lloydIters = 2, m = 8, codesPerSubspace = 16,
+        pqIters = 2, ts = buildTs)
+      val shortlistR = RecallProbe.recallAtK(
+        Quantization.ivfPqTopK(emb, q100, "vec_id", "embedding", 64, 10,
+          nLists = 16, coarseIters = 2, nProbe = 4, m = 8,
+          codesPerSubspace = 16, pqIters = 2), truthL2)
+      val rerankR = RecallProbe.recallAtK(
+        AnnIndex.queryIvfPqRerank(spark, base, q100, emb, "vec_id", "embedding",
+          10, nProbe = 4, asOf), truthCos)
+      shortlistR should be >= 0.25
+      rerankR should be >= 0.50
+      // the re-rank exists to fix ADC's within-shortlist ordering noise —
+      // it must add REAL recall over the raw codes at the same probe cost
+      (rerankR - shortlistR) should be >= 0.15
+    }
+
+    it("rerank with full probes and a corpus-wide shortlist is EXACT") {
+      import graft.operators.AnnIndex
+      val buildTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val q10 = emb.filter(col("vec_id") < 10)
+      val truth10 = Similarity.bruteForceTopK(emb, q10, "vec_id", "embedding", 5)
+      val base = java.nio.file.Files.createTempDirectory("graft-exact-idx").toString
+      AnnIndex.buildIvfPq(spark, base, emb, "vec_id", "embedding",
+        nLists = 4, lloydIters = 1, m = 4, codesPerSubspace = 8,
+        pqIters = 1, ts = buildTs)
+      val full = AnnIndex.queryIvfPqRerank(spark, base, q10, emb, "vec_id",
+        "embedding", 5, nProbe = 4, asOf, shortlist = 1000)
+      RecallProbe.recallAtK(full, truth10) shouldBe 1.0
+    }
+  }
+
   describe("replicate") {
     it("grows the corpus repl-fold with distinct ids and no exact duplicates") {
       val rep = RecallProbe.replicate(emb.limit(50), repl = 3)
