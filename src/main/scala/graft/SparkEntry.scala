@@ -560,7 +560,12 @@ object SparkEntry {
       import graft.operators.Bpe
       val docs = t(s, dir, "documents")
       val (_, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 8)
-      Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab)
+      // the returned frame joins the vocab lazily, AFTER this body exits —
+      // swap learnBpe's persist for a localCheckpoint (blocks free on GC)
+      // so the session never accumulates unreleasable cache entries
+      val flat = vocab.localCheckpoint(true)
+      vocab.unpersist()
+      Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), flat)
         .orderBy(col("doc_id"))
     }),
 

@@ -455,6 +455,20 @@ class PlanSpec extends SparkTestBase with Matchers {
     bnl.toSet shouldBe allowedBnl
   }
 
+  it("q110 evaluates the sketch estimate once per instance (filter only), not twice") {
+    // round-9 finding: projecting cm_estimate BEFORE the filter made
+    // Catalyst keep the depth-deep md5 array-min in both the Filter and the
+    // instance-sized Project (8 hashes/instance instead of 4). The fix
+    // groups by the token alone and re-derives cm_estimate post-aggregate
+    // (vocabulary-sized); a regression would widen the grouping again.
+    val qe = SparkEntry.queries("q110_heavy_hitters")(spark, sf("sf0.001")).queryExecution
+    val aggs = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    aggs should not be empty
+    aggs.foreach(_.groupingExpressions.length should be <= 1)
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =
