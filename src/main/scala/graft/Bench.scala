@@ -150,13 +150,15 @@ object Bench {
       .sortBy(-_._2)
       .take(8) // bounded: re-times are ~the suite tail's cost, and the
                // one-line JSON must stay inside the driver's capture window
-      .map { case (name, _) =>
+      .flatMap { case (name, _) =>
         val t0 = System.nanoTime()
-        try runFully(SparkEntry.queries(name)(spark, sfDir))
-        catch { case _: Throwable => () }
+        // a FAILED rerun must not produce a bogus fast time for min() to
+        // pick — only successful re-executions count
+        val ok = try { runFully(SparkEntry.queries(name)(spark, sfDir)); true }
+          catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
         dropStrayBlocks()
-        name -> sec
+        if (ok) Some(name -> sec) else None
       }.toMap
     val finalTimes = results.map { case (name, first) =>
       name -> retimed.get(name).map(math.min(first, _)).getOrElse(first)

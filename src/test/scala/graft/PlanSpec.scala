@@ -309,7 +309,12 @@ class PlanSpec extends SparkTestBase with Matchers {
 
   it("count-min sketch map-combines its cells and broadcasts the sketch to the probe") {
     val p = plan("q101_count_min")
-    p should include("partial_count") // cell counts combine before the shuffle
+    // the corpus token-count pass is materialized at gate construction
+    // (round 10: replaced a leaked persist — see PersistHygieneSpec), so
+    // the returned plan starts from the vocab-sized local relation...
+    p should include("LocalTableScan")
+    // ...and the sketch cells still map-combine before their shuffle
+    p should include("partial_sum")
     p should not include "CartesianProduct"
     p should include("BroadcastHashJoin") // depth×width sketch is the build side
   }
