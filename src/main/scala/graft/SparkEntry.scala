@@ -1031,7 +1031,13 @@ object SparkEntry {
       val synth = udf((vals: Seq[Int]) =>
         Multimodal.blockImageBytes(vals.toArray, cellW = 6, cellH = 10,
           gridX = 10, gridY = 6))
+      // the documents scan is one small input split — without an explicit
+      // spread the whole encode+decode pipeline runs on ONE core (measured
+      // 8.7s -> ~1s at local[32]); production media frames size partitions
+      // with Multimodal.repartitionForDecode, synthetic content doesn't
+      // exist yet so spread by id before the kernels
       val media = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("content", synth(cellVals))
       // ONE decode pass for dims + hash (imageProfileKernel) — profiling
       // and hashing separately would decode every image twice
