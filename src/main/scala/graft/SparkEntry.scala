@@ -1048,6 +1048,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode end-to-end (javax.sound.sampled — the audio twin
+    // of q150): per doc a 2000-sample 16-bit PCM mono WAV (sample i =
+    // ((seed + i*2657) mod 65536) - 32768, seed md5-derived) is ENCODED
+    // through the JDK's real RIFF writer, DECODED back through the real
+    // reader, and profiled with ALL-INTEGER features (Σs², sign flips,
+    // peak) so the oracle replays them hash-exactly from the sample
+    // formula — Spark's numbers only match if the container round trip
+    // and 16-bit LE decode are correct (operators.Multimodal
+    // .audioProfileKernel / pcmWavBytes)
+    "q151_audio_profile" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val nSamples = 2000
+      val seedCol = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("_wav"))), 1, 15), 16, 10).cast("long"), lit(65536L))
+      val synth = udf((seed: Long) => Multimodal.pcmWavBytes(
+        Array.tabulate(nSamples)(i =>
+          (((seed + i.toLong * 2657L) % 65536L) - 32768L).toShort),
+        sampleRate = 8000))
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", synth(seedCol))
+      Multimodal.audioProfiles(media, "doc_id", "content")
+        .orderBy(col("doc_id"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5167,6 +5192,36 @@ object SparkEntry {
         |FROM cells c JOIN tot t USING (doc_id)
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // the oracle never parses a WAV: the all-integer profile reduces to
+    // the deterministic sample formula — Spark must round-trip real RIFF
+    // bytes through the JDK encoder+decoder to match
+    "q151_audio_profile" ->
+      """WITH seeds AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '_wav'), 1, 15))::BIGINT
+        |      % 65536 AS seed
+        |  FROM documents
+        |), samples AS (
+        |  SELECT doc_id, g.i, ((seed + g.i * 2657) % 65536) - 32768 AS s
+        |  FROM seeds,
+        |    (SELECT CAST(unnest(generate_series(0, 1999)) AS BIGINT) AS i) g
+        |), lagged AS (
+        |  SELECT doc_id, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM samples
+        |)
+        |SELECT doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(2000 AS BIGINT) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN i > 0 AND ((s < 0) <> (prev < 0)) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(s)) AS INT) AS peak_abs
+        |FROM lagged
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

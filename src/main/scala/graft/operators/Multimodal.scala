@@ -354,4 +354,99 @@ object Multimodal {
     decodePartitioned(df, idCol, contentCol, pHashImageKernel(gridX, gridY))(
       org.apache.spark.sql.Encoders.product[MediaHash])
       .toDF("doc_id", "phash")
+
+  // ---------------------------------------------------------------------
+  // REAL audio codecs over javax.sound.sampled (also pure JDK, headless):
+  // WAV/AIFF/AU container parse + 16-bit PCM decode. Same seam, same
+  // philosophy as the image kernels — and the profile is ALL-INTEGER
+  // (sum of squares, sign flips, peak), so a SQL oracle replays it
+  // hash-exactly where float RMS would drift in the last ulp.
+  // ---------------------------------------------------------------------
+
+  /** Integer audio profile over the decoded 16-bit PCM stream (channel-
+    * interleaved, exactly as decoded): `sumSq` = Σ s², `zeroCrossings` =
+    * transitions between negative and non-negative consecutive samples,
+    * `peakAbs` = max |s|. Downstream turns these into RMS/ZCR-per-second
+    * in float land; keeping the kernel integral keeps it replayable.
+    * Undecodable / non-16-bit-PCM payloads: (0, 0, 0, 0, 0, -1) —
+    * peakAbs = -1 is the quarantine sentinel (real audio is always >= 0). */
+  final case class AudioProfile(id: Long, sampleRate: Int, channels: Int,
+      nSamples: Long, sumSq: Long, zeroCrossings: Long, peakAbs: Int)
+
+  private val BadAudio = (0, 0, 0L, 0L, 0L, -1)
+
+  def audioProfileKernel: MediaKernel[AudioProfile] = () => {
+    (id: Long, bytesOrNull: Array[Byte]) => {
+      val (rate, ch, n, sumSq, zc, peak) =
+        if (bytesOrNull == null || bytesOrNull.isEmpty) BadAudio
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytesOrNull))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) BadAudio
+            else {
+              val raw = in.readAllBytes()
+              val big = fmt.isBigEndian
+              var i = 0
+              var ss = 0L; var flips = 0L; var mx = 0; var cnt = 0L
+              var prevNeg = false; var first = true
+              while (i + 1 < raw.length) {
+                val s =
+                  if (big) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort.toInt
+                  else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toInt
+                ss += s.toLong * s
+                val a = math.abs(s)
+                if (a > mx) mx = a
+                val neg = s < 0
+                if (!first && neg != prevNeg) flips += 1
+                prevNeg = neg; first = false
+                cnt += 1
+                i += 2
+              }
+              (fmt.getSampleRate.toInt, fmt.getChannels, cnt, ss, flips, mx)
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => BadAudio
+          case _: java.io.IOException => BadAudio
+        }
+      AudioProfile(id, rate, ch, n, sumSq, zc, peak)
+    }
+  }
+
+  /** REAL WAV synthesis: 16-bit signed little-endian PCM through the JDK's
+    * RIFF writer (`AudioSystem.write(WAVE)`), `channels`-interleaved.
+    * Lossless by construction, so a decode returns the samples bit-exactly
+    * — the fixture generator for the audio gate/specs, exercising the real
+    * encoder the way [[blockImageBytes]] exercises ImageIO's. */
+  def pcmWavBytes(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"${samples.length} samples do not interleave over $channels channels")
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Audio profiles for a (id, content) frame via the per-partition kernel
+    * path — spread heavy batches with [[repartitionForDecode]] first. */
+  def audioProfiles(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    decodePartitioned(df, idCol, contentCol, audioProfileKernel)(
+      org.apache.spark.sql.Encoders.product[AudioProfile])
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "sum_sq",
+        "zero_crossings", "peak_abs")
 }

@@ -149,6 +149,56 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     h(1L) shouldBe h(2L)
   }
 
+  it("audioProfileKernel round-trips real WAV bytes to exact integer features") {
+    val samples = Array.tabulate(1000)(i =>
+      (((i * 2657L) % 65536L) - 32768L).toShort)
+    // local ground truth over the raw samples
+    var ss = 0L; var zc = 0L; var peak = 0
+    samples.indices.foreach { i =>
+      val s = samples(i).toInt
+      ss += s.toLong * s
+      peak = math.max(peak, math.abs(s))
+      if (i > 0 && (s < 0) != (samples(i - 1) < 0)) zc += 1
+    }
+    val media = Seq(
+      (1L, graft.operators.Multimodal.pcmWavBytes(samples, 8000)),
+      (2L, "not audio at all".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "content")
+    val got = Multimodal.audioProfiles(media, "doc_id", "content")
+      .as[(Long, Int, Int, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    got(1L) shouldBe ((1L, 8000, 1, 1000L, ss, zc, peak))
+    got(2L)._7 shouldBe -1 // undecodable sentinel flows, never throws
+    got(3L)._7 shouldBe -1
+  }
+
+  it("audio decode handles stereo interleave and big-endian containers (AIFF)") {
+    // stereo: two interleaved channels; the profile runs over the decoded
+    // interleaved stream exactly as the kernel documents
+    val inter = Array.tabulate(400)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val wav = graft.operators.Multimodal.pcmWavBytes(inter, 16000, channels = 2)
+    // AIFF = 16-bit big-endian PCM through the same JDK stack — exercises
+    // the kernel's BE branch with identical expected numbers
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val raw = new Array[Byte](inter.length * 2)
+    inter.indices.foreach { i =>
+      raw(2 * i) = (inter(i) & 0xff).toByte
+      raw(2 * i + 1) = ((inter(i) >> 8) & 0xff).toByte
+    }
+    val aiffOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, inter.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffOut)
+    val media = Seq((1L, wav), (2L, aiffOut.toByteArray)).toDF("doc_id", "content")
+    val got = Multimodal.audioProfiles(media, "doc_id", "content")
+      .as[(Long, Int, Int, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    val expectSs = 400L * 1000L * 1000L
+    got(1L) shouldBe ((1L, 16000, 2, 400L, expectSs, 399L, 1000))
+    got(2L) shouldBe ((2L, 16000, 2, 400L, expectSs, 399L, 1000))
+  }
+
   it("resizeKernel really rescales: output bytes re-decode to the target dims") {
     val media = Seq((1L, gradientPng(100, 60)),
       (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
