@@ -1073,6 +1073,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multi-frame sampling (the video-shaped pipeline, on the one
+    // multi-frame format the JDK ships a codec for): per doc an animated
+    // GIF of 4-6 constant-gray-cell frames is ENCODED through the real
+    // sequence writer, then 3 evenly-spaced frames (k*total/3) DECODE
+    // on demand through a real ImageReader and perceptual-hash in pixel
+    // space. GIF's 256-color palette makes gray cells lossless, so the
+    // oracle replays every sampled frame's hash from the cell formula —
+    // Spark only matches if the container, the sampling arithmetic and
+    // the per-frame decode are all right (operators.Multimodal
+    // .frameSamplePHashKernel / gifBytes)
+    "q152_gif_frame_sample" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val synth = udf { (docId: Long, nFrames: Int) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def cell(f: Int, k: Int): Int = {
+          val hex = md.digest(s"${docId}_f${f}_c$k".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          md.reset()
+          (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+        }
+        Multimodal.gifBytes(
+          (0 until nFrames).map(f => Array.tabulate(60)(cell(f, _))),
+          cellW = 6, cellH = 10, gridX = 10, gridY = 6)
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content",
+          synth(col("doc_id"), (col("doc_id") % 3 + 4).cast("int")))
+      Multimodal.frameSampleHashes(media, "doc_id", "content", n = 3)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5222,6 +5254,33 @@ object SparkEntry {
         |FROM lagged
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // sampled frames replay from the cell formula: total = 4 + doc % 3
+    // (always > 3 samples, so the evenly-spaced k*total//3 branch applies
+    // uniformly); per sampled frame the q150 blockhash reduction
+    "q152_gif_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS total FROM documents
+        |), picks AS (
+        |  SELECT doc_id, total, CAST((k.k * total) // 3 AS INT) AS frame_idx
+        |  FROM d, (SELECT CAST(unnest(generate_series(0, 2)) AS INT) AS k) k
+        |), cells AS (
+        |  SELECT p.doc_id, p.total, p.frame_idx, c.k,
+        |    ('0x' || substr(md5(p.doc_id::VARCHAR || '_f' ||
+        |      p.frame_idx::VARCHAR || '_c' || c.k::VARCHAR), 1, 15))::BIGINT
+        |      % 256 AS v
+        |  FROM picks p,
+        |    (SELECT CAST(unnest(generate_series(0, 59)) AS INT) AS k) c
+        |), tot AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(v) AS BIGINT) AS s
+        |  FROM cells GROUP BY doc_id, frame_idx
+        |)
+        |SELECT c.doc_id, c.frame_idx, c.total AS n_frames,
+        |  CAST(sum(CASE WHEN c.v * 60 > t.s THEN (1::BIGINT << c.k)
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |FROM cells c JOIN tot t USING (doc_id, frame_idx)
+        |GROUP BY c.doc_id, c.frame_idx, c.total
+        |ORDER BY c.doc_id, c.frame_idx""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

@@ -318,6 +318,16 @@ object Multimodal {
     * on the same codec stack the decode path exercises. */
   def blockImageBytes(values: Array[Int], cellW: Int, cellH: Int,
       gridX: Int, gridY: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      blockImage(values, cellW, cellH, gridX, gridY), "bmp", buf)
+    buf.toByteArray
+  }
+
+  /** The in-memory frame behind [[blockImageBytes]] — shared with the
+    * multi-frame GIF encoder. */
+  private def blockImage(values: Array[Int], cellW: Int, cellH: Int,
+      gridX: Int, gridY: Int): java.awt.image.BufferedImage = {
     require(values.length == gridX * gridY,
       s"need ${gridX * gridY} cell values, got ${values.length}")
     val img = new java.awt.image.BufferedImage(gridX * cellW, gridY * cellH,
@@ -341,9 +351,7 @@ object Multimodal {
       }
       y += 1
     }
-    val buf = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", buf)
-    buf.toByteArray
+    img
   }
 
   /** (doc_id, phash) over REAL decoded pixels — the production twin of
@@ -354,6 +362,104 @@ object Multimodal {
     decodePartitioned(df, idCol, contentCol, pHashImageKernel(gridX, gridY))(
       org.apache.spark.sql.Encoders.product[MediaHash])
       .toDF("doc_id", "phash")
+
+  /** [[decodePartitioned]] for kernels that emit MANY rows per payload
+    * (frame sampling, chunked transcripts): same per-partition init, flat
+    * output. */
+  def decodePartitionedFlat[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, idCol: String, contentCol: String,
+      kernel: MediaKernel[Seq[T]]): Dataset[T] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = kernel()
+        rows.flatMap { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** One sampled frame of a multi-frame payload: its index in the
+    * container, the container's total frame count, and the frame's
+    * luminance blockhash. Undecodable payload: a single (-1, 0, -1) row —
+    * the downstream filter shape matches the scalar kernels' sentinels. */
+  final case class FramePHash(id: Long, frameIdx: Int, nFrames: Int, phash: Long)
+
+  /** REAL frame sampling: `n` evenly-spaced frames (index k -> frame
+    * `k * total / n`, all frames when total <= n) decoded from a
+    * multi-frame container through a real `ImageReader` and perceptual-
+    * hashed in pixel space. Animated GIF is the one multi-frame format the
+    * JDK ships a codec for; the kernel seam takes an ffmpeg-backed reader
+    * for real video with no caller changes — the sampling arithmetic,
+    * per-frame hashing and flat output contract are format-independent.
+    * Frames decode on demand (`read(i)`): a 10k-frame video pays for the
+    * n sampled frames, not the container. */
+  def frameSamplePHashKernel(n: Int, gridX: Int = 10,
+      gridY: Int = 6): MediaKernel[Seq[FramePHash]] = {
+    require(n >= 1, s"need n >= 1 sampled frames, got $n")
+    () => (id: Long, bytesOrNull: Array[Byte]) => {
+      val bad = Seq(FramePHash(id, -1, 0, -1L))
+      if (bytesOrNull == null || bytesOrNull.isEmpty) bad
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytesOrNull))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) bad
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val total = reader.getNumImages(true)
+              if (total <= 0) bad
+              else {
+                val picks =
+                  if (total <= n) 0 until total
+                  else (0 until n).map(k => k * total / n)
+                picks.map(i =>
+                  FramePHash(id, i, total,
+                    lumBlockhash(reader.read(i), gridX, gridY)))
+              }
+            } finally reader.dispose()
+          }
+        } catch {
+          case _: java.io.IOException => bad
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** REAL multi-frame synthesis: one animated GIF from constant-gray cell
+    * grids (one `values` array per frame), through the JDK's sequence
+    * writer. GIF palettizes — 256 gray levels fit its palette exactly, so
+    * the round trip is lossless and the per-frame pHash stays
+    * SQL-replayable from the cell formula. */
+  def gifBytes(frames: Seq[Array[Int]], cellW: Int, cellH: Int,
+      gridX: Int, gridY: Int): Array[Byte] = {
+    require(frames.nonEmpty, "gifBytes needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { vals =>
+        writer.writeToSequence(new javax.imageio.IIOImage(
+          blockImage(vals, cellW, cellH, gridX, gridY), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Sampled per-frame hashes for a (id, content) frame —
+    * (doc_id, frame_idx, n_frames, phash). */
+  def frameSampleHashes(df: DataFrame, idCol: String, contentCol: String,
+      n: Int): DataFrame =
+    decodePartitionedFlat(df, idCol, contentCol, frameSamplePHashKernel(n))(
+      org.apache.spark.sql.Encoders.product[FramePHash])
+      .toDF("doc_id", "frame_idx", "n_frames", "phash")
 
   // ---------------------------------------------------------------------
   // REAL audio codecs over javax.sound.sampled (also pure JDK, headless):

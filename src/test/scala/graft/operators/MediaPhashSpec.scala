@@ -149,6 +149,35 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     h(1L) shouldBe h(2L)
   }
 
+  it("frameSamplePHashKernel samples evenly-spaced frames from a real animated GIF") {
+    val frameVals = (0 until 6).map(f =>
+      Array.tabulate(60)(k => ((f * 37 + k * 4) % 256)))
+    val gif = Multimodal.gifBytes(frameVals, 6, 10, 10, 6)
+    val media = Seq((1L, gif), (2L, "not a gif".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val got = Multimodal.frameSampleHashes(media, "doc_id", "content", n = 3)
+      .as[(Long, Int, Int, Long)].collect().groupBy(_._1)
+    // 6 frames sampled at n=3 -> indices 0, 2, 4; the container total rides along
+    got(1L).map(r => (r._2, r._3)).sorted shouldBe Seq((0, 6), (2, 6), (4, 6))
+    // each sampled frame's hash equals the single-image hash of those cells
+    // (GIF palettization is lossless on <=256 grays)
+    val single = Seq((0, 0L), (2, 1L), (4, 2L)).map { case (f, id) =>
+      id -> Multimodal.blockImageBytes(frameVals(f), 6, 10, 10, 6)
+    }.toDF("doc_id", "content")
+    val want = Multimodal.perceptualHashesReal(single, "doc_id", "content")
+      .as[(Long, Long)].collect().toMap
+    got(1L).sortBy(_._2).map(_._4).toSeq shouldBe Seq(want(0L), want(1L), want(2L))
+    got(2L).toSeq shouldBe Seq((2L, -1, 0, -1L)) // undecodable sentinel row
+  }
+
+  it("frame sampling takes every frame when the container is shorter than n") {
+    val frames = (0 until 2).map(f => Array.fill(60)(f * 100 + 10))
+    val gif = Multimodal.gifBytes(frames, 6, 10, 10, 6)
+    val media = Seq((1L, gif)).toDF("doc_id", "content")
+    val got = Multimodal.frameSampleHashes(media, "doc_id", "content", n = 5)
+      .as[(Long, Int, Int, Long)].collect()
+    got.map(r => (r._2, r._3)).sorted shouldBe Seq((0, 2), (1, 2))
+  }
+
   it("audioProfileKernel round-trips real WAV bytes to exact integer features") {
     val samples = Array.tabulate(1000)(i =>
       (((i * 2657L) % 65536L) - 32768L).toShort)
