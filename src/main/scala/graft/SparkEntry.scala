@@ -1023,7 +1023,6 @@ object SparkEntry {
     // pHashImageKernel / blockImageBytes)
     "q150_real_image_phash" -> ((s, dir) => {
       import graft.operators.Multimodal
-      import org.apache.spark.sql.Encoders
       val cellVals = transform(sequence(lit(0), lit(59)), k =>
         pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
           lit("_cell_"), k.cast("string"))), 1, 15), 16, 10).cast("long"),
@@ -1039,12 +1038,9 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id"))
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("content", synth(cellVals))
-      // ONE decode pass for dims + hash (imageProfileKernel) — profiling
-      // and hashing separately would decode every image twice
-      Multimodal.decodePartitioned(media, "doc_id", "content",
-          Multimodal.imageProfileKernel())(
-          Encoders.product[Multimodal.ImageProfile])
-        .toDF("doc_id", "width", "height", "channels", "phash")
+      // ONE decode pass for dims + hash (imageProfiles) — profiling and
+      // hashing separately would decode every image twice
+      Multimodal.imageProfiles(media, "doc_id", "content")
         .orderBy(col("doc_id"))
     }),
 

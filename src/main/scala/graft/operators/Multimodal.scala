@@ -453,6 +453,14 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Image profiles for a (id, content) frame —
+    * (doc_id, width, height, channels, phash) in one decode per row. */
+  def imageProfiles(df: DataFrame, idCol: String, contentCol: String,
+      gridX: Int = 10, gridY: Int = 6): DataFrame =
+    decodePartitioned(df, idCol, contentCol, imageProfileKernel(gridX, gridY))(
+      org.apache.spark.sql.Encoders.product[ImageProfile])
+      .toDF("doc_id", "width", "height", "channels", "phash")
+
   /** Sampled per-frame hashes for a (id, content) frame —
     * (doc_id, frame_idx, n_frames, phash). */
   def frameSampleHashes(df: DataFrame, idCol: String, contentCol: String,

@@ -332,6 +332,22 @@ object Streaming {
     * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
     * streaming twin of batch exact dedup, safe on unbounded input because
     * fingerprints expire with event time. */
+  /** Streaming media profiling twins. The batch kernels
+    * ([[graft.operators.Multimodal.imageProfileKernel]] /
+    * `audioProfileKernel`) are stateless narrow maps with per-partition
+    * codec init, so the SAME functions run on a streaming frame unchanged
+    * — append mode, no watermark, no stream-side shuffle. These aliases
+    * exist to name that contract; StreamingSpec pins bit-equality between
+    * a MemoryStream ingest and the batch path over identical payloads, so
+    * backfill and live ingest can never disagree on a profile. */
+  def imageProfileStream(media: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    graft.operators.Multimodal.imageProfiles(media, idCol, contentCol)
+
+  def audioProfileStream(media: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame =
+    graft.operators.Multimodal.audioProfiles(media, idCol, contentCol)
+
   def dedupStreamByContent(docs: DataFrame, tsCol: String, watermark: String,
       textCol: String): DataFrame =
     docs

@@ -38,6 +38,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("media profile streams agree bit-for-bit with the batch kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val payloads = Seq(
+      1L -> Multimodal.blockImageBytes(Array.tabulate(60)(k => (k * 7) % 256), 6, 10, 10, 6),
+      2L -> Multimodal.blockImageBytes(Array.tabulate(60)(k => (255 - k) % 256), 6, 10, 10, 6),
+      3L -> "corrupt".getBytes("UTF-8"))
+    val wavs = Seq(
+      1L -> Multimodal.pcmWavBytes(Array.tabulate(500)(i =>
+        (((i * 977L) % 65536L) - 32768L).toShort), 8000),
+      2L -> "junk".getBytes("UTF-8"))
+
+    val imgIn = MemoryStream[(Long, Array[Byte])]
+    val imgQuery = Streaming.imageProfileStream(
+        imgIn.toDF().toDF("doc_id", "content"))
+      .writeStream.format("memory").queryName("img_profiles")
+      .outputMode(OutputMode.Append()).start()
+    val audIn = MemoryStream[(Long, Array[Byte])]
+    val audQuery = Streaming.audioProfileStream(
+        audIn.toDF().toDF("doc_id", "content"))
+      .writeStream.format("memory").queryName("aud_profiles")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imgIn.addData(payloads: _*)
+      audIn.addData(wavs: _*)
+      imgQuery.processAllAvailable()
+      audQuery.processAllAvailable()
+      val streamedImg = spark.table("img_profiles").collect().map(_.toSeq).toSet
+      val batchImg = Multimodal.imageProfiles(
+        payloads.toDF("doc_id", "content"), "doc_id", "content")
+        .collect().map(_.toSeq).toSet
+      streamedImg shouldBe batchImg
+      val streamedAud = spark.table("aud_profiles").collect().map(_.toSeq).toSet
+      val batchAud = Multimodal.audioProfiles(
+        wavs.toDF("doc_id", "content"), "doc_id", "content")
+        .collect().map(_.toSeq).toSet
+      streamedAud shouldBe batchAud
+    } finally { imgQuery.stop(); audQuery.stop() }
+  }
+
   it("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
