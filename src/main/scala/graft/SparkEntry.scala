@@ -1084,10 +1084,15 @@ object SparkEntry {
       val synth = udf { (docId: Long, nFrames: Int) =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def cell(f: Int, k: Int): Int = {
-          val hex = md.digest(s"${docId}_f${f}_c$k".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(15)
+          val d = md.digest(s"${docId}_f${f}_c$k".getBytes("UTF-8"))
           md.reset()
-          (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+          // first 15 hex chars = big-endian first 8 bytes >>> 4 — straight
+          // byte math, not 16 string formats per digest (the formatting was
+          // most of the synth CPU at 360 digests/doc)
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          ((h >>> 4) % 256L).toInt
         }
         Multimodal.gifBytes(
           (0 until nFrames).map(f => Array.tabulate(60)(cell(f, _))),
@@ -1099,6 +1104,31 @@ object SparkEntry {
           synth(col("doc_id"), (col("doc_id") % 3 + 4).cast("int")))
       Multimodal.frameSampleHashes(media, "doc_id", "content", n = 3)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL mixed-codec compressed ingestion (the WARC-crawl shape): each
+    // doc's text is compressed through a REAL encoder — gzip (JDK) for
+    // even ids, zstd (Spark's own zstd-jni) for odd — then the kernel
+    // sniffs magic bytes per payload and decompresses through the real
+    // codec streams in one pass. Output pins codec detection, exact
+    // decompressed byte counts and the md5 of the round-tripped text; the
+    // oracle computes all three from the PLAIN text (it never sees a
+    // compressed byte), so any codec/charset corruption mismatches
+    // (operators.Multimodal.decompressTextKernel / gzipBytes / zstdBytes)
+    "q153_compressed_ingest" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val pack = udf { (docId: Long, text: String) =>
+        val raw = text.getBytes("UTF-8")
+        if (docId % 2 == 0) Multimodal.gzipBytes(raw)
+        else Multimodal.zstdBytes(raw)
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+      Multimodal.decompressTexts(media, "doc_id", "content")
+        .select(col("doc_id"), col("codec"), col("n_bytes"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
@@ -5277,6 +5307,16 @@ object SparkEntry {
         |FROM cells c JOIN tot t USING (doc_id, frame_idx)
         |GROUP BY c.doc_id, c.frame_idx, c.total
         |ORDER BY c.doc_id, c.frame_idx""".stripMargin,
+
+    // the oracle never touches a compressed byte: codec from the id
+    // parity, byte count and md5 from the plain text
+    "q153_compressed_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zstd' END AS codec,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

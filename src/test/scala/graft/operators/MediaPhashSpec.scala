@@ -228,6 +228,27 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     got(2L) shouldBe ((2L, 16000, 2, 400L, expectSs, 399L, 1000))
   }
 
+  it("decompressTextKernel sniffs and round-trips gzip, zstd, plain and corrupt payloads") {
+    val uni = "mixed codecs: κείμενο, 文本, émojis 🙂 — exact bytes matter"
+    val media = Seq(
+      (1L, Multimodal.gzipBytes(uni.getBytes("UTF-8"))),
+      (2L, Multimodal.zstdBytes(uni.getBytes("UTF-8"))),
+      (3L, "already plain".getBytes("UTF-8")),
+      // gzip magic followed by garbage: a truncated/corrupt member must
+      // quarantine, not kill the job
+      (4L, Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3)),
+      (5L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "content")
+    val got = Multimodal.decompressTexts(media, "doc_id", "content")
+      .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    val nBytes = uni.getBytes("UTF-8").length.toLong
+    got(1L) shouldBe ((1L, "gzip", nBytes, uni))
+    got(2L) shouldBe ((2L, "zstd", nBytes, uni))
+    got(3L) shouldBe ((3L, "plain", 13L, "already plain"))
+    got(4L)._2 shouldBe "bad"
+    got(4L)._4 shouldBe null
+    got(5L)._2 shouldBe "bad"
+  }
+
   it("resizeKernel really rescales: output bytes re-decode to the target dims") {
     val media = Seq((1L, gradientPng(100, 60)),
       (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
