@@ -1131,6 +1131,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL WARC (ISO 28500) ingestion: per doc a spec-compliant two-record
+    // WARC payload (warcinfo + response carrying the doc text) is BUILT by
+    // the real writer, then parsed back byte-exactly — headers at the
+    // first CRLFCRLF, body = exactly Content-Length BYTES — through the
+    // kernel seam. The oracle derives every field from the plain columns
+    // (it never sees a WARC byte), so any offset/length/charset slip in
+    // the parser mismatches (ingestion.Warc)
+    "q154_warc_ingest" -> ((s, dir) => {
+      import graft.ingestion.Warc
+      val pack = udf { (docId: Long, text: String) =>
+        Warc.warcBytes(Seq(
+          ("warcinfo", "", "engine=graft"),
+          ("response", s"https://example.org/doc/$docId", text)))
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+      Warc.warcRecords(media, "doc_id", "content")
+        .toDF("doc_id", "rec_idx", "warc_type", "target_uri",
+          "content_length", "body")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5317,6 +5343,26 @@ object SparkEntry {
         |  md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // two rows per doc from the plain columns: the warcinfo preamble and
+    // the response record carrying the text
+    "q154_warc_ingest" ->
+      """SELECT doc_id, rec_idx, warc_type, target_uri, content_length, body_md5
+        |FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+        |    'warcinfo' AS warc_type, '' AS target_uri,
+        |    CAST(12 AS BIGINT) AS content_length,
+        |    md5('engine=graft') AS body_md5
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT) AS rec_idx,
+        |    'response' AS warc_type,
+        |    'https://example.org/doc/' || doc_id::VARCHAR AS target_uri,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |    md5(text) AS body_md5
+        |  FROM documents
+        |)
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z
