@@ -181,9 +181,35 @@ object Multimodal {
   // never plumbing.
   // ---------------------------------------------------------------------
 
+  /** Pixel ceiling for [[readImage]]: a PNG/GIF decompression bomb is a
+    * few KB of payload declaring a multi-gigapixel canvas — the allocation
+    * happens at decode, so the guard must read the HEADER dimensions first
+    * (ImageReader exposes them without decoding) and refuse oversized
+    * images the same way corrupt ones are refused. 100 MP ≈ 400 MB of
+    * ARGB — above any sane training image, below an executor OOM. */
+  private[operators] val MaxImagePixels: Long = 100L * 1000 * 1000
+
   private def readImage(id: Long, bytesOrNull: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytesOrNull == null || bytesOrNull.isEmpty) null
-    else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytesOrNull))
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytesOrNull))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only dimension probe — no pixel allocation yet
+            if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxImagePixels) null
+            else reader.read(0)
+          } catch {
+            case _: java.io.IOException => null
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    }
   }
 
   /** REAL image decode: ImageIO container sniffing + pixel decode.
@@ -415,9 +441,13 @@ object Multimodal {
                 val picks =
                   if (total <= n) 0 until total
                   else (0 until n).map(k => k * total / n)
-                picks.map(i =>
-                  FramePHash(id, i, total,
-                    lumBlockhash(reader.read(i), gridX, gridY)))
+                picks.map { i =>
+                  // same bomb guard as readImage, per frame, header-only
+                  if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxImagePixels)
+                    FramePHash(id, i, total, -1L)
+                  else FramePHash(id, i, total,
+                    lumBlockhash(reader.read(i), gridX, gridY))
+                }
               }
             } finally reader.dispose()
           }
@@ -486,28 +516,52 @@ object Multimodal {
   /** Auto-detecting decompress kernel: magic-byte sniff, then the REAL
     * codec stream (GZIPInputStream / ZstdInputStream). Detection is
     * per-payload, so mixed-codec corpora (the norm in assembled crawls)
-    * ingest in one pass. */
-  def decompressTextKernel(charset: String = "UTF-8"): MediaKernel[DecodedText] = () => {
+    * ingest in one pass.
+    *
+    * `maxBytes` is the decompression-BOMB guard: a few-KB zstd/gzip
+    * payload can legally declare gigabytes of output and OOM the executor
+    * at `readAllBytes` — the stream is read in bounded chunks and a
+    * payload that expands past the cap quarantines as codec `big`
+    * (distinct from `bad`, so pipelines can count bombs separately).
+    * Default 64 MiB: far above any sane crawl document, far below an
+    * executor heap. */
+  def decompressTextKernel(charset: String = "UTF-8",
+      maxBytes: Long = 64L << 20): MediaKernel[DecodedText] = () => {
+    // bounded drain: stops one chunk past the cap instead of trusting the
+    // stream's self-declared size
+    def drain(in: java.io.InputStream): Either[Unit, Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var read = in.read(buf)
+      while (read >= 0) {
+        out.write(buf, 0, read)
+        if (out.size() > maxBytes) return Left(())
+        read = in.read(buf)
+      }
+      Right(out.toByteArray)
+    }
     (id: Long, bytesOrNull: Array[Byte]) => {
       def decoded(codec: String, raw: Array[Byte]) =
         DecodedText(id, codec, raw.length.toLong, new String(raw, charset))
+      def viaStream(codec: String, open: => java.io.InputStream) =
+        try {
+          val in = open
+          try drain(in) match {
+            case Right(raw) => decoded(codec, raw)
+            case Left(_) => DecodedText(id, "big", maxBytes, null)
+          } finally in.close()
+        } catch { case _: java.io.IOException => DecodedText(id, "bad", 0L, null) }
       if (bytesOrNull == null) DecodedText(id, "bad", 0L, null)
       else if (bytesOrNull.length >= 2 &&
-          (bytesOrNull(0) & 0xff) == 0x1f && (bytesOrNull(1) & 0xff) == 0x8b) {
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytesOrNull))
-          try decoded("gzip", in.readAllBytes()) finally in.close()
-        } catch { case _: java.io.IOException => DecodedText(id, "bad", 0L, null) }
-      } else if (bytesOrNull.length >= 4 &&
+          (bytesOrNull(0) & 0xff) == 0x1f && (bytesOrNull(1) & 0xff) == 0x8b)
+        viaStream("gzip", new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytesOrNull)))
+      else if (bytesOrNull.length >= 4 &&
           (bytesOrNull(0) & 0xff) == 0x28 && (bytesOrNull(1) & 0xff) == 0xb5 &&
-          (bytesOrNull(2) & 0xff) == 0x2f && (bytesOrNull(3) & 0xff) == 0xfd) {
-        try {
-          val in = new com.github.luben.zstd.ZstdInputStream(
-            new java.io.ByteArrayInputStream(bytesOrNull))
-          try decoded("zstd", in.readAllBytes()) finally in.close()
-        } catch { case _: java.io.IOException => DecodedText(id, "bad", 0L, null) }
-      } else decoded("plain", bytesOrNull)
+          (bytesOrNull(2) & 0xff) == 0x2f && (bytesOrNull(3) & 0xff) == 0xfd)
+        viaStream("zstd", new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytesOrNull)))
+      else decoded("plain", bytesOrNull)
     }
   }
 

@@ -249,6 +249,39 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     got(5L)._2 shouldBe "bad"
   }
 
+  it("decompression bombs quarantine as 'big' instead of OOMing the executor") {
+    // 8 MB of zeros gzips to ~8 KB — the classic bomb shape; cap at 64 KB
+    val bomb = Multimodal.gzipBytes(new Array[Byte](8 << 20))
+    val media = Seq((1L, bomb)).toDF("doc_id", "content")
+    val got = Multimodal.decodePartitioned(media, "doc_id", "content",
+        Multimodal.decompressTextKernel(maxBytes = 64 * 1024))(
+        org.apache.spark.sql.Encoders.product[Multimodal.DecodedText])
+      .collect().head
+    got.codec shouldBe "big"
+    got.text shouldBe null
+    // and the same payload passes under the default cap
+    Multimodal.decompressTexts(media, "doc_id", "content")
+      .select($"codec").as[String].collect().head shouldBe "gzip"
+  }
+
+  it("image decompression bombs are refused from the header, never decoded") {
+    // a syntactically valid PNG header declaring a 400-megapixel canvas in
+    // a few dozen bytes — the decode allocation would be ~1.6 GB; the
+    // kernel must read the dims from the header and quarantine
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+        ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val ihdrBody = "IHDR".getBytes("ISO-8859-1") ++ be(20000) ++ be(20000) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32(); crc.update(ihdrBody)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      be(13) ++ ihdrBody ++ be(crc.getValue.toInt)
+    val media = Seq((1L, png)).toDF("doc_id", "content")
+    val got = Multimodal.imageProfiles(media, "doc_id", "content")
+      .as[(Long, Long, Long, Int, Long)].collect().head
+    got shouldBe ((1L, 0L, 0L, 0, -1L)) // quarantined like any bad payload
+  }
+
   it("resizeKernel really rescales: output bytes re-decode to the target dims") {
     val media = Seq((1L, gradientPng(100, 60)),
       (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
