@@ -70,6 +70,10 @@ object Warc {
               header("Content-Length").flatMap(v =>
                 scala.util.Try(v.toLong).toOption) match {
                 case None => broken = true
+                // negative length = corrupt header; without this guard the
+                // new String(..., -n, ...) below throws instead of
+                // quarantining (review finding, round 10)
+                case Some(len) if len < 0 => broken = true
                 case Some(len) if headerEnd + 4 + len > b.length => broken = true
                 case Some(len) =>
                   val bodyStart = headerEnd + 4

@@ -271,12 +271,14 @@ object AnnIndex {
     // The candidate set is queries x shortlist rows — tiny for interactive
     // batches, but a force-broadcast of a MILLION-query batch would blow
     // the 8GB broadcast limit where a planner-chosen join works. Gate the
-    // hint on the candidate estimate; the probe count is bounded (stops at
-    // limit+1 query rows), so it never scans a large queries frame.
-    val probeLimit = maxBroadcastCandidates / math.max(sl, 1) + 1
-    val nQueries = qv.limit(
-      math.min(probeLimit, Int.MaxValue.toLong).toInt).count()
-    val smallBatch = nQueries * sl <= maxBroadcastCandidates
+    // hint LAZILY on the optimizer's size estimate for the queries frame
+    // (scan stats — no job runs at construction, so explain/PlanDump stay
+    // free, matching adcTopK's lazy-guard contract): rowCount when CBO
+    // supplies it, else bytes at a conservative ~100B/row floor.
+    val stats = qv.queryExecution.optimizedPlan.stats
+    val estQueries: BigInt = stats.rowCount
+      .getOrElse((stats.sizeInBytes / 100) max BigInt(1))
+    val smallBatch = estQueries * sl <= BigInt(maxBroadcastCandidates)
     def hint(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -205,7 +205,12 @@ object Multimodal {
             if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxImagePixels) null
             else reader.read(0)
           } catch {
-            case _: java.io.IOException => null
+            // NonFatal, not just IOException: the JDK readers throw
+            // unchecked exceptions on fuzzed payloads (AIOOBE in the GIF
+            // LZW decode, IllegalArgument/NegativeArraySize in JPEG/BMP
+            // header parsing) — a crawl's corrupt rows must quarantine,
+            // never 4x-fail the task and kill the job
+            case scala.util.control.NonFatal(_) => null
           } finally reader.dispose()
         }
       } finally iis.close()
@@ -244,18 +249,23 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     val n = w.toLong * h
-    val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, sRGB ints
+    // one ROW STRIP at a time into a reused buffer: a bulk w*h getRGB on an
+    // image near the MaxImagePixels cap would transiently DOUBLE per-image
+    // memory (decoded raster + a 400MB int[]) — times concurrent tasks,
+    // the OOM the bomb guard exists to prevent
+    val row = new Array[Int](w)
     val g = gridX * gridY
     val sums = new Array[Long](g)
     val counts = new Array[Long](g)
     var total = 0L
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       val cy = y * gridY / h
       val rowBase = cy * gridX
       var x = 0
       while (x < w) {
-        val rgb = px(y * w + x)
+        val rgb = row(x)
         val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
           114 * (rgb & 0xff)) / 1000
         val k = rowBase + x * gridX / w
@@ -452,7 +462,8 @@ object Multimodal {
             } finally reader.dispose()
           }
         } catch {
-          case _: java.io.IOException => bad
+          // NonFatal: fuzzed GIFs throw unchecked from the LZW decode
+          case scala.util.control.NonFatal(_) => bad
         } finally iis.close()
       }
     }
@@ -550,7 +561,10 @@ object Multimodal {
             case Right(raw) => decoded(codec, raw)
             case Left(_) => DecodedText(id, "big", maxBytes, null)
           } finally in.close()
-        } catch { case _: java.io.IOException => DecodedText(id, "bad", 0L, null) }
+        } catch {
+          // NonFatal: zstd-jni surfaces native-side errors unchecked
+          case scala.util.control.NonFatal(_) => DecodedText(id, "bad", 0L, null)
+        }
       if (bytesOrNull == null) DecodedText(id, "bad", 0L, null)
       else if (bytesOrNull.length >= 2 &&
           (bytesOrNull(0) & 0xff) == 0x1f && (bytesOrNull(1) & 0xff) == 0x8b)
@@ -638,8 +652,9 @@ object Multimodal {
             }
           } finally in.close()
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => BadAudio
-          case _: java.io.IOException => BadAudio
+          // NonFatal (not just the two declared types): fuzzed containers
+          // can throw unchecked from the JDK audio file readers
+          case scala.util.control.NonFatal(_) => BadAudio
         }
       AudioProfile(id, rate, ch, n, sumSq, zc, peak)
     }

@@ -258,10 +258,13 @@ object Quantization {
     // building the query costs no extra scan and plan-only contexts
     // (explain/PlanDump) never execute a job; the error fires on execution.
     val expectDim = model.subDim * m
+    // coalesce in the message: a NULL q_vec would null-propagate through
+    // concat and raise a MESSAGE-LESS error (size(NULL) = NULL)
     val qs = rawQ.withColumn("q_vec",
       when(size(col("q_vec")) === expectDim, col("q_vec"))
         .otherwise(raise_error(concat(
-          lit("adcTopK: query vector of dim "), size(col("q_vec")),
+          lit("adcTopK: query vector of dim "),
+          coalesce(size(col("q_vec")).cast("string"), lit("NULL")),
           lit(s" does not match the PQ model's $expectDim — " +
             "re-encode queries or retrain")))))
     val tabled = withDistTables(qs, "q_vec", model)

@@ -328,10 +328,6 @@ object Streaming {
     l.join(r, keyCond && timeCond, joinType)
   }
 
-  /** Streaming content dedup: canonical md5 fingerprint per document, state
-    * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
-    * streaming twin of batch exact dedup, safe on unbounded input because
-    * fingerprints expire with event time. */
   /** Streaming media profiling twins. The batch kernels
     * ([[graft.operators.Multimodal.imageProfileKernel]] /
     * `audioProfileKernel`) are stateless narrow maps with per-partition
@@ -348,6 +344,10 @@ object Streaming {
       contentCol: String = "content"): DataFrame =
     graft.operators.Multimodal.audioProfiles(media, idCol, contentCol)
 
+  /** Streaming content dedup: canonical md5 fingerprint per document, state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
+    * streaming twin of batch exact dedup, safe on unbounded input because
+    * fingerprints expire with event time. */
   def dedupStreamByContent(docs: DataFrame, tsCol: String, watermark: String,
       textCol: String): DataFrame =
     docs

@@ -120,6 +120,30 @@ class SparkFlowSpec extends SparkTestBase with Matchers {
         .list().count(_.endsWith(".parquet")) shouldBe 1
     }
 
+    it("cacheAsPartitionedParquet preserves schema exactly and passes empty datasets through") {
+      import org.apache.spark.sql.functions.{col, lit}
+      val flow = Graft.sparkFlow(spark, s"$tmpDir/pcache2-tmp")
+        .copy(removeTempAfterExecution = false)
+        .openFileParquet(s"${sf()}/nation.parquet", "nation")
+        // a STRING partition column with leading zeros: directory-name type
+        // inference would silently turn '01' into int 1 and shuffle the
+        // column to the end of the schema
+        .transform("nation")("coded")(
+          _.withColumn("code", org.apache.spark.sql.functions
+            .format_string("%02d", col("n_regionkey"))))
+        .cacheAsPartitionedParquet(Seq("code"))("coded")
+        // an EMPTY intermediate: a partitioned write of 0 rows has no
+        // footers to re-open — it must pass through uncached
+        .transform("nation")("none")(_.filter(lit(false)))
+        .cacheAsPartitionedParquet(Seq("n_regionkey"))("none")
+      val (_, done) = executor.execute(flow)
+      val coded = done.inputs.get[org.apache.spark.sql.Dataset[_]]("coded")
+      coded.schema.fieldNames.last shouldBe "code" // original order kept
+      coded.schema("code").dataType shouldBe org.apache.spark.sql.types.StringType
+      coded.toDF().where(col("code") === "01").count() shouldBe 5 // '01' stays '01'
+      done.inputs.get[org.apache.spark.sql.Dataset[_]]("none").count() shouldBe 0
+    }
+
     it("sparkCache persists eagerly") {
       val flow = Graft.sparkFlow(spark)
         .openFileParquet(s"${sf()}/region.parquet", "region")

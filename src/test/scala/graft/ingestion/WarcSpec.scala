@@ -47,6 +47,15 @@ class WarcSpec extends SparkTestBase with Matchers {
     got(4L).head.body shouldBe "fine"
   }
 
+  it("a negative Content-Length quarantines instead of crashing the task") {
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "Content-Length: -5\r\n\r\n" +
+      "body\r\n\r\n").getBytes("ISO-8859-1")
+    val got = parse(1L -> raw)(1L)
+    got.map(r => (r.recIdx, r.warcType)).toSeq shouldBe Seq((-1, "bad"))
+  }
+
   it("header names match case-insensitively and values trim (real crawls vary)") {
     val raw = ("WARC/1.0\r\n" +
       "warc-type:   metadata\r\n" +
