@@ -249,23 +249,26 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     val n = w.toLong * h
-    // one ROW STRIP at a time into a reused buffer: a bulk w*h getRGB on an
-    // image near the MaxImagePixels cap would transiently DOUBLE per-image
-    // memory (decoded raster + a 400MB int[]) — times concurrent tasks,
-    // the OOM the bomb guard exists to prevent
-    val row = new Array[Int](w)
+    // Adaptive pixel access: small images take ONE bulk getRGB (per-call
+    // overhead dominates at thumbnail sizes — row strips measurably slowed
+    // q152's 60x60 frames); big images read a ROW STRIP at a time into a
+    // reused buffer, because a bulk w*h grab near the MaxImagePixels cap
+    // transiently DOUBLES per-image memory (decoded raster + a 400MB
+    // int[]) — times concurrent tasks, the OOM the bomb guard prevents.
+    val bulk = if (n <= 4_000_000L) img.getRGB(0, 0, w, h, null, 0, w) else null
+    val row = if (bulk == null) new Array[Int](w) else null
     val g = gridX * gridY
     val sums = new Array[Long](g)
     val counts = new Array[Long](g)
     var total = 0L
     var y = 0
     while (y < h) {
-      img.getRGB(0, y, w, 1, row, 0, w)
+      if (bulk == null) img.getRGB(0, y, w, 1, row, 0, w)
       val cy = y * gridY / h
       val rowBase = cy * gridX
       var x = 0
       while (x < w) {
-        val rgb = row(x)
+        val rgb = if (bulk == null) row(x) else bulk(y * w + x)
         val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
           114 * (rgb & 0xff)) / 1000
         val k = rowBase + x * gridX / w
