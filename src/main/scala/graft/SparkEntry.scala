@@ -1157,6 +1157,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // the full crawl-ingestion CHAIN, three real decoders deep: each doc
+    // becomes a gzip-compressed WARC payload (real encoders), then
+    // gunzip (magic-sniffed, ISO-8859-1 intermediate so bytes round-trip
+    // exactly) -> byte-exact WARC parse -> response bodies with their
+    // UTF-8 byte counts and hashes. One wrong offset/charset anywhere in
+    // the chain mismatches the oracle, which reads only plain columns
+    "q155_crawl_pipeline" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      import graft.ingestion.Warc
+      import org.apache.spark.sql.Encoders
+      val pack = udf { (docId: Long, text: String) =>
+        Multimodal.gzipBytes(Warc.warcBytes(Seq(
+          ("warcinfo", "", "engine=graft"),
+          ("response", s"https://example.org/doc/$docId", text))))
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+      // ISO-8859-1 is byte-bijective: the decompressed WARC OCTETS survive
+      // the String hop intact; the WARC parser then slices bodies by
+      // Content-Length BYTES and decodes them as UTF-8
+      val unzipped = Multimodal.decodePartitioned(media, "doc_id", "content",
+          Multimodal.decompressTextKernel("ISO-8859-1"))(
+          Encoders.product[Multimodal.DecodedText])
+        .toDF("doc_id", "codec", "n_bytes", "wtext")
+        .select(col("doc_id"), encode(col("wtext"), "ISO-8859-1").as("content"))
+      Warc.warcRecords(unzipped, "doc_id", "content")
+        .toDF("doc_id", "rec_idx", "warc_type", "target_uri",
+          "content_length", "body")
+        .where(col("warc_type") === "response")
+        .select(col("doc_id"), col("target_uri"), col("content_length"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5363,6 +5398,17 @@ object SparkEntry {
         |  FROM documents
         |)
         |ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // three decoders deep, one plain-columns oracle: if gunzip, the
+    // byte-preserving String hop, or the WARC body slice drifted by one
+    // byte, content_length or body_md5 would mismatch
+    "q155_crawl_pipeline" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || doc_id::VARCHAR AS target_uri,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z
