@@ -1192,6 +1192,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // margin-based parallel-pair mining (Artetxe & Schwenk ratio margin):
+    // two fixed-id embedding slices as the "languages", mutual best matches
+    // scored by cosine over the mean of both endpoints' top-4 neighbourhood
+    // averages; all sums ride exact integer micro-units so any engine
+    // replays the margin bit-for-bit (Similarity.marginMinePairs)
+    "q156_margin_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMinePairs(
+        emb.where(col("vec_id") < 150),
+        emb.where(col("vec_id") >= 150 && col("vec_id") < 300),
+        "vec_id", "embedding", k = 4, threshold = 1.02)
+        .orderBy(col("x_id"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5409,6 +5423,53 @@ object SparkEntry {
         |  md5(text) AS body_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // margin mining: cosines held as integer micro-units (round(cos*1e6) as
+    // BIGINT) so the top-4 neighbourhood sums are order-free exact integer
+    // sums and the margin is a fixed expression tree over exact integers —
+    // bit-identical here and in Spark; rank replay = cos_i DESC, id ASC
+    "q156_margin_mine" ->
+      """WITH x AS (
+        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 150
+        |), y AS (
+        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 150 AND vec_id < 300
+        |), s AS (
+        |  SELECT x_id, y_id,
+        |    CAST(round(round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |      * 1000000.0) AS BIGINT) AS cos_i
+        |  FROM x, y
+        |), f AS (
+        |  SELECT x_id, y_id, cos_i,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY cos_i DESC, y_id ASC) AS r
+        |  FROM s
+        |), fa AS (
+        |  SELECT x_id,
+        |    max(CASE WHEN r = 1 THEN y_id END) AS best_y,
+        |    max(CASE WHEN r = 1 THEN cos_i END) AS best_cos,
+        |    sum(cos_i) AS sum_f, count(*) AS k_f
+        |  FROM f WHERE r <= 4 GROUP BY x_id
+        |), b AS (
+        |  SELECT x_id, y_id, cos_i,
+        |    row_number() OVER (PARTITION BY y_id ORDER BY cos_i DESC, x_id ASC) AS r
+        |  FROM s
+        |), ba AS (
+        |  SELECT y_id,
+        |    max(CASE WHEN r = 1 THEN x_id END) AS best_x,
+        |    sum(cos_i) AS sum_b, count(*) AS k_b
+        |  FROM b WHERE r <= 4 GROUP BY y_id
+        |), p AS (
+        |  SELECT fa.x_id, ba.y_id, fa.best_cos AS cos_i,
+        |    CAST(fa.sum_f AS DOUBLE) / fa.k_f + CAST(ba.sum_b AS DOUBLE) / ba.k_b AS den
+        |  FROM fa JOIN ba ON fa.best_y = ba.y_id AND ba.best_x = fa.x_id
+        |)
+        |SELECT x_id, y_id, cos_i / 1000000.0 AS cos,
+        |  round(2.0 * cos_i / den, 6) AS margin
+        |FROM p
+        |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.02
+        |ORDER BY x_id""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

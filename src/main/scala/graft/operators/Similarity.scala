@@ -141,6 +141,86 @@ object Similarity {
         col("neighbor_label"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Margin-based parallel-pair mining (the bitext-mining scorer of
+    * Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings", as deployed for CCMatrix/LASER):
+    * given two embedding sets X and Y encoded in a shared space (e.g.
+    * sentences of two languages), a raw cosine threshold over-fires in
+    * dense regions and under-fires in sparse ones, so each candidate pair
+    * is instead scored by its cosine RELATIVE to the two endpoints'
+    * neighbourhood densities — the "ratio" margin
+    * `cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2)` — and only MUTUAL best
+    * matches (y is x's rank-1 in Y and x is y's rank-1 in X) above the
+    * margin threshold survive.
+    *
+    * Determinism across engines: cosines are rounded to `scale` then held
+    * as exact integer micro-units (`round(cos·10^scale)` as BIGINT), so
+    * the top-k neighbourhood sums are order-free integer sums and the
+    * margin is a fixed expression tree of exact integers
+    * (`2·cos_i / (sum_f/k_f + sum_b/k_b)`) — bit-identical in any engine.
+    * Rank order inside [[graft.sql.TopKPairs]] is total (score DESC, id
+    * ASC), matching a SQL `row_number` replay.
+    *
+    * Scale shape: this is the exact baseline — Y broadcasts and X streams
+    * map-side (one fused-codegen cosine pass per direction), and both
+    * per-endpoint reductions ride the k-bounded `graft_topk` aggregate, so
+    * the |X|·|Y| cross scores are consumed by map-side combine and only
+    * |X|+|Y| k-length arrays ever cross the wire; the mutual-best join is
+    * over those id-sized frames. For corpus×corpus mining at 100 TB,
+    * generate candidates with the IVF cells ([[ivfTopK]] /
+    * [[graft.operators.AnnIndex]]) instead of the cross scoring and feed
+    * the same margin arithmetic — the aggregates and join are unchanged.
+    *
+    * Output: (x_id, y_id, cos, margin), one row per surviving mutual pair.
+    * Pairs whose combined neighbourhood sum is not positive are dropped
+    * (the margin ratio is meaningless against a non-positive density). */
+  def marginMinePairs(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    val spark = xs.sparkSession
+    graft.sql.functions.ensureRegistered(spark)
+    val unit = math.pow(10, scale) // exact for scale <= 9
+    val x = xs.select(col(idCol).cast("long").as("x_id"), col(vecCol).as("x_vec"))
+    val y = broadcast(ys.select(col(idCol).cast("long").as("y_id"), col(vecCol).as("y_vec")))
+    // one map-side pass of fused cosines; integer micro-units from here on
+    val scored = x.crossJoin(y).select(
+      col("x_id"), col("y_id"),
+      round(nativeCosine(spark, col("x_vec"), col("y_vec"), scale) * lit(unit))
+        .cast("long").as("cos_i"))
+    def side(keyCol: String, otherCol: String, tag: String): DataFrame =
+      scored.groupBy(col(keyCol))
+        .agg(call_function("graft_topk",
+          col("cos_i").cast("double"), col(otherCol), lit(k)).as("top"))
+        .select(
+          col(keyCol),
+          col("top").getItem(0).getField("id").as(s"best_$tag"),
+          col("top").getItem(0).getField("score").cast("long").as(s"best_cos_$tag"),
+          aggregate(col("top"), lit(0L),
+            (acc, p) => acc + p.getField("score").cast("long")).as(s"sum_$tag"),
+          size(col("top")).cast("long").as(s"k_$tag"))
+    val fwd = side("x_id", "y_id", "f") // per x: best y + neighbourhood sum
+    val bwd = side("y_id", "x_id", "b") // per y: best x + neighbourhood sum
+    fwd.join(bwd,
+        fwd("best_f") === bwd("y_id") && bwd("best_b") === fwd("x_id"))
+      .withColumn("den",
+        col("sum_f").cast("double") / col("k_f")
+          + col("sum_b").cast("double") / col("k_b"))
+      .where(col("den") > 0)
+      .withColumn("margin", round(lit(2.0) * col("best_cos_f") / col("den"), scale))
+      .where(col("margin") >= threshold)
+      .select(
+        col("x_id"), col("y_id"),
+        (col("best_cos_f").cast("double") / lit(unit)).as("cos"),
+        col("margin"))
+  }
+
   /** Embedding-based corpus decontamination: flag every corpus row whose
     * cosine to ANY eval-set vector reaches `threshold` — the semantic
     * counterpart of n-gram decontamination ([[Dedup.decontaminate]]): a

@@ -208,6 +208,86 @@ class TemporalSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("marginMinePairs") {
+    // independent replay of the margin arithmetic: rounded cosines as
+    // integer micro-units, top-k by (cos DESC, id ASC), ratio margin
+    def replay(xs: Seq[(Long, Array[Float])], ys: Seq[(Long, Array[Float])],
+        k: Int, threshold: Double): Seq[(Long, Long, Double, Double)] = {
+      def round6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cosI(a: Array[Float], b: Array[Float]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        math.round(round6(dot / (math.sqrt(na) * math.sqrt(nb))) * 1e6)
+      }
+      val scores = for ((xi, xv) <- xs; (yi, yv) <- ys) yield (xi, yi, cosI(xv, yv))
+      def tops(byKey: Map[Long, Seq[(Long, Long)]]) = // key -> (best, bestCos, sum, n)
+        byKey.map { case (key, cands) =>
+          val top = cands.sortBy { case (id, c) => (-c, id) }.take(k)
+          (key, (top.head._1, top.head._2, top.map(_._2).sum, top.size.toLong))
+        }
+      val fwd = tops(scores.groupBy(_._1).map { case (x, rs) =>
+        x -> rs.map(r => (r._2, r._3)) })
+      val bwd = tops(scores.groupBy(_._2).map { case (y, rs) =>
+        y -> rs.map(r => (r._1, r._3)) })
+      (for {
+        (x, (bestY, cosXy, sumF, kF)) <- fwd.toSeq
+        (bestX, _, sumB, kB) = bwd(bestY)
+        if bestX == x
+        den = sumF.toDouble / kF + sumB.toDouble / kB
+        if den > 0
+        margin = round6(2.0 * cosXy / den)
+        if margin >= threshold
+      } yield (x, bestY, cosXy.toDouble / 1e6, margin)).sortBy(_._1)
+    }
+
+    it("matches an independent in-memory replay on real embeddings") {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val xs = emb.where($"vec_id" < 60)
+      val ys = emb.where($"vec_id" >= 60 && $"vec_id" < 120)
+      val got = Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+          k = 4, threshold = 1.0)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      def slurp(df: org.apache.spark.sql.DataFrame) =
+        df.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+      val want = replay(slurp(xs), slurp(ys), k = 4, threshold = 1.0)
+      got shouldBe want
+      got should not be empty
+      // deterministic under repartitioning
+      val again = Similarity.marginMinePairs(xs.repartition(7), ys.repartition(3),
+          "vec_id", "embedding", k = 4, threshold = 1.0)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      again shouldBe got
+    }
+
+    it("keeps only mutual best matches and computes the ratio margin exactly") {
+      import spark.implicits._
+      // y1's best is x1, so (x2, y1) must NOT survive even though y1 is
+      // x2's best; the surviving pair's margin is hand-computable
+      val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+      val ys = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      val out = Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+          k = 2, threshold = 1.0)
+        .as[(Long, Long, Double, Double)].collect().toSeq
+      // den = 1e6/1 + (1e6 + 0.8e6)/2 = 1.9e6; margin = 2e6/1.9e6
+      out shouldBe Seq((1L, 10L, 1.0, 1.052632))
+    }
+
+    it("drops pairs whose combined neighbourhood sum is not positive") {
+      import spark.implicits._
+      val xs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      val ys = Seq((10L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+      Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+        k = 2, threshold = 0.0).count() shouldBe 0L
+    }
+  }
+
   describe("funnel") {
     it("stages must occur strictly in order; repeats count once") {
       import spark.implicits._
