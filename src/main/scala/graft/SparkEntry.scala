@@ -1206,6 +1206,22 @@ object SparkEntry {
         .orderBy(col("x_id"))
     }),
 
+    // multi-query BM25 retrieval through an inverted-index plan: postings
+    // build in one map-combined shuffle, the query-term idf frame
+    // broadcasts, per-term contributions sum as exact integer micro-units,
+    // per-query top-5 rides the k-bounded graft_topk aggregate
+    // (operators.Ranking.bm25TopK)
+    "q157_bm25_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark window join"),
+        (2L, "data quality pipeline"),
+        (3L, "the and of")).toDF("query_id", "qtext")
+      graft.operators.Ranking.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // trailing-window anomaly detection: per-user 24h RANGE frame, prior-
     // point stats by self-subtraction, explicit-variance z-score >= 3
     "q71_rolling_z" -> ((s, dir) => {
@@ -5470,6 +5486,52 @@ object SparkEntry {
         |FROM p
         |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.02
         |ORDER BY x_id""".stripMargin,
+
+    // BM25 retrieval: idf rounds to 6 in-DAG, each term contribution
+    // rounds to 6 and sums as integer micro-units (order-free), ranks
+    // replay as row_number(si DESC, doc_id ASC)
+    "q157_bm25_retrieval" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'spark window join'),
+        |  (2, 'data quality pipeline'),
+        |  (3, 'the and of')
+        |), dd AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dd
+        |), p AS (
+        |  SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        |  GROUP BY term, doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM p GROUP BY term
+        |), qt AS (
+        |  SELECT DISTINCT query_id, unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q
+        |), qd AS (
+        |  SELECT query_id, qt.term,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf, n, total
+        |  FROM qt JOIN df ON qt.term = df.term, st
+        |), c AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(round(idf * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / n)))), 6)
+        |      * 1000000.0) AS BIGINT) AS ci
+        |  FROM p JOIN qd ON p.term = qd.term
+        |), s AS (
+        |  SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS si
+        |  FROM c GROUP BY query_id, doc_id
+        |), r AS (
+        |  SELECT query_id, doc_id, CAST(si AS DOUBLE) / 1000000.0 AS score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY si DESC, doc_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc_id, score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // prior-window stats by self-subtraction from a RANGE ... CURRENT ROW
     // frame; explicit (sumsq - n*mean^2)/(n-1) variance, rounded z

@@ -78,6 +78,78 @@ object Ranking {
     d.select(col("doc_id"), col("dl").as("n_tokens"), round(score, scale).as("bm25"))
   }
 
+  /** BM25 top-k retrieval for a SET of queries — the sparse half of a
+    * hybrid retrieval stack (fuse with the dense top-k via [[rrfFuse]]).
+    * Where [[bm25]] scores one fixed term bag map-side, this takes a whole
+    * query TABLE and retrieves each query's best `k` documents through an
+    * inverted-index plan: only documents sharing at least one term with a
+    * query are ever scored, so cost is proportional to the postings of the
+    * query terms, not |queries| × |corpus|.
+    *
+    * Scale shape: the corpus tokenizes once (materialized — stats and
+    * postings both read it); postings `(term, doc) → tf` build in ONE
+    * map-combined shuffle; document frequencies are a vocab-sized
+    * aggregate; the (query-term × idf) frame is tiny and BROADCAST, so
+    * scoring is a map-side join over the postings; per-query top-k rides
+    * the k-bounded `graft_topk` aggregate — a stop-word query term fans
+    * out over that term's postings but still combines map-side (filter
+    * stop terms upstream, or cap df, if queries are adversarial).
+    *
+    * Determinism: idf rounds to 6 in-DAG (the [[tfIdfTopTerms]]
+    * convention), each term's contribution rounds to `scale` and is summed
+    * as exact integer micro-units, so the per-(query, doc) score is
+    * order-free and any SQL engine replays it; ranks tie-break doc_id ASC.
+    * Repeated query terms count once (boolean bag-of-terms, Lucene-style).
+    *
+    * Output: (query_id, rank, doc_id, score), ranks 1..k. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    val unit = math.pow(10, scale)
+    val d = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .transform(Materialize.apply)
+    // bounded in-DAG corpus scalars (exact longs -> identical avgdl anywhere)
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // inverted index: one map-combined shuffle; dl is constant per doc
+    val postings = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    // query-term-sized idf frame, broadcast over the postings
+    val qIdf = broadcast(qTerms.join(docFreq, "term").crossJoin(stats)
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)))
+    val contrib = postings.join(qIdf, "term")
+      .withColumn("c_i", round(round(
+        col("idf") * col("tf").cast("double") * lit(k1 + 1.0)
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * (col("dl").cast("double")
+              / (col("total_len").cast("double") / col("n_docs"))))), scale)
+        * lit(unit)).cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_i")).as("s_i"))
+      .withColumn("score", col("s_i").cast("double") / lit(unit))
+    topKPerKey(scored, Seq(col("query_id")), col("score"), col("doc_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+
   /** Top-`topK` TF-IDF terms per document (exact whitespace tokens).
     *
     * Unlike [[bm25]] (a fixed term bag, zero shuffles of document data),

@@ -51,6 +51,82 @@ class RankingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("bm25TopK") {
+    val docs = Seq(
+      (0L, "spark shuffle join join join"),
+      (1L, "spark spark spark spark spark"),
+      (2L, "window filter scan table row"),
+      (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
+
+    // independent replay of the retrieval arithmetic (idf round-6, per-term
+    // contribution round-6 as integer micro-units, order-free sum)
+    def replay(corpus: Seq[(Long, String)], queries: Seq[(Long, String)],
+        k: Int): Seq[(Long, Long, Long, Double)] = {
+      def round6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val n = toks.size
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+      val dfm = toks.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      (for {
+        (qid, qtext) <- queries
+        qterms = qtext.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+        scored = toks.collect { case (did, ts) if qterms.exists(ts.contains) =>
+          val s = qterms.flatMap { term =>
+            val tf = ts.count(_ == term).toDouble
+            if (tf == 0) None else {
+              val idf = round6(math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0))
+              Some(math.round(round6(idf * tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * (ts.size / avgdl)))) * 1e6))
+            }
+          }.sum
+          (did, s)
+        }
+        ((did, si), i) <- scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+      } yield (qid, (i + 1).toLong, did, si.toDouble / 1e6)).sortBy(r => (r._1, r._2))
+    }
+
+    it("matches an independent replay and never scores term-free docs") {
+      val qs = Seq((1L, "spark join"), (2L, "window")).toDF("query_id", "qtext")
+      val got = Ranking.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 3)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = replay(
+        Seq((0L, "spark shuffle join join join"), (1L, "spark spark spark spark spark"),
+          (2L, "window filter scan table row"), (3L, "the quick brown fox jumps")),
+        Seq((1L, "spark join"), (2L, "window")), k = 3)
+      got shouldBe want
+      // inverted-index property: doc 3 shares no term with either query
+      got.map(_._3) should not contain 3L
+      // query 2 retrieves exactly the one window-bearing doc
+      got.filter(_._1 == 2L).map(_._3) shouldBe Seq(2L)
+    }
+
+    it("is deterministic under repartitioning and caps at k") {
+      val corpus = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      val qs = Seq((7L, "spark window join")).toDF("query_id", "qtext")
+      val a = Ranking.bm25TopK(corpus, "doc_id", "text", qs, "query_id", "qtext", k = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val b = Ranking.bm25TopK(corpus.repartition(11), "doc_id", "text",
+          qs, "query_id", "qtext", k = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      a shouldBe b
+      a.size shouldBe 4
+      a.map(_._2) shouldBe Seq(1L, 2L, 3L, 4L)
+      // scores non-increasing down the ranking
+      a.map(_._4).sliding(2).foreach { case Seq(x, y) => x should be >= y }
+    }
+
+    it("repeated query terms count once") {
+      val q1 = Seq((1L, "spark")).toDF("query_id", "qtext")
+      val q2 = Seq((1L, "spark spark spark")).toDF("query_id", "qtext")
+      val a = Ranking.bm25TopK(docs, "doc_id", "text", q1, "query_id", "qtext", k = 5)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val b = Ranking.bm25TopK(docs, "doc_id", "text", q2, "query_id", "qtext", k = 5)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      a shouldBe b
+    }
+  }
+
   describe("tfIdfTopTerms") {
     val docs = Seq(
       (0L, "apple apple apple banana"),
