@@ -103,8 +103,11 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runFully(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = try { runFully(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      // failures really do report -1 (not their time-to-crash: a 30s OOM
+      // must not masquerade as a valid 30s measurement in the artifact)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       dropStrayBlocks()
       name -> sec
     }
@@ -176,8 +179,12 @@ object Bench {
     val rt = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + short(k) + "\":[" + r3(firstPass(k)) + "," + r3(v) + "]"
     }.mkString("{", ",", "}")
-    val total = if (finalTimes.nonEmpty) finalTimes.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"wall_parallel_sec":${r3(wallParallel)},"sf":"$sfDir"}""")
+    // -1 failure sentinels stay visible per-query but must not subtract
+    // from the headline total
+    val total = finalTimes.map(_._2).filter(_ >= 0).sum
+    val failed = finalTimes.filter(_._2 < 0).map(p => "\"" + short(p._1) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

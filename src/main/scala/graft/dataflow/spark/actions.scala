@@ -459,30 +459,38 @@ object actions {
             s"cacheAsPartitionedParquet:${original.actionName}", original.requiresAllInputs) ({ (entities, ctx) =>
             val results = original.performAction(entities, ctx).get
             original.outputLabels.zip(results).map {
-              // empty datasets pass through uncached (the reference's
-              // documented behaviour): a partitioned write of 0 rows emits
-              // no footers at all and the re-open cannot infer a schema —
-              // unlike plain cacheAsParquet, which round-trips empty fine
-              case (l, Some(ds: Dataset[_])) if l == label && ds.isEmpty =>
-                Some(ds)
               case (l, Some(ds: Dataset[_])) if l == label =>
                 val tmpRoot = ctx.tempFolder.getOrElse(
                   throw new FlowException("cacheAsPartitionedParquet needs a flow temp folder"))
-                val path = new Path(tmpRoot, l).toString
+                val path = new Path(tmpRoot, l)
                 val laidOut =
                   if (repartition) ds.repartition(partitions.map(ds.col): _*)
                   else ds.toDF()
                 laidOut.write.mode(SaveMode.Overwrite)
-                  .partitionBy(partitions: _*).parquet(path)
-                // re-open with the ORIGINAL schema and column order:
-                // without it the partition columns come back type-INFERRED
-                // from directory names ('01' -> int 1, date-like strings ->
-                // DATE) and move to the end of the schema — silent drift
-                // every downstream consumer of the cached label would eat
-                val reopened = ctx.spark.read.schema(ds.schema).parquet(path)
-                  .select(ds.schema.fieldNames.toIndexedSeq.map(
-                    org.apache.spark.sql.functions.col): _*)
-                Some(reopened)
+                  .partitionBy(partitions: _*).parquet(path.toString)
+                // a partitioned write of 0 rows emits no footers at all, so
+                // the empty case passes through uncached (the reference's
+                // documented behaviour). Detected from the WRITTEN tree —
+                // a driver-side listing — not from a pre-write isEmpty,
+                // which would execute the whole upstream plan a second
+                // time (limit(1) still runs every upstream map stage)
+                val fs = path.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+                val files = fs.listFiles(path, true)
+                var hasData = false
+                while (!hasData && files.hasNext)
+                  hasData = files.next().getPath.getName.endsWith(".parquet")
+                if (!hasData) Some(ds)
+                else {
+                  // re-open with the ORIGINAL schema and column order:
+                  // without it the partition columns come back type-INFERRED
+                  // from directory names ('01' -> int 1, date-like strings ->
+                  // DATE) and move to the end of the schema — silent drift
+                  // every downstream consumer of the cached label would eat
+                  val reopened = ctx.spark.read.schema(ds.schema).parquet(path.toString)
+                    .select(ds.schema.fieldNames.toIndexedSeq.map(
+                      org.apache.spark.sql.functions.col): _*)
+                  Some(reopened)
+                }
               case (_, other) => other
             }
           })

@@ -21,9 +21,11 @@ import graft.operators.Multimodal
   */
 object Warc {
 
-  /** One parsed record. `recIdx` is the record's position in its payload;
-    * malformed payloads yield a single (-1, "bad", ...) quarantine row —
-    * corrupt crawl segments are routine and must never kill the job. */
+  /** One parsed record. `recIdx` is the record's position in its payload.
+    * A malformed payload yields its successfully parsed record PREFIX (if
+    * any) plus one (-1, "bad", ...) quarantine row marking the truncation —
+    * corrupt crawl segments are routine and must never kill the job nor
+    * discard the good records ahead of the corruption. */
   final case class WarcRecord(id: Long, recIdx: Int, warcType: String,
       targetUri: String, contentLength: Long, body: String)
 
@@ -90,7 +92,14 @@ object Warc {
             }
           }
         }
-        if (broken || out.isEmpty) bad(id) else out.toSeq
+        // keep the parsed PREFIX when a later record is truncated (routine
+        // in real crawl data — chopped transfers): the valid records stay,
+        // plus one quarantine row marking where parsing stopped. All-or-
+        // nothing here silently amplified one bad tail record into losing
+        // the whole multi-record payload (review finding, round 10).
+        if (broken) out.toSeq ++ bad(id)
+        else if (out.isEmpty) bad(id)
+        else out.toSeq
       }
     }
   }

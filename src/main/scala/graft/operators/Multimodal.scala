@@ -562,7 +562,10 @@ object Multimodal {
           val in = open
           try drain(in) match {
             case Right(raw) => decoded(codec, raw)
-            case Left(_) => DecodedText(id, "big", maxBytes, null)
+            // n_bytes 0 like "bad": the true decompressed size is unknown
+            // (the drain stopped mid-stream) — reporting the cap would
+            // silently inflate downstream byte accounting per bomb
+            case Left(_) => DecodedText(id, "big", 0L, null)
           } finally in.close()
         } catch {
           // NonFatal: zstd-jni surfaces native-side errors unchecked

@@ -179,14 +179,23 @@ object RecallProbe {
       if (headlineOnly) Seq((16, 4, 8, 16))
       else Seq((16, 2, 8, 16), (16, 4, 8, 16), (16, 8, 8, 16), (16, 4, 16, 16))
     val rows = configs.map { case (nLists, nProbe, m, kk) =>
-      val base = java.nio.file.Files.createTempDirectory("graft-recall-idx").toString
-      AnnIndex.buildIvfPq(spark, base, corpus, "vec_id", "embedding",
-        nLists = nLists, lloydIters = 2, m = m, codesPerSubspace = kk,
-        pqIters = 2, ts = buildTs)
-      val r = recallAtK(AnnIndex.queryIvfPqRerank(spark, base, queries, corpus,
-        "vec_id", "embedding", k, nProbe, asOf), truthCos)
-      ProbeRow("ivfpq-rerank", s"nLists=$nLists nProbe=$nProbe m=$m k=$kk",
-        tag, r, nProbe.toDouble / nLists)
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-recall-idx")
+      val base = baseDir.toString
+      try {
+        AnnIndex.buildIvfPq(spark, base, corpus, "vec_id", "embedding",
+          nLists = nLists, lloydIters = 2, m = m, codesPerSubspace = kk,
+          pqIters = 2, ts = buildTs)
+        val r = recallAtK(AnnIndex.queryIvfPqRerank(spark, base, queries, corpus,
+          "vec_id", "embedding", k, nProbe, asOf), truthCos)
+        ProbeRow("ivfpq-rerank", s"nLists=$nLists nProbe=$nProbe m=$m k=$kk",
+          tag, r, nProbe.toDouble / nLists)
+      } finally {
+        // throwaway indexes must not accumulate in /tmp across probe runs
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p =>
+            scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      }
     }
     truthCos.unpersist()
     rows

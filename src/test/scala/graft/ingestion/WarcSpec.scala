@@ -47,6 +47,21 @@ class WarcSpec extends SparkTestBase with Matchers {
     got(4L).head.body shouldBe "fine"
   }
 
+  it("keeps the parsed prefix when a later record is truncated") {
+    val twoThenChopped = {
+      val good = Warc.warcBytes(Seq(
+        ("warcinfo", "", "engine=graft"),
+        ("response", "https://example.org/a", "first body")))
+      val tail = Warc.warcBytes(Seq(("response", "https://example.org/b", "never finishes")))
+      good ++ tail.take(tail.length - 10) // chop mid-body
+    }
+    val got = parse(1L -> twoThenChopped)(1L).sortBy(_.recIdx)
+    // the two complete records survive; one quarantine row marks the cut
+    got.map(r => (r.recIdx, r.warcType)).toSeq shouldBe
+      Seq((-1, "bad"), (0, "warcinfo"), (1, "response"))
+    got.find(_.recIdx == 1).get.body shouldBe "first body"
+  }
+
   it("a negative Content-Length quarantines instead of crashing the task") {
     val raw = ("WARC/1.0\r\n" +
       "WARC-Type: response\r\n" +

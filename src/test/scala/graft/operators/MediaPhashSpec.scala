@@ -259,6 +259,9 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
       .collect().head
     got.codec shouldBe "big"
     got.text shouldBe null
+    // the true decompressed size is unknown (drain stopped mid-stream):
+    // 0, never the cap, so byte accounting doesn't inflate per bomb
+    got.nBytes shouldBe 0L
     // and the same payload passes under the default cap
     Multimodal.decompressTexts(media, "doc_id", "content")
       .select($"codec").as[String].collect().head shouldBe "gzip"
