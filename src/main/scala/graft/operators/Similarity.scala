@@ -166,10 +166,9 @@ object Similarity {
     * per-endpoint reductions ride the k-bounded `graft_topk` aggregate, so
     * the |X|·|Y| cross scores are consumed by map-side combine and only
     * |X|+|Y| k-length arrays ever cross the wire; the mutual-best join is
-    * over those id-sized frames. For corpus×corpus mining at 100 TB,
-    * generate candidates with the IVF cells ([[ivfTopK]] /
-    * [[graft.operators.AnnIndex]]) instead of the cross scoring and feed
-    * the same margin arithmetic — the aggregates and join are unchanged.
+    * over those id-sized frames. For corpus×corpus mining at 100 TB use
+    * [[marginMinePairsCelled]] — IVF-celled candidate generation feeding
+    * the identical margin arithmetic.
     *
     * Output: (x_id, y_id, cos, margin), one row per surviving mutual pair.
     * Pairs whose combined neighbourhood sum is not positive are dropped
@@ -194,6 +193,16 @@ object Similarity {
       col("x_id"), col("y_id"),
       round(nativeCosine(spark, col("x_vec"), col("y_vec"), scale) * lit(unit))
         .cast("long").as("cos_i"))
+    marginFromScores(scored, k, threshold, scale)
+  }
+
+  /** The margin arithmetic shared by [[marginMinePairs]] (exact cross
+    * scoring) and [[marginMinePairsCelled]] (IVF-celled candidates):
+    * `scored` carries one (x_id, y_id, cos_i) row per candidate pair with
+    * the cosine in integer micro-units. */
+  private def marginFromScores(scored: DataFrame, k: Int, threshold: Double,
+      scale: Int): DataFrame = {
+    val unit = math.pow(10, scale)
     def side(keyCol: String, otherCol: String, tag: String): DataFrame =
       scored.groupBy(col(keyCol))
         .agg(call_function("graft_topk",
@@ -219,6 +228,56 @@ object Similarity {
         col("x_id"), col("y_id"),
         (col("best_cos_f").cast("double") / lit(unit)).as("cos"),
         col("margin"))
+  }
+
+  /** [[marginMinePairs]] at corpus scale: candidate pairs come from IVF
+    * coarse cells instead of the full cross product — Y is k-means-celled
+    * (the indexed side), each x probes its `nProbe` nearest cells, and the
+    * margin arithmetic runs unchanged over the surviving candidates. Work
+    * is proportional to probed-cell occupancy, never |X|·|Y|; the
+    * candidate join is a plain (cell) equi-join so AQE can broadcast or
+    * skew-split it.
+    *
+    * Approximation contract: neighbourhood averages are computed over each
+    * endpoint's CANDIDATES (x: its probed cells; y: the xs that probed
+    * into its cell) — with clustered data and sane probes those are
+    * exactly the true near neighbourhoods, and `nProbe = nCells`
+    * reproduces [[marginMinePairs]] bit-for-bit (spec-pinned). */
+  def marginMinePairsCelled(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      nCells: Int,
+      nProbe: Int,
+      lloydIters: Int = 2,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    val spark = xs.sparkSession
+    graft.sql.functions.ensureRegistered(spark)
+    val unit = math.pow(10, scale)
+    val y = ys.select(col(idCol).cast("long").as("y_id"),
+        col(vecCol).cast("array<double>").as("y_vec"))
+      .transform(Materialize.apply) // read per Lloyd round + candidate join
+    val centroids = kmeansCentroids(y, "y_id", "y_vec", nCells, lloydIters)
+    val yCell = y.withColumn("cell", cellAssign(spark, centroids)(col("y_vec")))
+    val probeUdf = {
+      val cents = centroids
+      udf { (v: Array[Double]) => Quantization.nearestCells(cents, v, nProbe) }
+    }
+    val x = xs.select(col(idCol).cast("long").as("x_id"),
+        col(vecCol).cast("array<double>").as("x_vec"))
+      .withColumn("cell", explode(probeUdf(col("x_vec"))))
+    val scored = x.join(yCell, Seq("cell"))
+      .select(col("x_id"), col("y_id"),
+        round(nativeCosine(spark, col("x_vec"), col("y_vec"), scale) * lit(unit))
+          .cast("long").as("cos_i"))
+    marginFromScores(scored, k, threshold, scale)
   }
 
   /** Embedding-based corpus decontamination: flag every corpus row whose

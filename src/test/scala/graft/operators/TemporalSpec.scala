@@ -279,6 +279,42 @@ class TemporalSpec extends SparkTestBase with Matchers {
       out shouldBe Seq((1L, 10L, 1.0, 1.052632))
     }
 
+    it("celled variant at full probe reproduces the exact miner bit-for-bit") {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      val xs = emb.where($"vec_id" < 60)
+      val ys = emb.where($"vec_id" >= 60 && $"vec_id" < 120)
+      val exact = Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+          k = 4, threshold = 1.0)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val celled = Similarity.marginMinePairsCelled(xs, ys, "vec_id", "embedding",
+          k = 4, threshold = 1.0, nCells = 4, nProbe = 4)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      celled shouldBe exact
+    }
+
+    it("celled variant matches exact on clustered data with partial probes") {
+      import spark.implicits._
+      // two tight clusters; k=2 <= cluster size so every endpoint's true
+      // top-k stays in-cluster and nProbe=1 finds the identical pairs
+      def jig(base: Array[Float], e: Float) = base.zipWithIndex.map {
+        case (v, i) => if (i == 1) v + e else v }
+      val a = Array(1.0f, 0.0f, 0.0f)
+      val b = Array(-1.0f, 0.0f, 0.3f)
+      val xs = Seq((1L, jig(a, 0.01f)), (2L, jig(a, 0.03f)), (3L, jig(b, 0.02f)),
+        (4L, jig(b, 0.05f))).toDF("vec_id", "embedding")
+      val ys = Seq((10L, jig(a, 0.02f)), (11L, jig(a, 0.04f)), (12L, jig(b, 0.01f)),
+        (13L, jig(b, 0.03f))).toDF("vec_id", "embedding")
+      val exact = Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+          k = 2, threshold = 1.0)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val celled = Similarity.marginMinePairsCelled(xs, ys, "vec_id", "embedding",
+          k = 2, threshold = 1.0, nCells = 2, nProbe = 1)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      exact should not be empty
+      celled shouldBe exact
+    }
+
     it("drops pairs whose combined neighbourhood sum is not positive") {
       import spark.implicits._
       val xs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
