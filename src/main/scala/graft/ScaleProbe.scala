@@ -670,6 +670,25 @@ object ScaleProbe {
         shardCols = Seq(col("lang")), orderCol = col("doc_id"),
         tokenCol = TextFunctions.tokenCount(col("text")), windowTokens = 512L)
     }
+    // round-10 second pass: retrieval-stack additions
+    time("bm25 retrieval top-10 (100 queries)") {
+      val qs = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"),
+          lit("spark window join data quality").as("qtext"))
+      Ranking.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+    }
+    time("margin mine exact (2k x 2k)") {
+      Similarity.marginMinePairs(
+        emb.where(col("vec_id") < 2000),
+        emb.where(col("vec_id") >= 10000 && col("vec_id") < 12000),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+    }
+    time("margin mine celled (20k x 20k, 32/4 probe)") {
+      Similarity.marginMinePairsCelled(
+        emb, emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4, threshold = 1.0,
+        nCells = 32, nProbe = 4)
+    }
     spark.stop()
   }
 }

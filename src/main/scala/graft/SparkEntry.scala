@@ -1206,6 +1206,20 @@ object SparkEntry {
         .orderBy(col("x_id"))
     }),
 
+    // the celled margin-mining scale path, oracle-gated end to end: Y
+    // k-means-celled (2 unrolled Lloyd rounds in the oracle), each x probes
+    // its 2 nearest of 4 cells, the ratio-margin arithmetic runs over the
+    // surviving candidates only (Similarity.marginMinePairsCelled)
+    "q158_margin_mine_celled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMinePairsCelled(
+        emb.where(col("vec_id") < 150),
+        emb.where(col("vec_id") >= 150 && col("vec_id") < 300),
+        "vec_id", "embedding", k = 4, threshold = 1.0,
+        nCells = 4, nProbe = 2, lloydIters = 2)
+        .orderBy(col("x_id"))
+    }),
+
     // multi-query BM25 retrieval through an inverted-index plan: postings
     // build in one map-combined shuffle, the query-term idf frame
     // broadcasts, per-term contributions sum as exact integer micro-units,
@@ -5485,6 +5499,108 @@ object SparkEntry {
         |  round(2.0 * cos_i / den, 6) AS margin
         |FROM p
         |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.02
+        |ORDER BY x_id""".stripMargin,
+
+    // celled margin mining: Lloyd rounds unrolled (q33's idiom — seed =
+    // first 4 Y-vectors by id, assign/mean/empty-cell-coalesce twice),
+    // probes replay as row_number(dist, cell) <= 2, then q156's exact
+    // integer-micro-unit margin tail over the candidate pairs only
+    "q158_margin_mine_celled" ->
+      """WITH x AS (
+        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 150
+        |), y AS (
+        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 150 AND vec_id < 300
+        |), c0 AS (
+        |  SELECT list(v ORDER BY y_id) AS cs
+        |  FROM (SELECT y_id, v FROM y ORDER BY y_id LIMIT 4)
+        |), a1 AS (
+        |  SELECT y_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT y_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM y, c0)
+        |), u1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(xx) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS xx FROM a1)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c1 AS (
+        |  SELECT list(coalesce(u1.cent, c0.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 4) t(i) CROSS JOIN c0 LEFT JOIN u1 ON u1.cell = t.i
+        |  GROUP BY c0.cs
+        |), a2 AS (
+        |  SELECT y_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT y_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM y, c1)
+        |), u2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cent
+        |  FROM (
+        |    SELECT cell, pos, avg(xx) AS m
+        |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS xx FROM a2)
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), c2 AS (
+        |  SELECT list(coalesce(u2.cent, c1.cs[CAST(t.i AS INT)+1]) ORDER BY t.i) AS cs
+        |  FROM range(0, 4) t(i) CROSS JOIN c1 LEFT JOIN u2 ON u2.cell = t.i
+        |  GROUP BY c1.cs
+        |), ycell AS (
+        |  SELECT y_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+        |  FROM (
+        |    SELECT y_id, v,
+        |      list_transform(cs, cent -> list_sum(list_transform(range(0, 64),
+        |        d -> (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1]) * (v[CAST(d AS INT)+1] - cent[CAST(d AS INT)+1])))) AS dists
+        |    FROM y, c2)
+        |), probe AS (
+        |  SELECT x_id, v, cell FROM (
+        |    SELECT x.x_id, x.v, t.i AS cell,
+        |      row_number() OVER (PARTITION BY x.x_id ORDER BY
+        |        list_sum(list_transform(range(0, 64),
+        |          d -> (x.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1])
+        |             * (x.v[CAST(d AS INT)+1] - cs[CAST(t.i AS INT)+1][CAST(d AS INT)+1]))), t.i) AS rn
+        |    FROM x CROSS JOIN range(0, 4) t(i) CROSS JOIN c2)
+        |  WHERE rn <= 2
+        |), s AS (
+        |  SELECT p.x_id, yc.y_id,
+        |    CAST(round(round(list_dot_product(p.v, yc.v)
+        |      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(yc.v, yc.v))), 6)
+        |      * 1000000.0) AS BIGINT) AS cos_i
+        |  FROM probe p JOIN ycell yc ON p.cell = yc.cell
+        |), f AS (
+        |  SELECT x_id, y_id, cos_i,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY cos_i DESC, y_id ASC) AS r
+        |  FROM s
+        |), fa AS (
+        |  SELECT x_id,
+        |    max(CASE WHEN r = 1 THEN y_id END) AS best_y,
+        |    max(CASE WHEN r = 1 THEN cos_i END) AS best_cos,
+        |    sum(cos_i) AS sum_f, count(*) AS k_f
+        |  FROM f WHERE r <= 4 GROUP BY x_id
+        |), b AS (
+        |  SELECT x_id, y_id, cos_i,
+        |    row_number() OVER (PARTITION BY y_id ORDER BY cos_i DESC, x_id ASC) AS r
+        |  FROM s
+        |), ba AS (
+        |  SELECT y_id,
+        |    max(CASE WHEN r = 1 THEN x_id END) AS best_x,
+        |    sum(cos_i) AS sum_b, count(*) AS k_b
+        |  FROM b WHERE r <= 4 GROUP BY y_id
+        |), p2 AS (
+        |  SELECT fa.x_id, ba.y_id, fa.best_cos AS cos_i,
+        |    CAST(fa.sum_f AS DOUBLE) / fa.k_f + CAST(ba.sum_b AS DOUBLE) / ba.k_b AS den
+        |  FROM fa JOIN ba ON fa.best_y = ba.y_id AND ba.best_x = fa.x_id
+        |)
+        |SELECT x_id, y_id, cos_i / 1000000.0 AS cos,
+        |  round(2.0 * cos_i / den, 6) AS margin
+        |FROM p2
+        |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.0
         |ORDER BY x_id""".stripMargin,
 
     // BM25 retrieval: idf rounds to 6 in-DAG, each term contribution
