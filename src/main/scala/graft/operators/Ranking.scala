@@ -113,7 +113,23 @@ object Ranking {
       k1: Double = 1.2,
       b: Double = 0.75,
       scale: Int = 6): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    bm25Retrieve(bm25Index(docs, idCol, textCol, k1, b, scale),
+      queries, queryIdCol, queryTextCol, k, scale)
+  }
+
+  /** The query-INDEPENDENT half of [[bm25TopK]]: one
+    * `(term, doc_id, c_i)` row per posting, where `c_i` is the term's full
+    * BM25 contribution to the document in integer micro-units (idf
+    * round-6, contribution round-`scale`). Build once, retrieve many —
+    * the serving split [[graft.streaming.Streaming.bm25ServeStream]] uses
+    * (materialize the result for repeated retrieval). */
+  def bm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
     require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
     val unit = math.pow(10, scale)
     val d = docs.select(
@@ -127,23 +143,38 @@ object Ranking {
     val postings = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qTerms = queries.select(
-        col(queryIdCol).cast("long").as("query_id"),
-        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
-      .distinct()
-    // query-term-sized idf frame, broadcast over the postings
-    val qIdf = broadcast(qTerms.join(docFreq, "term").crossJoin(stats)
+    val idfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(stats)
       .withColumn("idf", round(
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)))
-    val contrib = postings.join(qIdf, "term")
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6))
+    postings.join(idfFrame, "term")
       .withColumn("c_i", round(round(
         col("idf") * col("tf").cast("double") * lit(k1 + 1.0)
           / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
             + lit(b) * (col("dl").cast("double")
               / (col("total_len").cast("double") / col("n_docs"))))), scale)
         * lit(unit)).cast("long"))
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .select(col("term"), col("doc_id"), col("c_i"))
+  }
+
+  /** The per-query half of [[bm25TopK]]: distinct query terms BROADCAST
+    * against the posting-sized `index` from [[bm25Index]], per-(query, doc)
+    * contributions sum as exact integers, top-k rides `graft_topk`. */
+  def bm25Retrieve(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val unit = math.pow(10, scale)
+    val qTerms = broadcast(queries.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct())
+    val scored = index.join(qTerms, "term")
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_i")).as("s_i"))
       .withColumn("score", col("s_i").cast("double") / lit(unit))
     topKPerKey(scored, Seq(col("query_id")), col("score"), col("doc_id"), k)

@@ -410,6 +410,37 @@ object Streaming {
       .start()
   }
 
+  /** Streaming BM25 retrieval serving: queries ARRIVE as a stream and are
+    * answered against a STATIC pre-built inverted index
+    * ([[graft.operators.Ranking.bm25Index]] — build it once, materialized;
+    * contributions are query-independent by construction, so serving never
+    * re-tokenizes the corpus). Per micro-batch, each query's top-k runs
+    * through the batch [[graft.operators.Ranking.bm25Retrieve]] —
+    * results are BIT-IDENTICAL to batch retrieval over the same queries
+    * (spec-pinned) — and appends to `outPath` with the batch id.
+    *
+    * Per-batch work is proportional to the arriving queries' term
+    * postings, state is zero (every query is self-contained), so the
+    * serving loop runs forever on bounded memory. */
+  def bm25ServeStream(queries: DataFrame, index: DataFrame,
+      queryIdCol: String, queryTextCol: String, k: Int,
+      outPath: String, checkpoint: String, scale: Int = 6)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ranking
+    val serveBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
+      if (!batch.isEmpty) {
+        Ranking.bm25Retrieve(index, batch, queryIdCol, queryTextCol, k, scale)
+          .withColumn("batch_id", lit(epochId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+    }
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(serveBatch)
+      .start()
+  }
+
   /** Streaming embedding-space drift monitor: per event-time window, the
     * top principal axis of the arriving embeddings and its alignment with
     * a FROZEN reference axis (from a batch

@@ -873,6 +873,35 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming BM25 serving answers each batch bit-identically to batch retrieval") {
+    import graft.operators.Ranking
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val index = Ranking.bm25Index(corpus, "doc_id", "text")
+      .localCheckpoint(true) // build once; serving never re-tokenizes
+    val input = MemoryStream[(Long, String)]
+    val out = s"$tmpDir/bm25_serve_out"
+    val query = Streaming.bm25ServeStream(
+      input.toDF().toDF("query_id", "qtext"), index,
+      "query_id", "qtext", k = 3, out, s"$tmpDir/bm25_serve_cp")
+    try {
+      input.addData((1L, "spark window join"), (2L, "data quality"))
+      query.processAllAvailable()
+      input.addData((3L, "the and of"))
+      query.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = Ranking.bm25TopK(corpus, "doc_id", "text",
+          Seq((1L, "spark window join"), (2L, "data quality"), (3L, "the and of"))
+            .toDF("query_id", "qtext"),
+          "query_id", "qtext", k = 3)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      served shouldBe batch
+      served.map(_._1).distinct.sorted shouldBe Seq(1L, 2L, 3L)
+    } finally query.stop()
+  }
+
   it("LOCF resampler first-tick alignment is floor-correct for pre-1970 observations") {
     // batch twin regression for the truncating-div bug: a 1969 span still
     // gets its aligned daily ticks (Spark div truncates toward zero, which
