@@ -113,16 +113,70 @@ object Ranking {
       k1: Double = 1.2,
       b: Double = 0.75,
       scale: Int = 6): DataFrame = {
-    bm25Retrieve(bm25Index(docs, idCol, textCol, k1, b, scale),
-      queries, queryIdCol, queryTextCol, k, scale)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    val unit = math.pow(10, scale)
+    val (_, stats, postings) = bm25Corpus(docs, idCol, textCol)
+    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    // query-term-sized idf frame, broadcast over the postings: the one-shot
+    // path computes contributions ONLY for postings of query terms (the
+    // build-once/serve-many split below scores the whole vocabulary instead)
+    val qIdf = broadcast(qTerms.join(docFreq, "term").crossJoin(stats)
+      .withColumn("idf", bm25Idf))
+    val scored = postings.join(qIdf, "term")
+      .withColumn("c_i", round(bm25Contribution(k1, b, scale) * lit(unit)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_i")).as("s_i"))
+      .withColumn("score", col("s_i").cast("double") / lit(unit))
+    topKPerKey(scored, Seq(col("query_id")), col("score"), col("doc_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
-  /** The query-INDEPENDENT half of [[bm25TopK]]: one
-    * `(term, doc_id, c_i)` row per posting, where `c_i` is the term's full
-    * BM25 contribution to the document in integer micro-units (idf
-    * round-6, contribution round-`scale`). Build once, retrieve many —
-    * the serving split [[graft.streaming.Streaming.bm25ServeStream]] uses
-    * (materialize the result for repeated retrieval). */
+  /** Shared corpus preparation for [[bm25TopK]] and [[bm25Index]]:
+    * materialized tokenized frame, bounded in-DAG corpus scalars (exact
+    * longs → identical avgdl anywhere), and the inverted index built in
+    * one map-combined shuffle (dl is constant per doc). */
+  private def bm25Corpus(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val d = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .transform(Materialize.apply)
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val postings = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    (d, stats, postings)
+  }
+
+  /** Robertson–Sparck-Jones idf with the +1 floor, round-6 (expects df /
+    * n_docs columns in scope). One definition shared by the one-shot and
+    * build-once paths so the arithmetic cannot drift. */
+  private def bm25Idf: Column = round(
+    log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+
+  /** One term's BM25 contribution to one document, round-`scale` (expects
+    * idf / tf / dl / total_len / n_docs columns in scope). */
+  private def bm25Contribution(k1: Double, b: Double, scale: Int): Column =
+    round(col("idf") * col("tf").cast("double") * lit(k1 + 1.0)
+      / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+        + lit(b) * (col("dl").cast("double")
+          / (col("total_len").cast("double") / col("n_docs"))))), scale)
+
+  /** The query-INDEPENDENT build-once half of the BM25 serving split: one
+    * `(term, doc_id, c_i)` row per posting over the WHOLE vocabulary,
+    * where `c_i` is the term's full BM25 contribution in integer
+    * micro-units. Build once, MATERIALIZE, retrieve many
+    * ([[graft.streaming.Streaming.bm25ServeStream]]); for one-shot
+    * retrieval prefer [[bm25TopK]], which scores only query-term postings.
+    * The micro-unit scale rides in the `c_i` column metadata
+    * (`graft.bm25.scale`) so [[bm25Retrieve]] can never divide by the
+    * wrong power of ten. */
   def bm25Index(
       docs: DataFrame,
       idCol: String,
@@ -132,43 +186,34 @@ object Ranking {
       scale: Int = 6): DataFrame = {
     require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
     val unit = math.pow(10, scale)
-    val d = docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-      .transform(Materialize.apply)
-    // bounded in-DAG corpus scalars (exact longs -> identical avgdl anywhere)
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    // inverted index: one map-combined shuffle; dl is constant per doc
-    val postings = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val (_, stats, postings) = bm25Corpus(docs, idCol, textCol)
     val idfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(stats)
-      .withColumn("idf", round(
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6))
+      .withColumn("idf", bm25Idf)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bm25.scale", scale.toLong).build()
     postings.join(idfFrame, "term")
-      .withColumn("c_i", round(round(
-        col("idf") * col("tf").cast("double") * lit(k1 + 1.0)
-          / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
-            + lit(b) * (col("dl").cast("double")
-              / (col("total_len").cast("double") / col("n_docs"))))), scale)
-        * lit(unit)).cast("long"))
-      .select(col("term"), col("doc_id"), col("c_i"))
+      .select(col("term"), col("doc_id"),
+        round(bm25Contribution(k1, b, scale) * lit(unit)).cast("long")
+          .as("c_i", meta))
   }
 
-  /** The per-query half of [[bm25TopK]]: distinct query terms BROADCAST
-    * against the posting-sized `index` from [[bm25Index]], per-(query, doc)
-    * contributions sum as exact integers, top-k rides `graft_topk`. */
+  /** The per-query half of the serving split: distinct query terms
+    * BROADCAST against the posting-sized `index` from [[bm25Index]],
+    * per-(query, doc) contributions sum as exact integers, top-k rides
+    * `graft_topk`. The micro-unit scale comes from the index's own
+    * metadata — never a free parameter that could disagree with it. */
   def bm25Retrieve(
       index: DataFrame,
       queries: DataFrame,
       queryIdCol: String,
       queryTextCol: String,
-      k: Int,
-      scale: Int = 6): DataFrame = {
+      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val unit = math.pow(10, scale)
+    val m = index.schema("c_i").metadata
+    require(m.contains("graft.bm25.scale"),
+      "index is missing the graft.bm25.scale metadata on c_i — build it with Ranking.bm25Index")
+    val unit = math.pow(10, m.getLong("graft.bm25.scale").toInt)
     val qTerms = broadcast(queries.select(
         col(queryIdCol).cast("long").as("query_id"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("term"))

@@ -268,7 +268,12 @@ object Similarity {
     val yCell = y.withColumn("cell", cellAssign(spark, centroids)(col("y_vec")))
     val probeUdf = {
       val cents = centroids
-      udf { (v: Array[Double]) => Quantization.nearestCells(cents, v, nProbe) }
+      // null vectors probe nothing (explode drops the row) — matches the
+      // exact miner, where a null cosine never ranks, and kmeansCentroids'
+      // own null-row tolerance; a bare NPE here would kill the job
+      udf { (v: Array[Double]) =>
+        if (v == null) Array.empty[Int] else Quantization.nearestCells(cents, v, nProbe)
+      }
     }
     val x = xs.select(col(idCol).cast("long").as("x_id"),
         col(vecCol).cast("array<double>").as("x_vec"))

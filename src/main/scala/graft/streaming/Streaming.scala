@@ -412,26 +412,35 @@ object Streaming {
 
   /** Streaming BM25 retrieval serving: queries ARRIVE as a stream and are
     * answered against a STATIC pre-built inverted index
-    * ([[graft.operators.Ranking.bm25Index]] — build it once, materialized;
-    * contributions are query-independent by construction, so serving never
-    * re-tokenizes the corpus). Per micro-batch, each query's top-k runs
-    * through the batch [[graft.operators.Ranking.bm25Retrieve]] —
+    * ([[graft.operators.Ranking.bm25Index]]; materialized on start here,
+    * and contributions are query-independent by construction, so serving
+    * never re-tokenizes the corpus). Per micro-batch, each query's top-k
+    * runs through the batch [[graft.operators.Ranking.bm25Retrieve]] —
     * results are BIT-IDENTICAL to batch retrieval over the same queries
-    * (spec-pinned) — and appends to `outPath` with the batch id.
+    * (spec-pinned) — and lands in `outPath/batch_id=N`, one OVERWRITTEN
+    * directory per epoch, so the at-least-once foreachBatch contract can
+    * never duplicate a replayed batch's rows.
     *
     * Per-batch work is proportional to the arriving queries' term
     * postings, state is zero (every query is self-contained), so the
     * serving loop runs forever on bounded memory. */
   def bm25ServeStream(queries: DataFrame, index: DataFrame,
       queryIdCol: String, queryTextCol: String, k: Int,
-      outPath: String, checkpoint: String, scale: Int = 6)
+      outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.Ranking
+    import graft.operators.{Materialize, Ranking}
+    // materialize HERE, not by caller convention: a raw bm25Index frame
+    // would re-tokenize the corpus every micro-batch (idempotent if the
+    // caller already materialized — one extra pass at start, then shared)
+    val idx = Materialize(index)
     val serveBatch: (DataFrame, Long) => Unit = { (batch, epochId) =>
       if (!batch.isEmpty) {
-        Ranking.bm25Retrieve(index, batch, queryIdCol, queryTextCol, k, scale)
-          .withColumn("batch_id", lit(epochId))
-          .write.mode("append").parquet(outPath)
+        // one directory per epoch, OVERWRITE: foreachBatch is
+        // at-least-once, so a replayed epoch rewrites its own partition
+        // instead of appending duplicate result rows; readers of outPath
+        // get batch_id back as a partition column
+        Ranking.bm25Retrieve(idx, batch, queryIdCol, queryTextCol, k)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$epochId")
         ()
       }
     }

@@ -322,6 +322,18 @@ class TemporalSpec extends SparkTestBase with Matchers {
       Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
         k = 2, threshold = 0.0).count() shouldBe 0L
     }
+
+    it("celled variant tolerates null vectors: they probe nothing, never NPE") {
+      import spark.implicits._
+      val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding")
+      val ys = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(0.9f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      val out = Similarity.marginMinePairsCelled(xs, ys, "vec_id", "embedding",
+          k = 2, threshold = 0.5, nCells = 1, nProbe = 1)
+        .as[(Long, Long, Double, Double)].collect()
+      out.map(_._1) should contain only 1L // the null x simply yields no pairs
+    }
   }
 
   describe("funnel") {
