@@ -203,6 +203,15 @@ object Similarity {
   private def marginFromScores(scored: DataFrame, k: Int, threshold: Double,
       scale: Int): DataFrame = {
     val unit = math.pow(10, scale)
+    // Two independent k-bounded reductions over the candidate scores, each
+    // re-running the upstream cosine pass. Measured at 50M celled
+    // candidates (local[32], sf0.1 10x corpus): this two-pass shape, a
+    // single-exchange explode-into-directed-rows shape, and a
+    // two-topk-buffers-in-one-aggregate shape all land within run noise
+    // (20.0 / 21.5 / 23.0 s) — the graft_topk buffer updates dominate, not
+    // the codegen'd cosines — so the simplest plan wins. If the candidate
+    // pass ever becomes the dominant cost (e.g. remote IO feeding it),
+    // Materialize(scored) before calling in.
     def side(keyCol: String, otherCol: String, tag: String): DataFrame =
       scored.groupBy(col(keyCol))
         .agg(call_function("graft_topk",
