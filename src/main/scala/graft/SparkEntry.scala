@@ -1206,6 +1206,35 @@ object SparkEntry {
         .orderBy(col("x_id"))
     }),
 
+    // persisted BM25 postings index over the audit-table storage layer:
+    // two ingest days (day 2 re-ingests docs 0-49 with an extra token —
+    // the PK snapshot must serve the REPLACED posting lists), retrieval
+    // derives contributions from stored postings without re-tokenizing
+    // (operators.SparseIndex + Ranking.bm25Retrieve)
+    "q159_sparse_index_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.SparseIndex
+      val base = java.nio.file.Files.createTempDirectory("graft-q159").toString
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val ts = java.sql.Timestamp.valueOf(_: String)
+      val t0 = SparseIndex.openOrCreate(s, base)
+      val t1 = SparseIndex.indexBatch(t0, docs.where(col("doc_id") < 250),
+        "doc_id", "text", ts("2024-01-01 00:00:00"))
+      val t2 = SparseIndex.indexBatch(t1,
+        docs.where(col("doc_id") >= 250).unionByName(
+          docs.where(col("doc_id") < 50)
+            .withColumn("text", concat(col("text"), lit(" spark")))),
+        "doc_id", "text", ts("2024-01-02 00:00:00"))
+      val idx = SparseIndex.bm25IndexAsOf(t2, ts("2024-01-03 00:00:00"))
+      val qs = Seq(
+        (1L, "spark window join"),
+        (2L, "data quality pipeline"),
+        (3L, "the and of")).toDF("query_id", "qtext")
+      graft.operators.Ranking.bm25Retrieve(idx, qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the celled margin-mining scale path, oracle-gated end to end: Y
     // k-means-celled (2 unrolled Lloyd rounds in the oracle), each x probes
     // its 2 nearest of 4 cells, the ratio-margin arithmetic runs over the
@@ -5500,6 +5529,57 @@ object SparkEntry {
         |FROM p
         |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.02
         |ORDER BY x_id""".stripMargin,
+
+    // persisted sparse index: the oracle never sees the audit table — it
+    // replays the LIVE corpus state (docs < 500, first 50 re-ingested with
+    // an appended token) through the q157 BM25 SQL; PK-replace, postings
+    // storage and contribution re-derivation must all be right to match
+    "q159_sparse_index_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 50 THEN text || ' spark' ELSE text END AS text
+        |  FROM documents WHERE doc_id < 500
+        |), q(query_id, qtext) AS (VALUES
+        |  (1, 'spark window join'),
+        |  (2, 'data quality pipeline'),
+        |  (3, 'the and of')
+        |), dd AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl
+        |  FROM base
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dd
+        |), p AS (
+        |  SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+        |  GROUP BY term, doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM p GROUP BY term
+        |), qt AS (
+        |  SELECT DISTINCT query_id, unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q
+        |), qd AS (
+        |  SELECT query_id, qt.term,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf, n, total
+        |  FROM qt JOIN df ON qt.term = df.term, st
+        |), c AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(round(idf * CAST(tf AS DOUBLE) * 2.2
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / n)))), 6)
+        |      * 1000000.0) AS BIGINT) AS ci
+        |  FROM p JOIN qd ON p.term = qd.term
+        |), s AS (
+        |  SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS si
+        |  FROM c GROUP BY query_id, doc_id
+        |), r AS (
+        |  SELECT query_id, doc_id, CAST(si AS DOUBLE) / 1000000.0 AS score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY si DESC, doc_id ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc_id, score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // celled margin mining: Lloyd rounds unrolled (q33's idiom — seed =
     // first 4 Y-vectors by id, assign/mean/empty-cell-coalesce twice),

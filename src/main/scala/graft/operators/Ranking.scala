@@ -184,9 +184,28 @@ object Ranking {
       k1: Double = 1.2,
       b: Double = 0.75,
       scale: Int = 6): DataFrame = {
+    val (d, _, postings) = bm25Corpus(docs, idCol, textCol)
+    bm25IndexFromPostings(postings, d.select(col("doc_id"), col("dl")), k1, b, scale)
+  }
+
+  /** [[bm25Index]] from an already-built postings frame
+    * `(term, doc_id, tf, dl)` — document frequencies and contributions
+    * derive from the postings themselves, so a PERSISTED postings store
+    * ([[SparseIndex]]) refreshes its contribution index without ever
+    * re-tokenizing a document. `docLengths` is one `(doc_id, dl)` row per
+    * document INCLUDING token-less ones: N and avgdl count every document
+    * (the Lucene convention, and what [[bm25TopK]] computes), and empty
+    * docs have no postings to derive that from. */
+  def bm25IndexFromPostings(
+      postings: DataFrame,
+      docLengths: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
     require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
     val unit = math.pow(10, scale)
-    val (_, stats, postings) = bm25Corpus(docs, idCol, textCol)
+    val stats = docLengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val idfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(stats)
       .withColumn("idf", bm25Idf)
