@@ -33,9 +33,16 @@ import graft.storage.{AuditTable, AuditTableInfo, Storage}
   * BM25 contributions depend on GLOBAL stats (df, N, avgdl), so they are
   * never stored — [[bm25IndexAsOf]] re-derives the (term, doc, c_i) frame
   * from the snapshot (df/stats aggregates + one map-side expression;
-  * tokenization, the expensive part, is already paid). Region pruning
-  * applies: `snapshot(asOf)` reads only regions live at `asOf`, so
-  * retrieval-as-of-yesterday does not scan postings appended today.
+  * tokenization, the expensive part, is already paid).
+  *
+  * Time-travel caveats: `snapshot(asOf)` filters ROW-level (it must read
+  * every readable region — a late append can carry timestamps <= asOf),
+  * so retrieval-as-of-yesterday still scans regions appended today; and
+  * `retainHistory = false` means a `compact()` physically drops
+  * superseded posting rows — time travel is only defined back to the last
+  * compaction. The index is an operational serving store, not an archive;
+  * pass `retainHistory = true` through your own table-info if you need
+  * durable history.
   */
 object SparseIndex {
 
@@ -50,16 +57,32 @@ object SparseIndex {
 
   /** Tokenize `docs` ONCE and append their compact posting rows as one new
     * region. Term arrays are sorted (deterministic row bytes) and `dl` is
-    * the full token count. Returns the refreshed table handle. */
+    * the full token count. Returns the refreshed table handle.
+    *
+    * A doc_id appearing with CONFLICTING texts inside one batch fails
+    * loudly in-plan (the [[graft.storage.AuditTable.append]] idiom): PK
+    * replace resolves duplicates ACROSS batches by append timestamp, but
+    * within a batch neither version is "latest" — silently merging them
+    * would store a chimera posting row matching no document version.
+    * Byte-identical repeats of the same (id, text) collapse harmlessly. */
   def indexBatch(
       table: AuditTable,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       ts: Timestamp): AuditTable = {
-    val rows = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    val one = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("__text")).as("__nv"), max(col("__text")).as("__text"))
+      .select(col("doc_id"),
+        when(col("__nv") > 1, raise_error(concat(
+          lit(s"SparseIndex.indexBatch: doc_id "), col("doc_id").cast("string"),
+          lit(" carries conflicting texts in one batch — PK replace is only" +
+            " defined across batches; dedup the batch first"))))
+          .otherwise(col("__text")).as("__text"))
+    val rows = one
+      .select(col("doc_id"), TextFunctions.tokens(col("__text")).as("toks"))
       .select(col("doc_id"), explode_outer(col("toks")).as("term"),
         size(col("toks")).cast("long").as("dl"))
       .groupBy(col("doc_id"), col("term"))
@@ -85,9 +108,19 @@ object SparseIndex {
       k1: Double = 1.2,
       b: Double = 0.75,
       scale: Int = 6): DataFrame = {
-    val snap = table.snapshot(asOf).getOrElse(
+    // materialized: the returned plan reads the snapshot THREE times
+    // (doc-length stats, df aggregate, scoring join) and the PK window
+    // dedup over the full region history must not run per subtree
+    val snap = table.snapshot(asOf).map(Materialize.apply).getOrElse(
       throw new IllegalStateException(
-        s"no indexed regions at or before $asOf — indexBatch first"))
+        s"no indexed regions — indexBatch first"))
+    // snapshot() row-filters on the audit timestamp, so an asOf EARLIER
+    // than every append comes back as an empty frame, not None — and an
+    // empty index would silently answer every query with zero rows
+    if (snap.isEmpty)
+      throw new IllegalStateException(
+        s"no indexed documents at or before $asOf — later batches exist; " +
+          "check the asOf timestamp")
     val postings = snap
       .select(col("doc_id"), col("dl"),
         explode(arrays_zip(col("terms"), col("tfs"))).as("p"))

@@ -63,6 +63,35 @@ class SparseIndexSpec extends SparkTestBase with Matchers {
     retrieveAsOf(t2, ts("2024-01-01 12:00:00")) shouldBe batchTopK(day1)
   }
 
+  it("conflicting texts for one doc_id in a batch fail loudly; identical repeats collapse") {
+    val base = s"$tmpDir/sparse3"
+    val t0 = SparseIndex.openOrCreate(spark, base)
+    // byte-identical repeat: harmless, one posting row
+    val t1 = SparseIndex.indexBatch(t0,
+      Seq((0L, "spark join"), (0L, "spark join")).toDF("doc_id", "text"),
+      "doc_id", "text", ts("2024-01-01 00:00:00"))
+    SparseIndex.bm25IndexAsOf(t1, ts("2024-01-02 00:00:00"))
+      .select("doc_id").distinct().count() shouldBe 1L
+    // conflicting versions: neither is "latest" within a batch
+    val ex = intercept[Exception] {
+      SparseIndex.indexBatch(t1,
+        Seq((5L, "version one"), (5L, "version two")).toDF("doc_id", "text"),
+        "doc_id", "text", ts("2024-01-03 00:00:00"))
+    }
+    ex.getMessage should include("conflicting texts")
+  }
+
+  it("an asOf earlier than every append fails loudly instead of serving an empty index") {
+    val base = s"$tmpDir/sparse4"
+    val t1 = SparseIndex.indexBatch(SparseIndex.openOrCreate(spark, base),
+      Seq((0L, "spark")).toDF("doc_id", "text"),
+      "doc_id", "text", ts("2024-06-01 00:00:00"))
+    val ex = intercept[IllegalStateException] {
+      SparseIndex.bm25IndexAsOf(t1, ts("2023-01-01 00:00:00"))
+    }
+    ex.getMessage should include("no indexed documents at or before")
+  }
+
   it("token-less documents hold no postings but still count toward N and avgdl") {
     val base = s"$tmpDir/sparse2"
     val t1 = SparseIndex.indexBatch(SparseIndex.openOrCreate(spark, base),
