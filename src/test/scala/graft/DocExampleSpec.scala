@@ -53,4 +53,33 @@ class DocExampleSpec extends SparkTestBase with Matchers {
     val clusters = Graphs.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
     clusters.count() shouldBe docs.count()
   }
+
+  it("runs the README hybrid-retrieval example end-to-end") {
+    import spark.implicits._
+    val testdata = sf()
+    val indexDir = s"$tmpDir/readme-sparse-idx"
+    val today = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$testdata/documents.parquet")
+    val corpusVecs = spark.read.parquet(s"$testdata/embeddings.parquet")
+    val oneQuery = Seq((1L, "spark window join")).toDF("query_id", "qtext")
+    val oneQueryVec = corpusVecs.where(col("vec_id") === 0)
+
+    // --- README example starts here ---
+    import graft.operators.{Ranking, Similarity, SparseIndex}
+    val store  = SparseIndex.indexBatch(                  // tokenize once, ever
+      SparseIndex.openOrCreate(spark, indexDir), docs, "doc_id", "text", today)
+    val sparse = Ranking.bm25Retrieve(                    // postings-proportional
+      SparseIndex.bm25IndexAsOf(store, today), oneQuery, "query_id", "qtext", k = 20)
+    val dense  = Similarity.bruteForceTopK(corpusVecs, oneQueryVec,
+      "vec_id", "embedding", k = 20)                      // or AnnIndex at scale
+    val fused  = Ranking.rrfFuse(Seq(                     // one fused ranking
+        sparse.select(col("doc_id"), col("rank")),
+        dense.select(col("neighbor_id").as("doc_id"), col("rank"))),
+      "doc_id", "rank", topK = 10)
+    // --- README example ends here ---
+
+    val rows = fused.collect()
+    rows.length shouldBe 10
+    rows.map(_.getAs[Long]("rank")).sorted shouldBe (1L to 10L).toArray
+  }
 }
