@@ -1206,6 +1206,21 @@ object SparkEntry {
         .orderBy(col("x_id"))
     }),
 
+    // mixture WITH upsampling: the most over-supplied language anchors the
+    // scale, smaller ones replicate toward equal shares (epoch column),
+    // capped at 4 repetitions; fractional epochs are md5-hash draws in
+    // integer micro-units, so the oracle recomputes counts -> rates ->
+    // replication exactly (operators.Sampling.mixtureSampleWithReplacement)
+    "q160_mixture_upsample" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureSampleWithReplacement(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang",
+        Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25),
+        key = col("doc_id"), maxEpochs = 4)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // persisted BM25 postings index over the audit-table storage layer:
     // two ingest days (day 2 re-ingests docs 0-49 with an extra token —
     // the PK snapshot must serve the REPLACED posting lists), retrieval
@@ -5529,6 +5544,37 @@ object SparkEntry {
         |FROM p
         |WHERE den > 0 AND round(2.0 * cos_i / den, 6) >= 1.02
         |ORDER BY x_id""".stripMargin,
+
+    // upsampling mixture: counts -> anchor scale -> per-source (full
+    // epochs, fractional micro-units) all recomputed relationally; the
+    // fractional epoch replays as the md5 bucket of 'doc_id#epoch'
+    "q160_mixture_upsample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), w(lang, wt) AS (VALUES
+        |  ('en', 0.25), ('de', 0.25), ('fr', 0.25), ('zh', 0.25)
+        |), present AS (
+        |  SELECT w.lang, wt, n FROM w JOIN counts ON w.lang = counts.lang
+        |  WHERE n > 0
+        |), sc AS (
+        |  SELECT max(n / wt) AS scale FROM present
+        |), rr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(wt * scale / n, 4.0)) AS BIGINT) AS f,
+        |    CAST(round((least(wt * scale / n, 4.0)
+        |      - floor(least(wt * scale / n, 4.0))) * 1000000) AS BIGINT) AS frac
+        |  FROM present, sc
+        |), rep AS (
+        |  SELECT d.doc_id, d.lang, CAST(t.i AS BIGINT) AS epoch, rr.f, rr.frac
+        |  FROM documents d JOIN rr ON d.lang = rr.lang
+        |  CROSS JOIN range(0, 5) t(i)
+        |  WHERE t.i <= rr.f
+        |)
+        |SELECT doc_id, lang, epoch FROM rep
+        |WHERE epoch < f OR
+        |  ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), 'graft_null')
+        |    || '#' || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT % 1000000 < frac
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // persisted sparse index: the oracle never sees the audit table — it
     // replays the LIVE corpus state (docs < 500, first 50 re-ingested with

@@ -103,6 +103,64 @@ object Sampling {
       .drop("_graft_rn", "_graft_cap")
   }
 
+  /** Weight-proportional mixture WITH upsampling — the complement of
+    * [[mixtureSample]] (which only ever downsamples): real training
+    * mixtures REPEAT small high-quality sources (multi-epoch Wikipedia is
+    * the classic), so here the most over-supplied source anchors the scale
+    * (it keeps exactly its weighted share once) and every other source
+    * replicates up to its share, capped at `maxEpochs` repetitions (the
+    * standard guard against memorizing a tiny source).
+    *
+    * Per source s with n_s rows and weight w_s: rate r_s =
+    * min(w_s · max_t(n_t / w_t) / n_s, maxEpochs) ≥ 1. Every row emits
+    * floor(r_s) full copies (`epoch` 0..floor-1) plus one more at
+    * epoch = floor(r_s) kept for a hash-stable fraction (r_s − floor) of
+    * rows — membership decided by md5 of (key, epoch), so the sample is
+    * stable under re-runs and repartitioning and any SQL engine replays
+    * it. The fractional rate is held in integer micro-units so both
+    * engines compare against the identical threshold.
+    *
+    * Output: the input columns plus `epoch` (long) — replicas are distinct
+    * training examples; feed `epochShuffleKey(key, epoch)` downstream for
+    * per-epoch ordering. Sources without a weight (or absent from the
+    * data) are dropped. Scale shape: one map-combined count per source
+    * (driver state = |sources|), a broadcast rates frame, and a map-side
+    * explode bounded by maxEpochs+1 — no shuffle of data rows at all. */
+  def mixtureSampleWithReplacement(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], key: Column,
+      maxEpochs: Int = 4): DataFrame = {
+    require(weights.nonEmpty, "at least one source weight")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mixtureSampleWithReplacement source column '$sourceCol' must be a string")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (present.isEmpty)
+      return df.withColumn("epoch", lit(0L)).where(lit(false))
+    // anchor: the most over-supplied source keeps its share exactly once
+    val scale = present.map { case (s, w) => counts(s) / w }.max
+    val rates = present.toSeq.map { case (s, w) =>
+      val r = math.min(w * scale / counts(s), maxEpochs.toDouble)
+      val full = math.floor(r).toLong
+      (s, full, math.round((r - full) * 1e6))
+    }
+    val ratesDf = rates.toDF(sourceCol, "_graft_full", "_graft_frac")
+    // "#" separator: a bare concat would alias (key "1", epoch 12) with
+    // (key "11", epoch 2) and correlate their membership draws
+    val epochKey = concat_ws("#",
+      coalesce(key.cast("string"), lit("graft_null")),
+      col("epoch").cast("string"))
+    df.join(broadcast(ratesDf), Seq(sourceCol))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_graft_full"))))
+      .where(col("epoch") < col("_graft_full")
+        || hashBucket(epochKey, 1000000) < col("_graft_frac"))
+      .drop("_graft_full", "_graft_frac")
+  }
+
   def cappedPerKey(df: DataFrame, keys: Seq[Column], rankKey: Column,
       maxPerKey: Int, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive, got $maxPerKey")

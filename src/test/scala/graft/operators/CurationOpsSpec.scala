@@ -295,6 +295,52 @@ class CurationOpsSpec extends SparkTestBase
     }
   }
 
+  describe("Sampling.mixtureSampleWithReplacement") {
+    it("upsamples small sources toward the weighted composition; anchor keeps one epoch") {
+      val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+        .select($"doc_id", $"lang")
+      val weights = Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)
+      val out = Sampling.mixtureSampleWithReplacement(docs, "lang", weights,
+        key = $"doc_id", maxEpochs = 4)
+      val byLang = out.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLang.keySet shouldBe Set("en", "de", "fr", "zh") // 'es' unweighted -> dropped
+      // en is the most over-supplied source at equal weights -> it anchors:
+      // exactly its corpus, every row at epoch 0 only
+      val en = docs.where($"lang" === "en").count()
+      byLang("en") shouldBe en
+      out.where($"lang" === "en").agg(max($"epoch")).head.getLong(0) shouldBe 0L
+      // the upsampled sources land within 5% of the anchor's share (the
+      // fractional epoch is a hash-binomial draw over ~70 rows here)
+      Seq("de", "fr", "zh").foreach { l =>
+        byLang(l).toDouble shouldBe (en.toDouble +- en * 0.05)
+      }
+      // replicas are full copies at distinct epochs
+      val perDoc = out.where($"lang" === "de").groupBy("doc_id")
+        .agg(count(lit(1)).as("c"), countDistinct($"epoch").as("e")).collect()
+      perDoc.foreach(r => r.getLong(1) shouldBe r.getLong(2))
+    }
+
+    it("is deterministic under repartitioning and honors maxEpochs") {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select($"doc_id", $"lang")
+      val weights = Map("en" -> 1.0, "zh" -> 50.0) // zh wants >> maxEpochs
+      val a = Sampling.mixtureSampleWithReplacement(docs, "lang", weights,
+        $"doc_id", maxEpochs = 3).orderBy("doc_id", "epoch").collect().toSeq
+      val b = Sampling.mixtureSampleWithReplacement(docs.repartition(7, $"doc_id"),
+        "lang", weights, $"doc_id", maxEpochs = 3)
+        .orderBy("doc_id", "epoch").collect().toSeq
+      assert(a === b)
+      val zhEpochs = a.filter(_.getAs[String]("lang") == "zh")
+        .map(_.getAs[Long]("epoch"))
+      zhEpochs.max should be <= 2L // epochs 0..maxEpochs-1 only when capped
+      // capped exactly: every zh row repeats exactly maxEpochs times
+      val docsZh = spark.read.parquet(s"${sf()}/documents.parquet")
+        .where($"lang" === "zh").count()
+      zhEpochs.size.toLong shouldBe docsZh * 3
+    }
+  }
+
   describe("Dedup.substringDupProfile") {
     it("flags docs sharing verbatim token windows, ignores unique docs") {
       val shared = "one two three four five six seven eight"
