@@ -5572,7 +5572,7 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, epoch FROM rep
         |WHERE epoch < f OR
-        |  ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), 'graft_null')
+        |  ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'graft_null')
         |    || '#' || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT % 1000000 < frac
         |ORDER BY doc_id, epoch""".stripMargin,
 

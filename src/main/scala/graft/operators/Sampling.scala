@@ -75,14 +75,7 @@ object Sampling {
   def mixtureSample(df: DataFrame, sourceCol: String,
       weights: Map[String, Double], rankKey: Column,
       tieBreak: Seq[Column] = Seq.empty): DataFrame = {
-    require(weights.nonEmpty, "at least one source weight")
-    require(weights.values.forall(_ > 0.0), "weights must be positive")
-    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
-      s"mixtureSample source column '$sourceCol' must be a string " +
-        "(weights are keyed by string; cast upstream for other types)")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    val (counts, present) = sourceCounts(df, sourceCol, weights, "mixtureSample")
     if (present.isEmpty) return df.where(lit(false))
     val scale = present.map { case (s, w) => counts(s) / w }.min
     val caps = present.map { case (s, w) =>
@@ -129,14 +122,11 @@ object Sampling {
   def mixtureSampleWithReplacement(df: DataFrame, sourceCol: String,
       weights: Map[String, Double], key: Column,
       maxEpochs: Int = 4): DataFrame = {
-    require(weights.nonEmpty, "at least one source weight")
-    require(weights.values.forall(_ > 0.0), "weights must be positive")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
-      s"mixtureSampleWithReplacement source column '$sourceCol' must be a string")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(!df.columns.contains("epoch"),
+      "mixtureSampleWithReplacement writes an 'epoch' column — rename the input's")
+    val (counts, present) =
+      sourceCounts(df, sourceCol, weights, "mixtureSampleWithReplacement")
     val spark = df.sparkSession
     import spark.implicits._
     if (present.isEmpty)
@@ -146,19 +136,39 @@ object Sampling {
     val rates = present.toSeq.map { case (s, w) =>
       val r = math.min(w * scale / counts(s), maxEpochs.toDouble)
       val full = math.floor(r).toLong
-      (s, full, math.round((r - full) * 1e6))
+      val frac = math.round((r - full) * 1e6)
+      // the fractional epoch only exists when there IS a fraction: frac==0
+      // sources (the anchor, and maxEpochs-capped ones) must not pay an
+      // exploded row + md5 draw per document that the filter always drops
+      (s, full, frac, if (frac > 0) full else full - 1)
     }
-    val ratesDf = rates.toDF(sourceCol, "_graft_full", "_graft_frac")
+    val ratesDf = rates.toDF(sourceCol, "_graft_full", "_graft_frac", "_graft_hi")
     // "#" separator: a bare concat would alias (key "1", epoch 12) with
-    // (key "11", epoch 2) and correlate their membership draws
-    val epochKey = concat_ws("#",
-      coalesce(key.cast("string"), lit("graft_null")),
-      col("epoch").cast("string"))
+    // (key "11", epoch 2) and correlate their membership draws; keyStr's
+    // null sentinel keeps a literal "graft_null" key value from colliding
+    // with null keys
+    val epochKey = concat_ws("#", keyStr(key), col("epoch").cast("string"))
     df.join(broadcast(ratesDf), Seq(sourceCol))
-      .withColumn("epoch", explode(sequence(lit(0L), col("_graft_full"))))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_graft_hi"))))
       .where(col("epoch") < col("_graft_full")
         || hashBucket(epochKey, 1000000) < col("_graft_frac"))
-      .drop("_graft_full", "_graft_frac")
+      .drop("_graft_full", "_graft_frac", "_graft_hi")
+  }
+
+  /** Shared mixture preamble: weight validation, string source-column
+    * check, per-source counts (a |sources|-row driver-side map) and the
+    * weighted-and-present subset. */
+  private def sourceCounts(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], op: String)
+      : (Map[String, Long], Map[String, Double]) = {
+    require(weights.nonEmpty, "at least one source weight")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$op source column '$sourceCol' must be a string " +
+        "(weights are keyed by string; cast upstream for other types)")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
+    (counts, weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L })
   }
 
   def cappedPerKey(df: DataFrame, keys: Seq[Column], rankKey: Column,
