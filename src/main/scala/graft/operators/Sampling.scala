@@ -122,18 +122,30 @@ object Sampling {
   def mixtureSampleWithReplacement(df: DataFrame, sourceCol: String,
       weights: Map[String, Double], key: Column,
       maxEpochs: Int = 4): DataFrame = {
+    applyMixtureRates(df,
+      mixtureRates(df, sourceCol, weights, maxEpochs), sourceCol, key)
+  }
+
+  /** The bounded (|sources|-row) replication recipe behind
+    * [[mixtureSampleWithReplacement]]: per source, the full-epoch count
+    * and the fractional-epoch keep threshold in integer micro-units.
+    * Fit it on a batch profile, then [[applyMixtureRates]] applies it
+    * map-side to any frame — including a STREAMING one
+    * ([[graft.streaming.Streaming.mixtureUpsampleStream]]), where a live
+    * count-based refit is impossible by construction. */
+  def mixtureRates(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], maxEpochs: Int = 4): DataFrame = {
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    require(!df.columns.contains("epoch"),
-      "mixtureSampleWithReplacement writes an 'epoch' column — rename the input's")
     val (counts, present) =
-      sourceCounts(df, sourceCol, weights, "mixtureSampleWithReplacement")
+      sourceCounts(df, sourceCol, weights, "mixtureRates")
     val spark = df.sparkSession
     import spark.implicits._
     if (present.isEmpty)
-      return df.withColumn("epoch", lit(0L)).where(lit(false))
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF(sourceCol, "_graft_full", "_graft_frac", "_graft_hi")
     // anchor: the most over-supplied source keeps its share exactly once
     val scale = present.map { case (s, w) => counts(s) / w }.max
-    val rates = present.toSeq.map { case (s, w) =>
+    present.toSeq.map { case (s, w) =>
       val r = math.min(w * scale / counts(s), maxEpochs.toDouble)
       val full = math.floor(r).toLong
       val frac = math.round((r - full) * 1e6)
@@ -141,14 +153,23 @@ object Sampling {
       // sources (the anchor, and maxEpochs-capped ones) must not pay an
       // exploded row + md5 draw per document that the filter always drops
       (s, full, frac, if (frac > 0) full else full - 1)
-    }
-    val ratesDf = rates.toDF(sourceCol, "_graft_full", "_graft_frac", "_graft_hi")
+    }.toDF(sourceCol, "_graft_full", "_graft_frac", "_graft_hi")
+  }
+
+  /** Apply a [[mixtureRates]] recipe: broadcast rates join, bounded epoch
+    * explode, hash-stable fractional draw — pure map-side (no shuffle, no
+    * state), so it runs unchanged over batch and streaming frames.
+    * Unweighted sources drop (inner join). */
+  def applyMixtureRates(df: DataFrame, rates: DataFrame, sourceCol: String,
+      key: Column): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "applyMixtureRates writes an 'epoch' column — rename the input's")
     // "#" separator: a bare concat would alias (key "1", epoch 12) with
     // (key "11", epoch 2) and correlate their membership draws; keyStr's
     // null sentinel keeps a literal "graft_null" key value from colliding
     // with null keys
     val epochKey = concat_ws("#", keyStr(key), col("epoch").cast("string"))
-    df.join(broadcast(ratesDf), Seq(sourceCol))
+    df.join(broadcast(rates), Seq(sourceCol))
       .withColumn("epoch", explode(sequence(lit(0L), col("_graft_hi"))))
       .where(col("epoch") < col("_graft_full")
         || hashBucket(epochKey, 1000000) < col("_graft_frac"))

@@ -450,6 +450,20 @@ object Streaming {
       .start()
   }
 
+  /** Streaming upsampling mixture: apply a FROZEN replication recipe
+    * ([[graft.operators.Sampling.mixtureRates]], fit on a batch profile of
+    * the corpus) to documents as they ARRIVE — live ingest shapes the
+    * training mixture at the door instead of in a later batch pass. Pure
+    * map-side (broadcast rates join, bounded epoch explode, hash-stable
+    * fractional draw), zero state, so output rows are BIT-IDENTICAL to the
+    * batch twin over the same rows (spec-pinned). Rates are frozen by
+    * construction: a live count-based refit would let early batches decide
+    * membership differently than a replay — refit per day/profile run and
+    * restart the sink with the new recipe. */
+  def mixtureUpsampleStream(docs: DataFrame, rates: DataFrame,
+      sourceCol: String, key: Column): DataFrame =
+    graft.operators.Sampling.applyMixtureRates(docs, rates, sourceCol, key)
+
   /** Streaming embedding-space drift monitor: per event-time window, the
     * top principal axis of the arriving embeddings and its alignment with
     * a FROZEN reference axis (from a batch

@@ -902,6 +902,35 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  it("streaming upsampling mixture equals the batch twin under a frozen recipe") {
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val profile = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select($"doc_id", $"lang")
+    val weights = Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)
+    val rates = Sampling.mixtureRates(profile, "lang", weights, maxEpochs = 4)
+      .localCheckpoint(true) // the frozen recipe
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.mixtureUpsampleStream(
+        input.toDF().toDF("doc_id", "lang"), rates, "lang", col("doc_id"))
+      .writeStream.format("memory").queryName("mix_upsample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = profile.as[(Long, String)].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val streamed = spark.table("mix_upsample")
+        .select($"doc_id", $"lang", $"epoch")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+      val batch = Sampling.applyMixtureRates(profile, rates, "lang", $"doc_id")
+        .select($"doc_id", $"lang", $"epoch")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+      streamed shouldBe batch
+      streamed should not be empty
+    } finally query.stop()
+  }
+
   it("LOCF resampler first-tick alignment is floor-correct for pre-1970 observations") {
     // batch twin regression for the truncating-div bug: a 1969 span still
     // gets its aligned daily ticks (Spark div truncates toward zero, which
