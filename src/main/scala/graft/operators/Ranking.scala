@@ -101,6 +101,16 @@ object Ranking {
     * order-free and any SQL engine replays it; ranks tie-break doc_id ASC.
     * Repeated query terms count once (boolean bag-of-terms, Lucene-style).
     *
+    * `maxDfFraction` is the production hot-term knob: a stop-word-like
+    * query term has corpus-sized postings and idf ≈ 0 (the +1-floored RSJ
+    * idf never prunes it), so its postings dominate the scoring join while
+    * contributing noise to the ranking. Terms with df > maxDfFraction ×
+    * n_docs are dropped BEFORE the postings join — exactly as if the term
+    * were absent from the query text (contributions are per-term additive,
+    * so the surviving terms' scores are bit-identical). At the default 1.0
+    * nothing can exceed the cap and results are untouched. A query whose
+    * terms ALL exceed the cap returns no rows for that query.
+    *
     * Output: (query_id, rank, doc_id, score), ranks 1..k. */
   def bm25TopK(
       docs: DataFrame,
@@ -112,9 +122,12 @@ object Ranking {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
     val unit = math.pow(10, scale)
     val (_, stats, postings) = bm25Corpus(docs, idCol, textCol)
     val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -126,6 +139,7 @@ object Ranking {
     // path computes contributions ONLY for postings of query terms (the
     // build-once/serve-many split below scores the whole vocabulary instead)
     val qIdf = broadcast(qTerms.join(docFreq, "term").crossJoin(stats)
+      .where(col("df").cast("double") <= lit(maxDfFraction) * col("n_docs").cast("double"))
       .withColumn("idf", bm25Idf))
     val scored = postings.join(qIdf, "term")
       .withColumn("c_i", round(bm25Contribution(k1, b, scale) * lit(unit)).cast("long"))
@@ -169,9 +183,11 @@ object Ranking {
           / (col("total_len").cast("double") / col("n_docs"))))), scale)
 
   /** The query-INDEPENDENT build-once half of the BM25 serving split: one
-    * `(term, doc_id, c_i)` row per posting over the WHOLE vocabulary,
+    * `(term, doc_id, c_i, df)` row per posting over the WHOLE vocabulary,
     * where `c_i` is the term's full BM25 contribution in integer
-    * micro-units. Build once, MATERIALIZE, retrieve many
+    * micro-units and `df` the term's document frequency (constant within a
+    * term — near-free under columnar encoding — and what lets
+    * [[bm25Retrieve]] prune hot terms at the scan). Build once, MATERIALIZE, retrieve many
     * ([[graft.streaming.Streaming.bm25ServeStream]]); for one-shot
     * retrieval prefer [[bm25TopK]], which scores only query-term postings.
     * The micro-unit scale rides in the `c_i` column metadata
@@ -204,40 +220,77 @@ object Ranking {
       scale: Int = 6): DataFrame = {
     require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
     val unit = math.pow(10, scale)
-    val stats = docLengths
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // one bounded action (two longs): the corpus scalars become literals in
+    // the contribution arithmetic AND index metadata, so [[bm25Retrieve]]'s
+    // df prune can interpret posting counts without ever scanning the corpus
+    val statsRow = docLengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")).first()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "bm25 index over an empty corpus")
     val idfFrame = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(stats)
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_len", lit(statsRow.getLong(1)))
       .withColumn("idf", bm25Idf)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft.bm25.scale", scale.toLong).build()
+      .putLong("graft.bm25.scale", scale.toLong)
+      .putLong("graft.bm25.n_docs", nDocs).build()
+    // df rides along per posting row (constant within a term, so columnar
+    // RLE/dictionary encoding makes it near-free to persist): a hot-term
+    // prune at retrieve time is then a plain comparison the engine can push
+    // to the index SCAN — stop-word postings never leave storage
     postings.join(idfFrame, "term")
       .select(col("term"), col("doc_id"),
         round(bm25Contribution(k1, b, scale) * lit(unit)).cast("long")
-          .as("c_i", meta))
+          .as("c_i", meta),
+        col("df"))
   }
 
   /** The per-query half of the serving split: distinct query terms
     * BROADCAST against the posting-sized `index` from [[bm25Index]],
     * per-(query, doc) contributions sum as exact integers, top-k rides
     * `graft_topk`. The micro-unit scale comes from the index's own
-    * metadata — never a free parameter that could disagree with it. */
+    * metadata — never a free parameter that could disagree with it.
+    *
+    * The broadcast COLLECTS the distinct (query_id, term) frame to the
+    * driver — the interactive/mini-batch serving shape this split exists
+    * for (tens-to-thousands of queries, a handful of terms each). It is NOT
+    * the bulk-offline shape: a corpus-sized query table would be collected
+    * whole and can OOM the driver. For bulk query×corpus scoring, run
+    * [[bm25TopK]] over the raw corpus (its postings join shuffles instead
+    * of broadcasting) or batch the query table through this in slices.
+    *
+    * `maxDfFraction` < 1 drops hot terms (df > fraction × the index's own
+    * n_docs) at the index SCAN via the persisted `df` column — a pushable
+    * comparison, so stop-word postings never leave storage. Semantics match
+    * [[bm25TopK]]'s cap: as if the term were absent from every query. */
   def bm25Retrieve(
       index: DataFrame,
       queries: DataFrame,
       queryIdCol: String,
       queryTextCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
     val m = index.schema("c_i").metadata
     require(m.contains("graft.bm25.scale"),
       "index is missing the graft.bm25.scale metadata on c_i — build it with Ranking.bm25Index")
     val unit = math.pow(10, m.getLong("graft.bm25.scale").toInt)
+    val pruned =
+      if (maxDfFraction >= 1.0) index
+      else {
+        require(m.contains("graft.bm25.n_docs") && index.columns.contains("df"),
+          "df pruning needs an index carrying the df column and graft.bm25.n_docs " +
+            "metadata — rebuild it with Ranking.bm25Index")
+        index.where(col("df").cast("double")
+          <= lit(maxDfFraction * m.getLong("graft.bm25.n_docs").toDouble))
+      }
     val qTerms = broadcast(queries.select(
         col(queryIdCol).cast("long").as("query_id"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
       .distinct())
-    val scored = index.join(qTerms, "term")
+    val scored = pruned.join(qTerms, "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_i")).as("s_i"))
       .withColumn("score", col("s_i").cast("double") / lit(unit))

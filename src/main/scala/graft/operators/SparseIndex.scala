@@ -74,7 +74,12 @@ object SparseIndex {
     val one = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("__text")).as("__nv"), max(col("__text")).as("__text"))
+      // countDistinct skips NULLs, so the null version must be counted as
+      // its own version explicitly — (id, "text") + (id, null) in one batch
+      // is a conflict, not a silent win for the non-null text
+      .agg((countDistinct(col("__text"))
+          + max(col("__text").isNull.cast("int"))).as("__nv"),
+        max(col("__text")).as("__text"))
       .select(col("doc_id"),
         when(col("__nv") > 1, raise_error(concat(
           lit(s"SparseIndex.indexBatch: doc_id "), col("doc_id").cast("string"),

@@ -78,7 +78,19 @@ class AuditTable(
 
   /** Append `ds` as one new hot region, stamping `_de_last_updated` from
     * `lastUpdatedCol` (or `appendTimestamp` when absent). Returns the
-    * refreshed table handle. */
+    * refreshed table handle.
+    *
+    * Cross-PROCESS contract (within one flow the executor serializes table
+    * mutations, and this handle's one-shot guard catches accidental reuse):
+    * region ids allocate as max+1 over the regions this handle saw at open,
+    * with NO distributed lock — two uncoordinated processes appending
+    * concurrently may allocate the same id. That race cannot lose data:
+    * each writer stages into its own unique temp dir and publishes with a
+    * fail-if-exists rename, so either both appends land (distinct ids) or
+    * the loser fails with a readable "Destination already exists"
+    * StorageException and must reopen (picking up the winner's region) and
+    * retry. Multi-writer ingestion should still serialize appends per table
+    * upstream — retry-on-collision is a safety net, not a throughput plan. */
   def append(ds: Dataset[_], lastUpdatedCol: Option[String],
       appendTimestamp: Timestamp): AuditTable = {
     guardOneShot()
@@ -111,7 +123,10 @@ class AuditTable(
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs,
       count(lit(1)).as("cnt"), max(col(AuditColumn)).as("maxts"))
-    ops.writeParquet(basePath, dest, observed)
+    // fail-if-exists: a region destination can only pre-exist when another
+    // writer won an id-allocation race (see append scaladoc) — replacing it
+    // would silently drop that writer's data
+    ops.writeParquet(basePath, dest, observed, overwrite = false)
     val m = obs.get
     val maxTs = m("maxts") match {
       case null => LowTimestamp // empty region: no rows observed

@@ -57,7 +57,13 @@ class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
     * move over. */
   def writeParquet(base: Path, relDest: String, df: DataFrame,
       overwrite: Boolean = true): Path = {
-    val staging = new Path(base, s".tmp/$relDest")
+    // staging is per-attempt unique: two UNCOORDINATED writers racing the
+    // same destination (e.g. two processes allocating the same region id)
+    // must never share a staging dir, or one could publish the other's
+    // half-written data — with unique staging the loser fails cleanly at
+    // the rename below instead
+    val staging = new Path(base,
+      s".tmp/$relDest-${java.util.UUID.randomUUID.toString.take(8)}")
     val dest = new Path(base, relDest)
     // far-future timestamps (SQL Server temporal validity ends, warehouse
     // open-interval sentinels like 9999-12-31) overflow Spark 4's default

@@ -53,6 +53,41 @@ object MediaScaleProbe {
     report("imageProfile (decode+pHash)", "60x60 BMP", imgSec, imgRows)
     imgs.unpersist()
 
+    // ---- realistic crawl images: ~1MP JPEG decode + profile ----
+    // the 60x60 row above prices container/kernel overhead; real crawls are
+    // megapixel JPEGs where per-PIXEL decode dominates (round-10 verdict:
+    // sizing guidance must come from this row, not the tiny-BMP one). The
+    // pixel pattern is high-frequency (xor + id-mixed channels) so the
+    // encoder can't collapse it to a trivially-decodable flat image.
+    val jpegN = math.max(cores.toLong, n / 8L)
+    val jpegs = spark.range(jpegN).repartition(cores)
+      .select(col("id"), udf((id: Long) => {
+        val w = 1152; val h = 896 // ~1.03 MP
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = (x * 7 + id * 13) & 0xff
+            val g = (y * 5 + id * 29) & 0xff
+            val b = ((x ^ y) + id) & 0xff
+            img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }).apply(col("id")).as("content"))
+      .persist()
+    jpegs.count()
+    val (jpgSec, jpgRows) = timed(fullCount(
+      Multimodal.imageProfiles(jpegs, "id", "content")))
+    report("imageProfile (decode+pHash)", "~1MP JPEG", jpgSec, jpgRows)
+    jpegs.unpersist()
+
     // ---- audio: 2000-sample 16-bit WAV decode + integer profile ----
     val wavs = spark.range(n).repartition(cores)
       .select(col("id"), udf((id: Long) => Multimodal.pcmWavBytes(

@@ -190,14 +190,50 @@ object RecallProbe {
         ProbeRow("ivfpq-rerank", s"nLists=$nLists nProbe=$nProbe m=$m k=$kk",
           tag, r, nProbe.toDouble / nLists)
       } finally {
-        // throwaway indexes must not accumulate in /tmp across probe runs
+        // throwaway indexes must not accumulate in /tmp across probe runs.
+        // Files.walk holds open directory handles until closed — consume it
+        // fully THEN close before deleting, or each config leaks an fd
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(p =>
-            scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+        val walk = java.nio.file.Files.walk(baseDir)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach(p =>
+          scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
       }
     }
     truthCos.unpersist()
+    rows
+  }
+
+  /** Pair recall of [[Similarity.marginMinePairsCelled]] vs the exact miner
+    * over the same (X, Y): fraction of exact mined (x_id, y_id) pairs the
+    * celled path recovers, swept over probe fraction. Y is a jittered
+    * id-offset twin of X (the bitext shape: most xs have one near-true
+    * counterpart). Unlike the ANN sweeps this grades PAIRS, not top-k
+    * lists — celling changes candidates AND neighbourhood sums, so margins
+    * shift slightly and a pair can drop either by missing the candidate or
+    * by falling under the threshold. `nProbe = nCells` must be 1.0 by the
+    * operator's own contract (spec-pinned bit-equality). */
+  def sweepMarginMining(corpus: DataFrame, tag: String, k: Int = 4,
+      threshold: Double = 1.0, dim: Int = 64): Seq[ProbeRow] = {
+    val dirs = Similarity.hyperplanes(1, dim, seed = 11L)
+    val dirLit = array(dirs(0).toIndexedSeq.map(lit): _*)
+    val xs = corpus
+    val ys = corpus.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+      zip_with(col("embedding").cast("array<double>"), dirLit,
+        (x, d) => x + d * lit(0.05)).as("embedding"))
+    val exact = Similarity.marginMinePairs(xs, ys, "vec_id", "embedding",
+      k, threshold).select("x_id", "y_id").persist()
+    val total = exact.count().toDouble
+    val configs = Seq((32, 2), (32, 4), (32, 8), (32, 16), (32, 32))
+    val rows = configs.map { case (nCells, nProbe) =>
+      val celled = Similarity.marginMinePairsCelled(xs, ys, "vec_id",
+        "embedding", k, threshold, nCells = nCells, nProbe = nProbe)
+      val hit = exact.join(celled.select("x_id", "y_id"),
+        Seq("x_id", "y_id"), "left_semi").count()
+      ProbeRow("margin-celled", s"nCells=$nCells nProbe=$nProbe k=$k",
+        tag, hit / total, nProbe.toDouble / nCells)
+    }
+    exact.unpersist()
     rows
   }
 
@@ -236,7 +272,8 @@ object RecallProbe {
     println(s"[recall] corpus=${emb.count()} queries=${queries.count()} sf=$sfDir")
 
     val base = sweep(emb, queries, tag = f"${emb.count()}") ++
-      sweepRerank(emb, queries, tag = f"${emb.count()}")
+      sweepRerank(emb, queries, tag = f"${emb.count()}") ++
+      sweepMarginMining(emb, tag = f"${emb.count()}x2") // 20k x 20k at sf0.1
 
     // the 10x check: headline configs only (brute-force truth is repl x
     // bigger; the point is the trend, not the full grid)

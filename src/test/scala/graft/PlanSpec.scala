@@ -450,9 +450,11 @@ class PlanSpec extends SparkTestBase with Matchers {
       "q106_hard_negatives", "q117_ann_mrr", "q143_late_interaction",
       "q144_hybrid_rrf", "q145_ndcg", "q146_precision_recall",
       // q156: fixed 150-vector slices both sides (margin mining's exact
-      // baseline; the scale path is IVF candidate generation). q157/q159:
-      // the 1-row corpus-stats scalar crossed into the query-term idf frame
-      "q156_margin_mine", "q157_bm25_retrieval", "q159_sparse_index_retrieval")
+      // baseline; the scale path is IVF candidate generation). q157: the
+      // 1-row corpus-stats scalar crossed into the query-term idf frame
+      // (q159's persisted-index path now bakes the two corpus scalars in as
+      // literals at build time — no stats cross remains in its plan)
+      "q156_margin_mine", "q157_bm25_retrieval")
     val cartesian = scala.collection.mutable.ArrayBuffer[String]()
     val bnl = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -100,6 +100,113 @@ class IngestionSpec extends SparkTestBase with Matchers {
       full should include("for system_time from '1900-01-01 00:00:00' to '9999-12-31'")
     }
 
+    it("pins the dialect SQL of the Docker-unreachable paths byte-exactly") {
+      // These strings only ever execute against real Postgres / SQL Server
+      // (the reference proves them via Docker integration tests we cannot
+      // run offline: PostgresExtractorIntegrationTest.scala,
+      // SQLServerTemporalExtractorIntegrationTest.scala:1-513). Golden-
+      // pinning the exact bytes makes dialect drift a visible diff instead
+      // of a silent production surprise.
+      val pg = new PostgresExtractor(spark, JDBCConnection("jdbc:postgresql://x"))
+      // pg_index PK discovery (reference PostgresExtractor.scala:32-54
+      // proves pg_index/pg_attribute carry the PK; ours adds the ordinal
+      // sort so composite-PK order is deterministic)
+      pg.primaryKeyQuery("public", "users") shouldBe
+        """select a.attname as pk_column
+          |from pg_index i
+          |join pg_attribute a on a.attrelid = i.indrelid and a.attnum = any(i.indkey)
+          |where i.indrelid = 'public.users'::regclass and i.indisprimary
+          |order by array_position(i.indkey, a.attnum)""".stripMargin
+
+      val ms = new SQLServerExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      // sys.indexes PK discovery (reference SQLServerTemporalExtractor
+      // .scala:60-65 joins the same three catalog relations)
+      ms.primaryKeyQuery("dbo", "users") shouldBe
+        """select c.name as pk_column
+          |from sys.indexes i
+          |join sys.index_columns ic on i.object_id = ic.object_id and i.index_id = ic.index_id
+          |join sys.columns c on ic.object_id = c.object_id and ic.column_id = c.column_id
+          |where i.is_primary_key = 1 and i.object_id = object_id('dbo.users')
+          |order by ic.key_ordinal""".stripMargin
+
+      val tmp = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
+      // sys.periods discovery (reference SQLServerTemporalExtractor
+      // .scala:42-74 — same period/history relations, per-table probe here)
+      tmp.temporalMetadataQuery("dbo", "users") shouldBe
+        """select schema_name(t.schema_id) as schema_name, t.name as table_name,
+          |  schema_name(h.schema_id) as history_schema, h.name as history_table,
+          |  cs.name as start_col, ce.name as end_col
+          |from sys.tables t
+          |left join sys.tables h on t.history_table_id = h.object_id
+          |join sys.periods p on p.object_id = t.object_id
+          |join sys.columns cs on cs.object_id = t.object_id and cs.column_id = p.start_column_id
+          |join sys.columns ce on ce.object_id = t.object_id and ce.column_id = p.end_column_id
+          |where t.object_id = object_id('dbo.users')""".stripMargin
+
+      // FOR SYSTEM_TIME delta select (reference SQLServerTemporalExtractor
+      // .scala:163-182: same clause order — FOR SYSTEM_TIME immediately
+      // after the table name, then the closed-in-window OR opened-in-window
+      // row filter with the detected sentinel)
+      val fx = new FixedSentinelExtractor("9999-12-31 23:59:59.9999999")
+      fx.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00"))) shouldBe
+        "select *, case when [sys_end] = '9999-12-31 23:59:59.9999999' then 0 else 1 end as source_type, " +
+          "CURRENT_TIMESTAMP as system_timestamp_of_extraction from [dbo].[users] " +
+          "for system_time from '2024-01-01 00:00:00.0' to '9999-12-31' " +
+          "where ([sys_end] < '9999-12-31 23:59:59.9999999' and [sys_end] >= '2024-01-01 00:00:00.0') " +
+          "or [sys_start] >= '2024-01-01 00:00:00.0'"
+
+      // row_number split-point sampling (reference RDBMExtractor.scala:241-288)
+      ms.splitPointQuery("dbo", "users", Seq("id"), 50000) shouldBe
+        "select split_point from (" +
+          "select [id] as split_point, row_number() over (order by [id]) as rn " +
+          "from [dbo].[users]) sub where rn % 50000 = 0 order by split_point"
+    }
+
+    it("discovers period columns from sys.periods when asked, and refuses non-temporal tables") {
+      // fake connection answering the catalog probe (one row: custom period
+      // column names) and the sentinel detection
+      class DiscoveringFake extends SQLServerTemporalExtractor(
+          spark, JDBCConnection("jdbc:sqlserver://x"), discoverPeriods = true) {
+        val issuedQueries = scala.collection.mutable.ArrayBuffer[String]()
+        override protected def loadQuery(query: String, predicates: Seq[String]): DataFrame = {
+          issuedQueries += query
+          if (query.contains("sys.periods"))
+            Seq(("dbo", "users", "dbo", "users_history", "valid_from", "valid_to"))
+              .toDF("schema_name", "table_name", "history_schema",
+                "history_table", "start_col", "end_col")
+          else Seq("9999-12-31 23:59:59.9999999").toDF("database_upper_timestamp")
+        }
+      }
+      val e = new DiscoveringFake
+      val q = e.selectQuery("dbo", "users", None, Some(ts("2024-01-01 00:00:00")))
+      // the generated delta uses the DISCOVERED validity columns
+      q should include("[valid_to] < '9999-12-31 23:59:59.9999999'")
+      q should include("[valid_from] >= '2024-01-01 00:00:00.0'")
+      q should not include "sys_end"
+      // discovery is cached: the catalog probe pushed exactly once even
+      // though selectQuery + upperTimestamp both need the period columns
+      e.issuedQueries.count(_.contains("sys.periods")) shouldBe 1
+      // table metadata records the discovered columns for the snapshot action
+      val meta = e.getTableMetadata("dbo", "users", Some(Seq("id")), None, None)
+      meta.meta("startCol") shouldBe "valid_from"
+      meta.meta("endCol") shouldBe "valid_to"
+      meta.retainHistory shouldBe true
+
+      // a table without a sys.periods row is not system-versioned: refuse
+      // loudly instead of silently generating sys_start/sys_end SQL
+      class EmptyCatalogFake extends SQLServerTemporalExtractor(
+          spark, JDBCConnection("jdbc:sqlserver://x"), discoverPeriods = true) {
+        override protected def loadQuery(query: String, predicates: Seq[String]): DataFrame =
+          Seq.empty[(String, String, String, String, String, String)]
+            .toDF("schema_name", "table_name", "history_schema",
+              "history_table", "start_col", "end_col")
+      }
+      val ex = intercept[IllegalArgumentException] {
+        (new EmptyCatalogFake).selectQuery("dbo", "plain", None, None)
+      }
+      ex.getMessage should include("no sys.periods row")
+    }
+
     it("temporal extractor only trusts a detected sentinel that IS 9999-12-31") {
       // all-rows-deleted table: max(sys_end) is the latest deletion time, not
       // the live-row sentinel — using it would flag that closed version as

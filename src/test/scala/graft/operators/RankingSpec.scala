@@ -125,6 +125,55 @@ class RankingSpec extends SparkTestBase with Matchers {
         .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
       a shouldBe b
     }
+
+    it("maxDfFraction below any term's df is a bit-exact no-op") {
+      // docs: "spark" df=2/4=0.5, "join" 1/4, "window" 1/4 — a 0.6 cap
+      // prunes nothing, so results must be IDENTICAL to the uncapped run
+      val qs = Seq((1L, "spark join"), (2L, "window")).toDF("query_id", "qtext")
+      val uncapped = Ranking.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3).as[(Long, Long, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val capped = Ranking.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3, maxDfFraction = 0.6)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      capped shouldBe uncapped
+    }
+
+    it("a pruned hot term scores exactly as if absent from the query text") {
+      // make "the" hot: present in every doc (df = 4/4 = 1.0)
+      val hotDocs = Seq(
+        (0L, "the spark shuffle join join join"),
+        (1L, "the spark spark spark spark spark"),
+        (2L, "the window filter scan table row"),
+        (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
+      val withHot = Seq((1L, "the spark join")).toDF("query_id", "qtext")
+      val without = Seq((1L, "spark join")).toDF("query_id", "qtext")
+      val capped = Ranking.bm25TopK(hotDocs, "doc_id", "text", withHot,
+        "query_id", "qtext", k = 4, maxDfFraction = 0.9)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val dropped = Ranking.bm25TopK(hotDocs, "doc_id", "text", without,
+        "query_id", "qtext", k = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      capped shouldBe dropped
+      // the uncapped run DOES differ (the hot term reaches every doc):
+      // doc 3 shares only "the" with the query, so it appears uncapped
+      // and vanishes under the cap
+      val uncapped = Ranking.bm25TopK(hotDocs, "doc_id", "text", withHot,
+        "query_id", "qtext", k = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      uncapped.map(_._3) should contain(3L)
+      capped.map(_._3) should not contain 3L
+    }
+
+    it("a query whose terms are ALL pruned returns no rows for that query") {
+      val hotDocs = Seq(
+        (0L, "the spark"), (1L, "the join"), (2L, "the scan")).toDF("doc_id", "text")
+      val qs = Seq((1L, "the"), (2L, "spark")).toDF("query_id", "qtext")
+      val got = Ranking.bm25TopK(hotDocs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3, maxDfFraction = 0.5)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      got.map(_._1).distinct shouldBe Seq(2L)
+    }
   }
 
   describe("tfIdfTopTerms") {

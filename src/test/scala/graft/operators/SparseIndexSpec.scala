@@ -79,6 +79,49 @@ class SparseIndexSpec extends SparkTestBase with Matchers {
         "doc_id", "text", ts("2024-01-03 00:00:00"))
     }
     ex.getMessage should include("conflicting texts")
+    // a NULL text is its own version: (id, text) + (id, null) must ALSO
+    // fail loudly — countDistinct alone skips nulls and would silently
+    // index the non-null version. (Fresh handle: the failed append above
+    // consumed the one-shot t1.)
+    val ex2 = intercept[Exception] {
+      SparseIndex.indexBatch(SparseIndex.openOrCreate(spark, base),
+        Seq((6L, Some("version one")), (6L, Option.empty[String]))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", ts("2024-01-04 00:00:00"))
+    }
+    ex2.getMessage should include("conflicting texts")
+  }
+
+  it("retrieve-side df pruning matches the batch operator's cap and pushes to the scan") {
+    val base = s"$tmpDir/sparse5"
+    // "the" present in all 4 docs (df fraction 1.0); others rarer
+    val corpus = Seq(
+      (0L, "the spark shuffle join"),
+      (1L, "the spark spark"),
+      (2L, "the window filter"),
+      (3L, "the quick fox")).toDF("doc_id", "text")
+    val t1 = SparseIndex.indexBatch(SparseIndex.openOrCreate(spark, base),
+      corpus, "doc_id", "text", ts("2024-01-01 00:00:00"))
+    val idx = SparseIndex.bm25IndexAsOf(t1, ts("2024-01-02 00:00:00"))
+    // the persisted index carries df so the prune is a plain scan predicate
+    idx.columns should contain("df")
+    val qs = Seq((1L, "the spark join")).toDF("query_id", "qtext")
+    val got = Ranking.bm25Retrieve(idx, qs, "query_id", "qtext",
+        k = 4, maxDfFraction = 0.9)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    val want = Ranking.bm25TopK(corpus, "doc_id", "text", qs,
+        "query_id", "qtext", k = 4, maxDfFraction = 0.9)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    got shouldBe want
+    // the hot term is gone: docs sharing only "the" with the query vanish
+    got.map(_._3).toSet shouldBe Set(0L, 1L)
+    // an index built without df support refuses the cap loudly
+    val bare = idx.drop("df")
+    val ex = intercept[IllegalArgumentException] {
+      Ranking.bm25Retrieve(bare, qs, "query_id", "qtext", k = 4,
+        maxDfFraction = 0.5)
+    }
+    ex.getMessage should include("df")
   }
 
   it("an asOf earlier than every append fails loudly instead of serving an empty index") {

@@ -303,6 +303,35 @@ class StorageSpec extends SparkTestBase with Matchers {
       }
     }
 
+    it("two uncoordinated writers racing one region id: winner lands, loser fails readably") {
+      // the cross-process race (append scaladoc): no distributed lock, so
+      // two independently-opened handles both allocate region r0. The
+      // fail-if-exists publish means the collision can NEVER silently
+      // replace the winner's data — the loser gets a readable error and
+      // retries after reopening.
+      mkTable("racers")
+      val handleA = Storage.openTable(spark, tmpDir, "racers").get
+      val handleB = Storage.openTable(spark, tmpDir, "racers").get
+      handleA.append(Seq((1L, "winner")).toDF("id", "v"), None,
+        ts("2024-01-01 00:00:00"))
+      val ex = intercept[StorageException] {
+        handleB.append(Seq((2L, "loser")).toDF("id", "v"), None,
+          ts("2024-01-01 00:00:01"))
+      }
+      ex.getMessage should include("already exists")
+      // the winner's region is intact and serves reads; the loser's rows
+      // are nowhere (staged data never published)
+      val readBack = Storage.openTable(spark, tmpDir, "racers").get
+        .snapshot(ts("2024-06-01 00:00:00")).get
+      readBack.select("v").as[String].collect().toSeq shouldBe Seq("winner")
+      // reopen-and-retry is the documented recovery: the fresh handle sees
+      // the winner's region and allocates the NEXT id
+      val retried = Storage.openTable(spark, tmpDir, "racers").get
+        .append(Seq((2L, "retry")).toDF("id", "v"), None, ts("2024-01-01 00:00:02"))
+      retried.regions.map(_.storeRegion).distinct.size shouldBe 2
+      retried.snapshot(ts("2024-06-01 00:00:00")).get.count() shouldBe 2L
+    }
+
     it("uses a source column for the audit timestamp when provided") {
       val t0 = mkTable("srccol")
       val df = Seq((1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-05 00:00:00")))

@@ -902,6 +902,154 @@ class StreamingSpec extends SparkTestBase with Matchers {
     } finally query.stop()
   }
 
+  // ---- restart recovery: stop mid-stream, restart from the checkpoint ----
+  // The at-least-once / state-recovery claims were design-argued until round
+  // 11; these cases EXECUTE them — kill a stateful query, restart it from
+  // its checkpoint, and assert the batch-twin equality still holds across
+  // the incarnation boundary. Memory sinks cannot recover from checkpoints,
+  // so the recovering queries write through fault-tolerant sinks (files /
+  // foreachBatch), exactly as production would.
+
+  it("sessionize state survives a restart: the pre-restart session closes afterwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessionInput]
+    val out = s"$tmpDir/sess_restart_out"
+    val cp = s"$tmpDir/sess_restart_cp"
+    def start() = Streaming.sessionize(input.toDS(), gapMs = 30L * 60 * 1000,
+        watermark = "1 second")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    // incarnation 1: an open session accumulates in state, nothing emits
+    val q1 = start()
+    try {
+      input.addData(
+        Streaming.SessionInput(7L, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.SessionInput(7L, ts("2024-01-01 10:10:00"), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // incarnation 2: a far-later event must close the RECOVERED session —
+    // if state died with the first process, the 10:00-10:10 session would
+    // never emit anywhere
+    val q2 = start()
+    try {
+      input.addData(Streaming.SessionInput(7L, ts("2024-01-01 12:00:00"), 4.0))
+      q2.processAllAvailable()
+      input.addData(Streaming.SessionInput(99L, ts("2024-01-01 13:00:00"), 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sessions = spark.read.parquet(out)
+      .as[Streaming.SessionSummary].collect().filter(_.user_id == 7L)
+      .sortBy(_.session_start.getTime)
+    sessions.length shouldBe 2
+    sessions(0).n_events shouldBe 2
+    sessions(0).total_value shouldBe 3.0
+    sessions(0).session_end shouldBe ts("2024-01-01 10:10:00")
+    sessions(1).n_events shouldBe 1
+    sessions(1).session_start shouldBe ts("2024-01-01 12:00:00")
+  }
+
+  it("anomalyStream restarts score against pre-restart priors, matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.PointInput]
+    val out = s"$tmpDir/anom_restart_out"
+    val cp = s"$tmpDir/anom_restart_cp"
+    val baseline = (0 until 8).map(i =>
+      Streaming.PointInput(1L, ts(f"2024-01-01 10:${i}%02d:00"), 50.0 + i % 3))
+    val spike = Streaming.PointInput(1L, ts("2024-01-01 10:08:30"), 500.0)
+    def start() = Streaming.anomalyStream(input.toDS(), windowSec = 3600,
+        minPrior = 5, zThreshold = 3.0)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      input.addData(baseline: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the spike arrives in a NEW process: its z-score needs the 8 baseline
+    // points that only exist in recovered state
+    val q2 = start()
+    try {
+      input.addData(spike)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(out)
+      .select("key", "ts", "n_prior", "z", "is_anomaly")
+      .as[(Long, Timestamp, Long, Option[Double], Boolean)]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    val spikeRow = streamed.find(_._2 == ts("2024-01-01 10:08:30")).get
+    spikeRow._3 shouldBe 8L // all pre-restart priors visible
+    spikeRow._5 shouldBe true
+    // batch twin over the identical points: every (n_prior, z, flag) equal
+    import graft.operators.Temporal
+    val batch = Temporal.rollingZScore(
+        (baseline :+ spike).toDF("key", "ts", "value"),
+        Seq("key"), "ts", "value", windowSec = 3600, minPrior = 5, zThreshold = 3.0)
+      .select(col("key"), col("ts"), col("n_prior"), col("z"), col("is_anomaly"))
+      .as[(Long, Timestamp, Long, Option[Double], Boolean)]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    streamed shouldBe batch
+  }
+
+  it("storage ingest restarts from the checkpoint without re-appending committed epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.storage._
+    val base = s"$tmpDir/stream_storage_restart"
+    val cp = s"$tmpDir/stream_storage_restart_ckpt"
+    val input = MemoryStream[(Long, String)]
+    def start() = Streaming.writeToStorageStream(
+      input.toDF().toDF("user_id", "state"), base,
+      AuditTableInfo("user_state_r", Seq("user_id"), Map.empty, retainHistory = true),
+      checkpoint = cp,
+      batchTimestamp = bid => ts(s"2024-01-0${bid + 1} 00:00:00"))
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // data arriving while the process is DOWN is delivered after restart
+    input.addData((1L, "c"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val table = Storage.openTable(spark, base, "user_state_r").get
+    // committed epoch 0 did NOT replay as a third region
+    table.regions.length shouldBe 2
+    table.snapshot(ts("2024-06-01 00:00:00")).get
+      .select("user_id", "state").as[(Long, String)]
+      .collect().sortBy(_._1) shouldBe Array((1L, "c"), (2L, "b"))
+  }
+
+  it("bm25 serving epoch replay overwrites its own output instead of duplicating it") {
+    import graft.operators.Ranking
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val index = Ranking.bm25Index(corpus, "doc_id", "text").localCheckpoint(true)
+    val out = s"$tmpDir/bm25_replay_out"
+    val batch1 = Seq((1L, "spark window join"), (2L, "data quality"))
+    // run the SAME epoch twice — a fresh checkpoint replays offset 0, the
+    // exact shape of a foreachBatch retry after a crash between the sink
+    // write and the commit. The per-epoch overwrite makes the second run
+    // rewrite batch_id=0 rather than append duplicate result rows.
+    for (attempt <- 1 to 2) {
+      val input = MemoryStream[(Long, String)]
+      val query = Streaming.bm25ServeStream(
+        input.toDF().toDF("query_id", "qtext"), index,
+        "query_id", "qtext", k = 3, out, s"$tmpDir/bm25_replay_cp_$attempt")
+      try {
+        input.addData(batch1: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    val served = spark.read.parquet(out)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = Ranking.bm25TopK(corpus, "doc_id", "text",
+        batch1.toDF("query_id", "qtext"), "query_id", "qtext", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    served shouldBe batch // no duplicates, bit-identical to one clean run
+  }
+
   it("streaming upsampling mixture equals the batch twin under a frozen recipe") {
     import graft.operators.Sampling
     implicit val sqlCtx = spark.sqlContext

@@ -132,6 +132,31 @@ class RecallProbeSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("celled margin mining pair-recall floor") {
+    it("partial probes hold their floor; full probes recover every exact pair") {
+      // sweepMarginMining mines X (the sf corpus) against a jittered
+      // id-offset twin Y — the bitext shape. Floors pinned from the round-11
+      // measurement at this exact (corpus, jitter, k) so a quantizer or
+      // probe change cannot silently drop mined pairs; nProbe == nCells is
+      // the operator's own bit-equality contract (1.0 by construction,
+      // TemporalSpec pins the stronger full-row equality).
+      val rows = RecallProbe.sweepMarginMining(emb, tag = "spec", k = 4)
+      info(rows.map(r => f"${r.params} recall=${r.recall}%.3f scan=${r.scanFrac}%.3f").mkString("; "))
+      val byProbe = rows.map(r => r.params -> r.recall).toMap
+      // measured r11: nProbe=2 → 0.996, nProbe>=4 → 1.000 (the jittered
+      // twin sits close, so a well-placed quantizer catches nearly all of
+      // it — the floors leave only benign-drift slack)
+      byProbe("nCells=32 nProbe=32 k=4") shouldBe 1.0
+      byProbe("nCells=32 nProbe=16 k=4") should be >= 0.99
+      byProbe("nCells=32 nProbe=4 k=4") should be >= 0.97
+      byProbe("nCells=32 nProbe=2 k=4") should be >= 0.93
+      // recall is monotone in probes (same centroids, nested candidates
+      // except for neighbourhood-sum drift at tiny probes)
+      byProbe("nCells=32 nProbe=16 k=4") should be >=
+        byProbe("nCells=32 nProbe=2 k=4")
+    }
+  }
+
   describe("replicate") {
     it("grows the corpus repl-fold with distinct ids and no exact duplicates") {
       val rep = RecallProbe.replicate(emb.limit(50), repl = 3)
