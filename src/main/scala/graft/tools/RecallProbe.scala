@@ -271,19 +271,26 @@ object RecallProbe {
     val queries = emb.filter(col("vec_id") < 100).persist()
     println(s"[recall] corpus=${emb.count()} queries=${queries.count()} sf=$sfDir")
 
-    val base = sweep(emb, queries, tag = f"${emb.count()}") ++
-      sweepRerank(emb, queries, tag = f"${emb.count()}") ++
-      sweepMarginMining(emb, tag = f"${emb.count()}x2") // 20k x 20k at sf0.1
+    // optional 3rd arg: probe only the named families ("ann", "rerank",
+    // "margin") — the margin sweep alone is minutes, the full grid much more
+    val fams = args.drop(2).toSet
+    def want(f: String) = fams.isEmpty || fams.contains(f)
+    val base =
+      (if (want("ann")) sweep(emb, queries, tag = f"${emb.count()}") else Nil) ++
+      (if (want("rerank")) sweepRerank(emb, queries, tag = f"${emb.count()}") else Nil) ++
+      (if (want("margin")) sweepMarginMining(emb, tag = f"${emb.count()}x2") else Nil) // 20k x 20k at sf0.1
 
     // the 10x check: headline configs only (brute-force truth is repl x
     // bigger; the point is the trend, not the full grid)
     val big = if (repl > 1) {
       val bigCorpus = replicate(emb, repl).persist()
       bigCorpus.count()
-      val r = sweep(bigCorpus, queries, tag = f"${repl}x=${bigCorpus.count()}",
-        headlineOnly = true) ++
-        sweepRerank(bigCorpus, queries, tag = f"${repl}x=${bigCorpus.count()}",
-          headlineOnly = true)
+      val r = (if (want("ann")) sweep(bigCorpus, queries,
+          tag = f"${repl}x=${bigCorpus.count()}", headlineOnly = true) else Nil) ++
+        (if (want("rerank")) sweepRerank(bigCorpus, queries,
+          tag = f"${repl}x=${bigCorpus.count()}", headlineOnly = true) else Nil) ++
+        (if (want("margin")) sweepMarginMining(bigCorpus,
+          tag = f"${repl}x=${bigCorpus.count()}x2") else Nil) // 20k x 20k
       bigCorpus.unpersist()
       r
     } else Seq.empty
