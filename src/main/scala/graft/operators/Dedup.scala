@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -184,12 +185,22 @@ object Dedup {
       rowsPerBand: Int = 8,
       shingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // materialise the signature stage once for its three consumers (see
+    // materialise the signature stage once for its consumers (see
     // Materialize for the localCheckpoint-vs-replicated-persist trade)
     val signed = minHashSignatures(docs, idCol, textCol, bands, rowsPerBand, shingleWords)
+    // DISTINCT-CONTENT COLLAPSE (round 11, mirrors ngramJaccardPairs): rows
+    // with identical SIGNATURES are interchangeable — they band together in
+    // every band and estimate 1.0 against each other, identical values
+    // against everyone else. Banding + candidate join + verify run over one
+    // representative per signature class; within-class pairs emit at 1.0;
+    // cross-class pairs expand back to ids. Output bit-identical to the
+    // all-rows formulation, candidate work scales with distinct content.
+    val w = Window.partitionBy(col("sig"))
+    val withRep = signed.withColumn("rep", min(col("doc_id")).over(w))
       .transform(Materialize.apply)
-
-    val banded = bandBuckets(signed, bands, rowsPerBand)
+    val reps = withRep.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig"))
+    val banded = bandBuckets(reps, bands, rowsPerBand)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -197,12 +208,25 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
-      .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val repPairs = candidates
+      .join(reps.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(reps.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+
+    val ids = withRep.select(col("doc_id"), col("rep"))
+    val cross = repPairs
+      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("est_jaccard"))
+    // identical signatures estimate exactly 1.0 (round-4 of k/k)
+    val twins = ids.select(col("rep"), col("doc_id").as("id_a"))
+      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
+    if (threshold <= 1.0) cross.unionByName(twins) else cross
   }
 
   /** The signature stage of [[minHashLshPairs]] on its own: (doc_id, sig).
@@ -333,7 +357,20 @@ object Dedup {
     * sorted 64-bit arrays once (collision odds ~|g|²/2^65 per pair — never
     * observed at corpus scale, so Jaccard over hashes equals Jaccard over
     * strings); the verify stage is then a linear merge over two sorted long
-    * arrays instead of per-pair hash-set construction over strings. */
+    * arrays instead of per-pair hash-set construction over strings.
+    *
+    * DISTINCT-CONTENT COLLAPSE (round 11; same trick that took fuzzy
+    * matching from 68s to 1s): crawl corpora are massively
+    * boilerplate-duplicated, and rows sharing a (block, gram-set)
+    * equivalence class are interchangeable to the verify function — any
+    * two of them score Jaccard exactly 1.0 against each other and
+    * identical values against everyone else. So the quadratic verify
+    * stage runs over one REPRESENTATIVE per class, within-class pairs
+    * emit directly at 1.0, and cross-class pairs expand back to ids via
+    * two hash joins. Output is bit-identical to the naive self-join while
+    * verify work scales with distinct-CONTENT block occupancy: on the
+    * 10x-replicated sf1 corpus (every doc x10 byte-identical) this is a
+    * ~100x candidate-work cut. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -343,10 +380,35 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.sql.functions.ensureRegistered(docs.sparkSession)
     val prepped = prepareNgrams(docs, idCol, textCol, blockCols, n)
-      .transform(Materialize.apply) // both self-join legs read it
-    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b"))
-    verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
+    // class representative = min doc id over the (block, grams) window —
+    // window grouping treats equal arrays (sorted + deduped, so canonical)
+    // and SQL-equal blocks as one class, nulls grouped together exactly as
+    // a groupBy would
+    val w = Window.partitionBy(col("block"), col("grams"))
+    val withRep = prepped.withColumn("rep", min(col("doc_id")).over(w))
+      .transform(Materialize.apply) // reps leg + two expansion legs read it
+    val reps = withRep.where(col("doc_id") === col("rep"))
+    val a = reps.select(col("block"), col("rep").as("id_a"), col("grams").as("g_a"))
+    val b = reps.select(col("block"), col("rep").as("id_b"), col("grams").as("g_b"))
+    val repPairs = verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
+    val ids = withRep.select(col("doc_id"), col("rep"))
+    // cross-class pairs expand to every member combination; least/greatest
+    // restores the id_a < id_b contract (a member of the smaller-rep class
+    // can still carry the larger doc id)
+    val cross = repPairs
+      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+    // within-class pairs: gram sets equal, Jaccard exactly 1.0 (what the
+    // naive verify returns for them) — id-only self-join per class
+    val twins = ids.select(col("rep"), col("doc_id").as("id_a"))
+      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // a threshold above 1.0 excludes even identical texts in the naive
+    // formulation — keep that corner exact
+    if (threshold <= 1.0) cross.unionByName(twins) else cross
   }
 
   /** Directional near-CONTAINMENT pairs: (contained, container) where at

@@ -345,6 +345,99 @@ class OperatorsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("distinct-content collapse (round 11) is output-identical under heavy duplication") {
+    // the replicated-corpus regime the sf1 slope run flagged: every doc
+    // appears in several byte-identical copies. The collapsed operators must
+    // emit EXACTLY the pairs a naive all-rows formulation would — including
+    // within-group pairs at exactly 1.0 — while verifying only one
+    // representative per content class.
+    it("ngramJaccardPairs equals a local brute-force over a 5x-duplicated corpus") {
+      val base = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+        .filter(col("doc_id") < 120)
+        .select($"doc_id", $"text", $"lang", $"n_chars")
+      val dup = (0 until 5).map(r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 10000L)))
+        .reduce(_ unionByName _)
+      val blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket"))
+      val got = Dedup.ngramJaccardPairs(dup, "doc_id", "text", blockCols, 3, 0.7)
+        .as[(Long, Long, Double)].collect().toSet
+
+      // local naive replay: FNV-1a-64 over codepoint 3-grams, same rounding
+      val rows = dup.select($"doc_id", $"text", $"lang",
+          floor(col("n_chars") / lit(50)).as("lb"))
+        .as[(Long, String, String, Long)].collect()
+      def grams(txt: String): Set[Long] = {
+        val cps = if (txt == null) Array.empty[Int] else txt.codePoints().toArray
+        val nG = math.max(cps.length - 3 + 1, 1)
+        (0 until nG).map { i =>
+          val end = math.min(i + 3, cps.length)
+          var h = 0xcbf29ce484222325L
+          var j = i
+          while (j < end) { h ^= cps(j); h *= 0x100000001b3L; j += 1 }
+          h
+        }.toSet
+      }
+      val sigs = rows.map(r => (r._1, (r._3, r._4), grams(r._2)))
+      val want = (for {
+        (ia, ba, ga) <- sigs; (ib, bb, gb) <- sigs
+        if ia < ib && ba == bb
+        ix = (ga intersect gb).size
+        j = BigDecimal(ix.toDouble / (ga.size + gb.size - ix))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.7
+      } yield (ia, ib, j)).toSet
+      got shouldBe want
+      // the duplication regime is actually exercised: within-group 1.0
+      // pairs dominate (each original doc contributes C(5,2) = 10 of them)
+      got.count(_._3 == 1.0) should be >= (120 * 10)
+    }
+
+    it("cosineNearDupPairs equals a local brute-force over a 3x-duplicated embedding corpus") {
+      val base = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+        .filter(col("vec_id") < 100).select($"vec_id", $"embedding", $"label")
+      val dup = (0 until 3).map(r =>
+        base.withColumn("vec_id", col("vec_id") + lit(r * 10000L)))
+        .reduce(_ unionByName _)
+      val got = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding",
+          blockCol = col("label"), threshold = 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      val rows = dup.select($"vec_id", $"label",
+          $"embedding".cast("array<double>"))
+        .as[(Long, String, Array[Double])].collect()
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val want = (for {
+        (ia, la, va) <- rows; (ib, lb, vb) <- rows
+        if ia < ib && la == lb
+        c = cos(va, vb) if c >= 0.3
+      } yield (ia, ib, c)).toSet
+      got shouldBe want
+      // the within-class 1.0 regime is exercised: each vector has 3 copies
+      got.count(_._3 == 1.0) should be >= 100
+    }
+
+    it("minHashLshPairs on a duplicated corpus emits every within-group pair at exactly 1.0") {
+      val base = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+        .filter(col("doc_id") < 200).select($"doc_id", $"text")
+      val dup = (0 until 3).map(r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 10000L)))
+        .reduce(_ unionByName _)
+      val pairs = Dedup.minHashLshPairs(dup, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+      // every (orig, replica) combination present at est exactly 1.0:
+      // signatures of byte-identical texts are identical
+      val within = pairs.filter { case (a, b, _) => a % 10000L == b % 10000L }
+      within.length should be >= (200 * 3) // 200 docs x C(3,2), minus sig-collided groups counted cross
+      within.foreach(_._3 shouldBe 1.0)
+      // and no duplicate (id_a, id_b) rows from the union of the two legs
+      pairs.map(p => (p._1, p._2)).distinct.length shouldBe pairs.length
+    }
+  }
+
   describe("minhash estimates") {
     it("near-identical docs score near 1, disjoint docs near 0") {
       val base = (1 to 60).map(i => s"tok$i").mkString(" ")
