@@ -866,7 +866,21 @@ object Dedup {
     * equi-join is LOSSLESS at the default threshold and never all-pairs —
     * candidate work scales with bucket sizes, not corpus². */
   def fingerprintPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withQuads = hashed
+    // DISTINCT-CONTENT COLLAPSE (round 11, mirrors ngramJaccardPairs): the
+    // fingerprint fully determines both the quadrant blocking and the
+    // hamming distance, so rows sharing `sh` are interchangeable —
+    // blocking + candidate join + verify run over one representative per
+    // fingerprint; within-class pairs reuse the SAME hamming expression on
+    // the class fingerprint (0 for non-null sh, null-sh classes drop
+    // exactly as the naive join's null keys do); cross-class pairs expand
+    // back to ids. Output bit-identical, candidate work scales with
+    // distinct fingerprints.
+    val w = Window.partitionBy(col("sh"))
+    val withRep = hashed.select(col("doc_id"), col("sh"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .transform(Materialize.apply)
+    val reps = withRep.where(col("doc_id") === col("rep"))
+    val withQuads = reps
       .withColumn("q0", col("sh").bitwiseAND(lit(0x7FFFL)))
       .withColumn("q1", shiftrightunsigned(col("sh"), 15).bitwiseAND(lit(0x7FFFL)))
       .withColumn("q2", shiftrightunsigned(col("sh"), 30).bitwiseAND(lit(0x7FFFL)))
@@ -882,12 +896,27 @@ object Dedup {
 
     val a = withQuads.select(col("quad"), col("qval"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withQuads.select(col("quad"), col("qval"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("quad", "qval"))
+    val repPairs = a.join(b, Seq("quad", "qval"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+
+    val ids = withRep.select(col("doc_id"), col("rep"))
+    val cross = repPairs
+      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("hamming"))
+    val twins = reps
+      .select(col("rep"), hamming64(col("sh"), col("sh")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .join(ids.select(col("rep"), col("doc_id").as("id_a")), "rep")
+      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    cross.unionByName(twins)
   }
 
   /** Winnowing fingerprints per document (MOSS — Schleimer et al. 2003),

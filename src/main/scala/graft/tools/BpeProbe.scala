@@ -33,12 +33,26 @@ object BpeProbe {
           md5(concat(col("text"), col("doc_id"))),
           md5(concat(col("doc_id"), col("text")))).as("text"))
         .unionByName(part.select(col("p_name").as("text")))
-      val t0 = System.nanoTime()
-      val (m, v) = graft.operators.Bpe.learnBpe(corpus, col("text"), n.toInt)
-      val sec = (System.nanoTime() - t0) / 1e9
-      v.unpersist()
-      println(f"PROBE scale merges=${m.size} total=$sec%.1f s " +
-        f"perMerge=${sec / math.max(m.size, 1)}%.4f s")
+      // distributed rounds vs the driver-local exact trainer (round 11):
+      // same corpus, same merge count — the local path must show the
+      // rounds-free cost profile that makes a 32k-vocab train practical
+      val t1 = System.nanoTime()
+      val (ml, vl) = graft.operators.Bpe.learnBpeLocal(corpus, col("text"), n.toInt)
+      val secL = (System.nanoTime() - t1) / 1e9
+      vl.unpersist()
+      println(f"PROBE scale LOCAL merges=${ml.size} total=$secL%.1f s " +
+        f"perMerge=${secL / math.max(ml.size, 1)}%.4f s")
+      if (sys.env.get("SPARK_GRAFT_BPE_SKIP_DIST").isEmpty) {
+        val t0 = System.nanoTime()
+        val (m, v) = graft.operators.Bpe.learnBpe(corpus, col("text"), n.toInt)
+        val sec = (System.nanoTime() - t0) / 1e9
+        v.unpersist()
+        println(f"PROBE scale DISTRIBUTED merges=${m.size} total=$sec%.1f s " +
+          f"perMerge=${sec / math.max(m.size, 1)}%.4f s")
+        val same = m.map(x => (x.left, x.right, x.count)) ==
+          ml.map(x => (x.left, x.right, x.count))
+        println(s"PROBE scale merge tables identical: $same")
+      }
       spark.stop()
       return
     }

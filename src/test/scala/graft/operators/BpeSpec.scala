@@ -89,6 +89,45 @@ class BpeSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("driver-local training is merge-for-merge and vocab-identical to the distributed rounds") {
+    // the 32k-vocab production path: one distributed word-count pass, then
+    // exact incremental BPE on the driver — must reproduce learnBpe's
+    // merges (same argmax tie-break, same greedy pass) AND the same final
+    // word -> syms table, on a corpus that exercises conflicts, runs and
+    // ties. Includes the real sf0.001 documents slice for non-toy shape.
+    val toy = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the threadbare theme there then they the the",
+      "inner dinner thinner winner sinner in inn inning",
+      "aaa aaab baaa abab",
+      "lowest lower lowly low slowest slower slow").toDF("text")
+    val real = spark.read.parquet(s"${sf()}/documents.parquet")
+      .limit(200).select(col("text"))
+    for ((docs, nm, label) <- Seq((toy, 30, "toy"), (real, 120, "sf0.001"))) {
+      val (dist, vd) = Bpe.learnBpe(docs, col("text"), numMerges = nm)
+      val (local, vl) = Bpe.learnBpeLocal(docs, col("text"), numMerges = nm)
+      withClue(s"$label merges: ") {
+        local.map(m => (m.left, m.right, m.count)) shouldBe
+          dist.map(m => (m.left, m.right, m.count))
+      }
+      withClue(s"$label vocab: ") {
+        vl.select($"word", $"cnt", $"syms").as[(String, Long, Seq[String])]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap shouldBe
+          vd.select($"word", $"cnt", $"syms").as[(String, Long, Seq[String])]
+            .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      vd.unpersist(); vl.unpersist()
+    }
+  }
+
+  it("driver-local training refuses a word table past the cap") {
+    val docs = Seq("one two three four five").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.learnBpeLocal(docs, col("text"), numMerges = 2, maxDistinctWords = 3)
+    }
+    ex.getMessage should include("maxDistinctWords")
+  }
+
   it("batching makes progress in fewer driver rounds than merges learned") {
     // count Spark jobs as a round proxy: each round runs exactly one
     // candidate-collect job; sequential 12 merges = 12 collects

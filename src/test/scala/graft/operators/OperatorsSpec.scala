@@ -420,6 +420,33 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       got.count(_._3 == 1.0) should be >= 100
     }
 
+    it("fingerprintPairs equals a local brute-force over a 4x-duplicated fingerprint frame") {
+      // fingerprints with planted near-pairs (hamming 1-3), far pairs, an
+      // exact-dup class and a null class, each id replicated 4x
+      val base = Seq(
+        (1L, java.lang.Long.valueOf(0x0123456789abcdefL)),
+        (2L, java.lang.Long.valueOf(0x0123456789abcdeeL)), // hamming 1 vs id 1
+        (3L, java.lang.Long.valueOf(0x0123456789abcdefL)), // exact dup of id 1
+        (4L, java.lang.Long.valueOf(0x7fffffffffffffffL)),
+        (5L, java.lang.Long.valueOf(0x0123456789abc0efL)), // hamming 3 vs id 1
+        (6L, null.asInstanceOf[java.lang.Long]))           // null never pairs
+      val dup = (0 until 4).flatMap(r =>
+        base.map { case (id, sh) => (id + r * 100L, sh) })
+      val hashed = dup.toDF("doc_id", "sh")
+      val got = Dedup.fingerprintPairs(hashed, maxHamming = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- dup; (ib, sb) <- dup
+        if ia < ib && sa != null && sb != null
+        h = java.lang.Long.bitCount(sa ^ sb).toLong if h <= 3L
+      } yield (ia, ib, h)).toSet
+      got shouldBe want
+      // duplication regime exercised: ids 1+3 share a fingerprint (8 copies
+      // = C(8,2) = 28 hamming-0 pairs) and ids 2/4/5 each form a 4-copy
+      // class (3 x C(4,2) = 18) — 46 exact-dup pairs total
+      got.count(_._3 == 0) shouldBe 46
+    }
+
     it("minHashLshPairs on a duplicated corpus emits every within-group pair at exactly 1.0") {
       val base = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
         .filter(col("doc_id") < 200).select($"doc_id", $"text")
