@@ -192,15 +192,19 @@ object Dedup {
     // with identical SIGNATURES are interchangeable — they band together in
     // every band and estimate 1.0 against each other, identical values
     // against everyone else. Banding + candidate join + verify run over one
-    // representative per signature class; within-class pairs emit at 1.0;
+    // member per signature class; within-class pairs emit at 1.0;
     // cross-class pairs expand back to ids. Output bit-identical to the
     // all-rows formulation, candidate work scales with distinct content.
-    val w = Window.partitionBy(col("sig"))
-    val withRep = signed.withColumn("rep", min(col("doc_id")).over(w))
-      .transform(Materialize.apply)
-    val reps = withRep.where(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("sig"))
-    val banded = bandBuckets(reps, bands, rowsPerBand)
+    // Class key = two-seed xxhash64 of the signature (content identity, not
+    // a min-id representative — unique even under duplicate input ids;
+    // collision ~2^-128, beyond the 32-bit-per-shingle identity the
+    // signature itself rides on).
+    val ck = struct(
+      xxhash64(col("sig")).as("k1"), xxhash64(lit(1L), col("sig")).as("k2"))
+    val withCk = signed.withColumn("ck", ck).transform(Materialize.apply)
+    val classes = withCk.dropDuplicates("ck").select(col("ck"), col("sig"))
+    val banded = bandBuckets(classes.select(col("ck").as("doc_id"), col("sig")),
+      bands, rowsPerBand)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -208,22 +212,25 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val repPairs = candidates
-      .join(reps.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(reps.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val classPairs = candidates
+      .join(classes.select(col("ck").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(classes.select(col("ck").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
 
-    val ids = withRep.select(col("doc_id"), col("rep"))
-    val cross = repPairs
-      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
-      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+    val ids = withCk.select(col("doc_id"), col("ck"))
+    val cross = classPairs
+      .join(ids.select(col("ck").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(ids.select(col("ck").as("id_b"), col("doc_id").as("__db")), "id_b")
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"), col("est_jaccard"))
+      // duplicate input ids carrying DIFFERENT content: the naive form
+      // never self-pairs an id (id_a < id_b), so neither may the expansion
+      .where(col("id_a") =!= col("id_b"))
     // identical signatures estimate exactly 1.0 (round-4 of k/k)
-    val twins = ids.select(col("rep"), col("doc_id").as("id_a"))
-      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+    val twins = ids.select(col("ck"), col("doc_id").as("id_a"))
+      .join(ids.select(col("ck"), col("doc_id").as("id_b")), "ck")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
     if (threshold <= 1.0) cross.unionByName(twins) else cross
@@ -380,30 +387,39 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.sql.functions.ensureRegistered(docs.sparkSession)
     val prepped = prepareNgrams(docs, idCol, textCol, blockCols, n)
-    // class representative = min doc id over the (block, grams) window —
-    // window grouping treats equal arrays (sorted + deduped, so canonical)
-    // and SQL-equal blocks as one class, nulls grouped together exactly as
-    // a groupBy would
-    val w = Window.partitionBy(col("block"), col("grams"))
-    val withRep = prepped.withColumn("rep", min(col("doc_id")).over(w))
-      .transform(Materialize.apply) // reps leg + two expansion legs read it
-    val reps = withRep.where(col("doc_id") === col("rep"))
-    val a = reps.select(col("block"), col("rep").as("id_a"), col("grams").as("g_a"))
-    val b = reps.select(col("block"), col("rep").as("id_b"), col("grams").as("g_b"))
-    val repPairs = verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
-    val ids = withRep.select(col("doc_id"), col("rep"))
+    // class key = two-seed xxhash64 over (block, grams) as one struct —
+    // content identity, NOT min(doc_id): a min-id representative is not
+    // unique across classes when input ids repeat (spec-pinned corner).
+    // Arrays are sorted + deduped (canonical), so equal gram SETS hash
+    // equally; the two independent 64-bit seeds put class-key collisions
+    // at ~2^-128 per class pair — far beyond the 64-bit per-gram hash
+    // identity the Jaccard itself already rides on.
+    val ck = struct(
+      xxhash64(col("block"), col("grams")).as("k1"),
+      xxhash64(lit(1L), col("block"), col("grams")).as("k2"))
+    val withCk = prepped.withColumn("ck", ck)
+      .transform(Materialize.apply) // classes leg + two expansion legs read it
+    // one arbitrary member per class — all members carry identical
+    // (block, grams), which is all the verify stage reads
+    val classes = withCk.dropDuplicates("ck")
+    val a = classes.select(col("block"), col("ck").as("id_a"), col("grams").as("g_a"))
+    val b = classes.select(col("block"), col("ck").as("id_b"), col("grams").as("g_b"))
+    val classPairs = verifiedPairs(a, b, col("id_a") < col("id_b"), threshold)
+    val ids = withCk.select(col("doc_id"), col("ck"))
     // cross-class pairs expand to every member combination; least/greatest
-    // restores the id_a < id_b contract (a member of the smaller-rep class
-    // can still carry the larger doc id)
-    val cross = repPairs
-      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
-      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+    // restores the id_a < id_b output contract, and duplicate input ids
+    // carrying DIFFERENT content must not self-pair (the naive form's
+    // id_a < id_b never pairs an id with itself)
+    val cross = classPairs
+      .join(ids.select(col("ck").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(ids.select(col("ck").as("id_b"), col("doc_id").as("__db")), "id_b")
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+      .where(col("id_a") =!= col("id_b"))
     // within-class pairs: gram sets equal, Jaccard exactly 1.0 (what the
     // naive verify returns for them) — id-only self-join per class
-    val twins = ids.select(col("rep"), col("doc_id").as("id_a"))
-      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+    val twins = ids.select(col("ck"), col("doc_id").as("id_a"))
+      .join(ids.select(col("ck"), col("doc_id").as("id_b")), "ck")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     // a threshold above 1.0 excludes even identical texts in the naive
@@ -869,51 +885,53 @@ object Dedup {
     // DISTINCT-CONTENT COLLAPSE (round 11, mirrors ngramJaccardPairs): the
     // fingerprint fully determines both the quadrant blocking and the
     // hamming distance, so rows sharing `sh` are interchangeable —
-    // blocking + candidate join + verify run over one representative per
-    // fingerprint; within-class pairs reuse the SAME hamming expression on
-    // the class fingerprint (0 for non-null sh, null-sh classes drop
-    // exactly as the naive join's null keys do); cross-class pairs expand
-    // back to ids. Output bit-identical, candidate work scales with
-    // distinct fingerprints.
-    val w = Window.partitionBy(col("sh"))
-    val withRep = hashed.select(col("doc_id"), col("sh"))
-      .withColumn("rep", min(col("doc_id")).over(w))
+    // blocking + candidate join + verify run over one member per distinct
+    // fingerprint, with `sh` ITSELF as the (exact, 64-bit) class key;
+    // within-class pairs reuse the SAME hamming expression on the class
+    // fingerprint (0 for non-null sh, null-sh classes drop exactly as the
+    // naive join's null keys do); cross-class pairs expand back to ids.
+    // Output bit-identical, candidate work scales with distinct
+    // fingerprints.
+    val withCk = hashed.select(col("doc_id"), col("sh"))
       .transform(Materialize.apply)
-    val reps = withRep.where(col("doc_id") === col("rep"))
+    val reps = withCk.dropDuplicates("sh")
     val withQuads = reps
       .withColumn("q0", col("sh").bitwiseAND(lit(0x7FFFL)))
       .withColumn("q1", shiftrightunsigned(col("sh"), 15).bitwiseAND(lit(0x7FFFL)))
       .withColumn("q2", shiftrightunsigned(col("sh"), 30).bitwiseAND(lit(0x7FFFL)))
       .withColumn("q3", shiftrightunsigned(col("sh"), 45).bitwiseAND(lit(0x7FFFL)))
       .select(
-        col("doc_id"), col("sh"),
+        col("sh"),
         explode(array(
           struct(lit(0).as("quad"), col("q0").as("qval")),
           struct(lit(1).as("quad"), col("q1").as("qval")),
           struct(lit(2).as("quad"), col("q2").as("qval")),
           struct(lit(3).as("quad"), col("q3").as("qval")))).as("q"))
-      .select(col("doc_id"), col("sh"), col("q.quad"), col("q.qval"))
+      .select(col("sh"), col("q.quad"), col("q.qval"))
 
-    val a = withQuads.select(col("quad"), col("qval"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = withQuads.select(col("quad"), col("qval"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val repPairs = a.join(b, Seq("quad", "qval"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val a = withQuads.select(col("quad"), col("qval"), col("sh").as("sh_a"))
+    val b = withQuads.select(col("quad"), col("qval"), col("sh").as("sh_b"))
+    val classPairs = a.join(b, Seq("quad", "qval"))
+      .where(col("sh_a") < col("sh_b"))
+      .dropDuplicates("sh_a", "sh_b")
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("sh_a", "sh_b", "hamming")
 
-    val ids = withRep.select(col("doc_id"), col("rep"))
-    val cross = repPairs
-      .join(ids.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
-      .join(ids.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+    val ids = withCk.select(col("doc_id"), col("sh"))
+    val cross = classPairs
+      .join(ids.select(col("sh").as("sh_a"), col("doc_id").as("__da")), "sh_a")
+      .join(ids.select(col("sh").as("sh_b"), col("doc_id").as("__db")), "sh_b")
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"), col("hamming"))
+      // duplicate input ids carrying DIFFERENT content: the naive form
+      // never self-pairs an id (id_a < id_b), so neither may the expansion
+      .where(col("id_a") =!= col("id_b"))
     val twins = reps
-      .select(col("rep"), hamming64(col("sh"), col("sh")).as("hamming"))
+      .select(col("sh"), hamming64(col("sh"), col("sh")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .join(ids.select(col("rep"), col("doc_id").as("id_a")), "rep")
-      .join(ids.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .join(ids.select(col("sh"), col("doc_id").as("id_a")), "sh")
+      .join(ids.select(col("sh"), col("doc_id").as("id_b")), "sh")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
     cross.unionByName(twins)

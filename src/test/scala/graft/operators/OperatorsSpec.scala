@@ -420,6 +420,32 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       got.count(_._3 == 1.0) should be >= 100
     }
 
+    it("duplicate input ids carrying different content never self-pair") {
+      // id 1 appears twice with DIFFERENT texts: the naive self-join's
+      // id_a < id_b never pairs an id with itself, so the class expansion
+      // must not either (least/greatest alone would emit (1,1))
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq(lit(1).as("b")), 3, 0.1)
+        .as[(Long, Long, Double)].collect().toSeq
+      pairs.filter(p => p._1 == p._2) shouldBe empty
+      // both (1,2) relations survive — the exact-dup one at 1.0 and the
+      // near-dup one through id 1's second text (what the naive form emits)
+      pairs.filter(p => (p._1, p._2) == (1L, 2L)).map(_._3).sorted.toSeq should
+        have size 2
+      pairs.exists(p => (p._1, p._2) == (1L, 2L) && p._3 == 1.0) shouldBe true
+
+      val fps = Dedup.fingerprintPairs(Seq(
+          (1L, 0x0fL), (1L, 0xf0L), (2L, 0x0fL)).toDF("doc_id", "sh"),
+          maxHamming = 8)
+        .as[(Long, Long, Long)].collect().toSeq
+      fps.filter(p => p._1 == p._2) shouldBe empty
+      fps.map(p => (p._1, p._2, p._3)).sorted shouldBe Seq((1L, 2L, 0L), (1L, 2L, 8L))
+    }
+
     it("fingerprintPairs equals a local brute-force over a 4x-duplicated fingerprint frame") {
       // fingerprints with planted near-pairs (hamming 1-3), far pairs, an
       // exact-dup class and a null class, each id replicated 4x
