@@ -48,6 +48,11 @@ trait RDBMExtractor {
   /** Dialect-specific quoting. */
   def escapeKeyword(identifier: String): String = identifier
 
+  /** Names pushed INSIDE a SQL string literal (catalog probes like
+    * `object_id('schema.table')`) get embedded quotes doubled — the same
+    * injection discipline `escapeKeyword` applies to identifier position. */
+  protected def escapeStringLiteral(s: String): String = s.replace("'", "''")
+
   /** The delta select pushed to the DB. */
   def selectQuery(dbSchema: String, tableName: String,
       lastUpdatedColumn: Option[String], lastUpdated: Option[Timestamp]): String = {
@@ -144,7 +149,7 @@ class PostgresExtractor(val spark: SparkSession, val connectionDetails: JDBCConn
     s"""select a.attname as pk_column
        |from pg_index i
        |join pg_attribute a on a.attrelid = i.indrelid and a.attnum = any(i.indkey)
-       |where i.indrelid = '$dbSchema.$tableName'::regclass and i.indisprimary
+       |where i.indrelid = (quote_ident('${escapeStringLiteral(dbSchema)}') || '.' || quote_ident('${escapeStringLiteral(tableName)}'))::regclass and i.indisprimary
        |order by array_position(i.indkey, a.attnum)""".stripMargin
        // ordered by key ordinal: without it composite-PK column order is
        // unspecified and varies across runs, breaking .table_info equality
@@ -183,7 +188,7 @@ class SQLServerExtractor(val spark: SparkSession, val connectionDetails: JDBCCon
        |from sys.indexes i
        |join sys.index_columns ic on i.object_id = ic.object_id and i.index_id = ic.index_id
        |join sys.columns c on ic.object_id = c.object_id and ic.column_id = c.column_id
-       |where i.is_primary_key = 1 and i.object_id = object_id('$dbSchema.$tableName')
+       |where i.is_primary_key = 1 and i.object_id = object_id(quotename('${escapeStringLiteral(dbSchema)}') + '.' + quotename('${escapeStringLiteral(tableName)}'))
        |order by ic.key_ordinal""".stripMargin
 
   def getTableMetadata(dbSchema: String, tableName: String,
@@ -230,7 +235,7 @@ class SQLServerTemporalExtractor(spark: SparkSession, connectionDetails: JDBCCon
        |join sys.periods p on p.object_id = t.object_id
        |join sys.columns cs on cs.object_id = t.object_id and cs.column_id = p.start_column_id
        |join sys.columns ce on ce.object_id = t.object_id and ce.column_id = p.end_column_id
-       |where t.object_id = object_id('$dbSchema.$tableName')""".stripMargin
+       |where t.object_id = object_id(quotename('${escapeStringLiteral(dbSchema)}') + '.' + quotename('${escapeStringLiteral(tableName)}'))""".stripMargin
 
   /** (startCol, endCol, historyTable) from the catalog; None when the table
     * carries no sys.periods row (not system-versioned). */

@@ -76,7 +76,16 @@ class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
     FileStorageOps.withMicrosTimestamps(spark) {
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     }
-    moveOverwriteFolder(staging, dest, overwrite)
+    // a losing/failed publish must not leak its full parquet copy under
+    // .tmp forever (unique staging dirs are never reused, so nothing else
+    // will ever clean them) — delete before rethrowing
+    try moveOverwriteFolder(staging, dest, overwrite)
+    catch {
+      case e: Throwable =>
+        try fs.delete(staging, true)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+    }
     dest
   }
 

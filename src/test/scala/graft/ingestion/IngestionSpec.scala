@@ -115,7 +115,7 @@ class IngestionSpec extends SparkTestBase with Matchers {
         """select a.attname as pk_column
           |from pg_index i
           |join pg_attribute a on a.attrelid = i.indrelid and a.attnum = any(i.indkey)
-          |where i.indrelid = 'public.users'::regclass and i.indisprimary
+          |where i.indrelid = (quote_ident('public') || '.' || quote_ident('users'))::regclass and i.indisprimary
           |order by array_position(i.indkey, a.attnum)""".stripMargin
 
       val ms = new SQLServerExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
@@ -126,7 +126,7 @@ class IngestionSpec extends SparkTestBase with Matchers {
           |from sys.indexes i
           |join sys.index_columns ic on i.object_id = ic.object_id and i.index_id = ic.index_id
           |join sys.columns c on ic.object_id = c.object_id and ic.column_id = c.column_id
-          |where i.is_primary_key = 1 and i.object_id = object_id('dbo.users')
+          |where i.is_primary_key = 1 and i.object_id = object_id(quotename('dbo') + '.' + quotename('users'))
           |order by ic.key_ordinal""".stripMargin
 
       val tmp = new SQLServerTemporalExtractor(spark, JDBCConnection("jdbc:sqlserver://x"))
@@ -141,7 +141,18 @@ class IngestionSpec extends SparkTestBase with Matchers {
           |join sys.periods p on p.object_id = t.object_id
           |join sys.columns cs on cs.object_id = t.object_id and cs.column_id = p.start_column_id
           |join sys.columns ce on ce.object_id = t.object_id and ce.column_id = p.end_column_id
-          |where t.object_id = object_id('dbo.users')""".stripMargin
+          |where t.object_id = object_id(quotename('dbo') + '.' + quotename('users'))""".stripMargin
+
+      // catalog probes are injection-safe: a name carrying a quote doubles
+      // it inside the literal, and quotename/quote_ident bracket the result
+      // server-side (dots and brackets in names can no longer split the
+      // object_id argument)
+      tmp.temporalMetadataQuery("dbo", "us'ers") should include(
+        "object_id(quotename('dbo') + '.' + quotename('us''ers'))")
+      ms.primaryKeyQuery("d'bo", "users") should include(
+        "object_id(quotename('d''bo') + '.' + quotename('users'))")
+      pg.primaryKeyQuery("public", "us'ers") should include(
+        "(quote_ident('public') || '.' || quote_ident('us''ers'))::regclass")
 
       // FOR SYSTEM_TIME delta select (reference SQLServerTemporalExtractor
       // .scala:163-182: same clause order — FOR SYSTEM_TIME immediately

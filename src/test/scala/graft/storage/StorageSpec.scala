@@ -319,6 +319,13 @@ class StorageSpec extends SparkTestBase with Matchers {
           ts("2024-01-01 00:00:01"))
       }
       ex.getMessage should include("already exists")
+      // the loser's per-attempt staging dir is swept on failure — unique
+      // staging names are never reused, so a leaked dir would otherwise
+      // hold a full parquet copy under .tmp forever
+      def filesUnder(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(filesUnder)
+        else if (f.exists) Seq(f) else Seq.empty
+      filesUnder(new java.io.File(s"$tmpDir/.tmp")) shouldBe empty
       // the winner's region is intact and serves reads; the loser's rows
       // are nowhere (staged data never published)
       val readBack = Storage.openTable(spark, tmpDir, "racers").get
