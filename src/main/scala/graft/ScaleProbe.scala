@@ -710,6 +710,38 @@ object ScaleProbe {
         "vec_id", "embedding", k = 4, threshold = 1.0,
         nCells = 32, nProbe = 4)
     }
+
+    // Duplication-fraction sweep for the collapse gate (round-12 verdict
+    // item 9): fixed TOTAL corpus size (5000 rows), duplicate fraction p =
+    // share of rows that are byte-identical copies of another row (ids
+    // stay unique — the shape CollapseGate's estimate measures). Times
+    // ngramJaccardPairs with the collapse forced on vs off — the crossover
+    // backs CollapseGate.DefaultMinDupFraction and COVERAGE's scale table.
+    // Output is identical either way (spec-pinned), so only time differs.
+    // Two timed rounds per cell; the second (warm) is the comparable one.
+    if (only.isEmpty || only.exists("collapse dup sweep".startsWith)) {
+      val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val total = 5000
+      for (p <- Seq(0.0, 0.02, 0.05, 0.1, 0.3, 0.67, 0.9)) {
+        val k = (total * p).toInt          // duplicate-copy rows
+        val d = total - k                  // distinct texts
+        val copies = Iterator.iterate(0)(_ + d).takeWhile(_ < k).map { off =>
+          baseDocs.where(col("doc_id") < math.min(d, k - off))
+            .withColumn("doc_id", col("doc_id") + lit((off / d + 1) * 1000000L))
+        }.toSeq
+        val corpus = (baseDocs.where(col("doc_id") < d) +: copies)
+          .reduce(_ unionByName _)
+          .localCheckpoint(true)
+        for (mode <- Seq("never", "always"); round <- 1 to 2) {
+          spark.conf.set("spark.graft.collapse.force", mode)
+          try time(f"collapse dup sweep p=$p%.2f force=$mode%-6s r$round") {
+            operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+              Seq(lit(1).as("b")), 3, 0.6)
+          } finally spark.conf.unset("spark.graft.collapse.force")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -202,6 +202,26 @@ object Dedup {
     val ck = struct(
       xxhash64(col("sig")).as("k1"), xxhash64(lit(1L), col("sig")).as("k2"))
     val withCk = signed.withColumn("ck", ck).transform(Materialize.apply)
+    // duplication gate (round 12): on a low-duplication corpus the collapse
+    // stages cost more than they save — run the row-level form directly
+    // (bit-identical: the gate only takes this branch when ids are unique,
+    // and identical signatures estimate exactly 1.0 = k/k either way)
+    if (!CollapseGate.collapseWorthIt(withCk, col("doc_id"), col("ck"))) {
+      val banded = bandBuckets(withCk.select(col("doc_id"), col("sig")),
+        bands, rowsPerBand)
+      val candidates = banded.as("a")
+        .join(banded.as("b"), Seq("band", "bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val sigs = withCk.select(col("doc_id"), col("sig"))
+      return candidates
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b")))
+        .where(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    }
     val classes = withCk.dropDuplicates("ck").select(col("ck"), col("sig"))
     val banded = bandBuckets(classes.select(col("ck").as("doc_id"), col("sig")),
       bands, rowsPerBand)
@@ -399,6 +419,15 @@ object Dedup {
       xxhash64(lit(1L), col("block"), col("grams")).as("k2"))
     val withCk = prepped.withColumn("ck", ck)
       .transform(Materialize.apply) // classes leg + two expansion legs read it
+    // duplication gate (round 12): skip the collapse on a low-duplication
+    // corpus — the row-level verify is bit-identical when ids are unique
+    // (identical gram sets verify to exactly 1.0 through the same
+    // graft_jaccard_ge merge the class path reuses)
+    if (!CollapseGate.collapseWorthIt(withCk, col("doc_id"), col("ck")))
+      return verifiedPairs(
+        withCk.select(col("block"), col("doc_id").as("id_a"), col("grams").as("g_a")),
+        withCk.select(col("block"), col("doc_id").as("id_b"), col("grams").as("g_b")),
+        col("id_a") < col("id_b"), threshold)
     // one arbitrary member per class — all members carry identical
     // (block, grams), which is all the verify stage reads
     val classes = withCk.dropDuplicates("ck")
@@ -476,8 +505,7 @@ object Dedup {
     // |X|) is what preserves the pigeonhole recall guarantee under the cap
     val idxF = idx.join(dfreq, Seq("gram")).where(col("df") <= maxGramFreq)
     val idx2 = idxF.select("doc_id", "gram")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
     // prefix length via the same double arithmetic the SQL oracle runs
     // ((1 - t) parsed/compiled to the identical IEEE double on any engine)
     val pre = idxF
@@ -890,24 +918,48 @@ object Dedup {
     // within-class pairs reuse the SAME hamming expression on the class
     // fingerprint (0 for non-null sh, null-sh classes drop exactly as the
     // naive join's null keys do); cross-class pairs expand back to ids.
-    // Output bit-identical, candidate work scales with distinct
+    // Output identical to the naive quadrant join for unique doc_ids;
+    // under DUPLICATE ids carrying different fingerprints the naive form's
+    // dropDuplicates(id_a,id_b) kept one arbitrary (sh_a,sh_b) per id pair
+    // while this form deterministically emits one row per qualifying class
+    // pair — strictly more deterministic and complete (spec pins both
+    // (1,2,0) and (1,2,8)). Candidate work scales with distinct
     // fingerprints.
     val withCk = hashed.select(col("doc_id"), col("sh"))
       .transform(Materialize.apply)
-    val reps = withCk.dropDuplicates("sh")
-    val withQuads = reps
+    // (keyCols..., quad, qval) — one row per 15-bit block of each input row
+    def quadExplode(d: DataFrame, keep: Seq[String]): DataFrame = d
       .withColumn("q0", col("sh").bitwiseAND(lit(0x7FFFL)))
       .withColumn("q1", shiftrightunsigned(col("sh"), 15).bitwiseAND(lit(0x7FFFL)))
       .withColumn("q2", shiftrightunsigned(col("sh"), 30).bitwiseAND(lit(0x7FFFL)))
       .withColumn("q3", shiftrightunsigned(col("sh"), 45).bitwiseAND(lit(0x7FFFL)))
       .select(
-        col("sh"),
-        explode(array(
-          struct(lit(0).as("quad"), col("q0").as("qval")),
-          struct(lit(1).as("quad"), col("q1").as("qval")),
-          struct(lit(2).as("quad"), col("q2").as("qval")),
-          struct(lit(3).as("quad"), col("q3").as("qval")))).as("q"))
-      .select(col("sh"), col("q.quad"), col("q.qval"))
+        keep.map(col) :+
+          explode(array(
+            struct(lit(0).as("quad"), col("q0").as("qval")),
+            struct(lit(1).as("quad"), col("q1").as("qval")),
+            struct(lit(2).as("quad"), col("q2").as("qval")),
+            struct(lit(3).as("quad"), col("q3").as("qval")))).as("q"): _*)
+      .select(keep.map(col) :+ col("q.quad") :+ col("q.qval"): _*)
+    // duplication gate (round 12): skip the collapse on a low-duplication
+    // corpus — with unique ids (gate-guaranteed) each id pair carries a
+    // single (sh_a, sh_b), so the row-level dropDuplicates is deterministic
+    // and the output matches the class form bit-for-bit
+    if (!CollapseGate.collapseWorthIt(withCk, col("doc_id"), col("sh"))) {
+      val rq = quadExplode(withCk, Seq("doc_id", "sh"))
+      val ra = rq.select(col("quad"), col("qval"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val rb = rq.select(col("quad"), col("qval"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      return ra.join(rb, Seq("quad", "qval"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
+    val reps = withCk.dropDuplicates("sh")
+    val withQuads = quadExplode(reps, Seq("sh"))
 
     val a = withQuads.select(col("quad"), col("qval"), col("sh").as("sh_a"))
     val b = withQuads.select(col("quad"), col("qval"), col("sh").as("sh_b"))

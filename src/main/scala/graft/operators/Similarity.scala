@@ -580,6 +580,18 @@ object Similarity {
       xxhash64(col("block"), col("v")).as("k1"),
       xxhash64(lit(1L), col("block"), col("v")).as("k2"))
     val withCk = prepped.withColumn("ck", ck).transform(Materialize.apply)
+    // duplication gate (round 12): skip the collapse on a low-duplication
+    // corpus — bit-identical when ids are unique (gate-guaranteed); the
+    // row-level form scores through the SAME nativeCosine expression
+    if (!CollapseGate.collapseWorthIt(withCk, col("id"), col("ck"))) {
+      val ra = withCk.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+      val rb = withCk.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+      return ra.join(rb, Seq("block"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", nativeCosine(spark, col("v_a"), col("v_b"), scale))
+        .where(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }
     val classes = withCk.dropDuplicates("ck")
     val a = classes.select(col("block"), col("ck").as("id_a"), col("v").as("v_a"))
     val b = classes.select(col("block"), col("ck").as("id_b"), col("v").as("v_b"))

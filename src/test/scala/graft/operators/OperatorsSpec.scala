@@ -489,6 +489,77 @@ class OperatorsSpec extends SparkTestBase with Matchers {
       // and no duplicate (id_a, id_b) rows from the union of the two legs
       pairs.map(p => (p._1, p._2)).distinct.length shouldBe pairs.length
     }
+
+    it("both gate branches are bit-identical on every pair operator (round-12 duplication gate)") {
+      // forced collapse vs forced direct on a corpus with unique ids,
+      // SOME byte-identical duplicates, near-dups and a null — the regime
+      // where the gate's decision could go either way and must never
+      // change the output
+      def forced[A](mode: String)(f: => A): A = {
+        spark.conf.set("spark.graft.collapse.force", mode)
+        try f finally spark.conf.unset("spark.graft.collapse.force")
+      }
+      val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+        .filter(col("doc_id") < 150).select($"doc_id", $"text")
+        .unionByName( // planted exact dups under FRESH unique ids
+          spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+            .filter(col("doc_id") < 30)
+            .select(($"doc_id" + 50000L).as("doc_id"), $"text"))
+      def ngram(m: String) = forced(m)(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq(lit(1).as("b")), 3, 0.6).as[(Long, Long, Double)].collect().toSet)
+      ngram("never") shouldBe ngram("always")
+      def mh(m: String) = forced(m)(
+        Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+          .as[(Long, Long, Double)].collect().toSet)
+      mh("never") shouldBe mh("always")
+      val fpFrame = Seq(
+        (1L, java.lang.Long.valueOf(0x0123456789abcdefL)),
+        (2L, java.lang.Long.valueOf(0x0123456789abcdeeL)),
+        (3L, java.lang.Long.valueOf(0x0123456789abcdefL)),
+        (4L, java.lang.Long.valueOf(0x7fffffffffffffffL)),
+        (5L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "sh")
+      def fp(m: String) = forced(m)(
+        Dedup.fingerprintPairs(fpFrame, maxHamming = 3)
+          .as[(Long, Long, Long)].collect().toSet)
+      fp("never") shouldBe fp("always")
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+        .filter(col("vec_id") < 80).select($"vec_id", $"embedding", $"label")
+        .unionByName(
+          spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+            .filter(col("vec_id") < 20)
+            .select(($"vec_id" + 50000L).as("vec_id"), $"embedding", $"label"))
+      def cosP(m: String) = forced(m)(
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+            blockCol = col("label"), threshold = 0.3)
+          .as[(Long, Long, Double)].collect().toSet)
+      cosP("never") shouldBe cosP("always")
+    }
+
+    it("the duplication gate requires unique ids and prices the dup fraction") {
+      import graft.operators.CollapseGate.collapseWorthIt
+      // unique ids, unique content: direct path (collapse not worth it)
+      val unique = (1L to 200L).map(i => (i, s"content_$i")).toDF("id", "c")
+        .withColumn("ck", xxhash64(col("c")))
+      collapseWorthIt(unique, col("id"), col("ck")) shouldBe false
+      // unique ids, 50% duplicated content: collapse
+      val dup = (1L to 200L).map(i => (i, s"content_${i % 100}")).toDF("id", "c")
+        .withColumn("ck", xxhash64(col("c")))
+      collapseWorthIt(dup, col("id"), col("ck")) shouldBe true
+      // DUPLICATE ids force the collapse even with unique content: the
+      // direct path's bit-identity only holds for unique ids
+      val dupIds = ((1L to 199L) :+ 199L).zipWithIndex
+        .map { case (id, i) => (id, s"content_$i") }.toDF("id", "c")
+        .withColumn("ck", xxhash64(col("c")))
+      collapseWorthIt(dupIds, col("id"), col("ck")) shouldBe true
+      // conf override wins in both directions
+      spark.conf.set("spark.graft.collapse.force", "never")
+      try collapseWorthIt(dup, col("id"), col("ck")) shouldBe false
+      finally spark.conf.unset("spark.graft.collapse.force")
+      spark.conf.set("spark.graft.collapse.force", "always")
+      try collapseWorthIt(unique, col("id"), col("ck")) shouldBe true
+      finally spark.conf.unset("spark.graft.collapse.force")
+    }
   }
 
   describe("minhash estimates") {
