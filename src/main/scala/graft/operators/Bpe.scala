@@ -232,15 +232,48 @@ object Bpe {
     * parallelized back from the trained state and persisted, matching the
     * [[learnBpe]] contract. */
   def learnBpeLocal(docs: DataFrame, text: Column, numMerges: Int,
+      maxDistinctWords: Long = 2000000L,
+      minCount: Long = 1L): (Seq[Merge], DataFrame) =
+    learnBpeLocalFromCounts(wordCounts(docs, text), numMerges,
+      minCount, maxDistinctWords)
+
+  /** [[learnBpeLocal]] from an EXISTING (word, cnt) count frame — the
+    * 100 TB production entry point (round-12 verdict item 4). A real crawl
+    * corpus has ~10^8 distinct words, far above any sensible driver collect
+    * cap, but its mass is zipfian: almost all of it sits in a vocabulary
+    * that DOES fit, and the tail is hapax noise every production tokenizer
+    * trainer truncates. `minCount` applies that standard floor — the
+    * distributed map-combined count stays exact; words with `cnt <
+    * minCount` are dropped BEFORE the collect-cap check; training is then
+    * EXACT BPE over the truncated corpus.
+    *
+    * The approximation, precisely: the result is identical to deleting
+    * every word occurring fewer than `minCount` times from the corpus and
+    * training exactly on what remains. Retained pair counts are exact (a
+    * merge's `count` field never lies about retained mass); a merge can
+    * differ from full-corpus training only where the dropped tail's mass
+    * would have changed an argmax outcome — i.e. where two candidate pairs
+    * sit within tail-mass of each other. BpeProbe's `SPARK_GRAFT_BPE_FLOOR`
+    * mode measures that merge-table delta at several floors on the gate
+    * corpus; COVERAGE records the table. `minCount = 1` (the default) is
+    * full exact training, cap-guarded as before. */
+  def learnBpeLocalFromCounts(counts: DataFrame, numMerges: Int,
+      minCount: Long = 1L,
       maxDistinctWords: Long = 2000000L): (Seq[Merge], DataFrame) = {
-    val spark = docs.sparkSession
-    val wc = wordCounts(docs, text)
+    require(minCount >= 1L, "minCount must be >= 1")
+    val spark = counts.sparkSession
+    val wc =
+      if (minCount <= 1L) counts
+      else counts.where(col("cnt") >= minCount)
     val n = wc.count()
     require(n <= maxDistinctWords,
       s"$n distinct words exceed maxDistinctWords=$maxDistinctWords — the " +
         "word table does not belong on the driver at this size; use " +
-        "learnBpe (distributed rounds) or raise the cap deliberately")
-    val collected = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+        "learnBpe (distributed rounds), raise minCount (standard tokenizer-" +
+        "trainer truncation; see scaladoc for the exactness contract), or " +
+        "raise the cap deliberately")
+    val collected = wc.select(col("word").cast("string"), col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
 
     // mutable training state: per-word symbol arrays + global pair counts +
     // a lazy-invalidation heap (an entry is valid iff its count equals the

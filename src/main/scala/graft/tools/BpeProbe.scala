@@ -56,6 +56,68 @@ object BpeProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_BPE_FLOOR=<maxMerges>: merge-table agreement of minCount
+    // truncation vs full exact training on the gate corpus (round-12
+    // verdict item 4 — the documented approximation, measured). Floors 2,
+    // 3, 5 against the full table: first divergence index and merge-SET
+    // overlap. The corpus is the same widened one the scale probe uses.
+    sys.env.get("SPARK_GRAFT_BPE_FLOOR").foreach { n =>
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+      val corpus = docs
+        .select(concat_ws(" ", col("text"),
+          md5(concat(col("text"), col("doc_id"))),
+          md5(concat(col("doc_id"), col("text")))).as("text"))
+        .unionByName(part.select(col("p_name").as("text")))
+      val counts = graft.operators.Bpe.wordCounts(corpus, col("text"))
+        .localCheckpoint(true)
+      val total = counts.count()
+      val (full, vFull) =
+        graft.operators.Bpe.learnBpeLocalFromCounts(counts, n.toInt)
+      vFull.unpersist()
+      val fullKeys = full.map(m => (m.left, m.right))
+      for (floor <- Seq(2L, 3L, 5L)) {
+        val retained = counts.where(col("cnt") >= floor).count()
+        val t0 = System.nanoTime()
+        val (fl, vF) = graft.operators.Bpe.learnBpeLocalFromCounts(
+          counts, n.toInt, minCount = floor)
+        val sec = (System.nanoTime() - t0) / 1e9
+        vF.unpersist()
+        val flKeys = fl.map(m => (m.left, m.right))
+        val firstDiv = fullKeys.zip(flKeys).indexWhere { case (a, b) => a != b }
+        val overlap = flKeys.toSet.intersect(fullKeys.toSet).size.toDouble /
+          math.max(fullKeys.size, 1)
+        println(f"PROBE floor=$floor retained=$retained/$total " +
+          f"merges=${fl.size} firstDivergence=$firstDiv " +
+          f"setOverlap=$overlap%.4f train=$sec%.1f s")
+      }
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_BPE_HUGE=<numMerges>: the 100 TB tokenizer-train shape —
+    // a synthetic zipfian count table at 10^8 DISTINCT WORDS (far past any
+    // collect cap), truncated by the standard minCount floor to the
+    // vocabulary that carries the mass, then trained exactly. Done-bar:
+    // a 32k-vocab-scale train lands in minutes.
+    sys.env.get("SPARK_GRAFT_BPE_HUGE").foreach { n =>
+      val distinct = sys.env.getOrElse("SPARK_GRAFT_BPE_HUGE_WORDS", "100000000").toLong
+      val floor = sys.env.getOrElse("SPARK_GRAFT_BPE_HUGE_FLOOR", "1000").toLong
+      // rank r (1-based) gets count floor(1e9/r): rank 10^6 ~ 1000, rank
+      // 10^8 ~ 10 — the zipf shape of a crawl vocabulary. Words are
+      // md5-derived 32-char strings (random-ish subword structure).
+      val countsHuge = spark.range(distinct)
+        .select(md5(col("id").cast("string")).as("word"),
+          greatest(lit(1L), (lit(1000000000L) / (col("id") + 1)).cast("long")).as("cnt"))
+      val t0 = System.nanoTime()
+      val (m, v) = graft.operators.Bpe.learnBpeLocalFromCounts(
+        countsHuge, n.toInt, minCount = floor)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val vocabRows = v.count(); v.unpersist()
+      println(f"PROBE huge distinct=$distinct floor=$floor " +
+        f"retained=$vocabRows merges=${m.size} total=$sec%.1f s " +
+        f"perMerge=${sec / math.max(m.size, 1)}%.4f s")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_BPE_MERGES: vocabulary size for the learn probe (the
     // round-8 verdict's done-bar is a 256-merge learn under 30s at sf0.1)
     val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt

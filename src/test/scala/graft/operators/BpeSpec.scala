@@ -128,6 +128,36 @@ class BpeSpec extends SparkTestBase with Matchers {
     ex.getMessage should include("maxDistinctWords")
   }
 
+  it("minCount truncation trains exactly on the retained corpus (round-12 beyond-cap path)") {
+    // heavy words plus a hapax tail: floor 2 must train EXACTLY as if the
+    // tail words were deleted from the corpus before training — that is the
+    // documented approximation contract
+    val docs = Seq(
+      "loop loop loop loop pool pool pool",
+      "xqzv kjwq zzyx").toDF("text")
+    val (floored, vf) =
+      Bpe.learnBpeLocal(docs, col("text"), numMerges = 5, minCount = 2)
+    val truncated = Seq("loop loop loop loop pool pool pool").toDF("text")
+    val (exact, ve) = Bpe.learnBpeLocal(truncated, col("text"), numMerges = 5)
+    floored.map(m => (m.left, m.right, m.count)) shouldBe
+      exact.map(m => (m.left, m.right, m.count))
+    // the retained vocab frame carries no tail words
+    vf.select($"word").as[String].collect().toSet shouldBe Set("loop", "pool")
+    vf.unpersist(); ve.unpersist()
+    // the collect cap applies AFTER truncation: 5 distinct words, floor
+    // retains 2, so a cap of 2 admits the floored table where the full one
+    // refuses — this is what unlocks a 10^8-distinct-word corpus
+    intercept[IllegalArgumentException] {
+      Bpe.learnBpeLocal(docs, col("text"), numMerges = 2, maxDistinctWords = 2)
+    }
+    val (viaCounts, vc) = Bpe.learnBpeLocalFromCounts(
+      Bpe.wordCounts(docs, col("text")), numMerges = 5,
+      minCount = 2, maxDistinctWords = 2)
+    viaCounts.map(m => (m.left, m.right, m.count)) shouldBe
+      exact.map(m => (m.left, m.right, m.count))
+    vc.unpersist()
+  }
+
   it("batching makes progress in fewer driver rounds than merges learned") {
     // count Spark jobs as a round proxy: each round runs exactly one
     // candidate-collect job; sequential 12 merges = 12 collects
