@@ -82,6 +82,23 @@ object Bench {
             "q150-q155 will time synthesis + decode"))
     }
 
+    // Cross-round reference (round-12 verdict item 1): per-query times from
+    // the PREVIOUS round's clean artifact, keyed by short qNN name. The
+    // round-11 driver artifact proved the same-run median floor cannot catch
+    // a UNIFORMLY loaded machine (contention inflates the median too, so the
+    // 5x-median floor rises with the noise it should detect) — an absolute
+    // cross-round anchor can. Loaded from SPARK_GRAFT_BENCH_REF, else
+    // tools/bench_ref_<sf-basename>.json; missing file -> empty map (the
+    // median rule below still applies).
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      s"tools/bench_ref_${new java.io.File(sfDir).getName}.json")
+    val refTimes: Map[String, Double] = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8)
+      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
     // local-iteration filter (the driver sets no SPARK_GRAFT_ONLY): time a
     // comma-separated subset of query-name prefixes, same contract as
     // Verify's optional 3rd arg
@@ -114,6 +131,23 @@ object Bench {
         scala.util.Try(r.unpersist(blocking = false)))
       spark.sharedState.cacheManager.clearCache()
     }
+    // Fixed canary, timed first and last (round-12 verdict item 1): the same
+    // query on the same data must cost the same at both ends of the suite —
+    // a drifting ratio means the MACHINE changed under us mid-run, and a
+    // canary far above its cross-round reference means the whole run sat on
+    // a loaded machine (the failure mode the r11 driver artifact could not
+    // flag about itself).
+    val canaryName = "q01_pricing_summary"
+    def timeCanary(): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { runFully(SparkEntry.queries(canaryName)(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropStrayBlocks()
+      if (ok) sec else -1.0
+    }
+    val canaryFirst = timeCanary()
+
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { runFully(fn(spark, sfDir)); true }
@@ -161,11 +195,22 @@ object Bench {
     val median =
       if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.length / 2)
     val outlierFloor = math.max(5 * median, 2.0)
+    def short(k: String): String = k.takeWhile(_ != '_')
+    // Two retime triggers (round-12 verdict item 1): the same-run median
+    // floor (catches a lone in-JVM outlier) AND the cross-round reference
+    // (catches uniform machine load, which inflates the median itself —
+    // any query over 2x its previous-round clean time gets a second look;
+    // the 0.75s absolute floor keeps sub-second scheduler jitter out).
+    def overRef(name: String, sec: Double): Boolean =
+      refTimes.get(short(name)).exists(ref => sec > 2 * ref && sec > 0.75)
     val retimed: Map[String, Double] = results
-      .filter(_._2 > outlierFloor)
-      .sortBy(-_._2)
-      .take(8) // bounded: re-times are ~the suite tail's cost, and the
-               // one-line JSON must stay inside the driver's capture window
+      .filter { case (name, sec) => sec > outlierFloor || overRef(name, sec) }
+      .sortBy { case (name, sec) =>
+        // most-suspicious first: ratio to reference when known, else time
+        -refTimes.get(short(name)).map(sec / _).getOrElse(sec)
+      }
+      .take(24) // bounded: re-times are ~the suite tail's cost, and the
+                // one-line JSON must stay inside the driver's capture window
       .flatMap { case (name, _) =>
         // The retime slot sits at the end of the suite, right after the
         // parallel wall, and inherits its heap/GC debris — in round 10 that
@@ -203,7 +248,6 @@ object Bench {
     // run-to-run noise, and the qNN prefix (the driver contract's own key
     // style: {"q1":sec,…}) keeps 101 entries comfortably inside the capture.
     def r3(v: Double): String = f"$v%.3f"
-    def short(k: String): String = k.takeWhile(_ != '_')
     val qs = finalTimes.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val rt = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -215,7 +259,43 @@ object Bench {
     val failed = finalTimes.filter(_._2 < 0).map(p => "\"" + short(p._1) + "\"")
       .mkString("[", ",", "]")
     val unrel = retimeUnreliable.map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"retime_unreliable":$unrel,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"sf":"$sfDir"}""")
+
+    // Canary close-out + verdict on the artifact's own trustworthiness.
+    // ratio (last/first) catches load that CHANGED during the run in either
+    // direction; vs_ref (best canary pass over the previous round's clean
+    // time) catches a UNIFORMLY loaded machine, which leaves ratio at ~1.
+    val canaryLast = timeCanary()
+    val canaryRatio =
+      if (canaryFirst > 0 && canaryLast > 0) canaryLast / canaryFirst else -1.0
+    val canaryVsRef = refTimes.get(short(canaryName))
+      .filter(_ > 0)
+      .map(ref => math.min(
+        if (canaryFirst > 0) canaryFirst else Double.MaxValue,
+        if (canaryLast > 0) canaryLast else Double.MaxValue) / ref)
+      .getOrElse(-1.0)
+    val contended = (canaryRatio > 0 &&
+      (canaryRatio > 1.5 || canaryRatio < 1.0 / 1.5)) ||
+      canaryVsRef > 2.0
+    // queries STILL over 2x their cross-round reference after retiming —
+    // on a clean run this names real regressions; on a contended run
+    // (flag above) it names what the next clean run must re-measure
+    val overRefNames = finalTimes
+      .filter { case (name, sec) => sec > 0 && overRef(name, sec) }
+      .map(p => short(p._1)).sorted
+    // bounded to 16 names (the count ships in full): the driver keeps only
+    // the last ~2KB of output and the verdict fields behind this list must
+    // never be pushed out of that window by a long regression list
+    val overRefFinal = overRefNames.take(16)
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val commit = sys.env.get("SPARK_GRAFT_COMMIT").orElse(scala.util.Try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      p.waitFor(); if (out.matches("[0-9a-f]{6,40}")) Some(out) else None
+    }.toOption.flatten).getOrElse("unknown")
+
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"retime_unreliable":$unrel,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"canary":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)},"ratio":${r3(canaryRatio)},"vs_ref":${r3(canaryVsRef)}},"contended":$contended,"over_ref_2x_n":${overRefNames.size},"over_ref_2x":$overRefFinal,"commit":"$commit","sf":"$sfDir"}""")
     spark.stop()
   }
 }

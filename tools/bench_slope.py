@@ -13,6 +13,8 @@ reported separately as overhead_dominated rather than silently dropped.
 Usage: bench_slope.py <bench_sf01.json> <bench_sf1.json> <out.json> [round]
 """
 import json
+import os
+import subprocess
 import sys
 
 THRESH = 12.0
@@ -49,8 +51,13 @@ def main():
                 flagged.append(q)
             else:
                 overhead.append(q)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+        capture_output=True, text=True).stdout.strip() or "unknown"
     result = {
         "round": rnd,
+        "commit": commit,
         "threshold": THRESH,
         "min_sf1_sec": MIN_SF1_SEC,
         "n_compared": len(rows),

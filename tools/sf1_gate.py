@@ -48,8 +48,13 @@ if not m:
 ok, total = int(m.group(1)), int(m.group(2))
 failures = [f.strip(" '\"") for f in m.group(3).split(",") if f.strip()]
 
+commit = subprocess.run(
+    ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+    capture_output=True, text=True).stdout.strip() or "unknown"
+
 artifact = {
     "round": rnd,
+    "commit": commit,
     "sf": sf1,
     "total": total,
     "ok": ok,
