@@ -48,15 +48,25 @@ private[graft] object CollapseGate {
       case Some("always") => true
       case Some("never") => false
       case _ =>
+        // TWO cheap single-distinct jobs, never one multi-distinct: mixing
+        // countDistinct with other aggregates plans an Expand that
+        // multiplies the signature frame (measured 1.8s vs 0.3s on 5000
+        // rows), and rsd 0.01 HLL pays ~8x the default's register cost for
+        // precision the 0.15 threshold doesn't need. HLL ignores nulls;
+        // null-content rows drop in BOTH paths, so counting them as
+        // "duplicated" only errs toward the collapse.
         val r = withCk.agg(
           count(lit(1)).as("n"),
-          countDistinct(idCol).as("ids"),
-          // HLL ignores nulls; null-content rows drop in BOTH paths, so
-          // counting them as "duplicated" only errs toward the collapse
-          approx_count_distinct(ckCol, 0.01).as("classes")).head()
+          approx_count_distinct(ckCol).as("classes")).head()
         val n = r.getLong(0)
-        val idsUnique = r.getLong(1) == n
-        val dupFraction = if (n == 0L) 0.0 else 1.0 - r.getLong(2).toDouble / n
-        !idsUnique || dupFraction >= minDupFraction
+        val dupFraction = if (n == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / n
+        if (dupFraction >= minDupFraction) true
+        else {
+          // about to take the direct path: its bit-identity needs EXACT id
+          // uniqueness — checked second so the duplicated-corpus case never
+          // pays for it
+          val ids = withCk.agg(countDistinct(idCol)).head().getLong(0)
+          ids != n
+        }
     }
 }
