@@ -100,13 +100,22 @@ object BpeProbe {
     // a 32k-vocab-scale train lands in minutes.
     sys.env.get("SPARK_GRAFT_BPE_HUGE").foreach { n =>
       val distinct = sys.env.getOrElse("SPARK_GRAFT_BPE_HUGE_WORDS", "100000000").toLong
-      val floor = sys.env.getOrElse("SPARK_GRAFT_BPE_HUGE_FLOOR", "1000").toLong
-      // rank r (1-based) gets count floor(1e9/r): rank 10^6 ~ 1000, rank
+      val floor = sys.env.getOrElse("SPARK_GRAFT_BPE_HUGE_FLOOR", "10000").toLong
+      // rank r (1-based) gets count floor(1e9/r): rank 10^5 ~ 10^4, rank
       // 10^8 ~ 10 — the zipf shape of a crawl vocabulary. Words are
-      // md5-derived 32-char strings (random-ish subword structure).
+      // md5-derived, 6-15 chars (real retained vocabularies average ~8-12
+      // chars; the first huge-probe cut used full 32-char hex, which is a
+      // pair-DENSE worst case no natural vocabulary exhibits — every word
+      // maximum-length over a 16-char alphabet spreads merge work
+      // uniformly). Truncated prefixes can collide, so counts re-aggregate
+      // by word — a real count table is distinct by construction. Timing
+      // includes the distributed count scan + filter + collect, i.e. the
+      // whole train-from-count-table path.
       val countsHuge = spark.range(distinct)
-        .select(md5(col("id").cast("string")).as("word"),
+        .select(expr("substring(md5(cast(id as string)), 1, " +
+            "6 + cast(pmod(id, 10) as int))").as("word"),
           greatest(lit(1L), (lit(1000000000L) / (col("id") + 1)).cast("long")).as("cnt"))
+        .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
       val t0 = System.nanoTime()
       val (m, v) = graft.operators.Bpe.learnBpeLocalFromCounts(
         countsHuge, n.toInt, minCount = floor)
