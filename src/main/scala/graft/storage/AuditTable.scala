@@ -342,9 +342,10 @@ class AuditTable(
     *    filters keep reads correct even while a hot and a cold region
     *    share an id. Its refreshed handle rewrites a stale region cache,
     *    which the next open detects against the folder layout and rebuilds;
-    *  - two COMPACTIONS racing each other collide on the fail-if-exists
-    *    region publish (same max+1 id) — the loser fails readably before
-    *    anything is trashed.
+    *  - two COMPACTIONS racing each other: the loser fails readably before
+    *    anything is trashed — at the stale-region read guard when the
+    *    winner has already trashed the merge inputs, else at the
+    *    fail-if-exists publish of the colliding max+1 region id.
     * The new region is always live before old ones move to Trash, so a
     * crash in between leaves duplicates (resolved by snapshot dedup), never
     * loss. Serialize compactions per table upstream; the guards are a

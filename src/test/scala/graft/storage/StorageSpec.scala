@@ -382,6 +382,35 @@ class StorageSpec extends SparkTestBase with Matchers {
         fresh.regions.size
     }
 
+    it("two compactions racing: the loser fails at the region publish, before anything is trashed") {
+      // the third interleaving of the compact contract, executed: both
+      // handles see the same hot regions, both allocate the same max+1
+      // COLD region id; the loser must die at the fail-if-exists publish
+      // with the winner's output and the original regions intact
+      mkTable("compactcompact")
+      Storage.openTable(spark, tmpDir, "compactcompact").get
+        .append(Seq((1L, "a")).toDF("id", "v"), None, ts("2024-01-01 00:00:00"))
+      Storage.openTable(spark, tmpDir, "compactcompact").get
+        .append(Seq((2L, "b")).toDF("id", "v"), None, ts("2024-01-02 00:00:00"))
+      val compactorA = Storage.openTable(spark, tmpDir, "compactcompact").get
+      val compactorB = Storage.openTable(spark, tmpDir, "compactcompact").get
+      val won = compactorA.compact(ts("2024-01-03 00:00:00"))
+      won.hotRegions shouldBe empty
+      val ex = intercept[StorageException] {
+        compactorB.compact(ts("2024-01-03 00:00:01"))
+      }
+      // sequenced AFTER the winner's trash (as here) the loser dies at the
+      // stale-region read guard; raced tighter it dies at the
+      // fail-if-exists publish — both loud, both before trashing anything
+      (ex.getMessage.contains("concurrent compaction") ||
+        ex.getMessage.contains("already exists")) shouldBe true
+      // the loser trashed nothing: the winner's compacted state serves all
+      // rows through a fresh open
+      Storage.openTable(spark, tmpDir, "compactcompact").get
+        .snapshot(ts("2024-06-01 00:00:00")).get
+        .select("v").as[String].collect().sorted shouldBe Array("a", "b")
+    }
+
     it("uses a source column for the audit timestamp when provided") {
       val t0 = mkTable("srccol")
       val df = Seq((1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-05 00:00:00")))
