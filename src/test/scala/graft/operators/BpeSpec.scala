@@ -60,12 +60,44 @@ class BpeSpec extends SparkTestBase with Matchers {
     val docs = Seq((1L, "aaa ab aaa"), (2L, "12345 --")).toDF("doc_id", "text")
     val (_, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 3)
     val out = Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab)
-      .as[(Long, Long, Long, Double)].collect()
-      .map { case (id, nt, nw, f) => id -> ((nt, nw, f)) }.toMap
-    // aaa -> [aaa] (1 tok), ab -> [ab] (1 tok): 3 words, 3 tokens
-    out(1L) shouldBe ((3L, 3L, 1.0))
-    out(2L) shouldBe ((0L, 0L, 0.0))
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map { case (id, nt, nw, f, oov) => id -> ((nt, nw, f, oov)) }.toMap
+    // aaa -> [aaa] (1 tok), ab -> [ab] (1 tok): 3 words, 3 tokens, no OOV
+    out(1L) shouldBe ((3L, 3L, 1.0, 0L))
+    out(2L) shouldBe ((0L, 0L, 0.0, 0L))
     vocab.unpersist()
+  }
+
+  it("tokenizeWithVocab keeps OOV words via the applyMerges fallback (r12 verdict 1)") {
+    // train WITH a floor: 'rare' (cnt 2 < 3) is dropped from the vocab, so
+    // serving must fall back — not silently drop its occurrences
+    val docs = Seq((1L, "lower lower lower lowest lowest rare"), (2L, "rare"),
+      (3L, "lowest")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learnBpeLocalFromCounts(
+      Bpe.wordCounts(docs, col("text")), numMerges = 4, minCount = 3L)
+    vocab.select($"word").as[String].collect() should not contain "rare"
+    val out = Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab, merges)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map { case (id, nt, nw, f, oov) => id -> ((nt, nw, oov)) }.toMap
+    // the fallback token count for 'rare' = applyMerges over the word
+    val rareTok = Seq("rare").toDF("w")
+      .select(Bpe.applyMerges(col("w"), merges).as("s"))
+      .as[Seq[String]].collect()(0).size.toLong
+    // nothing dropped: every occurrence of every word is counted
+    out(1L)._2 shouldBe 6L // n_words includes the OOV occurrence
+    assert(out(1L)._3 == rareTok) // its mass is surfaced as n_oov_tok
+    out(2L) shouldBe ((rareTok, 1L, rareTok)) // all-OOV doc
+    out(3L)._3 shouldBe 0L // in-vocab-only doc has zero OOV mass
+    vocab.unpersist()
+  }
+
+  it("tokenizeWithVocab OOV fallback with no merges is the char symbolisation") {
+    val docs = Seq((1L, "abc de")).toDF("doc_id", "text")
+    val vocab = Seq(("abc", 1L, Seq("abc"))).toDF("word", "cnt", "syms")
+    val out = Bpe.tokenizeWithVocab(docs, col("doc_id"), col("text"), vocab)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    // abc -> 1 tok (vocab); de -> 2 char tokens (fallback, zero merges)
+    out(0) shouldBe ((1L, 3L, 2L, 1.5, 2L))
   }
 
   it("batched learning (maxBatch > 1) is merge-for-merge identical to sequential") {
