@@ -267,14 +267,19 @@ object Bench {
     val canaryLast = timeCanary()
     val canaryRatio =
       if (canaryFirst > 0 && canaryLast > 0) canaryLast / canaryFirst else -1.0
+    // -1.0 when NEITHER canary pass succeeded (ADVICE r12: Double.MaxValue
+    // would otherwise leak through the division as a ~1.7e308 artifact
+    // value); the canaryDead flag below keeps that case loudly contended
+    val canaryDead = canaryFirst <= 0 && canaryLast <= 0
     val canaryVsRef = refTimes.get(short(canaryName))
       .filter(_ > 0)
+      .filter(_ => !canaryDead)
       .map(ref => math.min(
         if (canaryFirst > 0) canaryFirst else Double.MaxValue,
         if (canaryLast > 0) canaryLast else Double.MaxValue) / ref)
       .getOrElse(-1.0)
-    val contended = (canaryRatio > 0 &&
-      (canaryRatio > 1.5 || canaryRatio < 1.0 / 1.5)) ||
+    val contended = canaryDead ||
+      (canaryRatio > 0 && (canaryRatio > 1.5 || canaryRatio < 1.0 / 1.5)) ||
       canaryVsRef > 2.0
     // queries STILL over 2x their cross-round reference after retiming —
     // on a clean run this names real regressions; on a contended run
@@ -295,7 +300,19 @@ object Bench {
       p.waitFor(); if (out.matches("[0-9a-f]{6,40}")) Some(out) else None
     }.toOption.flatten).getOrElse("unknown")
 
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"retime_unreliable":$unrel,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"canary":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)},"ratio":${r3(canaryRatio)},"vs_ref":${r3(canaryVsRef)}},"contended":$contended,"over_ref_2x_n":${overRefNames.size},"over_ref_2x":$overRefFinal,"commit":"$commit","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$rt,"retime_unreliable":$unrel,"failed":$failed,"wall_parallel_sec":${r3(wallParallel)},"canary":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)},"ratio":${r3(canaryRatio)},"vs_ref":${r3(canaryVsRef)}},"contended":$contended,"over_ref_2x_n":${overRefNames.size},"over_ref_2x":$overRefFinal,"commit":"$commit","sf":"$sfDir"}"""
+    println(json)
+    // the SAME line to a file (round-12 verdict item 8): the driver's 2KB
+    // stdout tail truncates the per-query map, so downstream consumers
+    // (finalize script, judge) read the full artifact from here. Name keyed
+    // by the sf directory's basename: tools/last_bench_sf0.1.json etc.
+    scala.util.Try {
+      val sfName = new java.io.File(sfDir).getName
+      val out = java.nio.file.Paths.get("tools", s"last_bench_$sfName.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } // best-effort: a read-only cwd must never fail the bench itself
     spark.stop()
   }
 }

@@ -710,6 +710,25 @@ object ScaleProbe {
         "vec_id", "embedding", k = 4, threshold = 1.0,
         nCells = 32, nProbe = 4)
     }
+    // round-13 verdict item 4: the 10k-eval decontamination comparison —
+    // the broadcast path is still legal here (bound is 50k) and is the
+    // baseline; the celled path must stay in the same class on this
+    // pruning-hostile isotropic eval set (exactness is spec-pinned, this
+    // row measures the overhead you pay for unlimited eval growth)
+    time("decontaminate broadcast (10k x 10k eval)") {
+      Similarity.decontaminateByEmbedding(
+        emb.where(col("vec_id") < 10000),
+        "vec_id", "embedding",
+        emb.where(col("vec_id") >= 10000), "vec_id", "embedding",
+        threshold = 0.3)
+    }
+    time("decontaminate celled (10k x 10k eval)") {
+      Similarity.decontaminateByEmbeddingCelled(
+        emb.where(col("vec_id") < 10000),
+        "vec_id", "embedding",
+        emb.where(col("vec_id") >= 10000), "vec_id", "embedding",
+        threshold = 0.3, nCells = 32)
+    }
 
     // Duplication-fraction sweep for the collapse gate (round-12 verdict
     // item 9): fixed TOTAL corpus size (5000 rows), duplicate fraction p =
@@ -733,6 +752,15 @@ object ScaleProbe {
         val corpus = (baseDocs.where(col("doc_id") < d) +: copies)
           .reduce(_ unionByName _)
           .localCheckpoint(true)
+        // the construction above assumes doc_id is DENSE 0..d-1 (where
+        // doc_id < d must yield exactly d rows); a sparse or offset id
+        // space would silently skew the per-cell duplicate fraction and
+        // miscalibrate the measured crossover — fail loudly instead
+        val got = corpus.count()
+        require(got == total,
+          s"dup sweep p=$p built $got rows, expected $total — documents " +
+            "doc_id is not dense 0..n-1; re-derive a dense surrogate id " +
+            "before sweeping")
         for (mode <- Seq("never", "always"); round <- 1 to 2) {
           spark.conf.set("spark.graft.collapse.force", mode)
           try time(f"collapse dup sweep p=$p%.2f force=$mode%-6s r$round") {

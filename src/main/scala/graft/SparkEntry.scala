@@ -611,12 +611,20 @@ object SparkEntry {
     // and the HLL error BOUND end-to-end as a boolean — if the estimator
     // drifted past 5x its configured rsd the hash would break. The tight
     // numeric bound is asserted in OperatorsSpec.
+    // TWO single-distinct aggregates joined on the group key, NOT one agg
+    // mixing countDistinct with approx_count_distinct: the mix plans an
+    // Expand that multiplies the input (round-12 measurement: 1.8s vs 0.3s
+    // on 5k rows; this was the slowest pure-relational bench entry at
+    // 3.6s sf0.1). Split, each side is a plain partially-aggregated hash
+    // agg and the join is group-cardinality-sized (AQE broadcasts it).
+    // PlanSpec's Expand guard now fails the mixed form suite-wide.
     "q31_approx_distinct" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      exact.join(approx, Seq("event_type"))
         .select(
           col("event_type"),
           col("exact_users"),

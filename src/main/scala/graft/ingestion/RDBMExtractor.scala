@@ -50,7 +50,16 @@ trait RDBMExtractor {
 
   /** Names pushed INSIDE a SQL string literal (catalog probes like
     * `object_id('schema.table')`) get embedded quotes doubled — the same
-    * injection discipline `escapeKeyword` applies to identifier position. */
+    * injection discipline `escapeKeyword` applies to identifier position.
+    *
+    * CASE SENSITIVITY (round-13, ADVICE): routing catalog probes through
+    * quote_ident/quotename (round 12) also changed name RESOLUTION — a
+    * quoted identifier never case-folds, so configured schema/table names
+    * must now match the catalog's stored case exactly ('Public' no longer
+    * finds postgres's folded 'public'). That is deliberate: it is the same
+    * resolution rule `escapeKeyword` already gives every identifier-
+    * position name in the generated selects, so quoting is consistent
+    * end-to-end instead of differing between the probe and the select. */
   protected def escapeStringLiteral(s: String): String = s.replace("'", "''")
 
   /** The delta select pushed to the DB. */

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * would pick arbitrarily. So id uniqueness is a HARD requirement for
   * taking the direct path (exact countDistinct, not approximate); the
   * duplication ratio merely decides whether the collapse is worth its
-  * overhead (HLL estimate, rsd 1% — a wrong call costs time, never
+  * overhead (HLL estimate at Spark's default rsd ~5% — the 0.15 threshold
+  * needs no more precision, and a wrong call costs time, never
   * correctness).
   *
   * `spark.graft.collapse.force` = `always` | `never` overrides the gate —

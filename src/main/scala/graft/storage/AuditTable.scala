@@ -149,12 +149,20 @@ class AuditTable(
       // listed at open may have been merged and TRASHED by a concurrent
       // compaction in another process. Partition discovery would then just
       // not find the directory and the region-IN filter would silently
-      // return a frame MISSING those rows — wrong data, no error. Verify
-      // existence up front and fail readably instead; a move landing inside
-      // the check->discovery window still surfaces as Spark's own
-      // FileNotFoundException on the vanished files (loud), never as a
-      // silent drop. Cost: one fs.exists per region — bounded, because
-      // keeping region counts low is what compaction is FOR.
+      // return a frame MISSING those rows — wrong data, no error. The
+      // existence check runs AFTER openParquet (round-13, ADVICE): file
+      // listing happens at DataFrame CONSTRUCTION, so ordering the check
+      // after it closes the race completely — a region trashed before the
+      // listing is caught here (it cannot reappear: region ids are never
+      // reused), and one trashed after the listing still has its files in
+      // the scan plan, so execution fails with Spark's own loud
+      // FileNotFoundException. No silent-drop window remains. Cost: one
+      // fs.exists per region — bounded, because keeping region counts low
+      // is what compaction is FOR.
+      val opened = ops.openParquet(Seq(tablePath)).map { df =>
+        df.where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
+          .drop(TypeColumn, RegionColumn)
+      }
       val missing = regs.filterNot(r =>
         ops.fs.exists(regionPath(r.storeType, r.storeRegion)))
       if (missing.nonEmpty)
@@ -162,10 +170,7 @@ class AuditTable(
           s"Regions [${missing.map(_.storeRegion).mkString(", ")}] of " +
             s"[$tableName] no longer exist on storage — removed by a " +
             "concurrent compaction; reopen the table to read its current state")
-      ops.openParquet(Seq(tablePath)).map { df =>
-        df.where(col(RegionColumn).isin(regs.map(_.storeRegion): _*))
-          .drop(TypeColumn, RegionColumn)
-      }
+      opened
     }
   }
 

@@ -515,6 +515,79 @@ class PlanSpec extends SparkTestBase with Matchers {
     offenders.toSet shouldBe allowed
   }
 
+  it("Expand appears only where one pass over several groups is the point") {
+    // Whole-suite guard (round-12 verdict item 3): TWO-plus distinct
+    // aggregate groups in one Aggregate rewrite through an Expand that
+    // multiplies the input by the group count — at 100 TB that is a
+    // corpus-sized blowup for what separate single-distinct jobs (or a
+    // group-key join) express without one. Expand is legitimate only where
+    // multiplying rows IS the semantics: rollup/cube grouping sets, and the
+    // one-pass multi-column profile (Expand feeds a map-combined
+    // per-(gid, value) partial aggregate, so the shuffle is bounded by
+    // per-partition distinct values — the alternative is k corpus scans).
+    // EXACT set equality, same rationale as the BNLJ/window guards above.
+    // The distinct rewrite introduces Expand during physical planning and
+    // AQE hides the live subtree from plan.collect — match the printed
+    // plan like the cartesian guard above.
+    def expands(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    // detector sanity: two distinct groups (different argument sets) Expand
+    val twoGroups = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id"),
+        org.apache.spark.sql.functions.countDistinct("event_id"))
+    expands(twoGroups) shouldBe true
+    val allowed = Set(
+      // rollup / cube: every input row is a member of several grouping
+      // sets — Expand IS the semantics, not a rewrite artifact
+      "q09_rollup_sales", "q42_cube_sales",
+      // one-pass k-column profile: k distinct groups deliberately traded
+      // against k separate corpus scans (see Profile.profile scaladoc)
+      "q54_profile")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if expands(fn(spark, sf("sf0.001"))) => name
+    }
+    offenders.toSet shouldBe allowed
+  }
+
+  it("distinct aggregates never re-key an expensive aggregation buffer (q31's trap)") {
+    // The OTHER half of round-12 verdict item 3 — the shape old q31
+    // actually planned: mixing a distinct aggregate with a non-distinct
+    // one makes Spark re-key EVERY non-distinct buffer by
+    // (group, distinct-col) and merge per distinct value. For constant-
+    // size cheap buffers (count/sum/min/max/avg/first/last) that is the
+    // idiomatic one-pass mix and costs ~nothing extra; for sketch-sized
+    // buffers (HLL at rsd 0.01 = 8x default registers, collect_*,
+    // percentile) it multiplies sketch merges by the distinct cardinality
+    // — measured r12: 1.8s vs 0.3s on 5k rows. Fail any mixed Aggregate
+    // whose non-distinct side is not in the cheap-buffer set.
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    def cheap(f: AggregateFunction): Boolean = f match {
+      case _: Count | _: Sum | _: Min | _: Max | _: Average |
+           _: First | _: Last => true
+      case _ => false
+    }
+    def mixedExpensive(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          val aggs = a.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae
+          })
+          aggs.exists(_.isDistinct) &&
+            aggs.exists(ae => !ae.isDistinct && !cheap(ae.aggregateFunction))
+      }.exists(identity)
+    // detector sanity: old q31's exact shape is caught
+    val old31 = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id"),
+        org.apache.spark.sql.functions.expr("approx_count_distinct(user_id, 0.01)"))
+    mixedExpensive(old31) shouldBe true
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if mixedExpensive(fn(spark, sf("sf0.001"))) => name
+    }
+    offenders shouldBe empty
+  }
+
   it("whole-stage codegen covers the relational queries") {
     import org.apache.spark.sql.execution.CodegenMode
     def codegen(q: String): String =

@@ -440,6 +440,58 @@ class CurationOpsSpec extends SparkTestBase
         .orderBy("id").collect().toSeq
       assert(a === b)
     }
+
+    it("refuses an eval set past the broadcast bound with a readable error (r12 verdict 3)") {
+      val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+      val evalSet = Seq.tabulate(10)(i =>
+        (i.toLong, Array(1.0f, i.toFloat))).toDF("id", "vec")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.decontaminateByEmbedding(
+          corpus, "id", "vec", evalSet, "id", "vec", 0.5, maxEvalRows = 5L)
+      }
+      assert(ex.getMessage.contains("decontaminateByEmbeddingCelled"))
+    }
+
+    def randVecs(n: Int, dim: Int, seed: Long, centers: Int): Seq[(Long, Array[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      val cs = Array.fill(math.max(centers, 1), dim)(rnd.nextGaussian())
+      Seq.tabulate(n) { i =>
+        val c = cs(i % math.max(centers, 1))
+        val v = Array.tabulate(dim)(d =>
+          (c(d) + (if (centers > 0) 0.15 else 1.0) * rnd.nextGaussian()).toFloat)
+        (i.toLong, v)
+      }
+    }
+
+    it("celled variant is row-for-row identical to brute force on clustered eval sets") {
+      val corpus = randVecs(120, 16, seed = 7L, centers = 5).toDF("id", "vec")
+      val evalSet = randVecs(60, 16, seed = 11L, centers = 5)
+        .map { case (i, v) => (1000L + i, v) }.toDF("id", "vec")
+      val brute = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.9)
+        .orderBy("id").collect().toSeq
+      val celled = Similarity.decontaminateByEmbeddingCelled(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.9, nCells = 4)
+        .orderBy("id").collect().toSeq
+      assert(celled === brute)
+    }
+
+    it("celled variant stays exact on isotropic (pruning-hostile) eval sets, ties included") {
+      // centers = 0 -> pure gaussian noise: the triangle bounds barely
+      // prune, which stresses the near-tie eps path rather than the happy
+      // path; a duplicated eval vector checks the highest-id tie-break
+      val corpus = randVecs(80, 8, seed = 3L, centers = 0).toDF("id", "vec")
+      val base = randVecs(40, 8, seed = 5L, centers = 0)
+      val evalSet = (base.map { case (i, v) => (2000L + i, v) } :+
+        (9999L, base.head._2)).toDF("id", "vec")
+      val brute = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.3)
+        .orderBy("id").collect().toSeq
+      val celled = Similarity.decontaminateByEmbeddingCelled(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.3, nCells = 6)
+        .orderBy("id").collect().toSeq
+      assert(celled === brute)
+    }
   }
 
   describe("Dedup.dedupParagraphs") {

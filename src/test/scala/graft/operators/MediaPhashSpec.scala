@@ -228,6 +228,33 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     got(2L) shouldBe ((2L, 16000, 2, 400L, expectSs, 399L, 1000))
   }
 
+  it("riffPcm16Profile fast path matches the JDK decoder and rejects non-canonical containers (r13)") {
+    // the fast path must agree with AudioSystem on canonical WAVs and must
+    // REFUSE (None -> JDK fallback) anything it could misread
+    val samples = Array.tabulate(777)(i => (((i * 9973L) % 65536L) - 32768L).toShort)
+    val wav = Multimodal.pcmWavBytes(samples, 44100)
+    val viaFast = Multimodal.riffPcm16Profile(wav)
+    assert(viaFast.isDefined, "canonical JDK-written WAV must take the fast path")
+    // JDK ground truth through the full kernel on a deliberately
+    // de-canonicalized copy (extra trailing byte -> size mismatch -> fallback)
+    val padded = wav :+ 0x00.toByte
+    assert(Multimodal.riffPcm16Profile(padded).isEmpty,
+      "inconsistent chunk sizing must fall back to the JDK reader")
+    val media = Seq((1L, wav), (2L, padded)).toDF("doc_id", "content")
+    val got = Multimodal.audioProfiles(media, "doc_id", "content")
+      .as[(Long, Int, Int, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // fast (row 1) and JDK-fallback (row 2) paths profile the same samples
+    got(1L).productIterator.drop(1).toSeq shouldBe got(2L).productIterator.drop(1).toSeq
+    val f = viaFast.get
+    got(1L) shouldBe ((1L, f._1, f._2, f._3, f._4, f._5, f._6))
+    // non-canonical format tags refuse the fast path outright
+    val floatFmt = wav.clone()
+    floatFmt(20) = 3 // fmt tag 3 = IEEE float
+    assert(Multimodal.riffPcm16Profile(floatFmt).isEmpty)
+    assert(Multimodal.riffPcm16Profile("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+  }
+
   it("decompressTextKernel sniffs and round-trips gzip, zstd, plain and corrupt payloads") {
     val uni = "mixed codecs: κείμενο, 文本, émojis 🙂 — exact bytes matter"
     val media = Seq(

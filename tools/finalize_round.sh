@@ -61,4 +61,12 @@ for f in "/tmp/bench_sf01_r$RND.json" "/tmp/bench_sf1_r$RND.json"; do
     exit 1
   fi
 done
+# 6. cross-round reference min-ratchet (round-12 verdict item 2): the bar
+# only moves DOWN, and only from an uncontended pass — update_bench_refs.py
+# refuses contended artifacts, so a loaded machine can't touch the refs
+python3 tools/update_bench_refs.py "/tmp/bench_sf01_r$RND.json" tools/bench_ref_sf0.1.json
+python3 tools/update_bench_refs.py "/tmp/bench_sf1_r$RND.json" tools/bench_ref_sf1.json
+
 echo "[finalize] round $RND artifacts complete and stamped at $COMMIT"
+echo "[finalize] NOTE: tools/bench_ref_*.json were min-ratcheted in the" \
+     "working tree — review and commit them (artifact-only commit)"
