@@ -2566,7 +2566,12 @@ object SparkEntry {
     "q91_embed_decontaminate" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val evalSet = emb.where(pmod(col("vec_id"), lit(200L)) === 0)
+      // spread the scoring work: the embeddings table is one ~10MB input
+      // split locally, which would put the whole map-side cosine loop on a
+      // single task (same production sizing note as the media payloads —
+      // at real scale input splits provide the parallelism natively)
       val corpus = emb.where(pmod(col("vec_id"), lit(200L)) =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
       Similarity.decontaminateByEmbedding(corpus, "vec_id", "embedding",
         evalSet, "vec_id", "embedding", threshold = 0.3)
         .orderBy(col("vec_id"))

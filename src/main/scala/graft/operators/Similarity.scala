@@ -322,9 +322,19 @@ object Similarity {
     * contract documented there). The default bound (50k rows) is ~25 MB of
     * broadcast at dim 64 (8 B x dim per row + row overhead) — safe on any
     * sane executor; raise it deliberately if your vectors are tiny. */
+  /** Below this eval-set size the scoring loop rides into the plan as a
+    * LITERAL matrix instead of a broadcast cross join: one map-side
+    * `transform` computes every per-eval cosine per corpus row, so the
+    * 100×-row crossJoin churn (each corpus vector copied per eval row)
+    * disappears and only slim (id, best-struct) rows reach the aggregate.
+    * 1024 × dim doubles is a few hundred KB of plan — far below any
+    * plan-size concern; past it the broadcast cross is the right shape. */
+  val DecontaminateLiteralEvalRows = 1024
+
   def decontaminateByEmbedding(corpus: DataFrame, idCol: String, vecCol: String,
       evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
-      threshold: Double, scale: Int = 6, maxEvalRows: Long = 50000L): DataFrame = {
+      threshold: Double, scale: Int = 6, maxEvalRows: Long = 50000L,
+      literalEvalRows: Int = DecontaminateLiteralEvalRows): DataFrame = {
     val spark = corpus.sparkSession
     val e = broadcast(evalSet.select(
       col(evalIdCol).as("__eid"), col(evalVecCol).as("__evec")))
@@ -335,15 +345,39 @@ object Similarity {
       s"eval set has > $maxEvalRows rows — too large to broadcast against " +
         "every executor. Use decontaminateByEmbeddingCelled (cell-blocked " +
         "exact variant) or raise maxEvalRows deliberately.")
-    corpus.select(col(idCol), col(vecCol).as("__cvec"))
-      .crossJoin(e)
-      .withColumn("__cos", nativeCosine(spark, col("__cvec"), col("__evec"), scale))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__cos"), col("__eid"))).as("__best"))
-      .select(col(idCol),
-        col("__best.__cos").as("max_eval_cos"),
-        col("__best.__eid").as("matched_eval_id"),
-        (col("__best.__cos") >= lit(threshold)).as("contaminated"))
+    // literal-matrix fast path: SAME rounding (Spark's own round inside
+    // nativeCosine) and SAME (cos, eid) struct-max tie-break as the cross
+    // join below, so outputs are identical row for row (spec-pinned) —
+    // including duplicate corpus ids, which both paths merge through the
+    // id-keyed max. Null eval vectors are rare enough to just take the
+    // cross-join path rather than complicate the literal encoding.
+    val evRows =
+      if (n > 0 && n <= literalEvalRows)
+        evalSet.select(col(evalIdCol).as("__eid"),
+          col(evalVecCol).cast("array<double>").as("__evec")).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val scored =
+      if (evRows.nonEmpty && evRows.forall(r => !r.isNullAt(1) && !r.isNullAt(0))) {
+        val matLit = typedLit(evRows.map(_.getSeq[Double](1)).toSeq)
+        val eidLit = array(evRows.map(r => lit(r.get(0))): _*)
+        val best = array_max(zip_with(
+          transform(matLit, ev => nativeCosine(spark, col("__cvec"), ev, scale)),
+          eidLit,
+          (c, id) => struct(c.as("__cos"), id.as("__eid"))))
+        corpus.select(col(idCol), col(vecCol).as("__cvec"))
+          .select(col(idCol), best.as("__pair"))
+          .groupBy(col(idCol))
+          .agg(max(col("__pair")).as("__best"))
+      } else
+        corpus.select(col(idCol), col(vecCol).as("__cvec"))
+          .crossJoin(e)
+          .withColumn("__cos", nativeCosine(spark, col("__cvec"), col("__evec"), scale))
+          .groupBy(col(idCol))
+          .agg(max(struct(col("__cos"), col("__eid"))).as("__best"))
+    scored.select(col(idCol),
+      col("__best.__cos").as("max_eval_cos"),
+      col("__best.__eid").as("matched_eval_id"),
+      (col("__best.__cos") >= lit(threshold)).as("contaminated"))
   }
 
   /** [[decontaminateByEmbedding]] for eval sets BEYOND broadcast range —

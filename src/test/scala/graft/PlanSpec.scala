@@ -227,11 +227,15 @@ class PlanSpec extends SparkTestBase with Matchers {
       finalPlan.contains("reused")) shouldBe true
   }
 
-  it("embedding decontamination broadcasts the eval side, never the corpus") {
+  it("embedding decontamination scores map-side from a literal eval matrix — no join at all") {
+    // round 13: a bounded eval set rides into the plan as a literal, so
+    // the only shuffle left is the slim (id, best-struct) aggregate — the
+    // former BroadcastNestedLoopJoin copied every corpus vector once per
+    // eval row (100x row churn at the sf1 eval size)
     val p = plan("q91_embed_decontaminate")
-    p should include("BroadcastNestedLoopJoin")
+    p should not include "Join"
     p should not include "CartesianProduct"
-    p should include("graft_cosine") // fused-codegen cosine, not 3 HOF passes
+    p should include("graft_cosine") // fused cosine inside the transform
   }
 
   it("url canonicalization is pure map-side codegen — no shuffle, no UDF") {
@@ -449,8 +453,10 @@ class PlanSpec extends SparkTestBase with Matchers {
       "q126_dsir_weights", "q128_kmv_overlap", "q131_cm_join_size",
       // tiny fixed query / evaluation set broadcast (brute-force ANN
       // baselines and retrieval-eval gates: <=20 query vectors by
-      // construction; the scale path is the IVF/LSH variants)
-      "q20_embed_topk", "q46_pq_adc", "q91_embed_decontaminate",
+      // construction; the scale path is the IVF/LSH variants). q91 left
+      // this list in round 13: its eval set now rides in as a literal
+      // matrix (map-side transform), no nested-loop join remains
+      "q20_embed_topk", "q46_pq_adc",
       "q106_hard_negatives", "q117_ann_mrr", "q143_late_interaction",
       "q144_hybrid_rrf", "q145_ndcg", "q146_precision_recall",
       // q156: fixed 150-vector slices both sides (margin mining's exact

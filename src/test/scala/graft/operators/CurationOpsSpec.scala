@@ -441,6 +441,29 @@ class CurationOpsSpec extends SparkTestBase
       assert(a === b)
     }
 
+    it("literal-matrix fast path is row-for-row identical to the cross join, dup ids and ties included") {
+      // duplicate corpus ids (both paths must merge them through the same
+      // id-keyed max) + a duplicated eval vector (rounded-cos tie -> the
+      // HIGHER eval id must win on both paths)
+      val corpus = (Seq.tabulate(50)(i =>
+        (i.toLong, Array((i % 7).toFloat + 1f, (i % 3).toFloat))) :+
+        (0L, Array(9.0f, 1.0f))).toDF("id", "vec")
+      val evalSet = Seq(
+        (100L, Array(3.0f, 1.0f)),
+        (200L, Array(1.0f, 2.0f)),
+        (300L, Array(3.0f, 1.0f)) // tie with 100 on every cosine
+      ).toDF("id", "vec")
+      val viaLiteral = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.9)
+        .orderBy("id").collect().toSeq
+      val viaCross = Similarity.decontaminateByEmbedding(
+        corpus, "id", "vec", evalSet, "id", "vec", 0.9, literalEvalRows = 0)
+        .orderBy("id").collect().toSeq
+      assert(viaLiteral === viaCross)
+      // ties resolved upward on both paths
+      assert(viaLiteral.forall(r => r.getLong(2) != 100L))
+    }
+
     it("refuses an eval set past the broadcast bound with a readable error (r12 verdict 3)") {
       val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
       val evalSet = Seq.tabulate(10)(i =>
