@@ -25,6 +25,10 @@ object SparkEntry {
     * oversized generated methods still split / fall back gracefully. */
   private def tune(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.codegen.maxFields", "300")
+    // idempotent: TextFunctions' fused word-set counting (and any other
+    // native expression reached from a pure-Column helper) resolves at
+    // analysis time against this session's registry
+    graft.sql.functions.ensureRegistered(s)
     s
   }
 
@@ -474,6 +478,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // all four marker counts come from ONE fused text pass (langCounts —
+    // round 13: this projection used to pay ~10 full regex scans per row);
+    // langScore/languageId share the identical counts subtree, which
+    // subexpression elimination evaluates once per row
     "q16_language_id" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(

@@ -45,12 +45,30 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  def stopwordCount(text: Column, words: Seq[String]): Column = {
-    // words are caller-supplied: quote them so regex metacharacters ("c++",
-    // "don't") count literally instead of corrupting the alternation
-    val quoted = words.map(java.util.regex.Pattern.quote)
-    size(regexp_extract_all(lower(text), lit(quoted.mkString("\\b(", "|", ")\\b")), lit(0))).cast("long")
-  }
+  /** True when the fused native counter is exactly regex-equivalent: every
+    * word a nonempty pure-`[a-z0-9_]` token, so `\b<word>\b` can only match
+    * a maximal ASCII word run equal to the word (see
+    * [[graft.sql.WordSetsCount]] for the proof sketch). */
+  private def pureWords(words: Seq[String]): Boolean =
+    words.nonEmpty && words.forall(w => w.nonEmpty && w.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'))
+
+  /** One fused pass counting maximal word runs per literal word set —
+    * replaces one full regex scan PER SET (round 13: the q16 projection
+    * paid ~10 scans per row). Needs the graft functions registered
+    * (GraftExtensions or graft.sql.functions.ensureRegistered). */
+  private def wordSetsCount(text: Column, sets: Seq[Seq[String]]): Column =
+    call_function("graft_word_sets_count", lower(text), typedLit(sets))
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    if (pureWords(words)) element_at(wordSetsCount(text, Seq(words)), 1)
+    else {
+      // words are caller-supplied: quote them so regex metacharacters ("c++",
+      // "don't") count literally instead of corrupting the alternation; the
+      // regex path also keeps non-ASCII words exactly regex-semantic
+      val quoted = words.map(java.util.regex.Pattern.quote)
+      size(regexp_extract_all(lower(text), lit(quoted.mkString("\\b(", "|", ")\\b")), lit(0))).cast("long")
+    }
 
   /** NOTE: the numerator matches stopwords at word boundaries anywhere
     * (including inside punctuation-joined runs like "the-of"), while the
@@ -80,8 +98,18 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
+  /** Fixed marker-set order of [[langCounts]]. */
+  val LangOrder: Seq[String] = Seq("en", "de", "fr", "es")
+
+  /** All four language marker counts from ONE fused text pass —
+    * `array(en, de, fr, es)`. Call sites needing several of them (q16's
+    * projection, [[languageId]]) share the identical subtree, which
+    * Spark's subexpression elimination evaluates once per row. */
+  def langCounts(text: Column): Column =
+    wordSetsCount(text, LangOrder.map(LangMarkers))
+
   def langScore(text: Column, langKey: String): Column =
-    stopwordCount(text, LangMarkers(langKey))
+    element_at(langCounts(text), LangOrder.indexOf(langKey) + 1)
 
   def cjkCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
@@ -287,11 +315,14 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** How many of the GopherStopwords appear at least once. */
-  def stopwordPresence(text: Column): Column =
-    GopherStopwords.map(w =>
-      when(lower(text).rlike("\\b" + java.util.regex.Pattern.quote(w) + "\\b"), 1L)
-        .otherwise(0L))
+  def stopwordPresence(text: Column): Column = {
+    // one fused pass, one singleton set per stopword: presence = count>0,
+    // exactly the old per-word `rlike \b<w>\b` (>=1 match <=> count>0)
+    val c = wordSetsCount(text, GopherStopwords.map(Seq(_)))
+    GopherStopwords.indices
+      .map(i => when(element_at(c, i + 1) > 0, 1L).otherwise(0L))
       .reduce(_ + _)
+  }
 
   /** The full Gopher document filter with the paper's default thresholds.
     * Thresholds are parameters so corpus-specific tuning doesn't fork the

@@ -790,6 +790,131 @@ case class SubvecAssign(vector: Expression, table: Expression,
 /** Shared materialisation of a FOLDABLE `array<array<double>>` child into
   * a `double[][]` — one definition behind CellAssign / SubvecAssign /
   * CentroidSub (the three copies had to be kept in sync by hand). */
+/** Native Catalyst expression: per-set counts of maximal ASCII word runs
+  * of `text` that exactly equal a member of each FOLDABLE word set —
+  * `graft_word_sets_count(text, array<array<string>>) -> array<bigint>`.
+  *
+  * Word runs are maximal spans of `\b`'s word characters — which in Java
+  * are UNICODE letters/digits plus `_` even without
+  * UNICODE_CHARACTER_CLASS (so "theé" is one run containing no bounded
+  * "the", exactly like the regex; see the companion's isWordCp note).
+  * For word sets of nonempty pure `[a-z0-9_]` members (the TextFunctions
+  * callers validate that and keep the regex path otherwise), this count
+  * is PROVABLY the
+  * `size(regexp_extract_all(text, '\b(w1|w2|…)\b'))` count: both
+  * boundaries demand a non-word char, so a match is precisely a maximal
+  * word run equal to a member, matches never overlap, and each run
+  * contributes at most one match per set. One fused pass with hash-set
+  * lookups replaces one full regex scan PER SET — the q16 language-ID
+  * projection paid ~10 such scans per row before round 13. Callers pass
+  * text already `lower()`ed wherever the regex twin lowered it. */
+case class WordSetsCount(text: Expression, sets: Expression)
+  extends BinaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def left: Expression = text
+  override def right: Expression = sets
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, sets.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _)) if sets.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (_, t) if !sets.foldable => TypeCheckResult.TypeCheckFailure(
+        s"graft_word_sets_count needs a literal word-set table, got a non-foldable $t")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_word_sets_count expects (string, array<array<string>>), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_word_sets_count"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordSetsCount =
+    copy(text = newLeft, sets = newRight)
+
+  @transient private lazy val wordSets: Array[java.util.HashSet[String]] = {
+    val ad = sets.eval(null)
+    require(ad != null, "graft_word_sets_count: word-set table must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements()) { i =>
+      val s = new java.util.HashSet[String]()
+      val inner = arr.getArray(i)
+      var j = 0
+      while (j < inner.numElements()) {
+        s.add(inner.getUTF8String(j).toString): Unit
+        j += 1
+      }
+      s
+    }
+  }
+
+  override def nullSafeEval(t: Any, unused: Any): Any =
+    WordSetsCount.compute(t.asInstanceOf[UTF8String], wordSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("wordSets", wordSets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.sql.WordSetsCount.compute($t, $setsRef);")
+  }
+}
+
+object WordSetsCount {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Interpreted + generated code share this loop. It reproduces Java
+    * regex `\b`'s word-character semantics WITHOUT UNICODE_CHARACTER_CLASS
+    * — measured against the real engine (GopherFilterSpec pins every row
+    * below), because the rules are quirkier than any single predicate:
+    *  - word chars are `_` plus `Character.isLetterOrDigit` — UNICODE
+    *    letters and Nd digits even though `\w` stays ASCII, so "theé" is
+    *    ONE word with no bounded "the" (Nl/No number forms are NOT
+    *    letters-or-digits and do break words);
+    *  - a NONSPACING mark (Mn) is a word char iff OpenJDK's
+    *    hasBaseCharacter walk (backward, CHAR-wise, over Mn chars) finds a
+    *    letter-or-digit: so "x́the" is one word, while after an
+    *    underscore, after a SUPPLEMENTARY letter (the backward walk lands
+    *    on its low surrogate — not a letter to a char-wise test), or bare
+    *    after a space, the mark BREAKS the word.
+    * Tracked left-to-right: `baseActive` = the last non-Mn CHAR was a
+    * single-char (BMP) letter-or-digit — exactly what the backward walk
+    * would find. */
+  def compute(t: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val s = t.toString
+    val counts = new Array[Long](sets.length)
+    val n = s.length
+    var i = 0
+    var runStart = -1
+    var baseActive = false
+    def close(end: Int): Unit = if (runStart >= 0) {
+      val run = s.substring(runStart, end)
+      var k = 0
+      while (k < sets.length) {
+        if (sets(k).contains(run)) counts(k) += 1
+        k += 1
+      }
+      runStart = -1
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      val mn = Character.getType(cp) == Character.NON_SPACING_MARK
+      val word =
+        if (mn) baseActive && runStart >= 0
+        else cp == '_' || Character.isLetterOrDigit(cp)
+      if (word) { if (runStart < 0) runStart = i }
+      else close(i)
+      if (!mn) baseActive = cc == 1 && Character.isLetterOrDigit(cp)
+      i += cc
+    }
+    close(n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+}
+
 private[sql] object FoldableTable {
   def materialise(table: Expression, fn: String): Array[Array[Double]] = {
     val ad = table.eval(null)
@@ -1021,11 +1146,19 @@ object functions {
       GramianMoments(children.head)
     })
 
+  private[sql] val wordSetsDescriptor = (
+    new FunctionIdentifier("graft_word_sets_count"),
+    new ExpressionInfo(classOf[WordSetsCount].getName, "graft_word_sets_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_word_sets_count expects exactly 2 arguments")
+      WordSetsCount(children.head, children(1))
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
       containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
-      centroidSubDescriptor, gramianDescriptor)
+      centroidSubDescriptor, gramianDescriptor, wordSetsDescriptor)
 
   /** Idempotently register the functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -34,6 +34,8 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // TextFunctions' pure-Column helpers reach native graft expressions
+    graft.sql.functions.ensureRegistered(s)
     s
   }
 }

@@ -12,6 +12,64 @@ class GopherFilterSpec extends SparkTestBase with Matchers {
   private def metric(text: String)(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double =
     Seq(text).toDF("t").select(c(col("t")).cast("double").as("m")).as[Double].head()
 
+  describe("fused word-set counting (graft_word_sets_count, r13)") {
+    // the raw regex the fused counter replaces — counted side by side on
+    // the same rows, adversarial shapes included
+    def regexCount(t: org.apache.spark.sql.Column, words: Seq[String]) =
+      org.apache.spark.sql.functions.size(regexp_extract_all(lower(t),
+        lit(words.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")),
+        lit(0))).cast("long")
+
+    it("matches the \\b-alternation regex count on adversarial text shapes") {
+      val words = Seq("the", "de", "a", "es", "x2", "under_score")
+      val rows = Seq(
+        "the quick the lazy the",          // plain repeats
+        "the-of-the and.the,the!the",      // punctuation-joined runs
+        "dent theory esoteric",            // words as PREFIXES of runs (no match)
+        "de-n de2 de_ de",                 // suffix word-chars kill the boundary
+        "THE The tHe",                     // lower() folding
+        "café theé éthe the",  // Java \\b is UNICODE-aware: theé = ONE word
+        "x2 2x x22 _x2_ under_score",      // digits + underscores as word chars
+        "a a a a a",                       // single-char word runs
+        "文本 the 文 the٣ thé the", // CJK, Unicode digit, combining mark
+        "thé x́the 9́the _́the ́the", // Mn base rules (letter/digit base only)
+        "𐐀́the the𐐀 theⅠ the²", // supplementary-base quirk, Nl, No
+        "", "   ", "...!!!")               // empty / no-word rows
+      val df = rows.toDF("t")
+      val fused = df.select(
+        TextFunctions.stopwordCount(col("t"), words).as("c")).as[Long].collect().toSeq
+      val regex = df.select(regexCount(col("t"), words).as("c")).as[Long].collect().toSeq
+      fused shouldBe regex
+      fused.head shouldBe 3L // sanity: the detector isn't trivially zero
+    }
+
+    it("randomized equivalence sweep against the regex twin") {
+      val words = TextFunctions.EnglishStopwords
+      val rnd = new scala.util.Random(42)
+      val alphabet = "the and of to in a _2é文٣́Ⅰ²-., !".toCharArray
+      val rows = Seq.fill(400)(
+        Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val df = rows.toDF("t")
+      val fused = df.select(
+        TextFunctions.stopwordCount(col("t"), words).as("c")).as[Long].collect().toSeq
+      val regex = df.select(regexCount(col("t"), words).as("c")).as[Long].collect().toSeq
+      fused shouldBe regex
+    }
+
+    it("non-pure word lists keep the regex path (metacharacters count literally)") {
+      // "don't" carries an apostrophe -> regex path; the quoted literal
+      // must count, and semantics must equal the regex twin exactly
+      val df = Seq("don't stop, i don't", "dont don''t").toDF("t")
+      val words = Seq("don't")
+      val fused = df.select(TextFunctions.stopwordCount(col("t"), words).as("c"))
+        .as[Long].collect().toSeq
+      val regex = df.select(regexCount(col("t"), words).as("c"))
+        .as[Long].collect().toSeq
+      fused shouldBe regex
+      fused.head shouldBe 2L
+    }
+  }
+
   describe("gopher signals") {
 
     it("symbolToWordRatio counts #, ... and the one-char ellipsis") {
