@@ -197,11 +197,21 @@ object Multimodal {
     * ARGB — above any sane training image, below an executor OOM. */
   private[operators] val MaxImagePixels: Long = 100L * 1000 * 1000
 
+  /** In-memory ImageInputStream over a payload byte array (round 13).
+    * `ImageIO.createImageInputStream` consults the stream-SPI registry per
+    * call AND — with the default `ImageIO.getUseCache()` — backs every
+    * stream with a DISK temp file it creates and deletes again, pure
+    * overhead for payloads that are already byte arrays. The concrete
+    * memory-cached stream class is what the factory would pick with the
+    * cache off; the decoded pixels are identical either way. */
+  private def memoryIis(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
   private def readImage(id: Long, bytesOrNull: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytesOrNull == null || bytesOrNull.isEmpty) null
     else {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytesOrNull))
+      val iis = memoryIis(bytesOrNull)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) null
@@ -447,8 +457,7 @@ object Multimodal {
       val bad = Seq(FramePHash(id, -1, 0, -1L))
       if (bytesOrNull == null || bytesOrNull.isEmpty) bad
       else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytesOrNull))
+        val iis = memoryIis(bytesOrNull) // no per-payload disk cache file
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) bad
