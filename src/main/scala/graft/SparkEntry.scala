@@ -632,9 +632,11 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("exact_users"))
       val approx = ev.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-      exact.join(approx, Seq("event_type"))
+      // null-SAFE join on the group key: a null event_type group appears on
+      // both sides and a plain equi-join would silently drop it (r14)
+      exact.join(approx, exact("event_type") <=> approx("event_type"))
         .select(
-          col("event_type"),
+          exact("event_type"),
           col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double")
             / col("exact_users").cast("double") <= lit(0.05)).as("approx_within_5pct"))

@@ -698,8 +698,14 @@ object Multimodal {
         }
         return Some((rate, ch, cnt, ss, flips, mx))
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Skip in Long
+      // math: a junk chunk can declare any u32 size, and `8 + sz.toInt`
+      // overflows Int for sizes >= 0x7FFFFFF8, driving `off` negative and
+      // `tag(off)` out of bounds — any skip past the payload end means the
+      // container is inconsistent, so hand it to the strict JDK path
+      val next = off.toLong + 8L + sz + (sz & 1L)
+      if (next > b.length) return None
+      off = next.toInt
     }
     None
   }
@@ -708,7 +714,11 @@ object Multimodal {
     (id: Long, bytesOrNull: Array[Byte]) => {
       val (rate, ch, n, sumSq, zc, peak) =
         if (bytesOrNull == null || bytesOrNull.isEmpty) BadAudio
-        else riffPcm16Profile(bytesOrNull).getOrElse(try {
+        // the fast path must never be able to fail the task: any throw on a
+        // fuzzed container demotes to the JDK codec, which maps it to BadAudio
+        else (try riffPcm16Profile(bytesOrNull) catch {
+          case scala.util.control.NonFatal(_) => None
+        }).getOrElse(try {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytesOrNull))
           try {

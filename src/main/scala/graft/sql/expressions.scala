@@ -874,11 +874,15 @@ object WordSetsCount {
     *    ONE word with no bounded "the" (Nl/No number forms are NOT
     *    letters-or-digits and do break words);
     *  - a NONSPACING mark (Mn) is a word char iff OpenJDK's
-    *    hasBaseCharacter walk (backward, CHAR-wise, over Mn chars) finds a
-    *    letter-or-digit: so "x́the" is one word, while after an
-    *    underscore, after a SUPPLEMENTARY letter (the backward walk lands
-    *    on its low surrogate — not a letter to a char-wise test), or bare
-    *    after a space, the mark BREAKS the word.
+    *    hasBaseCharacter walk (backward, index-wise `codePointAt` over Mn
+    *    chars) finds a letter-or-digit: so "x́the" is one word, while after
+    *    an underscore, after a SUPPLEMENTARY letter (the backward walk
+    *    lands on its low surrogate — type SURROGATE, so the walk stops),
+    *    or bare after a space, the mark BREAKS the word;
+    *  - a SUPPLEMENTARY Mn is asymmetric: it absorbs into a preceding
+    *    BMP-letter word (left test reads it codepoint-wise) but forces a
+    *    boundary after itself (the walk from the next index starts on its
+    *    low surrogate) — handled in the loop below.
     * Tracked left-to-right: `baseActive` = the last non-Mn CHAR was a
     * single-char (BMP) letter-or-digit — exactly what the backward walk
     * would find. */
@@ -902,12 +906,27 @@ object WordSetsCount {
       val cp = s.codePointAt(i)
       val cc = Character.charCount(cp)
       val mn = Character.getType(cp) == Character.NON_SPACING_MARK
-      val word =
-        if (mn) baseActive && runStart >= 0
-        else cp == '_' || Character.isLetterOrDigit(cp)
-      if (word) { if (runStart < 0) runStart = i }
-      else close(i)
-      if (!mn) baseActive = cc == 1 && Character.isLetterOrDigit(cp)
+      if (mn && cc == 2) {
+        // SUPPLEMENTARY Mn is ASYMMETRIC (empirically pinned, r14): the
+        // boundary test on its LEFT reads it codepoint-wise (Mn, and the
+        // base walk from the high surrogate skips it to the base letter),
+        // so with an active base it absorbs into the current word — but
+        // the walk from any position AFTER it starts on its own low
+        // surrogate (type SURROGATE) and stops, forcing a boundary right
+        // after the mark. Net: the run it absorbed into closes bounded
+        // WITH the mark inside (so it can never equal a pure word —
+        // discard), while an inactive base closes the run cleanly before
+        // the mark. Either way the mark kills the base for later marks.
+        if (baseActive && runStart >= 0) runStart = -1 else close(i)
+        baseActive = false
+      } else {
+        val word =
+          if (mn) baseActive && runStart >= 0
+          else cp == '_' || Character.isLetterOrDigit(cp)
+        if (word) { if (runStart < 0) runStart = i }
+        else close(i)
+        if (!mn) baseActive = cc == 1 && Character.isLetterOrDigit(cp)
+      }
       i += cc
     }
     close(n)

@@ -34,6 +34,10 @@ class GopherFilterSpec extends SparkTestBase with Matchers {
         "文本 the 文 the٣ thé the", // CJK, Unicode digit, combining mark
         "thé x́the 9́the _́the ́the", // Mn base rules (letter/digit base only)
         "𐐀́the the𐐀 theⅠ the²", // supplementary-base quirk, Nl, No
+        // SUPPLEMENTARY Mn marks (U+101FD, 2 chars): the backward walk lands
+        // on the mark's own low surrogate and stops, so the mark always
+        // breaks the word — unlike a BMP mark over a letter base (r14)
+        "a𐇽the x𐇽́the the𐇽 the",
         "", "   ", "...!!!")               // empty / no-word rows
       val df = rows.toDF("t")
       val fused = df.select(
@@ -46,7 +50,9 @@ class GopherFilterSpec extends SparkTestBase with Matchers {
     it("randomized equivalence sweep against the regex twin") {
       val words = TextFunctions.EnglishStopwords
       val rnd = new scala.util.Random(42)
-      val alphabet = "the and of to in a _2é文٣́Ⅰ²-., !".toCharArray
+      // 𐇽 (supplementary Mn) contributes its two surrogate chars, so the
+      // sweep also fuzzes lone high/low surrogates and recombined pairs
+      val alphabet = "the and of to in a _2é文٣́Ⅰ²𐇽-., !".toCharArray
       val rows = Seq.fill(400)(
         Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
       val df = rows.toDF("t")

@@ -255,6 +255,29 @@ class MediaPhashSpec extends SparkTestBase with Matchers {
     assert(Multimodal.riffPcm16Profile("RIFFxxxx".getBytes("UTF-8")).isEmpty)
   }
 
+  it("riffPcm16Profile survives junk chunks declaring overflow-sized lengths (r14)") {
+    // a chunk size >= 0x7FFFFFF8 overflows `8 + sz.toInt`, which used to
+    // drive the scan offset negative and throw out of the kernel entirely —
+    // every such container must instead demote to the JDK path -> BadAudio
+    def fuzzed(size: Long): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](36, 0, 0, 0))
+      b.write("WAVE".getBytes("US-ASCII"))
+      b.write("JUNK".getBytes("US-ASCII"))
+      b.write(Array.tabulate(4)(i => ((size >> (8 * i)) & 0xff).toByte))
+      b.write(new Array[Byte](24)) // some bytes after the lying header
+      b.toByteArray
+    }
+    for (sz <- Seq(0x80000000L, 0xFFFFFFFFL, 0x7FFFFFF8L, 1000L))
+      assert(Multimodal.riffPcm16Profile(fuzzed(sz)).isEmpty,
+        s"junk chunk of declared size $sz must refuse the fast path")
+    // and through the full kernel: quarantined as BadAudio, not a task failure
+    val media = Seq((1L, fuzzed(0xFFFFFFFFL))).toDF("doc_id", "content")
+    val got = Multimodal.audioProfiles(media, "doc_id", "content")
+      .as[(Long, Int, Int, Long, Long, Long, Int)].collect()
+    got.head._7 shouldBe -1
+  }
+
   it("decompressTextKernel sniffs and round-trips gzip, zstd, plain and corrupt payloads") {
     val uni = "mixed codecs: κείμενο, 文本, émojis 🙂 — exact bytes matter"
     val media = Seq(
