@@ -19,19 +19,41 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
+  /** All seven Gopher raw counts in ONE fused native pass
+    * ([[graft.sql.GopherCounts]]): `[n_tokens, non_ws_chars,
+    * symbol_matches, n_lines, bullet_lines, ellipsis_lines,
+    * alpha_tokens]`. Every signal below reads an element of this array, so
+    * a projection computing several signals over the same text column runs
+    * the kernel ONCE (codegen subexpression elimination dedupes the
+    * identical calls) — round 14: q50 paid six separate regex scans plus
+    * their full recomputation inside gopherPass. Needs the graft functions
+    * registered (GraftExtensions or graft.sql.functions.ensureRegistered);
+    * each fused signal's regex twin is kept `private[graft]` below and
+    * pinned equal in GopherFilterSpec. */
+  private def gopherCounts(text: Column): Column =
+    call_function("graft_gopher_counts", text)
+
   /** Token count as BIGINT (matches DuckDB `len(...)` type). */
   def tokenCount(text: Column): Column =
+    element_at(gopherCounts(text), 1)
+
+  private[graft] def tokenCountRegex(text: Column): Column =
     size(tokens(text)).cast("long")
 
   def charCount(text: Column): Column = length(text).cast("long")
 
   /** Mean token length, rounded to `scale` decimals. Total token chars =
-    * length minus whitespace — same number as summing per-token lengths, but
-    * pure codegen'd expressions instead of an interpreted HOF fold over a
-    * materialised token array. */
+    * length minus whitespace — same number as summing per-token lengths. */
   def meanTokenLength(text: Column, scale: Int = 4): Column = {
+    val c = gopherCounts(text)
+    round(element_at(c, 2).cast("double") /
+      greatest(element_at(c, 1), lit(1L)).cast("double"), scale)
+  }
+
+  private[graft] def meanTokenLengthRegex(text: Column, scale: Int = 4): Column = {
     val totalChars = length(regexp_replace(text, "\\s+", ""))
-    round(totalChars.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
+    round(totalChars.cast("double") /
+      greatest(tokenCountRegex(text), lit(1L)).cast("double"), scale)
   }
 
   /** Punctuation ratio: punct chars / all chars (explicit class — identical
@@ -250,14 +272,27 @@ object TextFunctions {
     * and a literal "..." (greedy leftmost match, so "...." counts once —
     * same in any leftmost-longest engine). */
   def symbolToWordRatio(text: Column, scale: Int = 6): Column = {
+    val c = gopherCounts(text)
+    round(element_at(c, 3).cast("double") /
+      greatest(element_at(c, 1), lit(1L)).cast("double"), scale)
+  }
+
+  private[graft] def symbolToWordRatioRegex(text: Column, scale: Int = 6): Column = {
     val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
-    round(symbols.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
+    round(symbols.cast("double") /
+      greatest(tokenCountRegex(text), lit(1L)).cast("double"), scale)
   }
 
   /** Fraction of lines starting with a bullet ( -, *, or • after optional
     * indent). `[ \t]` rather than `\s` so the indent cannot swallow the
     * newline of an empty previous line. */
   def bulletLineFrac(text: Column, scale: Int = 6): Column = {
+    val c = gopherCounts(text)
+    round(element_at(c, 5).cast("double") /
+      greatest(element_at(c, 4), lit(1L)).cast("double"), scale)
+  }
+
+  private[graft] def bulletLineFracRegex(text: Column, scale: Int = 6): Column = {
     val bullets = size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0)))
     val lines = size(split(text, "\n"))
     round(bullets.cast("double") / greatest(lines, lit(1)).cast("double"), scale)
@@ -265,6 +300,12 @@ object TextFunctions {
 
   /** Fraction of lines ending with an ellipsis ("..." or the one-char form). */
   def ellipsisLineFrac(text: Column, scale: Int = 6): Column = {
+    val c = gopherCounts(text)
+    round(element_at(c, 6).cast("double") /
+      greatest(element_at(c, 4), lit(1L)).cast("double"), scale)
+  }
+
+  private[graft] def ellipsisLineFracRegex(text: Column, scale: Int = 6): Column = {
     val ell = size(regexp_extract_all(text, lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
     val lines = size(split(text, "\n"))
     round(ell.cast("double") / greatest(lines, lit(1)).cast("double"), scale)
@@ -272,8 +313,15 @@ object TextFunctions {
 
   /** Fraction of tokens containing at least one letter. */
   def alphaWordFrac(text: Column, scale: Int = 6): Column = {
+    val c = gopherCounts(text)
+    round(element_at(c, 7).cast("double") /
+      greatest(element_at(c, 1), lit(1L)).cast("double"), scale)
+  }
+
+  private[graft] def alphaWordFracRegex(text: Column, scale: Int = 6): Column = {
     val alpha = size(regexp_extract_all(text, lit("\\S*\\p{L}\\S*"), lit(0)))
-    round(alpha.cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), scale)
+    round(alpha.cast("double") /
+      greatest(tokenCountRegex(text), lit(1L)).cast("double"), scale)
   }
 
   /** Density of code punctuation ({}[]()<>;=) per character — near zero in

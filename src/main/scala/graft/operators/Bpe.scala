@@ -436,16 +436,28 @@ object Bpe {
       .join(vocab.select(col("word"), size(col("syms")).cast("long").as("v_tok")),
         Seq("word"), "left")
     // OOV fallback (round 13; closes the round-12 verdict's silent-drop
-    // finding): fold the merge table over each DISTINCT unseen word once
-    val oovTok = joined.where(col("v_tok").isNull)
-      .select(col("word")).distinct()
-      .select(col("word"),
-        size(applyMerges(col("word"), merges)).cast("long").as("o_tok"))
-    val agg = joined
-      .join(oovTok, Seq("word"), "left")
-      .select(col("doc_id"),
-        coalesce(col("v_tok"), col("o_tok")).as("tok"),
-        col("v_tok").isNull.as("is_oov"))
+    // finding): apply the merge table to each DISTINCT unseen word once.
+    // With NO merges the fallback is just the word's character count —
+    // inline it instead of paying a distinct aggregate + second join for a
+    // value `length` already computes (round 14: q39 passes merges = Nil
+    // and had regressed 1.77x its bench ref on exactly that empty join)
+    val withTok =
+      if (merges.isEmpty)
+        joined.select(col("doc_id"),
+          coalesce(col("v_tok"), length(col("word")).cast("long")).as("tok"),
+          col("v_tok").isNull.as("is_oov"))
+      else {
+        val oovTok = joined.where(col("v_tok").isNull)
+          .select(col("word")).distinct()
+          .select(col("word"),
+            size(applyMerges(col("word"), merges)).cast("long").as("o_tok"))
+        joined
+          .join(oovTok, Seq("word"), "left")
+          .select(col("doc_id"),
+            coalesce(col("v_tok"), col("o_tok")).as("tok"),
+            col("v_tok").isNull.as("is_oov"))
+      }
+    val agg = withTok
       .groupBy(col("doc_id"))
       .agg(sum(col("tok")).cast("long").as("n_tok"),
         count(lit(1)).cast("long").as("n_words"),
@@ -463,9 +475,25 @@ object Bpe {
   }
 
   /** Apply a learned merge list to a single word column — the streaming /
-    * unseen-word path (words not in the training vocab). Pure narrow
-    * expression: numMerges chained folds, no shuffle, no driver round trip.
-    */
+    * unseen-word path (words not in the training vocab). ONE native kernel
+    * ([[graft.sql.BpeEncode]]): the full ranked merge table rides in as a
+    * single literal and each word runs the classic rank-priority merge
+    * loop, so the expression tree is CONSTANT depth regardless of
+    * vocabulary size — a production 32k-merge table is just a bigger rank
+    * map, where the round-13 per-merge `graft_bpe_merge` chain
+    * ([[applyMergesChained]], kept as the spec twin) built a 32k-deep tree
+    * Catalyst analysis could not survive. Pure narrow expression: no
+    * shuffle, no driver round trip. */
   def applyMerges(word: Column, merges: Seq[Merge]): Column =
+    if (merges.isEmpty) charSyms(word)
+    else call_function("graft_bpe_encode", word,
+      typedLit(merges.map(m => Seq(m.left, m.right))))
+
+  /** The pre-round-14 one-expression-per-merge fold. Provably equivalent to
+    * the kernel (see [[graft.sql.BpeEncode]]'s scaladoc for the argument)
+    * and pinned equal in BpeSpec on randomized tables — but its expression
+    * depth grows with the vocabulary, so it is spec/verification surface
+    * only, never the serving path. */
+  private[graft] def applyMergesChained(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(charSyms(word))((syms, m) => applyOne(syms, m.left, m.right))
 }

@@ -435,6 +435,144 @@ object BpeMergePass {
   }
 }
 
+/** Native BPE ENCODER: apply a COMPLETE ranked merge table to one word in a
+  * single kernel — `graft_bpe_encode(word, array<array<string>>) ->
+  * array<string>` where the table is a FOLDABLE list of `[lhs, rhs]` pairs
+  * in rank (training) order.
+  *
+  * The serving-path twin of the per-iteration [[BpeMergePass]]: chaining
+  * one `graft_bpe_merge` per learned merge builds an expression tree as
+  * deep as the vocabulary — fine for the ~10-merge gate tables, fatal for
+  * the production 32k-merge tables the trainer targets (Catalyst
+  * analysis/codegen cost grows with tree depth, and codegen splits give
+  * up long before 32k nested calls). This expression is CONSTANT depth:
+  * the table rides in as one literal, materialised once per executor into
+  * a rank map, and each word runs the classic rank-priority loop — find
+  * the lowest-ranked adjacent pair, merge all its non-overlapping
+  * occurrences left-to-right, repeat. That is provably the same result as
+  * folding every merge over the word in rank order (a pass over pair
+  * (l, r) can never create a new occurrence of (l, r) or of any
+  * earlier-ranked pair: the merged symbol l+r is strictly longer than l
+  * and r, and any pair involving l+r was necessarily learned later), at
+  * O(len² ) pair scans per word instead of O(merges × len) — the word
+  * length, not the vocabulary size, bounds the work. BpeSpec pins kernel
+  * ≡ chained fold on randomized words and merge tables. */
+case class BpeEncode(word: Expression, table: Expression)
+  extends BinaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def left: Expression = word
+  override def right: Expression = table
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (word.dataType, table.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _)) if table.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (_, t) if !table.foldable => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode needs a literal merge table, got a non-foldable $t")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode expects (string, array<array<string>>), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncode =
+    copy(word = newLeft, table = newRight)
+
+  /** lhs + NUL + rhs -> rank; NUL cannot occur inside a symbol learned from
+    * the `[a-z]+` word pattern, so the key is collision-free. */
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val ad = table.eval(null)
+    require(ad != null, "graft_bpe_encode: merge table must not be null")
+    val arr = ad.asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, Integer](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      val pair = arr.getArray(i)
+      require(pair.numElements() == 2,
+        s"graft_bpe_encode: merge $i must be a [lhs, rhs] pair")
+      val key = pair.getUTF8String(0).toString + "\u0000" +
+        pair.getUTF8String(1).toString
+      // a duplicated pair keeps its FIRST (lowest) rank — same pass the
+      // chained fold would perform, later copies are no-ops there too
+      if (!m.containsKey(key)) m.put(key, Integer.valueOf(i)): Unit
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(w: Any, unused: Any): Any =
+    BpeEncode.compute(w.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.sql.BpeEncode.compute($w, $ranksRef);")
+  }
+}
+
+object BpeEncode {
+  /** Interpreted + generated code share this loop. */
+  def compute(word: org.apache.spark.unsafe.types.UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    // codepoint-wise split, identical to the `substr` char symbolisation
+    // (Spark string indexing is codepoint-based)
+    var n = 0
+    var syms = new Array[String](s.codePointCount(0, s.length))
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val cc = Character.charCount(cp)
+      syms(n) = s.substring(ci, ci + cc)
+      n += 1
+      ci += cc
+    }
+    var done = n <= 1 || ranks.isEmpty
+    while (!done) {
+      // lowest-ranked pair present anywhere in the word
+      var bestRank = Int.MaxValue
+      var bl: String = null; var br: String = null
+      var i = 0
+      while (i < n - 1) {
+        val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bl = syms(i); br = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bl == null) done = true
+      else {
+        // merge every non-overlapping occurrence, left to right — one
+        // full pass, exactly like the per-merge fold's pass
+        var out = 0; i = 0
+        while (i < n) {
+          if (i + 1 < n && syms(i) == bl && syms(i + 1) == br) {
+            syms(out) = bl + br; i += 2
+          } else {
+            syms(out) = syms(i); i += 1
+          }
+          out += 1
+        }
+        n = out
+        done = n <= 1
+      }
+    }
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
   * local document fingerprinting scheme): hash every k-codepoint gram with
   * the house rolling hash (base 257 mod 2^31−1, same family as
@@ -934,6 +1072,130 @@ object WordSetsCount {
   }
 }
 
+/** Native Catalyst expression: every raw count behind the Gopher document
+  * signals in ONE fused pass —
+  * `graft_gopher_counts(text) -> array<bigint>` of
+  * `[n_tokens, non_ws_chars, symbol_matches, n_lines, bullet_lines,
+  *   ellipsis_lines, alpha_tokens]`.
+  *
+  * Replaces six separate `regexp_extract_all`/`regexp_replace` scans per
+  * row (and their re-computation inside `gopherPass` — round-13
+  * measurement: 6.7s of q50's sf1 time was regex scans). Each count
+  * reproduces its live Java-regex twin EXACTLY (GopherFilterSpec pins all
+  * of them empirically, adversarial shapes included):
+  *
+  *  - `n_tokens` = count of `\S+` matches: maximal runs of
+  *    non-`[ \t\n\x0B\f\r]` (Java default `\s` is ASCII);
+  *  - `non_ws_chars` = `length(regexp_replace(text, '\s+', ''))`:
+  *    codepoints outside that same ASCII whitespace set (Spark `length`
+  *    counts codepoints);
+  *  - `symbol_matches` = count of `#|\.\.\.|…` under leftmost scan with
+  *    ordered alternation ("...." counts once);
+  *  - `n_lines` = `size(split(text, '\n'))` = `\n` count + 1 — the literal
+  *    split, NOT Java line terminators;
+  *  - `bullet_lines` = count of `(?m)^[ \t]*[-*•]` and `ellipsis_lines` =
+  *    count of `(?m)(\.\.\.|…)$`, where `^`/`$` follow Java MULTILINE
+  *    semantics: terminators are \n, \r\n (one unit — no match between
+  *    the two), lone \r, U+0085 NEL, U+2028 LS, U+2029 PS, plus start/end of input.
+  *    Each segment matches at most once by construction (the match is
+  *    anchored);
+  *  - `alpha_tokens` = count of `\S*\p{L}\S*` matches: a match consumes a
+  *    maximal non-ws run from its start (greedy `\S*` + backtrack finds
+  *    any letter inside the run), so the count is exactly the number of
+  *    runs containing at least one Unicode letter.
+  */
+case class GopherCounts(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_gopher_counts expects a string argument, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_gopher_counts"
+
+  override protected def withNewChildInternal(newChild: Expression): GopherCounts =
+    copy(child = newChild)
+
+  override def nullSafeEval(t: Any): Any =
+    GopherCounts.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.sql.GopherCounts.compute($t);")
+}
+
+object GopherCounts {
+  /** Interpreted + generated code share these loops: three tight scans
+    * (token/alpha/non-ws state machine; symbol alternation; line-segment
+    * anchors), no regex machinery. */
+  def compute(t: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = t.toString
+    val len = s.length
+    @inline def isWs(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    // pass 1 (codepoint-wise): token runs, letters in runs, non-ws chars
+    var nTok = 0L; var nonWs = 0L; var alphaTok = 0L
+    var inRun = false; var runHasLetter = false
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (isWs(cp)) {
+        if (inRun) {
+          nTok += 1; if (runHasLetter) alphaTok += 1
+          inRun = false; runHasLetter = false
+        }
+      } else {
+        nonWs += 1
+        inRun = true
+        if (!runHasLetter && Character.isLetter(cp)) runHasLetter = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (inRun) { nTok += 1; if (runHasLetter) alphaTok += 1 }
+    // pass 2 (char-wise): symbol alternation + literal '\n' line count
+    var sym = 0L; var nLines = 1L
+    i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == '\n') { nLines += 1; i += 1 }
+      else if (c == '#') { sym += 1; i += 1 }
+      else if (c == '.' && i + 2 < len && s.charAt(i + 1) == '.' &&
+               s.charAt(i + 2) == '.') { sym += 1; i += 3 }
+      else if (c == '…') { sym += 1; i += 1 }
+      else i += 1
+    }
+    // pass 3: Java-MULTILINE segments for the anchored bullet/ellipsis hits
+    @inline def isTerm(c: Char): Boolean =
+      c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+    var bullets = 0L; var ell = 0L
+    var segStart = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || isTerm(s.charAt(i))) {
+        var j = segStart
+        while (j < i && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        if (j < i && (s.charAt(j) == '-' || s.charAt(j) == '*' ||
+            s.charAt(j) == '•')) bullets += 1
+        if (i - segStart >= 3 && s.charAt(i - 1) == '.' &&
+            s.charAt(i - 2) == '.' && s.charAt(i - 3) == '.') ell += 1
+        else if (i - segStart >= 1 && s.charAt(i - 1) == '…') ell += 1
+        if (i < len && s.charAt(i) == '\r' && i + 1 < len &&
+            s.charAt(i + 1) == '\n') i += 1 // \r\n is ONE terminator
+        i += 1
+        segStart = i
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](nTok, nonWs, sym, nLines, bullets, ell, alphaTok))
+  }
+}
+
 private[sql] object FoldableTable {
   def materialise(table: Expression, fn: String): Array[Array[Double]] = {
     val ad = table.eval(null)
@@ -1093,6 +1355,14 @@ object functions {
       BpeMergePass(children.head, children(1), children(2))
     })
 
+  private[sql] val bpeEncodeDescriptor = (
+    new FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_bpe_encode expects exactly 2 arguments")
+      BpeEncode(children.head, children(1))
+    })
+
   private[sql] val winnowDescriptor = (
     new FunctionIdentifier("graft_winnow"),
     new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
@@ -1173,8 +1443,17 @@ object functions {
       WordSetsCount(children.head, children(1))
     })
 
+  private[sql] val gopherCountsDescriptor = (
+    new FunctionIdentifier("graft_gopher_counts"),
+    new ExpressionInfo(classOf[GopherCounts].getName, "graft_gopher_counts"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_gopher_counts expects exactly 1 argument")
+      GopherCounts(children.head)
+    })
+
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
+      bpeEncodeDescriptor, gopherCountsDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
       containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
       centroidSubDescriptor, gramianDescriptor, wordSetsDescriptor)

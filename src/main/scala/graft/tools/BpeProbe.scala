@@ -132,10 +132,30 @@ object BpeProbe {
       val (m, v) = graft.operators.Bpe.learnBpeLocalFromCounts(
         countsHuge, n.toInt, minCount = floor)
       val sec = (System.nanoTime() - t0) / 1e9
-      val vocabRows = v.count(); v.unpersist()
+      val vocabRows = v.count()
       println(f"PROBE huge distinct=$distinct floor=$floor " +
         f"retained=$vocabRows merges=${m.size} total=$sec%.1f s " +
         f"perMerge=${sec / math.max(m.size, 1)}%.4f s")
+      // SERVING at the trained scale (round-13 verdict 1b's done-bar): a
+      // floored corpus slice tokenized with the FULL merge table through
+      // the constant-depth graft_bpe_encode kernel — md5-derived words are
+      // overwhelmingly sub-floor, so the OOV fallback carries the load;
+      // the chained per-merge fold could not even ANALYZE at this size
+      val serveDocs = spark.range(20000)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', " +
+            "substring(md5(cast(id as string)), 1, 6 + cast(pmod(id, 10) as int)), " +
+            "substring(md5(cast(id + 7 as string)), 1, 6 + cast(pmod(id + 7, 10) as int)))")
+            .as("text"))
+      val t1 = System.nanoTime()
+      val served = graft.operators.Bpe.tokenizeWithVocab(
+          serveDocs, col("doc_id"), col("text"), v, m)
+        .agg(sum(col("n_tok")), sum(col("n_oov_tok"))).collect()(0)
+      val serveSec = (System.nanoTime() - t1) / 1e9
+      v.unpersist()
+      println(f"PROBE huge serve docs=20000 merges=${m.size} " +
+        f"tok=${served.getLong(0)} oovTok=${served.getLong(1)} " +
+        f"time=$serveSec%.1f s")
       spark.stop()
       return
     }

@@ -545,11 +545,10 @@ class PlanSpec extends SparkTestBase with Matchers {
     expands(twoGroups) shouldBe true
     val allowed = Set(
       // rollup / cube: every input row is a member of several grouping
-      // sets — Expand IS the semantics, not a rewrite artifact
-      "q09_rollup_sales", "q42_cube_sales",
-      // one-pass k-column profile: k distinct groups deliberately traded
-      // against k separate corpus scans (see Profile.profile scaladoc)
-      "q54_profile")
+      // sets — Expand IS the semantics, not a rewrite artifact.
+      // q54 left this list in round 14: the exact profile now unions one
+      // single-distinct aggregate per column (see Profile.profile scaladoc)
+      "q09_rollup_sales", "q42_cube_sales")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if expands(fn(spark, sf("sf0.001"))) => name
     }

@@ -76,6 +76,65 @@ class GopherFilterSpec extends SparkTestBase with Matchers {
     }
   }
 
+  describe("fused gopher counts (graft_gopher_counts, r14)") {
+    // every fused signal vs its live-regex twin, adversarial shapes first:
+    // Java-MULTILINE terminator quirks (\r, \r\n, NEL, LS, PS — which the
+    // anchored bullet/ellipsis regexes see as line breaks while
+    // split('\n') does NOT), alternation overlap, supplementary letters,
+    // lone surrogates, marks-only tokens, tab indents
+    val adversarial = Seq(
+      "plain words only",
+      "- a\n  * b\nplain\nc...\n• d",
+      "....  ..  ...  …  #…# ...…",
+      "- cr\r* after-cr\r\n- after-crlf\u0085* after-nel\u2028- after-ls\u2029* after-ps",
+      "dots...\rdots...\r\ndots…\u0085x...\u2028…\u2029...",
+      "\t- tab bullet\n    * deep indent\n *no-indent-star\nx- not a bullet",
+      "𐐀𐐀 abc123 123 ### _ _a ́ x́ 𐇽 a𐇽",
+      "\uD800 \uDC00 𐀀 mixed\uD800text",
+      "ends with spaces   ",
+      "\n\n\n", "...", "…", "#", "", " ", "\r\n", "one",
+      "trailing newline...\n", "...leading dots", "a.b.c .. . …. el…",
+      "🙂 🙂x 文本 ٣٣ Ⅰ ²")
+
+    it("every fused signal equals its regex twin on adversarial rows") {
+      val df = adversarial.toDF("t")
+      def both(fused: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          regex: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          name: String): Unit = {
+        val f = df.select(fused(col("t")).cast("double").as("m")).as[Double].collect().toSeq
+        val r = df.select(regex(col("t")).cast("double").as("m")).as[Double].collect().toSeq
+        withClue(s"$name: ") { f shouldBe r }
+      }
+      both(TextFunctions.tokenCount(_), TextFunctions.tokenCountRegex(_), "tokenCount")
+      both(TextFunctions.meanTokenLength(_), TextFunctions.meanTokenLengthRegex(_), "meanTokenLength")
+      both(TextFunctions.symbolToWordRatio(_), TextFunctions.symbolToWordRatioRegex(_), "symbolToWordRatio")
+      both(TextFunctions.bulletLineFrac(_), TextFunctions.bulletLineFracRegex(_), "bulletLineFrac")
+      both(TextFunctions.ellipsisLineFrac(_), TextFunctions.ellipsisLineFracRegex(_), "ellipsisLineFrac")
+      both(TextFunctions.alphaWordFrac(_), TextFunctions.alphaWordFracRegex(_), "alphaWordFrac")
+    }
+
+    it("randomized equivalence sweep over terminator/symbol/letter soup") {
+      val rnd = new scala.util.Random(99)
+      val alphabet = ("ab .…#-*•\t\n\r\u0085\u2028\u2029á𐐀" + "𐀀").toCharArray
+      val rows = Seq.fill(400)(
+        Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val df = rows.toDF("t")
+      for ((fused, regex, name) <- Seq[
+          (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+           org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+          (TextFunctions.tokenCount(_), TextFunctions.tokenCountRegex(_), "tokenCount"),
+          (TextFunctions.meanTokenLength(_), TextFunctions.meanTokenLengthRegex(_), "meanTokenLength"),
+          (TextFunctions.symbolToWordRatio(_), TextFunctions.symbolToWordRatioRegex(_), "symbolToWordRatio"),
+          (TextFunctions.bulletLineFrac(_), TextFunctions.bulletLineFracRegex(_), "bulletLineFrac"),
+          (TextFunctions.ellipsisLineFrac(_), TextFunctions.ellipsisLineFracRegex(_), "ellipsisLineFrac"),
+          (TextFunctions.alphaWordFrac(_), TextFunctions.alphaWordFracRegex(_), "alphaWordFrac"))) {
+        val f = df.select(fused(col("t")).cast("double").as("m")).as[Double].collect().toSeq
+        val r = df.select(regex(col("t")).cast("double").as("m")).as[Double].collect().toSeq
+        withClue(s"$name: ") { f shouldBe r }
+      }
+    }
+  }
+
   describe("gopher signals") {
 
     it("symbolToWordRatio counts #, ... and the one-char ellipsis") {

@@ -56,6 +56,56 @@ class BpeSpec extends SparkTestBase with Matchers {
     out("ba") shouldBe Seq("b", "a")
   }
 
+  it("graft_bpe_encode kernel is identical to the chained per-merge fold (r14)") {
+    // the serving kernel (one literal table + rank-priority loop) must be
+    // bit-identical to the one-expression-per-merge fold it replaced —
+    // pinned on a REAL trained table over randomized words: in-vocab,
+    // unseen, runs, empty, single-char
+    val rnd = new scala.util.Random(7)
+    val corpusWords = Seq("lower", "lowest", "newer", "newest", "wider",
+      "widest", "the", "then", "than", "thinner", "inner", "winner")
+    val docs = Seq.fill(60)(
+      Seq.fill(8)(corpusWords(rnd.nextInt(corpusWords.size))).mkString(" ")).toDF("text")
+    val (merges, v) = Bpe.learnBpeLocal(docs, col("text"), numMerges = 200)
+    v.unpersist()
+    assert(merges.size > 20, "trained table too small to be a meaningful pin")
+    // the empty word is pinned separately below: charSyms relies on
+    // sequence(1, length) which DESCENDS for length 0 (Spark infers step
+    // -1), so the fold quirkily yields ["", ""] — unreachable from the
+    // [a-z]+ word pattern; the kernel returns the sane []
+    val words = Seq("a", "aaaaaa", "lowerest", "thinnest", "zzz") ++
+      Seq.fill(300)(
+        Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(6)).toChar).mkString)
+    val df = words.toDF("w")
+    val viaKernel = df.select($"w", Bpe.applyMerges(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toSeq
+    val viaChain = df.select($"w", Bpe.applyMergesChained(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toSeq
+    viaKernel shouldBe viaChain
+    Seq("").toDF("w").select(Bpe.applyMerges(col("w"), merges).as("s"))
+      .as[Seq[String]].collect()(0) shouldBe Seq.empty
+    // duplicated pair keeps its first rank — a no-op for the fold too
+    val dup = Seq(Bpe.Merge("a", "a", 0L), Bpe.Merge("a", "a", 0L),
+      Bpe.Merge("aa", "a", 0L))
+    val dw = Seq("aaaa", "aaaaa", "ab").toDF("w")
+    dw.select(Bpe.applyMerges(col("w"), dup).as("s")).as[Seq[String]].collect().toSeq shouldBe
+      dw.select(Bpe.applyMergesChained(col("w"), dup).as("s")).as[Seq[String]].collect().toSeq
+  }
+
+  it("kernel serving survives vocabulary-scale merge tables (constant depth, r14)") {
+    // 8000 synthetic merges: the chained fold would plan an 8000-deep
+    // expression tree (Catalyst analysis/codegen death at production
+    // vocab sizes); the kernel is ONE node with a bigger rank map. The
+    // only applicable merges sit at the very END of the table, so the
+    // rank loop really consults the full map.
+    val merges = (0 until 8000).map(i => Bpe.Merge(s"x$i", s"y$i", 0L)) ++
+      Seq(Bpe.Merge("a", "b", 1L), Bpe.Merge("ab", "c", 1L))
+    val out = Seq("abc abcabc", "cab").toDF("w")
+      .select(Bpe.applyMerges(col("w"), merges).as("s")).as[Seq[String]].collect()
+    out(0) shouldBe Seq("abc", " ", "abc", "abc")
+    out(1) shouldBe Seq("c", "ab")
+  }
+
   it("tokenizeWithVocab counts per doc and keeps wordless docs with zeros") {
     val docs = Seq((1L, "aaa ab aaa"), (2L, "12345 --")).toDF("doc_id", "text")
     val (_, vocab) = Bpe.learnBpe(docs, col("text"), numMerges = 3)

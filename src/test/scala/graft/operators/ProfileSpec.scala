@@ -54,19 +54,22 @@ class ProfileSpec extends SparkTestBase with Matchers {
       out("v") shouldBe (("v", 4L, 1L, 2L, "1.5", "2.5"))
     }
 
-    it("runs as a single aggregation pass (one scan in the plan)") {
+    it("exact path plans one column-pruned scan per column and NO Expand (r14)") {
+      // the round-13 shape (one Expand×k aggregate) multiplied every input
+      // row by k and re-shuffled the expanded rows per distinct column —
+      // the suite's slowest sf1 row; the split unions k single-distinct
+      // aggregates instead, each its own pruned scan
       val plan = Profile.profile(df, Seq("id", "s", "v"))
         .queryExecution.executedPlan.toString
-      "LocalTableScan|Scan".r.findAllIn(plan).size shouldBe 1
+      plan should not include "Expand"
+      "LocalTableScan|Scan".r.findAllIn(plan).size shouldBe 3
     }
 
-    it("approx mode avoids the Expand row multiplication") {
-      val exact = Profile.profile(df, Seq("id", "s"))
-        .queryExecution.executedPlan.toString
+    it("approx mode is a true single pass: one scan, no Expand") {
       val approx = Profile.profile(df, Seq("id", "s"), approxDistinct = true)
         .queryExecution.executedPlan.toString
-      exact should include("Expand")
       approx should not include "Expand"
+      "LocalTableScan|Scan".r.findAllIn(approx).size shouldBe 1
       // approx counts are exact at this cardinality
       Profile.profile(df, Seq("id"), approxDistinct = true)
         .select("n_distinct").as[Long].head() shouldBe 4L
