@@ -326,14 +326,22 @@ object Ranking {
       scale: Int = 6): DataFrame = {
     require(topK > 0, "topK must be positive")
     // corpus size as a broadcast scalar INSIDE the lazy DAG (the oracle's
-    // `n` CTE shape) — an eager docs.count() here would scan an expensive
-    // upstream pipeline twice and make composition side-effecting
+    // `n` CTE shape); its scan reads ZERO columns (a metadata count), so
+    // the materialized tf profile below remains the only text-column pass
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_graft_n"))
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // NOTE this branch cannot share tf's exchange: df only counts rows, so
+    // the optimizer strips the count function out of its copy of the
+    // profile aggregate (keys-only distinct) and the two exchanges no
+    // longer canonicalize equal — the corpus tokenize runs twice. Measured
+    // r14: an explicit localCheckpoint of tf costs MORE at sf1 than the
+    // second scan (8.4s vs 5.8s), and a window-count df would drag the
+    // corpus-sized stream through a nested-loop cross for the n scalar —
+    // the double scan is the cheapest correct shape here.
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the 1-row corpus count attaches to the VOCAB-sized df relation, not
     // the corpus-sized tf stream: a cross join on the big side puts a
@@ -392,21 +400,24 @@ object Ranking {
     * Scale shape — the [[dsirLogWeights]] fused-profile pattern: ONE JVM
     * pass builds each doc's bigram PROFILE ((a,b) -> count), so everything
     * downstream handles <= distinct-bigrams-per-doc rows, never one row per
-    * token position. The LM and context counts are aggregates OF the
-    * profile stream (map-combined, and Catalyst reuses the profile's
-    * (a,b) exchange for both the aggregate and the scoring join); the
-    * context count attaches to the LM side first, so the corpus-profile
-    * stream joins exactly ONCE, on (a,b), against an LM-sized relation
-    * that never needs to broadcast; V attaches as a broadcast 1-row
-    * scalar. Nothing corpus-sized reaches the driver. (The former
-    * formulation joined the per-token-INSTANCE stream against the LM twice
-    * and forced the full distinct-bigram LM through a BroadcastExchange —
-    * at 100 TB the LM is billions of rows and the corpus token stream
-    * shuffled twice.) */
+    * token position. The profile is MATERIALIZED ([[Materialize]], round
+    * 14) and is the single corpus tokenization: the LM aggregate, the
+    * vocab scalar V (via per-doc sentinel rows — see the UDF comment) and
+    * the scoring join all read it. The context count attaches to the LM
+    * side first, so the profile stream joins exactly ONCE, on (a,b),
+    * against an LM-sized relation that never needs to broadcast; V
+    * attaches as a broadcast 1-row scalar. Nothing corpus-sized reaches
+    * the driver. (The former formulation joined the per-token-INSTANCE
+    * stream against the LM twice and forced the full distinct-bigram LM
+    * through a BroadcastExchange — at 100 TB the LM is billions of rows
+    * and the corpus token stream shuffled twice.) */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0, scale: Int = 4): DataFrame = {
-    val arr = TextFunctions.tokens(lower(col(textCol)))
-    // \S+ runs == TextFunctions.tokens; the hash map keeps the pass fused
+    // \S+ runs == TextFunctions.tokens; the hash map keeps the pass fused.
+    // Each doc also emits ONE sentinel row (last token, null, 0): every
+    // token position except the last starts a bigram, so distinct(a) over
+    // profile+sentinel rows is exactly the corpus vocabulary — V no longer
+    // needs its own corpus tokenization pass (round 14).
     val profileUdf = udf { (txt: String) =>
       val toks =
         if (txt == null) Array.empty[String]
@@ -418,18 +429,27 @@ object Ranking {
         m.update(key, m.getOrElse(key, 0) + 1)
         i += 1
       }
-      m.iterator.map { case ((a, b), c) => (a, b, c) }.toSeq
+      val entries = m.iterator.map { case ((a, b), c) => (a, b, c) }.toSeq
+      if (toks.nonEmpty) entries :+ ((toks.last, null: String, 0)) else entries
     }
-    val prof = docs.select(col(idCol).as("doc_id"),
+    // ONE tokenization, EXPLICITLY materialized: the LM aggregate, the
+    // vocab scalar and the scoring join each prune different columns, so
+    // their exchanges canonicalize differently and AQE's stage cache
+    // cannot dedupe them (measured r14: the lazy shape ran the profile
+    // UDF four times). Unlike the unigram/tf-idf profiles — where every
+    // consumer reads the same partial-agg exchange and runtime reuse
+    // makes materialization pure overhead — the checkpoint here replaces
+    // four corpus passes with one.
+    val prof = Materialize(docs.select(col(idCol).as("doc_id"),
         explode(profileUdf(lower(col(textCol)))).as("p"))
       .select(col("doc_id"), col("p._1").as("a"), col("p._2").as("b"),
-        col("p._3").cast("long").as("cnt"))
-    val lm = prof.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c_ab"))
+        col("p._3").cast("long").as("cnt")))
+    val big = prof.where(col("b").isNotNull)
+    val lm = big.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c_ab"))
     val ctx = lm.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-    val vocab = docs.select(explode(arr).as("t"))
-      .agg(countDistinct(col("t")).cast("double").as("_graft_v"))
+    val vocab = prof.agg(countDistinct(col("a")).cast("double").as("_graft_v"))
     val lmCtx = lm.join(ctx, Seq("a")) // LM x token-vocab — never corpus rows
-    val scored = prof
+    val scored = big
       .join(lmCtx, Seq("a", "b"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
