@@ -60,12 +60,14 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should not include "NestedLoop"
   }
 
-  it("asofJoin is one keyed shuffle — no join operator at all in the plan") {
+  it("q34 rides the native sort-merge as-of exec (r14)") {
+    // r14: q34 switched from the union-carry-forward composition to
+    // AsOfJoinExec after a same-output shape race at sf1 (1.8s vs 2.7s
+    // warm — tools/AsofShapeProbe). One exchange + sort per side, O(1)
+    // merge state; never a generic join's row explosion on skew.
     val p = plan("q34_asof_join")
-    // the carry-forward window replaces the join: right payloads attach via
-    // union + last(ignoreNulls), so no SortMergeJoin/BHJ explosion on skew
-    p should include("Window")
-    p should not include "SortMergeJoin"
+    p should include("AsOfJoin")
+    p should not include "SortMergeJoin" // the generic operator, not ours
     p should not include "NestedLoop"
     p should not include "CartesianProduct"
   }

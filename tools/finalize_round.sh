@@ -29,15 +29,33 @@ echo "[finalize] round $RND at commit $COMMIT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out_r$RND"
 python3 tools/compare.py /root/testdata/sf0.01 "/tmp/verify_out_r$RND"
 
+# Bench runner with a contention retry (round-13 verdict item 8): if the
+# canary flags the pass as contended, run once more — the committed
+# tools/last_bench_<sf>.json and the round artifact must never be a
+# flagged-dirty measurement. A second contended pass aborts finalize: fix
+# the machine load and re-run rather than shipping a dirty artifact.
+run_bench() { # $1 = env assignments (string), $2 = out prefix
+  local attempt
+  for attempt in 1 2; do
+    env $1 sbt -batch "runMain graft.Bench" | tee "$2.txt"
+    grep '"metric"' "$2.txt" | tail -1 > "$2.json"
+    local contended
+    contended="$(python3 -c "import json;print(json.load(open('$2.json')).get('contended'))")"
+    if [ "$contended" != "True" ] && [ "$contended" != "true" ]; then
+      return 0
+    fi
+    echo "[finalize] bench pass flagged contended (attempt $attempt) — retrying" >&2
+  done
+  echo "[finalize] two contended bench passes in a row: the machine is" \
+       "loaded; aborting rather than stamping a dirty artifact" >&2
+  exit 1
+}
+
 # 2. sf0.1 bench (Bench stamps SPARK_GRAFT_COMMIT into its JSON line)
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch "runMain graft.Bench" | tee "/tmp/bench_sf01_r$RND.txt"
-grep '"metric"' "/tmp/bench_sf01_r$RND.txt" | tail -1 > "/tmp/bench_sf01_r$RND.json"
+run_bench "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1" "/tmp/bench_sf01_r$RND"
 
 # 3. sf1 bench (q70 skipped by design: output-quadratic; twin q147 is swept)
-SPARK_GRAFT_SF_DIR="$SF1DIR" SPARK_GRAFT_SKIP=q70_ \
-  sbt -batch "runMain graft.Bench" | tee "/tmp/bench_sf1_r$RND.txt"
-grep '"metric"' "/tmp/bench_sf1_r$RND.txt" | tail -1 > "/tmp/bench_sf1_r$RND.json"
+run_bench "SPARK_GRAFT_SF_DIR=$SF1DIR SPARK_GRAFT_SKIP=q70_" "/tmp/bench_sf1_r$RND"
 
 # 4. slope artifact (stamps its own git hash; verify it matches)
 python3 tools/bench_slope.py "/tmp/bench_sf01_r$RND.json" \
