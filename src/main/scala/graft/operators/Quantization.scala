@@ -379,34 +379,23 @@ object Quantization {
         min(try_element_at(col(vecCol), lit(i + 1))).cast("double")): _*).as("__mins"),
       array((0 until dim).map(i =>
         max(try_element_at(col(vecCol), lit(i + 1))).cast("double")): _*).as("__maxs"))
-    val v = (i: Column) => try_element_at(col(vecCol), i + 1).cast("double")
-    val mn = (i: Column) => element_at(col("__mins"), i + 1)
-    val mx = (i: Column) => element_at(col("__maxs"), i + 1)
-    val codeAt = (i: Column) =>
-      when(mx(i) > mn(i),
-        least(greatest(floor((v(i) - mn(i)) / (mx(i) - mn(i)) * lit(255.0)),
-          lit(0.0)), lit(255.0)).cast("int") - 128)
-        .otherwise(0)
-    val reconAt = (i: Column) =>
-      mn(i) + (codeAt(i).cast("double") + lit(128.5)) * (mx(i) - mn(i)) / lit(255.0)
-    // squared error via d*d, not pow(d, 2): Math.pow is not guaranteed
-    // correctly rounded, multiplication is — keeps MSE engine-exact
-    val diffAt = (i: Column) =>
-      when(mx(i) > mn(i), v(i) - reconAt(i)).otherwise(lit(0.0))
-    // zero-length (or null) vectors: guard the sequence — unguarded,
-    // sequence(0, -1) yields [0, -1] (Spark auto-negates the step) and the
-    // -1 index evaluates element_at(__mins, 0), which throws "SQL array
-    // indices start at 1" and fails the whole job on one bad row. Empty →
-    // empty codes + null mse, the row stays visible for triage.
+    // ONE native fused loop per row (graft_int8_quant, round 14): codes +
+    // MSE together. The former per-element HOF chain (two `transform`s +
+    // an `aggregate`, all interpreted, the code expression evaluated twice
+    // per dimension) was the dominant q113 cost at sf1; the kernel is
+    // spec-pinned bit-identical, null/NaN quirks included. Squared error
+    // via d*d, not pow(d, 2): multiplication is correctly rounded — keeps
+    // MSE engine-exact. Zero-length/null vectors are guarded here (empty
+    // codes + null mse, the row stays visible for triage); the kernel
+    // divides by n, rounding stays engine-comparable out here.
+    graft.sql.functions.ensureRegistered(emb.sparkSession)
     val n = size(col(vecCol))
+    val q = call_function("graft_int8_quant",
+      col(vecCol), col("__mins"), col("__maxs"))
     emb.crossJoin(broadcast(packed))
       .select(col(idCol).as("id"),
-        when(n > 0, transform(sequence(lit(0), n - 1), codeAt))
+        when(n > 0, q.getField("codes"))
           .otherwise(typedLit(Seq.empty[Int])).as("codes"),
-        when(n > 0, round(
-          aggregate(
-            transform(sequence(lit(0), n - 1), diffAt),
-            lit(0.0), (acc, d) => acc + d * d) / n,
-          scale)).as("mse"))
+        when(n > 0, round(q.getField("mse"), scale)).as("mse"))
   }
 }

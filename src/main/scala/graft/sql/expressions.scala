@@ -1072,6 +1072,123 @@ object WordSetsCount {
   }
 }
 
+/** Native Catalyst expression: int8 min-max quantization codes + MSE for
+  * one vector in ONE fused loop —
+  * `graft_int8_quant(vec, mins, maxs) -> struct<codes: array<int>, mse: double>`
+  * with per-dimension ranges supplied as (typically 1-row broadcast)
+  * array columns.
+  *
+  * Replaces two `transform` HOFs plus an `aggregate` fold per row — all
+  * interpreted per ELEMENT, with the code expression evaluated twice per
+  * dimension (once for the code, once inside the reconstruction error).
+  * Semantics are BIT-identical to that HOF formulation, quirks included
+  * (QuantizationSpec pins them side by side):
+  *
+  *  - a null element yields code -128 when the dim has range (Spark
+  *    `greatest` skips the null floor result, clamping to 0) and POISONS
+  *    the MSE to null from that element on;
+  *  - a NaN anywhere (element, or a stat — Spark `max` propagates a NaN
+  *    in the data into the dim's range) rides Spark's floor(double) ->
+  *    BIGINT conversion, which maps NaN to 0: code -128, MSE NaN;
+  *  - a range-less or null-ranged dim (max <= min, or either stat null)
+  *    contributes code 0 and zero error — but NaN compares GREATEST in
+  *    Spark's `>`, so a NaN max still quantizes (degenerately);
+  *  - accumulation order is element order (left fold), and the division
+  *    by n happens here — rounding stays in the caller.
+  *
+  * The caller guards empty/null vectors (`when(size(vec) > 0, ...)`), so
+  * null-in => null-out is correct for this expression itself. */
+case class Int8Quant(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  import org.apache.spark.sql.types.{FloatType, IntegerType, StructField, StructType}
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (v, ArrayType(DoubleType, _), ArrayType(DoubleType, _)) if elemOk(v) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_int8_quant expects (array<float|double>, array<double>, " +
+          s"array<double>), got $other")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("mse", DoubleType, nullable = true)))
+
+  override def prettyName: String = "graft_int8_quant"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Int8Quant =
+    copy(newFirst, newSecond, newThird)
+
+  private lazy val vecIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+    Int8Quant.compute(v.asInstanceOf[ArrayData], mn.asInstanceOf[ArrayData],
+      mx.asInstanceOf[ArrayData], vecIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) =>
+      s"${ev.value} = graft.sql.Int8Quant.compute($v, $mn, $mx, $vecIsFloat);")
+}
+
+object Int8Quant {
+  /** Interpreted + generated code share this loop. */
+  def compute(vec: ArrayData, mins: ArrayData, maxs: ArrayData,
+      vecIsFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    val codes = new Array[Int](n)
+    var acc = 0.0
+    var poisoned = false
+    var i = 0
+    while (i < n) {
+      val statNull = mins.isNullAt(i) || maxs.isNullAt(i)
+      val mn = if (statNull) 0.0 else mins.getDouble(i)
+      val mx = if (statNull) 0.0 else maxs.getDouble(i)
+      // Spark's `>` orders NaN GREATEST: NaN > x is true for any non-NaN
+      // x (so a NaN in the stats still takes the quantizing branch, where
+      // the NaN arithmetic then degrades the dim exactly like the HOF)
+      val cond = !statNull &&
+        (if (mx.isNaN) !mn.isNaN else if (mn.isNaN) false else mx > mn)
+      if (!cond) {
+        codes(i) = 0 // rangeless dim: code 0, zero error
+      } else if (vec.isNullAt(i)) {
+        // greatest(null-floor, 0) = 0 -> least = 0 -> code -128; the null
+        // diff poisons the running MSE to null permanently
+        codes(i) = -128
+        poisoned = true
+      } else {
+        val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        // Spark floor(double) returns BIGINT: Math.floor then toLong, so
+        // NaN lands on 0 (code -128) and infinities saturate — replicated
+        // exactly, NOT IEEE double floor
+        val fl = Math.floor((v - mn) / (mx - mn) * 255.0).toLong
+        val le = Math.min(Math.max(fl.toDouble, 0.0), 255.0)
+        val code = le.toInt - 128
+        codes(i) = code
+        if (!poisoned) {
+          val recon = mn + (code.toDouble + 128.5) * (mx - mn) / 255.0
+          val d = v - recon
+          acc += d * d
+        }
+      }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      codes.map(c => c: Any)))
+    if (poisoned) row.setNullAt(1) else row.update(1, acc / n)
+    row
+  }
+}
+
 /** Native Catalyst expression: every raw count behind the Gopher document
   * signals in ONE fused pass —
   * `graft_gopher_counts(text) -> array<bigint>` of
@@ -1443,6 +1560,14 @@ object functions {
       WordSetsCount(children.head, children(1))
     })
 
+  private[sql] val int8QuantDescriptor = (
+    new FunctionIdentifier("graft_int8_quant"),
+    new ExpressionInfo(classOf[Int8Quant].getName, "graft_int8_quant"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_int8_quant expects exactly 3 arguments")
+      Int8Quant(children.head, children(1), children(2))
+    })
+
   private[sql] val gopherCountsDescriptor = (
     new FunctionIdentifier("graft_gopher_counts"),
     new ExpressionInfo(classOf[GopherCounts].getName, "graft_gopher_counts"),
@@ -1453,7 +1578,7 @@ object functions {
 
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
-      bpeEncodeDescriptor, gopherCountsDescriptor,
+      bpeEncodeDescriptor, gopherCountsDescriptor, int8QuantDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
       containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
       centroidSubDescriptor, gramianDescriptor, wordSetsDescriptor)

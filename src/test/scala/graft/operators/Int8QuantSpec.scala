@@ -56,6 +56,65 @@ class Int8QuantSpec extends SparkTestBase with Matchers {
     wide should be > narrow
   }
 
+  it("native kernel is bit-identical to the HOF formulation, null/NaN quirks included (r14)") {
+    // the round-13 two-transforms+aggregate chain, reconstructed here as
+    // the twin: a null element must code -128 and null the MSE (greatest
+    // skips the null floor); a NaN element — which also turns the dim's
+    // max stat NaN and so degrades EVERY row's dim-0 — must ride Spark's
+    // floor(double)->BIGINT conversion (NaN -> 0 -> code -128) and turn
+    // the MSE NaN; constant dims code 0 with zero error; ragged vectors
+    // keep their own length
+    val adv = spark.sql(Seq(
+      "SELECT 1L AS vec_id, array(cast(0.0 AS float), cast(10.0 AS float), cast(5.0 AS float)) AS embedding",
+      "SELECT 2L, array(cast(1.0 AS float), cast(10.0 AS float), cast(-5.0 AS float))",
+      "SELECT 3L, array(cast('NaN' AS float), cast(9.0 AS float))",
+      "SELECT 4L, array(cast(null AS float), cast(2.0 AS float), cast(7.0 AS float))",
+      "SELECT 5L, array(cast(4.0 AS float))",
+      "SELECT 6L, array(cast(2.5 AS float), cast(10.0 AS float), cast(5.0 AS float), cast(null AS float))",
+      "SELECT 7L, array(cast(-7.25 AS float), cast(11.5 AS float))")
+      .mkString(" UNION ALL "))
+    // twin = the old column-expression formulation, verbatim
+    val dim = adv.agg(max(org.apache.spark.sql.functions.size($"embedding"))).head().getInt(0)
+    val packed = adv.agg(
+      array((0 until dim).map(i =>
+        min(try_element_at($"embedding", lit(i + 1))).cast("double")): _*).as("__mins"),
+      array((0 until dim).map(i =>
+        max(try_element_at($"embedding", lit(i + 1))).cast("double")): _*).as("__maxs"))
+    val v = (i: org.apache.spark.sql.Column) => try_element_at($"embedding", i + 1).cast("double")
+    val mn = (i: org.apache.spark.sql.Column) => element_at($"__mins", i + 1)
+    val mx = (i: org.apache.spark.sql.Column) => element_at($"__maxs", i + 1)
+    val codeAt = (i: org.apache.spark.sql.Column) =>
+      when(mx(i) > mn(i),
+        least(greatest(floor((v(i) - mn(i)) / (mx(i) - mn(i)) * lit(255.0)),
+          lit(0.0)), lit(255.0)).cast("int") - 128).otherwise(0)
+    val reconAt = (i: org.apache.spark.sql.Column) =>
+      mn(i) + (codeAt(i).cast("double") + lit(128.5)) * (mx(i) - mn(i)) / lit(255.0)
+    val diffAt = (i: org.apache.spark.sql.Column) =>
+      when(mx(i) > mn(i), v(i) - reconAt(i)).otherwise(lit(0.0))
+    val n = org.apache.spark.sql.functions.size($"embedding")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Int], Long)] =
+      df.select($"id", $"codes", $"mse").as[(Long, Seq[Int], Option[Double])]
+        .collect().toSeq.sortBy(_._1)
+        .map { case (id, c, m) =>
+          // bit-compare doubles so NaN==NaN and null is its own value
+          (id, c, m.map(java.lang.Double.doubleToLongBits).getOrElse(Long.MinValue)) }
+    val twin = adv.crossJoin(broadcast(packed))
+      .select($"vec_id".as("id"),
+        when(n > 0, transform(sequence(lit(0), n - 1), codeAt))
+          .otherwise(typedLit(Seq.empty[Int])).as("codes"),
+        when(n > 0, round(
+          aggregate(transform(sequence(lit(0), n - 1), diffAt),
+            lit(0.0), (acc, d) => acc + d * d) / n, 9)).as("mse"))
+    val kernel = Quantization.int8Quantize(adv, "vec_id", "embedding")
+    canon(kernel) shouldBe canon(twin)
+    // and the quirks really are exercised
+    val k = canon(kernel).map(r => r._1 -> r).toMap
+    k(3L)._2.head shouldBe -128 // NaN elem -> floor NaN -> 0 -> -128
+    assert(java.lang.Double.longBitsToDouble(k(3L)._3).isNaN)
+    k(4L)._2.head shouldBe -128 // null elem -> -128
+    k(4L)._3 shouldBe Long.MinValue // ...and a null MSE
+  }
+
   it("empty or all-null input raises the friendly require message, not an NPE") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
