@@ -786,15 +786,19 @@ object Similarity {
     require(!df.columns.contains(outCol),
       s"input already carries '$outCol' — pass a different outCol")
     val planes = hyperplanes(outDim, dim, seed)
-    val v = col(vecCol).cast("array<double>")
-    val checked = when(size(v) === dim, v).otherwise(raise_error(concat(
-      lit("randomProjection: vector of dim "), size(v),
-      lit(s" does not match the declared dim $dim"))))
-    val components = planes.map { p =>
-      val planeLit = array(p.toIndexedSeq.map(lit): _*)
-      round(dot(planeLit, checked), scale)
-    }
-    df.withColumn(outCol, array(components.toIndexedSeq: _*))
+    // ONE native fused loop per row (graft_matvec, round 14): the former
+    // per-plane aggregate(zip_with) HOFs evaluated outDim interpreted
+    // folds per row — q76's dominant cost and the suite's worst sf0.1->sf1
+    // slope. The kernel is fold-order bit-identical (spec-pinned) and
+    // rejects dimension drift loudly; rounding stays out here so the
+    // engine-comparable round semantics are Spark's own.
+    graft.sql.functions.ensureRegistered(df.sparkSession)
+    val projected = call_function("graft_matvec", col(vecCol),
+      typedLit(planes.map(_.toSeq).toSeq))
+    df.withColumn(outCol,
+      when(col(vecCol).isNotNull, transform(projected, x => round(x, scale)))
+        .otherwise(raise_error(lit(
+          "randomProjection: null vector — filter or repair upstream"))))
   }
 
   /** Semantic deduplication (SemDeDup-style): k-means clusters bound the

@@ -1072,6 +1072,96 @@ object WordSetsCount {
   }
 }
 
+/** Native Catalyst expression: dense plane-table × vector product in one
+  * fused loop — `graft_matvec(vec, array<array<double>>) -> array<double>`
+  * where the plane table is FOLDABLE (a literal random-projection /
+  * hyperplane matrix, materialised once per executor).
+  *
+  * Replaces one interpreted `aggregate(zip_with(...))` HOF PER PLANE per
+  * row (the q76 shape: 8 planes × 64 dims = 512 deep-tree element
+  * evaluations per row). Accumulation is element order (left fold), each
+  * term `plane[i] * v[i]` with the float element widened to double —
+  * bit-identical to the HOF chain. A null vector ELEMENT nulls the
+  * affected components exactly like the fold (null poisons the sum);
+  * dimension drift fails loudly instead of projecting garbage. */
+case class MatVec(vec: Expression, table: Expression)
+  extends BinaryExpression {
+
+  import org.apache.spark.sql.types.FloatType
+
+  override def left: Expression = vec
+  override def right: Expression = table
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, table.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) if table.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (_, t) if !table.foldable => TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec needs a literal plane table, got a non-foldable $t")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec expects (array<float|double>, array<array<double>>), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def prettyName: String = "graft_matvec"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatVec =
+    copy(vec = newLeft, table = newRight)
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    FoldableTable.materialise(table, "graft_matvec")
+
+  private lazy val vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, unused: Any): Any =
+    MatVec.compute(v.asInstanceOf[ArrayData], planes, vecIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.sql.MatVec.compute($v, $planesRef, $vecIsFloat);")
+  }
+}
+
+object MatVec {
+  /** Interpreted + generated code share this loop. */
+  def compute(v: ArrayData, planes: Array[Array[Double]],
+      vecIsFloat: Boolean): ArrayData = {
+    val dim = planes(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_matvec: vector of dim ${v.numElements()} does not match " +
+          s"the plane dim $dim")
+    // a null element nulls EVERY component (each plane's fold crosses it)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](planes.length))
+      i += 1
+    }
+    val out = new Array[Any](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      i = 0
+      while (i < dim) {
+        val x = if (vecIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += plane(i) * x
+        i += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expression: int8 min-max quantization codes + MSE for
   * one vector in ONE fused loop —
   * `graft_int8_quant(vec, mins, maxs) -> struct<codes: array<int>, mse: double>`
@@ -1560,6 +1650,14 @@ object functions {
       WordSetsCount(children.head, children(1))
     })
 
+  private[sql] val matVecDescriptor = (
+    new FunctionIdentifier("graft_matvec"),
+    new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_matvec expects exactly 2 arguments")
+      MatVec(children.head, children(1))
+    })
+
   private[sql] val int8QuantDescriptor = (
     new FunctionIdentifier("graft_int8_quant"),
     new ExpressionInfo(classOf[Int8Quant].getName, "graft_int8_quant"),
@@ -1579,6 +1677,7 @@ object functions {
   private[sql] val descriptors =
     Seq(cosineDescriptor, jaccardDescriptor, cdcDescriptor, bpeMergeDescriptor,
       bpeEncodeDescriptor, gopherCountsDescriptor, int8QuantDescriptor,
+      matVecDescriptor,
       winnowDescriptor, simHashDescriptor, topKDescriptor, kmvDescriptor,
       containDescriptor, cellAssignDescriptor, subvecAssignDescriptor,
       centroidSubDescriptor, gramianDescriptor, wordSetsDescriptor)

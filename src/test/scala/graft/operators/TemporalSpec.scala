@@ -165,6 +165,23 @@ class TemporalSpec extends SparkTestBase with Matchers {
         Similarity.randomProjection(emb, "embedding", outDim = 4, dim = 32)
           .select("projected").collect()
     }
+
+    it("native matvec kernel is fold-order bit-identical to the HOF formulation (r14)") {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+        .filter(col("vec_id") < 100)
+      val planes = Similarity.hyperplanes(8, 64, 42L)
+      val v = col("embedding").cast("array<double>")
+      val twin = emb.withColumn("projected", array(planes.map(p =>
+          round(Similarity.dot(array(p.toIndexedSeq.map(lit): _*), v), 6))
+        .toIndexedSeq: _*))
+        .select($"vec_id", $"projected").as[(Long, Seq[Double])]
+        .collect().toMap
+      val kernel = Similarity.randomProjection(emb, "embedding", outDim = 8, dim = 64)
+        .select($"vec_id", $"projected").as[(Long, Seq[Double])]
+        .collect().toMap
+      kernel shouldBe twin // exact double equality: same fold order
+    }
   }
 
   describe("semDedup") {
