@@ -31,7 +31,7 @@ object Multimodal {
     * the stub pipeline is verifiable by any SQL engine with an md5 builtin
     * (the correctness oracle recomputes it in DuckDB). */
   private def hash60(content: Column): Column =
-    conv(substring(md5(content), 1, 15), 16, 10).cast("long")
+    graft.sql.functions.md5Prefix64(content, 15)
 
   /** STUB image decode: (width, height, channels) pseudo-derived from the
     * content hash — replace with a real codec returning the same struct. The

@@ -24,9 +24,12 @@ object Sampling {
 
   /** 60-bit content hash of a key column (top 15 hex chars of md5) — the
     * deterministic ordering/bucketing primitive, recomputable by any SQL
-    * engine. */
+    * engine. Computed by the fused digest kernel
+    * ([[graft.sql.functions.md5Prefix64]]), value-identical to the
+    * `conv(substring(md5(x),1,15),16,10)` chain it replaced (which paid
+    * three string round-trips per row on every sample/rank/bucket path). */
   def hashRank(key: Column): Column =
-    conv(substring(md5(keyStr(key)), 1, 15), 16, 10).cast("long")
+    graft.sql.functions.md5Prefix64(keyStr(key), 15)
 
   /** 60-bit hash bucket in [0, buckets) of a key column. */
   def hashBucket(key: Column, buckets: Int): Column =
@@ -288,7 +291,8 @@ object Sampling {
   def gumbelTopK(df: DataFrame, key: Column, logWeight: Column, k: Int,
       keyOut: String = "gumbel_key"): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    val h = conv(substring(md5(keyStr(key)), 1, 5), 16, 10).cast("double")
+    // 20-bit md5 prefix, exact in double (value-identical to the conv chain)
+    val h = graft.sql.functions.md5Prefix64(keyStr(key), 5).cast("double")
     val u = (h + lit(0.5)) / lit(1048576.0)
     val g = -log(-log(u))
     df.where(logWeight.isNotNull)

@@ -49,8 +49,28 @@ object Sketches {
       pmod(xxhash64(lit(d), item), lit(width.toLong))
   }
 
-  /** All `depth` bucket assignments of an item, as an array column. */
+  /** All `depth` bucket assignments of an item, as an array column.
+    * Md5 family: ONE fused digest kernel for all depths
+    * ([[graft.sql.CmBuckets]]) — value-identical to [[bucketsChained]],
+    * the per-depth md5/conv chain it replaced (kept below as the spec
+    * twin), which cost ~13 µs per (row, depth) in string round-trips and
+    * dominated the q131 sketch build. A null item keeps the chain's
+    * shape: an array of null buckets, not a null array. The cast to
+    * string matches the implicit cast `concat` applied in the chain. */
   private[graft] def buckets(item: Column, depth: Int, width: Int,
+      family: CmHashFamily = Md5Hash): Column = family match {
+    case Md5Hash =>
+      val s = item.cast("string")
+      when(s.isNull,
+        array((0 until depth).map(_ => lit(null).cast("long")): _*))
+        .otherwise(call_function("graft_cm_buckets", s, lit(depth), lit(width)))
+    case XxHash =>
+      array((0 until depth).map(d => bucket(item, d, width, family)): _*)
+  }
+
+  /** The pre-round-14 expression chain — spec verification surface only
+    * (SketchKernelSpec pins [[buckets]] equal to it row by row). */
+  private[graft] def bucketsChained(item: Column, depth: Int, width: Int,
       family: CmHashFamily = Md5Hash): Column =
     array((0 until depth).map(d => bucket(item, d, width, family)): _*)
 
@@ -60,6 +80,7 @@ object Sketches {
       depth: Int = 4, width: Int = 1024,
       family: CmHashFamily = Md5Hash): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    graft.sql.functions.ensureRegistered(items.sparkSession)
     items
       .select(posexplode(buckets(col(itemCol), depth, width, family))
         .as(Seq("cm_depth", "cm_bucket")))
@@ -78,6 +99,7 @@ object Sketches {
       depth: Int = 4, width: Int = 1024,
       family: CmHashFamily = Md5Hash): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    graft.sql.functions.ensureRegistered(items.sparkSession)
     items
       .select(col(weightCol).cast("long").as("cm_w"),
         posexplode(buckets(col(itemCol), depth, width, family))
@@ -131,6 +153,7 @@ object Sketches {
       depth: Int = 4, width: Int = 1024,
       family: CmHashFamily = Md5Hash): DataFrame = {
     require(threshold >= 1, "threshold must be >= 1")
+    graft.sql.functions.ensureRegistered(items.sparkSession)
     // vocab-sized; materialized once so the sketch collect and the confirm
     // filter don't each re-run the corpus pass
     val counts = items
@@ -160,6 +183,7 @@ object Sketches {
   def countMinEstimate(queries: DataFrame, itemCol: String, sketch: DataFrame,
       depth: Int = 4, width: Int = 1024,
       family: CmHashFamily = Md5Hash): DataFrame = {
+    graft.sql.functions.ensureRegistered(queries.sparkSession)
     val qCols = queries.columns.map(col)
     queries
       .select(qCols :+ posexplode(buckets(col(itemCol), depth, width, family))
@@ -221,7 +245,9 @@ object Sketches {
   def kmvHash(item: Column, family: CmHashFamily = Md5Hash): Column =
     family match {
       case Md5Hash =>
-        conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+        // fused digest kernel, value-identical to
+        // conv(substring(md5(x),1,15),16,10).cast("long")
+        graft.sql.functions.md5Prefix64(item.cast("string"), 15)
       case XxHash =>
         xxhash64(item).bitwiseAND(lit((1L << 60) - 1))
     }

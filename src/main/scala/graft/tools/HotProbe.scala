@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decomposition probe for the round-14 hot queries: times each stage of
+  * a hot query's pipeline in isolation (noop-equivalent toRdd sink) so the
+  * optimization targets the measured dominant term, not a guess.
+  * Select probes with args, e.g. runMain graft.tools.HotProbe q131 q102.
+  */
+object HotProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sql.functions.ensureRegistered(spark)
+    val want = if (args.isEmpty) Set("q131", "q102", "q17", "q32") else args.toSet
+
+    def run(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def drop(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        scala.util.Try(r.unpersist(blocking = false)))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    // steady-state warmup as Bench does
+    Seq("orders", "lineitem", "documents").foreach(n => t(n).count())
+
+    if (want("q131")) {
+      import graft.operators.Sketches
+      val li = t("lineitem").select(col("l_orderkey").as("k"))
+      val ord = t("orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+      for (rep <- 1 to 3) {
+        timed(s"q131.sketch_li.$rep")(run(Sketches.countMinSketch(li, "k", 4, 2048)))
+        drop()
+      }
+      // the map-side bucket expression alone, no shuffle: hashing cost
+      val justHash = li.select(Sketches.buckets(col("k"), 4, 2048).as("b"))
+      for (rep <- 1 to 2) { timed(s"q131.hash_only.$rep")(run(justHash)); drop() }
+      timed("q131.sketch_ord")(run(Sketches.countMinSketch(ord, "k", 4, 2048)))
+      drop()
+      for (rep <- 1 to 2) {
+        timed(s"q131.exact_join.$rep")(run(li.join(ord, Seq("k")).agg(count(lit(1)))))
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q131.full.$rep")(run(graft.SparkEntry.queries("q131_cm_join_size")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q102")) {
+      import graft.operators.Bpe
+      val docs = t("documents")
+      for (rep <- 1 to 3) {
+        timed(s"q102.word_counts.$rep")(run(Bpe.wordCounts(docs, col("text"))))
+        drop()
+      }
+      // tokenize pass alone (regex extract + explode, no grouping)
+      val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      for (rep <- 1 to 2) { timed(s"q102.extract_only.$rep")(run(toks)); drop() }
+      for (rep <- 1 to 2) {
+        timed(s"q102.learn.$rep") {
+          val (m, v) = Bpe.learnBpe(docs, col("text"), numMerges = 8)
+          v.unpersist(); m.size
+        }
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q39.full.$rep")(run(graft.SparkEntry.queries("q39_bpe_tokens")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q17")) {
+      import graft.operators.Dedup
+      val docs = t("documents")
+      val prepped = Dedup.prepareNgrams(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")), 3)
+      timed("q17.prepare_ngrams")(run(prepped))
+      drop()
+      timed("q17.full")(run(graft.SparkEntry.queries("q17_ngram_jaccard_pairs")(spark, sfDir)))
+      drop()
+      timed("q17.full_warm")(run(graft.SparkEntry.queries("q17_ngram_jaccard_pairs")(spark, sfDir)))
+      drop()
+    }
+
+    if (want("q32")) {
+      import graft.operators.Dedup
+      val docs = t("documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / lit(50)).as("len_bucket")),
+        n = 3, threshold = 0.7)
+      timed("q32.pairs_only")(run(pairs))
+      drop()
+      timed("q32.full")(run(graft.SparkEntry.queries("q32_dup_clusters")(spark, sfDir)))
+      drop()
+      timed("q133.full")(run(graft.SparkEntry.queries("q133_leakage_safe_split")(spark, sfDir)))
+      drop()
+    }
+
+    spark.stop()
+  }
+}
