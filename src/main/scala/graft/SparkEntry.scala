@@ -1754,18 +1754,30 @@ object SparkEntry {
     // rollup (operators.Chunking.contentDefinedChunks composition)
     "q100_chunk_version_diff" -> ((s, dir) => {
       import graft.operators.Chunking
+      // r14: union + one (doc, hash) aggregation instead of distinct +
+      // (doc, hash) equi-join — a v2 chunk instance is "shared" iff its
+      // hash also appears as a v1 chunk of the same doc, so tagging the
+      // two exploded streams and grouping once replaces the old h1
+      // DISTINCT exchange AND the instance-level join shuffle with a
+      // single map-combined aggregation (row-identical: __n2 counts v2
+      // instances per (doc, hash), __in1 flags v1 membership — exactly
+      // the old left-join __m semantics)
       val docs = t(s, dir, "documents")
       val v2 = docs.select(col("doc_id"),
         when(col("doc_id") % 3 === 0, concat(lit("EDIT v2 "), col("text")))
           .otherwise(col("text")).as("text"))
       val h1 = Chunking.contentDefinedChunks(docs, "doc_id", "text")
-        .select(col("doc_id"), col("chunk_hash")).distinct()
+        .select(col("doc_id"), col("chunk_hash"), lit(0L).as("__w"))
       val c2 = Chunking.contentDefinedChunks(v2, "doc_id", "text")
-        .select(col("doc_id"), col("chunk_hash"))
-      c2.join(h1.withColumn("__m", lit(1)), Seq("doc_id", "chunk_hash"), "left")
+        .select(col("doc_id"), col("chunk_hash"), lit(1L).as("__w"))
+      h1.unionByName(c2)
+        .groupBy(col("doc_id"), col("chunk_hash"))
+        .agg(sum(col("__w")).as("__n2"),
+          max(lit(1L) - col("__w")).as("__in1"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks_v2"),
-          coalesce(sum(col("__m")), lit(0)).cast("long").as("n_shared"))
+        .agg(sum(col("__n2")).as("n_chunks_v2"),
+          sum(col("__n2") * col("__in1")).as("n_shared"))
+        .where(col("n_chunks_v2") > 0)
         .withColumn("share_ratio",
           round(col("n_shared").cast("double") / col("n_chunks_v2"), 4))
         .orderBy(col("doc_id"))

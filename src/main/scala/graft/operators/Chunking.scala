@@ -65,27 +65,9 @@ object Chunking {
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, divisor: Int = 64,
       minLen: Int = 1, maxLen: Int = 0): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    require(divisor >= 1, "divisor must be >= 1")
-    require(minLen >= 1, "minLen must be >= 1")
-    require(maxLen == 0 || maxLen >= minLen,
-      "maxLen must be 0 (unlimited) or >= minLen")
     graft.sql.functions.ensureRegistered(df.sparkSession)
     val txt = col(textCol)
-    // boundary scan is the native codegen'd expression — one tight JVM loop
-    // per row over the codepoints with a ring-buffered rolling hash. The
-    // pure-HOF formulations are quadratic (per-position substr re-scans the
-    // UTF8 string) or interpreted-fold slow (~100× — measured 27s vs 0.3s
-    // on the sf0.1 corpus); see graft.sql.CdcBounds
-    val interior = call_function("graft_cdc_bounds", txt,
-      lit(window), lit(divisor), lit(minLen), lit(maxLen))
-    val bounds = concat(array(lit(1L)), interior,
-      array((length(txt) + 1).cast("long")))
-    // consecutive boundary pairs -> chunk ranges; bounds are strictly
-    // increasing by construction except the empty-text [1,1] case
-    val pairs = arrays_zip(
-      slice(bounds, lit(1), greatest(size(bounds) - 1, lit(0))),
-      slice(bounds, lit(2), greatest(size(bounds) - 1, lit(0))))
+    val pairs = boundPairs(txt, window, divisor, minLen, maxLen)
     df.select(col(idCol), txt.as("__t"),
         posexplode(pairs).as(Seq("__i", "__p")))
       .select(col(idCol), col("__i").cast("long").as("chunk_idx"),
@@ -95,6 +77,32 @@ object Chunking {
           .as("chunk_hash"))
       .where(col("chunk_end") > col("chunk_start"))
   }
+
+  /** Consecutive CDC boundary pairs of `txt` as an `array<struct<0,1>>` —
+    * the shared core of [[contentDefinedChunks]] and [[chunkHashes]].
+    * Bounds are strictly increasing by construction except the empty-text
+    * [1,1] case (callers filter end > start). */
+  private def boundPairs(txt: Column, window: Int, divisor: Int,
+      minLen: Int, maxLen: Int): Column = {
+    require(window >= 1, "window must be >= 1")
+    require(divisor >= 1, "divisor must be >= 1")
+    require(minLen >= 1, "minLen must be >= 1")
+    require(maxLen == 0 || maxLen >= minLen,
+      "maxLen must be 0 (unlimited) or >= minLen")
+    // boundary scan is the native codegen'd expression — one tight JVM loop
+    // per row over the codepoints with a ring-buffered rolling hash. The
+    // pure-HOF formulations are quadratic (per-position substr re-scans the
+    // UTF8 string) or interpreted-fold slow (~100× — measured 27s vs 0.3s
+    // on the sf0.1 corpus); see graft.sql.CdcBounds
+    val interior = call_function("graft_cdc_bounds", txt,
+      lit(window), lit(divisor), lit(minLen), lit(maxLen))
+    val bounds = concat(array(lit(1L)), interior,
+      array((length(txt) + 1).cast("long")))
+    arrays_zip(
+      slice(bounds, lit(1), greatest(size(bounds) - 1, lit(0))),
+      slice(bounds, lit(2), greatest(size(bounds) - 1, lit(0))))
+  }
+
 
   /** Token-window chunks: `windowTokens` whitespace tokens every
     * `strideTokens`, re-joined with single spaces (the LLM-pipeline shape:

@@ -1090,21 +1090,29 @@ object Dedup {
     * Scale shape: shingling+hashing is one fused JVM pass per doc (the
     * HOF `array_distinct(transform(slice))` form re-measured 4× slower);
     * shingles shuffle as 60-bit md5-derived hashes (never text); first-seen
-    * is a map-combined `min(id)` per hash; the join back is a hash-keyed
-    * equi-join. Nothing is quadratic, no windows.
+    * is a map-combined `min(id)` per hash. Round 14: the counts decompose
+    * so the exploded shingle stream is never joined or re-shuffled —
+    * `n_shingles(id)` is a map-combined count per doc, and `n_novel(id)` =
+    * |{h : min_id(h) == id}| falls out of grouping first-seen BY its own
+    * min id. The old instance-level `dp ⋈ firstSeen` (which re-shuffled
+    * every exploded row) becomes a doc-level left join that AQE
+    * broadcasts; the skew posture improves too (stop-shingles now only
+    * ever flow through map-combined partial aggregates).
+    * Nothing is quadratic, no windows.
     * Output: (doc_id, n_shingles, n_novel, novelty). */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, scale: Int = 4): DataFrame = {
     val dp = docs.select(col(idCol).cast("long").as("__id"),
       explode(md5GramHashUdf(n)(col(textCol))).as("__h"))
-    val firstSeen = dp.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
-    dp.join(firstSeen, Seq("__h"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__first") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
+    // grams are distinct per doc (the UDF dedupes), so the per-doc count
+    // map-combines to one row per (task, doc) — a tiny shuffle
+    val per = dp.groupBy(col("__id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = dp.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+    per.join(novel, col("__id") === col("__first"), "left")
+      .select(col("__id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), scale))
-      .select(col("__id").as("doc_id"), col("n_shingles"), col("n_novel"),
-        col("novelty"))
   }
 }

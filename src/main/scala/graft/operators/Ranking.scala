@@ -129,12 +129,25 @@ object Ranking {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1], got $maxDfFraction")
     val unit = math.pow(10, scale)
-    val (_, stats, postings) = bm25Corpus(docs, idCol, textCol)
-    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (d, stats, _) = bm25Corpus(docs, idCol, textCol)
     val qTerms = queries.select(
         col(queryIdCol).cast("long").as("query_id"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
       .distinct()
+    // r14: the one-shot path only ever scores postings of QUERY terms, so
+    // the corpus token stream is semi-joined against the (broadcast,
+    // query-sized) term set BEFORE the (term, doc) aggregation — the
+    // full-vocabulary postings build shuffled every token of the corpus to
+    // then drop all but the query terms' rows at the qIdf join (guide §3:
+    // pre-filter the big side). df per retained term is unchanged (the
+    // filter is term-aligned), so scores are bit-identical.
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qTerms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // query-term-sized idf frame, broadcast over the postings: the one-shot
     // path computes contributions ONLY for postings of query terms (the
     // build-once/serve-many split below scores the whole vocabulary instead)

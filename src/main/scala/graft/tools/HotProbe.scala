@@ -113,6 +113,159 @@ object HotProbe {
       drop()
     }
 
+    if (want("q114")) {
+      import graft.operators.Dedup
+      val docs = t("documents")
+      val dp = docs.select(col("doc_id").cast("long").as("__id"),
+        explode(Dedup.md5GramHashUdf(5)(col("text"))).as("__h"))
+      for (rep <- 1 to 2) { timed(s"q114.explode_only.$rep")(run(dp)); drop() }
+      for (rep <- 1 to 2) {
+        timed(s"q114.first_seen.$rep")(
+          run(dp.groupBy(col("__h")).agg(min(col("__id")).as("__first"))))
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q114.full.$rep")(
+          run(graft.SparkEntry.queries("q114_shingle_novelty")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q34")) {
+      import graft.plans.AsOf
+      val ev = t("events").select(col("event_id"), col("user_id"), col("ts"))
+      for (rep <- 1 to 2) {
+        timed(s"q34.full.$rep")(
+          run(graft.SparkEntry.queries("q34_asof_join")(spark, sfDir)))
+        drop()
+      }
+      // the asof body without the final global orderBy
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = t("orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey").as("r_user"),
+          col("o_orderdate").cast("timestamp").as("r_ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      val joined = AsOf.asOfJoin(
+        t("events").select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts")),
+        ord, Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+        broadcastRight = Some(false))
+      for (rep <- 1 to 2) { timed(s"q34.no_sort.$rep")(run(joined)); drop() }
+      timed("q34.orders_dedup_only")(run(ord))
+      drop()
+    }
+
+    if (want("q114b")) {
+      import graft.operators.Dedup
+      val docs = t("documents")
+      val g = docs.select(col("doc_id").cast("long").as("__id"),
+        Dedup.md5GramHashUdf(5)(col("text")).as("__g"))
+      val per = g.select(col("__id"), size(col("__g")).cast("long").as("n_shingles"))
+        .where(col("n_shingles") > 0L)
+      for (rep <- 1 to 2) { timed(s"q114b.per_only.$rep")(run(per)); drop() }
+      val novel = g.select(col("__id"), explode(col("__g")).as("__h"))
+        .groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+        .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+      for (rep <- 1 to 2) { timed(s"q114b.novel_only.$rep")(run(novel)); drop() }
+      val joined = per.join(novel, col("__id") === col("__first"), "left")
+      for (rep <- 1 to 2) { timed(s"q114b.joined.$rep")(run(joined)); drop() }
+      for (rep <- 1 to 2) {
+        timed(s"q114b.full_sorted.$rep")(
+          run(graft.SparkEntry.queries("q114_shingle_novelty")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q100b")) {
+      for (rep <- 1 to 2) {
+        timed(s"q100b.full.$rep")(
+          run(graft.SparkEntry.queries("q100_chunk_version_diff")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q34b")) {
+      import graft.plans.AsOf
+      val evRaw = t("events")
+      println(s"PROBE q34b.events_rows ${evRaw.count()}")
+      val ev = evRaw.select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      for (rep <- 1 to 2) {
+        timed(s"q34b.sort_events_only.$rep")(run(ev.orderBy(col("event_id"))))
+        drop()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = t("orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey").as("r_user"),
+          col("o_orderdate").cast("timestamp").as("r_ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      for (rep <- 1 to 2) { timed(s"q34b.ord_dedup.$rep")(run(ord)); drop() }
+      val joined = AsOf.asOfJoin(ev, ord, Seq("user_id"), Seq("r_user"),
+        "ts", "r_ts", broadcastRight = Some(false))
+      for (rep <- 1 to 2) {
+        timed(s"q34b.join_sorted.$rep")(run(joined.orderBy(col("event_id"))))
+        drop()
+      }
+    }
+
+    if (want("q100")) {
+      import graft.operators.Chunking
+      val docs = t("documents")
+      for (rep <- 1 to 2) {
+        timed(s"q100.cdc_once.$rep")(
+          run(Chunking.contentDefinedChunks(docs, "doc_id", "text")))
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q100.full.$rep")(
+          run(graft.SparkEntry.queries("q100_chunk_version_diff")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q157")) {
+      for (rep <- 1 to 2) {
+        timed(s"q157.full.$rep")(
+          run(graft.SparkEntry.queries("q157_bm25_retrieval")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q123")) {
+      import graft.operators.Dedup
+      val en = t("documents").where(col("lang") === "en")
+      val p = en.select(col("doc_id"),
+        Dedup.md5CharGramHashUdf(7)(col("text")).as("g"))
+      for (rep <- 1 to 2) { timed(s"q123.gram_hash.$rep")(run(p)); drop() }
+      for (rep <- 1 to 2) {
+        timed(s"q123.full.$rep")(
+          run(graft.SparkEntry.queries("q123_containment_pairs")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q71")) {
+      for (rep <- 1 to 2) {
+        timed(s"q71.full.$rep")(
+          run(graft.SparkEntry.queries("q71_rolling_z")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q103")) {
+      for (rep <- 1 to 2) {
+        timed(s"q103.full.$rep")(
+          run(graft.SparkEntry.queries("q103_incremental_dedup")(spark, sfDir)))
+        drop()
+      }
+    }
+
     spark.stop()
   }
 }

@@ -304,13 +304,15 @@ class PlanSpec extends SparkTestBase with Matchers {
     p should include("graft_cdc_bounds")
   }
 
-  it("chunk version diff joins on (doc, hash) keys — no cartesian, native scans both sides") {
+  it("chunk version diff is one tagged-union aggregation — no equi-join, native scans") {
+    // r14: the v1-membership test rides the same (doc, hash) aggregation
+    // that counts v2 instances (tagged union), so the old h1 DISTINCT
+    // exchange and the instance-level join are gone from the plan
     val p = plan("q100_chunk_version_diff")
-    p should not include "CartesianProduct"
-    p should not include "NestedLoop"
+    p should not include "Join"
     p should include("graft_cdc_bounds")
-    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin")) shouldBe true
+    p should include("Union")
+    p should include("partial_sum")
   }
 
   it("count-min sketch map-combines its cells and broadcasts the sketch to the probe") {
