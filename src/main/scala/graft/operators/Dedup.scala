@@ -152,6 +152,55 @@ object Dedup {
         else txt.split("\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) null
       else {
+      // r14: tokens encode to UTF-8 once; each shingle digests the parts
+      // (token bytes, 0x20 separators) — no per-shingle StringBuilder/
+      // toString/getBytes (fusedMinHashRefUdf keeps the old body as the
+      // spec twin)
+      val tb = new Array[Array[Byte]](toks.length)
+      var t = 0
+      while (t < toks.length) {
+        tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        t += 1
+      }
+      val sig = Array.fill(k)(Long.MaxValue)
+      val nSh = math.max(toks.length - shingleWords + 1, 1)
+      val buf = new Array[Byte](16)
+      val d = md5Local.get()
+      var s = 0
+      while (s < nSh) {
+        d.reset()
+        var w = 0
+        while (w < shingleWords && s + w < toks.length) {
+          if (w > 0) d.update(0x20.toByte)
+          d.update(tb(s + w)); w += 1
+        }
+        d.digest(buf, 0, 16)
+        val x = ((buf(0) & 0xFFL) << 24) | ((buf(1) & 0xFFL) << 16) |
+          ((buf(2) & 0xFFL) << 8) | (buf(3) & 0xFFL)
+        var i = 0
+        while (i < k) {
+          val h = (pa(i) * x + pb(i)) % MinHashP
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        s += 1
+      }
+      sig
+      }
+    }
+  }
+
+  /** The pre-round-14 StringBuilder body of [[fusedMinHashUdf]] — spec
+    * verification surface only. */
+  private[graft] def fusedMinHashRefUdf(shingleWords: Int, k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (pa, pb) = minHashParams(k)
+    udf { (txt: String) =>
+      val toks =
+        if (txt == null) Array.empty[String]
+        else txt.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) null
+      else {
       val sig = Array.fill(k)(Long.MaxValue)
       val nSh = math.max(toks.length - shingleWords + 1, 1)
       val sb = new java.lang.StringBuilder(64)
@@ -1022,17 +1071,94 @@ object Dedup {
     h >>> 4
   }
 
+  /** UTF-8 bytes of `txt` plus the byte offset of every CODEPOINT boundary
+    * (length cps+1) — ONE encode for the whole text, so per-gram hashing
+    * digests byte RANGES instead of allocating a substring and a fresh
+    * byte array per gram (round 14; the substring path cost ~40% of the
+    * q123 gram pass). Unpaired surrogates count 1 byte, exactly the '?'
+    * REPLACE byte `String.getBytes(UTF_8)` emits for them on the substring
+    * path this replaces — and a codepoint window can never split a
+    * surrogate PAIR, so range bytes == substring bytes for every gram
+    * (DedupKernelSpec pins it, unpaired surrogates included). */
+  private[graft] def utf8CodepointOffsets(txt: String): (Array[Byte], Array[Int]) = {
+    val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cps = txt.codePointCount(0, txt.length)
+    val offs = new Array[Int](cps + 1)
+    var c = 0
+    var si = 0
+    var bo = 0
+    while (c < cps) {
+      offs(c) = bo
+      val cp = txt.codePointAt(si)
+      val unpaired = cp >= 0xD800 && cp <= 0xDFFF
+      bo += (if (cp < 0x80 || unpaired) 1 else if (cp < 0x800) 2
+             else if (cp < 0x10000) 3 else 4)
+      si += Character.charCount(cp)
+      c += 1
+    }
+    offs(cps) = bo
+    (bytes, offs)
+  }
+
+  /** First 60 bits of md5 over a byte RANGE — [[md5Long60]] without the
+    * per-call substring/getBytes/digest-array allocations (`buf` is a
+    * caller-reused 16-byte scratch). */
+  @inline private[graft] def md5Long60Range(bytes: Array[Byte], off: Int,
+      len: Int, buf: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    d.update(bytes, off, len)
+    d.digest(buf, 0, 16)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (buf(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   /** SORTED distinct character-n-gram 60-bit md5 hashes in one fused JVM
     * loop — the char twin of [[md5GramHashUdf]], pre-sorted so the native
     * sorted-merge verifiers ([[graft.sql.SortedArrayContainGE]] /
     * [[graft.sql.SortedArrayJaccardGE]]) can consume it directly. Texts
-    * shorter than `n` yield one gram of the whole text; null → empty. */
+    * shorter than `n` yield one gram of the whole text; null → empty.
+    * Round 14: one whole-text UTF-8 encode + byte-range digests + a
+    * primitive sort/dedupe replace the per-gram substring+getBytes and the
+    * boxed TreeSet ([[md5CharGramHashRefUdf]] keeps the old body as the
+    * spec-equivalence twin). */
   private[graft] def md5CharGramHashUdf(n: Int) = udf { (txt: String) =>
     if (txt == null) Array.empty[Long]
     else {
       // CODEPOINT windows, like Spark's substr/length and the SQL oracle's
       // — Java's char-indexed substring would shift every window after a
       // surrogate pair (the zh docs)
+      val (bytes, offs) = utf8CodepointOffsets(txt)
+      val cps = offs.length - 1
+      val nG = math.max(cps - n + 1, 1)
+      val buf = new Array[Byte](16)
+      val hs = new Array[Long](nG)
+      var i = 0
+      while (i < nG) {
+        val a = offs(i)
+        val b = offs(math.min(i + n, cps))
+        hs(i) = md5Long60Range(bytes, a, b - a, buf)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var w = 0
+      var r = 0
+      while (r < nG) {
+        if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+        r += 1
+      }
+      if (w == nG) hs else java.util.Arrays.copyOf(hs, w)
+    }
+  }
+
+  /** The pre-round-14 substring/TreeSet body of [[md5CharGramHashUdf]] —
+    * spec verification surface only (DedupKernelSpec pins the fused kernel
+    * equal to it row by row). */
+  private[graft] def md5CharGramHashRefUdf(n: Int) = udf { (txt: String) =>
+    if (txt == null) Array.empty[Long]
+    else {
       val cps = txt.codePointCount(0, txt.length)
       val offs = new Array[Int](cps + 1)
       var c = 0
@@ -1055,8 +1181,52 @@ object Dedup {
   /** Distinct word-n-gram 60-bit md5 hashes in one fused JVM loop — the
     * oracle-replayable twin of [[gramHashUdf]] (murmur64, faster but not
     * recomputable in SQL). Shares [[wordShingles]]' windowing contract,
-    * including the "fewer than n tokens → one gram of everything" edge. */
+    * including the "fewer than n tokens → one gram of everything" edge.
+    * Round 14: tokens encode to UTF-8 ONCE and each gram digests the parts
+    * (token bytes, 0x20 separators) directly — no per-gram StringBuilder,
+    * substring or getBytes. md5 over the joined string equals md5 over the
+    * concatenated parts by construction; [[md5GramHashRefUdf]] keeps the
+    * old body as the spec twin. */
   private[graft] def md5GramHashUdf(n: Int) = udf { (txt: String) =>
+    val toks =
+      if (txt == null) Array.empty[String]
+      else txt.split("\\s+").filter(_.nonEmpty)
+    val tb = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val nW = math.max(toks.length - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nW * 2)
+    val buf = new Array[Byte](16)
+    val d = md5Local.get()
+    var i = 0
+    while (i < nW) {
+      d.reset()
+      var w = 0
+      while (w < n && i + w < toks.length) {
+        if (w > 0) d.update(0x20.toByte)
+        d.update(tb(i + w))
+        w += 1
+      }
+      d.digest(buf, 0, 16)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (buf(j) & 0xffL); j += 1 }
+      seen.add(h >>> 4)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** The pre-round-14 StringBuilder body of [[md5GramHashUdf]] — spec
+    * verification surface only. */
+  private[graft] def md5GramHashRefUdf(n: Int) = udf { (txt: String) =>
     val toks =
       if (txt == null) Array.empty[String]
       else txt.split("\\s+").filter(_.nonEmpty)

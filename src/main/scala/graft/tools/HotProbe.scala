@@ -258,6 +258,26 @@ object HotProbe {
       }
     }
 
+    if (want("q18")) {
+      import graft.operators.Dedup
+      val docs = t("documents")
+      val signed = Dedup.minHashSignatures(docs, "doc_id", "text", 8, 8, 3)
+      for (rep <- 1 to 2) { timed(s"q18.sign_only.$rep")(run(signed)); drop() }
+      for (rep <- 1 to 2) {
+        timed(s"q18.full.$rep")(
+          run(graft.SparkEntry.queries("q18_minhash_lsh_pairs")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q140")) {
+      for (rep <- 1 to 2) {
+        timed(s"q140.full.$rep")(
+          run(graft.SparkEntry.queries("q140_curation_pipeline")(spark, sfDir)))
+        drop()
+      }
+    }
+
     if (want("q103")) {
       for (rep <- 1 to 2) {
         timed(s"q103.full.$rep")(
