@@ -324,27 +324,24 @@ object SparkEntry {
       val orders   = t(s, dir, "orders")
       val lineitem = t(s, dir, "lineitem")
       val nation   = t(s, dir, "nation")
-      // r14 (guide §2.2): pre-aggregate the fact side BEFORE the join
-      // chain — revenue/count roll up per order first, so the join
-      // shuffles one row per order instead of one per lineitem (4:1 here,
-      // ~4-7:1 at TPC-H scale). Decimal addition is associative and the
-      // per-nation counts are sums of per-order counts, so the result is
-      // bit-identical to aggregating after the joins (oracle unchanged).
-      val perOrder = lineitem
-        .groupBy(col("l_orderkey"))
-        .agg(
-          // exact decimal accumulation: join/partition order must not move the cent
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(28,8)")).as("rev_order"),
-          count(lit(1)).as("n_items"))
-      perOrder
+      // r14 NOTE: a pre-aggregation of the fact side (revenue/count per
+      // order before the join chain — textbook shuffle-bytes reduction)
+      // was implemented, oracle-verified identical, and MEASURED WORSE
+      // here: sf1 warm 3.1-3.6s (this shape) vs 5.1s (pre-agg) — locally
+      // the 1.5M-group hash aggregate costs more CPU than the 4:1 shuffle
+      // volume saves, since a local "shuffle" is just memory/disk. On a
+      // network-shuffled cluster the trade reverses; revisit with
+      // cluster-shaped evidence, not local numbers (OPTIMIZATION_r14.md).
+      lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("rev_order")).cast("double"), 2).as("revenue"),
-          sum(col("n_items")).as("n_lineitems"))
+          // exact decimal accumulation: join/partition order must not move the cent
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
         .orderBy(col("n_name"))
     }),
 

@@ -258,6 +258,39 @@ object HotProbe {
       }
     }
 
+    if (want("q02")) {
+      val customer = t("customer"); val orders = t("orders")
+      val lineitem = t("lineitem"); val nation = t("nation")
+      def oldShape() = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("n_name"))
+      for (rep <- 1 to 3) { timed(s"q02.old.$rep")(run(oldShape())); drop() }
+      for (rep <- 1 to 3) {
+        timed(s"q02.new.$rep")(
+          run(graft.SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q152")) {
+      for (rep <- 1 to 3) {
+        timed(s"q152.full.$rep")(
+          run(graft.SparkEntry.queries("q152_gif_frame_sample")(spark, sfDir)))
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q153.full.$rep")(
+          run(graft.SparkEntry.queries("q153_compressed_ingest")(spark, sfDir)))
+        drop()
+      }
+    }
+
     if (want("q18")) {
       import graft.operators.Dedup
       val docs = t("documents")
