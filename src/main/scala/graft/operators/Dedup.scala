@@ -69,6 +69,20 @@ object Dedup {
     * is the classic universal-hash minwise construction. */
   private[graft] val MinHashP: Long = (1L << 61) - 1
 
+  /** `v % MinHashP` for 0 <= v < 2^62 without the long division — p is the
+    * Mersenne prime 2^61−1, so v = (v >>> 61)·2^61 + (v & p) ≡
+    * (v >>> 61) + (v & p) (mod p), and with v < 2^62 the fold sum is
+    * < 2^61 + 1, needing at most one subtract. A 64-lane affine loop runs
+    * one of these per lane per shingle; the idiv was the loop's longest
+    * dependency (r14, guide §4). Value-identical to `%` on the domain
+    * (every a·x+b here: a < 2^30, x < 2^32, b < 2^32 ⇒ v < 2^62);
+    * DedupKernelSpec pins the fused kernels against the `%`-based ref
+    * twins row by row. */
+  @inline private[graft] def modMersenne61(v: Long): Long = {
+    val t = (v >>> 61) + (v & MinHashP)
+    if (t >= MinHashP) t - MinHashP else t
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -105,7 +119,7 @@ object Dedup {
         val x = md5Int32(s)
         var i = 0
         while (i < k) {
-          val h = (pa(i) * x + pb(i)) % MinHashP
+          val h = modMersenne61(pa(i) * x + pb(i))
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -179,7 +193,7 @@ object Dedup {
           ((buf(2) & 0xFFL) << 8) | (buf(3) & 0xFFL)
         var i = 0
         while (i < k) {
-          val h = (pa(i) * x + pb(i)) % MinHashP
+          val h = modMersenne61(pa(i) * x + pb(i))
           if (h < sig(i)) sig(i) = h
           i += 1
         }

@@ -60,6 +60,14 @@ class DedupKernelSpec extends SparkTestBase with Matchers {
     }
   }
 
+  it("modMersenne61 equals % over the affine domain including boundaries") {
+    val p = Dedup.MinHashP
+    val vs = Seq(0L, 1L, p - 1, p, p + 1, 2 * p - 1, 2 * p, 2 * p + 1,
+      (1L << 62) - 1, (1L << 61), (1L << 61) - 2) ++
+      (0 until 1000).map(i => (i.toLong * 0x9E3779B97F4A7C15L) >>> 2)
+    vs.foreach { v => Dedup.modMersenne61(v) shouldBe (v % p) }
+  }
+
   it("utf8CodepointOffsets spans concatenate to the whole encode") {
     for (t <- adversarialTexts.filter(_ != null)) {
       val (bytes, offs) = Dedup.utf8CodepointOffsets(t)
