@@ -179,6 +179,38 @@ object HotProbe {
       }
     }
 
+    if (want("q34c")) {
+      import graft.plans.AsOf
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      def joined() = {
+        val ev = t("events").select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+        val ord = t("orders")
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("o_custkey").as("r_user"),
+            col("o_orderdate").cast("timestamp").as("r_ts"),
+            col("o_orderkey"), col("o_totalprice"))
+        AsOf.asOfJoin(ev, ord, Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+          broadcastRight = Some(false))
+          .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q34c.plain_sort.$rep")(run(joined().orderBy(col("event_id"))))
+        drop()
+      }
+      for (rep <- 1 to 2) {
+        timed(s"q34c.ckpt_sort.$rep") {
+          val m = joined().localCheckpoint(true)
+          val n = run(m.orderBy(col("event_id")))
+          m.unpersist(); n
+        }
+        drop()
+      }
+    }
+
     if (want("q100b")) {
       for (rep <- 1 to 2) {
         timed(s"q100b.full.$rep")(
