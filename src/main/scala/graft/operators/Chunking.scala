@@ -79,7 +79,7 @@ object Chunking {
   }
 
   /** Consecutive CDC boundary pairs of `txt` as an `array<struct<0,1>>` —
-    * the shared core of [[contentDefinedChunks]] and [[chunkHashes]].
+    * the core of [[contentDefinedChunks]] (and the q100 version-diff path).
     * Bounds are strictly increasing by construction except the empty-text
     * [1,1] case (callers filter end > start). */
   private def boundPairs(txt: Column, window: Int, divisor: Int,
