@@ -132,10 +132,32 @@ object SparkEntry {
       build.write.mode("overwrite").parquet(p + "/frame")
       p
     })
-    // spread the payloads before the decode kernels regardless of how few
-    // input splits the small parquet read produces (production sizing:
-    // Multimodal.repartitionForDecode)
-    s.read.parquet(path + "/frame").repartition(s.sparkContext.defaultParallelism)
+    // Decode partitioning follows payload VOLUME, not core count (guide §6;
+    // round-14 scaling block: q150–q155 all ran FASTER at 8 cores than 32 —
+    // the blanket repartition(defaultParallelism) over-split this payload
+    // count and the extra concurrent decoders only contend on allocation).
+    // Partition count = on-disk frame bytes / decodeTargetBytes, read from
+    // driver-side file metadata (no extra scan in the timed region) — the
+    // same rule that sizes Multimodal.repartitionForDecode yields thousands
+    // of right-sized decode tasks on a 100 TB corpus and a handful here.
+    // Parameterised, not pinned: spark.graft.media.decodeTargetBytes
+    // (default 4 MiB of parquet-compressed payload per task — the sf0.1
+    // sweep in plans/r15/media_partition_sweep.txt: per-query optimum is
+    // flat between 2–8 MiB and every kind beats both repartition(32) and
+    // repartition(8); production codecs with higher per-byte decode cost
+    // lower it, I/O-bound codecs raise it toward the 128 MiB scan default).
+    val frameBytes = {
+      val d = new java.io.File(path + "/frame")
+      Option(d.listFiles)
+        .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+        .getOrElse(0L)
+    }
+    val targetBytes = s.conf.get("spark.graft.media.decodeTargetBytes",
+      (4L << 20).toString).toLong
+    val parts = math.max(1, math.ceil(frameBytes.toDouble / targetBytes).toInt)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(s"[media] $kind frameBytes=$frameBytes parts=$parts")
+    s.read.parquet(path + "/frame").repartition(parts)
   }
 
   /** Bench warmup hook: synthesize + persist the q150–q155 payload frames

@@ -351,6 +351,143 @@ object HotProbe {
       }
     }
 
+    // ---- round-15 probes ----
+
+    if (want("q123s")) { // containment candidate-channel stage decomposition
+      import graft.operators.{Dedup, Materialize}
+      import org.apache.spark.sql.expressions.Window
+      val docs = t("documents").where(col("lang") === "en")
+      val p = Materialize(docs.where(col("text").isNotNull)
+        .select(col("doc_id"), Dedup.md5CharGramHashUdf(7)(col("text")).as("g")))
+      timed("q123s.materialize_grams")(run(p))
+      val sz = p.select(col("doc_id"), col("g"), size(col("g")).as("n"))
+      val idx = p.select(col("doc_id"), explode(col("g")).as("gram"))
+      for (r <- 1 to 2) timed(s"q123s.explode_only.$r")(run(idx))
+      val dfreq = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      for (r <- 1 to 2) timed(s"q123s.dfreq.$r")(run(dfreq))
+      val idxF = idx.join(dfreq, Seq("gram")).where(col("df") <= 50)
+      for (r <- 1 to 2) timed(s"q123s.idxF.$r")(run(idxF))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+      val pre = idxF
+        .withColumn("rn", row_number().over(w))
+        .join(sz.select(col("doc_id"), col("n")), Seq("doc_id"))
+        .where(col("rn") <= floor((lit(1.0) - lit(0.8)) * col("n")).cast("int") + 1)
+        .select("doc_id", "gram")
+      for (r <- 1 to 2) timed(s"q123s.pre.$r")(run(pre))
+      val idx2 = idxF.select("doc_id", "gram")
+      val cand = pre.as("a")
+        .join(idx2.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_contained"), col("b.doc_id").as("id_container"))
+      for (r <- 1 to 2) timed(s"q123s.cand_nodistinct.$r")(run(cand))
+      for (r <- 1 to 2) timed(s"q123s.cand_distinct.$r")(run(cand.distinct()))
+      Materialize.release(p)
+      drop()
+      for (r <- 1 to 2) {
+        timed(s"q123s.full.$r")(
+          run(graft.SparkEntry.queries("q123_containment_pairs")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q67")) { // semdedup: kmeans rounds vs pair scoring
+      import graft.operators.{Similarity, Materialize}
+      val emb = t("embeddings")
+      val c = Materialize(emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")))
+      timed("q67.materialize")(run(c))
+      for (r <- 1 to 2) timed(s"q67.kmeans.$r")(
+        Similarity.kmeansCentroids(c, "id", "v", 8, 2).length)
+      val cents = Similarity.kmeansCentroids(c, "id", "v", 8, 2)
+      val assigned = c.withColumn("cell",
+        Similarity.cellAssign(spark, cents)(col("v")))
+      for (r <- 1 to 2) timed(s"q67.assign.$r")(run(assigned))
+      val pairs = Similarity.cosineNearDupPairs(
+        assigned.withColumnRenamed("id", "vec_id").withColumnRenamed("v", "embedding"),
+        "vec_id", "embedding", col("cell"), 0.3)
+      for (r <- 1 to 2) timed(s"q67.pairs.$r")(run(pairs))
+      Materialize.release(c)
+      drop()
+      for (r <- 1 to 2) {
+        timed(s"q67.full.$r")(
+          run(graft.SparkEntry.queries("q67_semdedup")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q86")) { // personalized pagerank vs plain pagerank, edge build
+      val edges = t("orders")
+        .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      for (r <- 1 to 2) { timed(s"q86.edges_only.$r")(run(edges)); drop() }
+      for (r <- 1 to 2) {
+        timed(s"q86.full.$r")(
+          run(graft.SparkEntry.queries("q86_personalized_pagerank")(spark, sfDir)))
+        drop()
+      }
+      for (r <- 1 to 2) {
+        timed(s"q74.full.$r")(
+          run(graft.SparkEntry.queries("q74_pagerank")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("q121")) { // entity resolution: pair gen vs components vs expansion
+      import graft.operators.{Fuzzy, Materialize, Graphs}
+      val part = t("part")
+      val ids = part.select(col("p_partkey").as("__fid"), col("p_name").as("name"))
+        .where(col("name").isNotNull)
+      val names = Materialize(ids.select("name").distinct())
+      timed("q121.names_distinct")(run(names))
+      val pairs = Fuzzy.fuzzyDupPairs(part, "p_partkey", "p_name", 2, Some(1000L))
+      for (r <- 1 to 2) { timed(s"q121.fuzzy_pairs_idlevel.$r")(run(pairs)); drop() }
+      Materialize.release(names)
+      for (r <- 1 to 2) {
+        timed(s"q121.full.$r")(
+          run(graft.SparkEntry.queries("q121_entity_resolution")(spark, sfDir)))
+        drop()
+      }
+      for (r <- 1 to 2) {
+        timed(s"q147.full.$r")(
+          run(graft.SparkEntry.queries("q147_fuzzy_dups_bounded")(spark, sfDir)))
+        drop()
+      }
+    }
+
+    if (want("media")) { // decode-partition sizing sweep (q150–q155)
+      graft.SparkEntry.prewarmMediaFrames(spark, sfDir)
+      val qs = Seq("q150_real_image_phash", "q151_audio_profile",
+        "q152_gif_frame_sample", "q153_compressed_ingest", "q154_warc_ingest",
+        "q155_crawl_pipeline")
+      for (kb <- Seq(512, 1024, 2048, 4096, 8192, 32768, 262144)) {
+        spark.conf.set("spark.graft.media.decodeTargetBytes", (kb.toLong << 10).toString)
+        for (qn <- qs) {
+          timed(s"media.$qn.t${kb}k")(
+            run(graft.SparkEntry.queries(qn)(spark, sfDir)))
+          drop()
+        }
+      }
+      spark.conf.unset("spark.graft.media.decodeTargetBytes")
+    }
+
+    if (want("q139")) { // storage band: point lookup + sparse index cycles
+      for (r <- 1 to 2) {
+        timed(s"q139.full.$r")(
+          run(graft.SparkEntry.queries("q139_point_lookup")(spark, sfDir)))
+        drop()
+      }
+      for (r <- 1 to 2) {
+        timed(s"q159.full.$r")(
+          run(graft.SparkEntry.queries("q159_sparse_index_retrieval")(spark, sfDir)))
+        drop()
+      }
+      for (r <- 1 to 2) {
+        timed(s"q161.full.$r")(
+          run(graft.SparkEntry.queries("q161_bpe_oov")(spark, sfDir)))
+        drop()
+      }
+    }
+
     spark.stop()
   }
 }
